@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.queries.Sql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, equi-joins (incl. broadcast
+  * stream-static enrichment J7, semi-join J4), aggregations, sorts and the
+  * profile-store operators (S5/S6, P1, O2, J5) from SURVEY.md §2, exercised
+  * on the TPC-H-ish driver testdata.
+  *
+  * Scale notes: dimension joins are explicitly broadcast; fact-side
+  * aggregations are partial (map-side combine) by construction; all filters
+  * and projections are plain Column exprs so Catalyst pushes them into the
+  * parquet scans.
+  */
+object RelationalQueries extends QueryModule {
+
+  private val PRO = Tables.profilesSql
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: single-pass scan + partial agg; the canonical
+    // "does the engine aggregate 100 TB without moving it" query.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          decAvg(col("l_extendedprice")).as("avg_price"),
+          decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: broadcast dims into the fact, top-k with
+    // deterministic tie-break.
+    "q3_top_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val rev = l.join(broadcast(o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey"))), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      rev.withColumn("rk",
+          row_number().over(Window.orderBy(col("revenue").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 10)
+    }),
+
+    // TPC-H Q5 shape: multi-way equi-join through the star schema.
+    "q5_region_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // J4 — semi-join (EXISTS).
+    "j4_semi_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+                .select(col("l_orderkey")),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))),
+
+    // J7 — stream-static enrichment in batch form: fact stream joined to a
+    // broadcast dimension (reference: ad event → Redis campaign lookup).
+    "j7_enrich_broadcast" -> ((s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))),
+
+    // P10 — view-event filter + projection (Yahoo-benchmark shape).
+    "p10_view_filter" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))),
+
+    // P1 — backpressure split of the profile store.
+    "profiles_p1_split" -> ((s, d) =>
+      Tables.profiles(s, d).filter(col("isbckpres") === 0)),
+
+    // O2 — profile-store scan ordered by (scaleOut, stopTs); order encoded
+    // as an explicit rank column since result rows are set-compared.
+    "profiles_o2_sort" -> ((s, d) =>
+      Tables.profiles(s, d).withColumn("rk", row_number().over(
+        Window.orderBy(col("scaleout"), col("stopts"), col("expid"))))),
+
+    // J5 — group-to-series: per scale-out the (stopTs, avgLat) series,
+    // flattened with an in-group position.
+    "profiles_j5_series" -> ((s, d) =>
+      Tables.profiles(s, d).select(col("scaleout"),
+        (row_number().over(Window.partitionBy(col("scaleout"))
+          .orderBy(col("stopts"), col("expid"))) - 1).as("pos"),
+        col("stopts"), col("avglat"))),
+
+    // P8 — active-scale-out membership filter.
+    "profiles_p8_isin" -> ((s, d) =>
+      Tables.profiles(s, d).filter(col("scaleout").isin(2, 4, 8, 16))
+        .groupBy(col("scaleout"))
+        .agg(count(lit(1)).as("n"), decAvg(col("avgthr")).as("mean_thr"))),
+
+    // O9 + O7 — distinct scale-outs present, with dense rank.
+    "profiles_o9_distinct" -> ((s, d) =>
+      Tables.profiles(s, d).select(col("scaleout")).distinct()
+        .withColumn("rk", row_number().over(Window.orderBy(col("scaleout"))))))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSumSql("l_quantity")} AS sum_qty,
+         |  ${decSumSql("l_extendedprice")} AS sum_base_price,
+         |  ${decSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${decSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${decAvgSql("l_quantity")} AS avg_qty,
+         |  ${decAvgSql("l_extendedprice")} AS avg_price,
+         |  ${decAvgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""WITH rev AS (
+         |  SELECT o_orderkey,
+         |    ${decSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |  FROM customer JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY o_orderkey)
+         |SELECT * FROM (
+         |  SELECT o_orderkey, revenue,
+         |    row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
+         |  FROM rev) WHERE rk <= 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${decSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "j7_enrich_broadcast" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |  ${decSumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "p10_view_filter" ->
+      """SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "profiles_p1_split" ->
+      s"WITH profiles AS ($PRO) SELECT * FROM profiles WHERE isbckpres = 0",
+
+    "profiles_o2_sort" ->
+      s"""WITH profiles AS ($PRO)
+         |SELECT *, row_number() OVER (ORDER BY scaleout, stopts, expid) AS rk
+         |FROM profiles""".stripMargin,
+
+    "profiles_j5_series" ->
+      s"""WITH profiles AS ($PRO)
+         |SELECT scaleout,
+         |  row_number() OVER (PARTITION BY scaleout ORDER BY stopts, expid) - 1 AS pos,
+         |  stopts, avglat
+         |FROM profiles""".stripMargin,
+
+    "profiles_p8_isin" ->
+      s"""WITH profiles AS ($PRO)
+         |SELECT scaleout, COUNT(*) AS n, ${decAvgSql("avgthr")} AS mean_thr
+         |FROM profiles WHERE scaleout IN (2, 4, 8, 16)
+         |GROUP BY scaleout""".stripMargin,
+
+    "profiles_o9_distinct" ->
+      s"""WITH profiles AS ($PRO)
+         |SELECT scaleout, row_number() OVER (ORDER BY scaleout) AS rk
+         |FROM (SELECT DISTINCT scaleout FROM profiles)""".stripMargin)
+}
