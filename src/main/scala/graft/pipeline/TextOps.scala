@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, n-gram-heuristic
+  * language ID, and document fingerprinting.
+  *
+  * Everything is pure Column DSL (whole-stage codegen, no UDFs); per-doc
+  * operators are embarrassingly parallel, so the plans scale linearly with
+  * document count — no shuffles except where aggregation is the point.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the `text` column. */
+  val tokens: Column = split(col("text"), " ")
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic (public-knowledge function words). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "que", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def markerCount(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(words)))
+
+  /** Token statistics: counts, distinct counts, char length, mean token
+    * length. Integer arithmetic → engine-exact. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(ts).as("n_tokens"),
+      size(array_distinct(ts)).as("n_distinct"),
+      round(aggregate(transform(ts, length), lit(0), _ + _).cast("double") /
+        size(ts) + lit(1e-9), 4).as("mean_tok_len"))
+  }
+
+  /** Quality score: blend of length, stopword ratio, token length and
+    * lexical diversity — the standard cheap pre-filter for web-scale corpus
+    * cleaning (length/punct/stopword-ratio heuristics). */
+  def quality(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val n = size(ts).cast("double")
+    val stopRatio = markerCount(ts, langMarkers.toMap.apply("en")).cast("double") / n
+    val meanLen = aggregate(transform(ts, length), lit(0), _ + _).cast("double") / n
+    val distinctRatio = size(array_distinct(ts)).cast("double") / n
+    docs.select(
+      col("doc_id"),
+      round(stopRatio + lit(1e-9), 4).as("stop_ratio"),
+      round(distinctRatio + lit(1e-9), 4).as("distinct_ratio"),
+      round(
+        lit(0.3) * least(lit(1.0), n / 100) +
+        lit(0.3) * (lit(1.0) - stopRatio) +
+        lit(0.2) * least(lit(1.0), meanLen / 8) +
+        lit(0.2) * distinctRatio + lit(1e-9), 4).as("quality"))
+  }
+
+  /** Language ID: argmax of per-language marker hits, ties broken by
+    * language code ascending (deterministic). */
+  def langId(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val scored = docs.select(
+      col("doc_id") +: langMarkers.map { case (l, ws) =>
+        markerCount(ts, ws).as(s"s_$l") }: _*)
+    // argmax via greatest + cascaded when (5 languages, tie → first asc).
+    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val maxScore = greatest(best: _*)
+    val pred = langMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) =>
+        when(acc.isNull && col(s"s_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }
+      :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Document fingerprints:
+    *  - `fp64`: 60-bit content hash from md5 (engine-portable exact);
+    *  - `fp_roll`: position-weighted rolling token hash mod 1e9+7 — tokens
+    *    hashed by (first char, length, last char), weighted by position;
+    *  - `fp_shingle_min`: lexicographic min md5 over 8-char shingles — a
+    *    winnowing-style robust content fingerprint.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val tokVal = (t: Column) =>
+      ascii(substring(t, 1, 1)) * 131 + length(t) * 31 +
+        ascii(substring(t, -1, 1))
+    val rolled = aggregate(
+      zip_with(ts, sequence(lit(1), size(ts)),
+        (t, i) => (tokVal(t) * ((i % 1000) + 1)).cast("long")),
+      lit(0L), _ + _) % 1000000007L
+    docs.select(
+      col("doc_id"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp64"),
+      rolled.as("fp_roll"),
+      array_min(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> md5(substring(text, i, 8)))")).as("fp_shingle_min"))
+  }
+}
