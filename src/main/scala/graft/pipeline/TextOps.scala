@@ -37,7 +37,7 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(ts).as("n_tokens"),
       size(array_distinct(ts)).as("n_distinct"),
-      round(aggregate(transform(ts, length), lit(0), _ + _).cast("double") /
+      round(aggregate(transform(ts, t => length(t)), lit(0), _ + _).cast("double") /
         size(ts) + lit(1e-9), 4).as("mean_tok_len"))
   }
 
@@ -48,7 +48,7 @@ object TextOps {
     val ts = tokens
     val n = size(ts).cast("double")
     val stopRatio = markerCount(ts, langMarkers.toMap.apply("en")).cast("double") / n
-    val meanLen = aggregate(transform(ts, length), lit(0), _ + _).cast("double") / n
+    val meanLen = aggregate(transform(ts, t => length(t)), lit(0), _ + _).cast("double") / n
     val distinctRatio = size(array_distinct(ts)).cast("double") / n
     docs.select(
       col("doc_id"),
