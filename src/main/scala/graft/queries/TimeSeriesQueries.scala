@@ -64,7 +64,9 @@ object TimeSeriesQueries extends QueryModule {
     "ts_first_last" -> ((s, d) => firstLast(seriesDf(s, d))),
 
     "ts_csv_roundtrip" -> ((s, d) => {
-      val path = "/root/repo/target/graft-tmp/csv_click"
+      // Scratch path is per-scale-factor so interleaved runs at different
+      // SFs can't read each other's round-trip data.
+      val path = s"/root/repo/target/graft-tmp/csv_click_${new java.io.File(d).getName}"
       toCsv(denseDf(s, d).filter(col("sid") === "click").select("ts", "value"), path)
       fromCsv(s, path)
     }))
@@ -134,7 +136,7 @@ object TimeSeriesQueries extends QueryModule {
     "ts_agg" ->
       s"""$denseCte
          |SELECT sid,
-         |  ROUND(${Sql.decSumSql("value")} / COUNT(value), 4) AS avg_value,
+         |  ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS avg_value,
          |  ROUND(MIN(value), 4) AS min_value,
          |  ROUND(MAX(value), 4) AS max_value,
          |  CASE WHEN COUNT(value) = 0 THEN NULL

@@ -28,14 +28,24 @@ object TimeSeriesOps {
   /** Dense 1-per-`step` grid per series between each series' min/max ts,
     * left-joined with the observations: the canonical dense representation
     * (reference TimeSeries.java:45-50 materializes one slot per second).
-    * `sequence(t0, t1, step)` is evaluated per group row, so grid
-    * materialization is distributed with the groups.
+    *
+    * Grid materialization is two-level: an outer `sequence` of chunk heads
+    * and an inner `sequence` of at most `chunk` grid points per head, so no
+    * task ever materializes an array proportional to series length — a
+    * year-long 1 Hz series is ~31M points, which as a single `sequence`
+    * array would OOM the generating task at scale. The following join
+    * shuffles on (groupCols, ts), redistributing the generated rows.
     */
-  def dense(series: DataFrame, step: Long, groupCols: Seq[String] = Seq("sid")): DataFrame = {
+  def dense(series: DataFrame, step: Long, groupCols: Seq[String] = Seq("sid"),
+            chunk: Int = 8192): DataFrame = {
     val bounds = series.groupBy(grp(groupCols): _*)
       .agg(min("ts").as("t0"), max("ts").as("t1"))
-    val grid = bounds.select(
-      grp(groupCols) :+ explode(sequence(col("t0"), col("t1"), lit(step))).as("ts"): _*)
+    val heads = bounds.select(
+      grp(groupCols) :+ col("t1") :+
+        explode(sequence(col("t0"), col("t1"), lit(step * chunk))).as("h"): _*)
+    val grid = heads.select(
+      grp(groupCols) :+ explode(sequence(
+        col("h"), least(col("h") + step * (chunk - 1), col("t1")), lit(step))).as("ts"): _*)
     grid.join(series, groupCols :+ "ts", "left")
       .select(grp(groupCols) :+ col("ts") :+ col("value"): _*)
   }
@@ -44,21 +54,58 @@ object TimeSeriesOps {
     * matching pandas `interpolate(method='linear', limit_direction='both')`
     * (reference analytics/app/workload/schemes.py:41-54). Pure window
     * expressions — no UDF, stays in codegen.
+    *
+    * Scale design: a single series must not funnel through one window
+    * partition, so rows are chunked into coarse time buckets of `chunkSpan`
+    * seconds. Anchor lookups are two-level: per-row windows WITHIN a bucket
+    * (partitioned by groupCols + bucket → parallel across buckets) plus a
+    * bucket-level carry of each bucket's first/last non-null observation
+    * (one row per bucket; the only cross-bucket window runs over that tiny
+    * relation). Arithmetic is identical to the global-window formulation —
+    * results are bit-exact regardless of chunkSpan.
     */
-  def interpolate(df: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame = {
-    val w = if (groupCols.isEmpty) Window.orderBy("ts")
-            else Window.partitionBy(grp(groupCols): _*).orderBy("ts")
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pv = last(col("value"), ignoreNulls = true).over(wPrev)
-    val pt = last(when(col("value").isNotNull, col("ts")), ignoreNulls = true).over(wPrev)
-    val nv = first(col("value"), ignoreNulls = true).over(wNext)
-    val nt = first(when(col("value").isNotNull, col("ts")), ignoreNulls = true).over(wNext)
-    df.withColumn("value",
+  def interpolate(df: DataFrame, groupCols: Seq[String] = Seq("sid"),
+                  chunkSpan: Long = 86400L): DataFrame = {
+    val g = grp(groupCols)
+    val withB = df.withColumn("__b", floor(col("ts") / chunkSpan).cast("long"))
+    val wIn = Window.partitionBy(g :+ col("__b"): _*).orderBy("ts")
+    val wInPrev = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wInNext = wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pvIn = last(col("value"), ignoreNulls = true).over(wInPrev)
+    val ptIn = last(when(col("value").isNotNull, col("ts")), ignoreNulls = true).over(wInPrev)
+    val nvIn = first(col("value"), ignoreNulls = true).over(wInNext)
+    val ntIn = first(when(col("value").isNotNull, col("ts")), ignoreNulls = true).over(wInNext)
+
+    // One row per (series, bucket): the bucket's first/last non-null obs.
+    val bSum = withB.groupBy(g :+ col("__b"): _*).agg(
+      max(when(col("value").isNotNull, struct(col("ts"), col("value")))).as("__lastNN"),
+      min(when(col("value").isNotNull, struct(col("ts"), col("value")))).as("__firstNN"))
+    // Cross-bucket carry: tiny relation (nBuckets rows/series, i.e. data
+    // volume O(series_len / chunkSpan)), so a single partition here is
+    // deliberate and bounded. The `__b % 1` key (always 0, but not
+    // constant-foldable) keeps the partition spec non-empty for the
+    // ungrouped case — an empty spec would be flagged as an unbounded
+    // global window, which this is not.
+    val wB = Window.partitionBy(
+      (if (g.isEmpty) Seq(col("__b") % 1) else g): _*).orderBy("__b")
+    val carry = bSum.select(
+      g :+ col("__b") :+
+        last(col("__lastNN"), ignoreNulls = true)
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)).as("__cp") :+
+        first(col("__firstNN"), ignoreNulls = true)
+          .over(wB.rowsBetween(1, Window.unboundedFollowing)).as("__cn"): _*)
+
+    val joined = withB.join(carry, groupCols :+ "__b", "left")
+    val pv = coalesce(pvIn, col("__cp.value"))
+    val pt = coalesce(ptIn, col("__cp.ts"))
+    val nv = coalesce(nvIn, col("__cn.value"))
+    val nt = coalesce(ntIn, col("__cn.ts"))
+    joined.withColumn("value",
       when(col("value").isNotNull, col("value"))
         .when(pv.isNull, nv)   // leading nulls → flat fill with first valid
         .when(nv.isNull, pv)   // trailing nulls → flat fill with last valid
         .otherwise(pv + (nv - pv) * (col("ts") - pt) / (nt - pt)))
+      .drop("__b", "__cp", "__cn")
   }
 
   /** J1 — summing temporal full-outer merge of two series: one-sided
@@ -84,7 +131,8 @@ object TimeSeriesOps {
     val u = dfs.map(_.select("ts", "value")).reduce(_ unionByName _)
     u.groupBy("ts").agg(
       when(count(col("value")) === 0, lit(null).cast("double"))
-        .otherwise(round(sum(col("value")), 4)).as("value"))
+        .otherwise(round(sum(col("value").cast(DecimalType(30, 6))).cast("double"), 4))
+        .as("value"))
   }
 
   /** J3 — overlay merge (Python semantics): dense index over the global
@@ -116,7 +164,7 @@ object TimeSeriesOps {
     */
   def tsAgg(df: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame =
     df.groupBy(grp(groupCols): _*).agg(
-      round(sum(col("value").cast(DecimalType(30, 6))).cast("double") / count(col("value")), 4).as("avg_value"),
+      round(sum(col("value").cast(DecimalType(30, 6))).cast("double") / count(col("value")) + lit(1e-9), 4).as("avg_value"),
       round(min(col("value")), 4).as("min_value"),
       round(max(col("value")), 4).as("max_value"),
       when(count(col("value")) === 0, lit(null).cast("double"))
