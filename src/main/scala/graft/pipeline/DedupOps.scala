@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a web-scale training-data pipeline over the
+  * `documents` table: exact (hash-groupBy), MinHash+LSH banded near-dup,
+  * inverted-index n-gram Jaccard, and SimHash.
+  *
+  * Scale design (the point of each operator):
+  *  - exact dedup is one hash + one groupBy shuffle — linear;
+  *  - MinHash-LSH joins documents ONLY within a band bucket (4 bands × 4
+  *    rows of a k=16 signature), never all-pairs: candidate generation is
+  *    an equi-join on the band key, then the exact Jaccard check runs on
+  *    the (tiny) candidate set;
+  *  - the n-gram variant uses an inverted index (explode shingles →
+  *    self-equi-join on shingle) — also no cartesian product;
+  *  - SimHash is explode + groupBy partial aggregation — linear.
+  *
+  * Every hash is md5-derived so DuckDB can replicate values bit-exactly.
+  */
+object DedupOps {
+
+  /** Whitespace tokens of the `text` column. */
+  val toks: Column = split(col("text"), " ")
+
+  /** 60-bit value of the first 15 hex chars of an md5 string, as Long.
+    * Engine-portable: DuckDB spells it CAST('0x'||substr(h,1,15) AS BIGINT).
+    */
+  def hex60(h: Column): Column = conv(substring(h, 1, 15), 16, 10).cast("long")
+
+  /** Distinct `n`-token shingles joined by single spaces. Documents shorter
+    * than `n` tokens yield one partial shingle (null-free by concat_ws). */
+  def shingles(ts: Column, n: Int = 3): Column = array_distinct(
+    transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+
+  /** k=16 MinHash signature: per hash function j, the min over shingles of
+    * hex60(md5(j ++ ":" ++ shingle)). */
+  def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(15)), j =>
+      array_min(transform(sh, s => hex60(md5(concat(j.cast("string"), lit(":"), s))))))
+
+  /** LSH band keys: 4 bands of 4 signature rows; key = md5(band ++ "|" ++
+    * comma-joined slice). Docs sharing ANY band key become candidates. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(3)), b =>
+      md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", transform(slice(sig, b * 4 + 1, lit(4)), x => x.cast("string"))))))
+
+  /** doc_id → distinct shingle set. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(toks).as("sh"))
+
+  /** Exact dedup: group documents by content hash, keep the smallest
+    * doc_id per group (one shuffle on the hash — the canonical exact-dedup
+    * plan at any scale). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash-LSH near-dup pairs: banded candidate generation (equi-join on
+    * band key — NO all-pairs) + exact shingle-Jaccard verification at
+    * `threshold`. Pairs are emitted once with doc_a < doc_b. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = shingleSets(docs).withColumn("sig", minhashSig(col("sh")))
+    val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(docs)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index: explode
+    * distinct shingles, self-equi-join on the shingle, count shared
+    * shingles per pair, Jaccard = |∩| / (|A| + |B| − |∩|). Exact (no LSH
+    * recall gap) but heavier: pair cost grows with shingle co-occurrence,
+    * so it suits corpora with discriminative shingles. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs).withColumn("n", size(col("sh")))
+    val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s")).as("a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")).as("b"), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+  }
+
+  /** 16-bit SimHash with token multiplicity: per bit j, sign of the sum of
+    * ±1 votes from each token's 16-bit hash. Relational formulation
+    * (explode → partial-agg groupBy) so the plan is a linear scan+shuffle,
+    * not a per-row quadratic expression. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", hex60(md5(col("t"))) % 65536)
+    val bitSums = (0 until 16).map { j =>
+      sum((shiftright(col("h"), j) % 2) * 2 - 1).as(s"s$j")
+    }
+    val sig = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash16"))
+  }
+}

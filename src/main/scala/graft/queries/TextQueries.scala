@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Verifiable queries for the LLM-training-data pipeline operators over the
+  * `documents` table: text analysis (token stats, quality, language ID,
+  * fingerprints) and deduplication (exact, MinHash-LSH, inverted-index
+  * Jaccard, SimHash). Every hash is md5-derived so the DuckDB oracles
+  * reproduce values bit-exactly.
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** DuckDB spelling of [[DedupOps.hex60]]. */
+  private def hex60Sql(h: String) = s"CAST('0x' || substr($h, 1, 15) AS BIGINT)"
+
+  /** DuckDB spelling of the distinct 3-token shingle set of `text`. */
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |  i -> string_split(text, ' ')[i] || ' ' ||
+      |       string_split(text, ' ')[i+1] || ' ' ||
+      |       string_split(text, ' ')[i+2]))""".stripMargin
+
+  /** Shared oracle CTE: doc_id → shingle set, MinHash signature, band keys. */
+  private val lshCte =
+    s"""WITH sets AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 16), j ->
+       |    list_min(list_transform(sh, s ->
+       |      ${hex60Sql("md5(CAST(j AS VARCHAR) || ':' || s)")}))) AS sig
+       |  FROM sets),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    md5(CAST(b AS VARCHAR) || '|' ||
+       |        array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4),
+       |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
+       |  FROM sigs)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
+    "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
+    "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
+    "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
+    "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
+    "dedup_jaccard_ngram" -> ((s, d) => DedupOps.jaccardPairs(docs(s, d))),
+    "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))))
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      t -> length(t))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) + 1e-9, 4) AS mean_tok_len
+        |FROM documents""".stripMargin,
+
+    "text_quality" -> {
+      val en = TextOps.langMarkers.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> list_contains($en, t))) AS DOUBLE)
+         |    / len(ts) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |    / len(ts) AS mean_len,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+         |  CAST(len(ts) AS DOUBLE) AS n
+         |  FROM t)
+         |SELECT doc_id,
+         |  ROUND(stop_ratio + 1e-9, 4) AS stop_ratio,
+         |  ROUND(distinct_ratio + 1e-9, 4) AS distinct_ratio,
+         |  ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
+         |      + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
+         |      + 1e-9, 4) AS quality
+         |FROM m""".stripMargin
+    },
+
+    "text_lang_id" -> {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+         |mm AS (SELECT *, $m AS m FROM sc)
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE $pred END AS pred_lang
+         |FROM mm""".stripMargin
+    },
+
+    "text_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+         |           FROM documents)
+         |SELECT doc_id,
+         |  ${hex60Sql("md5(text)")} AS fp64,
+         |  CAST(list_sum(list_transform(range(1, len(ts) + 1), i ->
+         |      (ascii(substr(ts[i], 1, 1)) * 131 + length(ts[i]) * 31
+         |       + ascii(right(ts[i], 1))) * ((i % 1000) + 1)))
+         |    % 1000000007 AS BIGINT) AS fp_roll,
+         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |    i -> md5(substr(text, i, 8)))) AS fp_shingle_min
+         |FROM t""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+         |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_jaccard_ngram" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         MIN(a.n) AS na, MIN(b.n) AS nb
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter) + 1e-9, 4) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 16)
+        .map(j => s"SUM(((h >> $j) % 2) * 2 - 1) AS s$j").mkString(",\n  ")
+      val sig = (0 until 16)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    ${hex60Sql("md5(t)")} % 65536 AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM bits""".stripMargin
+    })
+}
