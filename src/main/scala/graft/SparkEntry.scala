@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     TimeSeriesQueries,
     RelationalQueries,
-    TextQueries)
+    TextQueries,
+    VectorQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

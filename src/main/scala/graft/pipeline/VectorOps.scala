@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * Array[Float], label`).
+  *
+  * All scoring runs on integer-quantized vectors (`round(x*1000)`): dot
+  * products and squared norms become exact BIGINT arithmetic, so Spark and
+  * DuckDB produce bit-identical cosines (float-sum ordering can't flake the
+  * oracle), and the final cosine is one double division + sqrt of identical
+  * integers on both engines.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts only the (small) query set — the fact
+  *    side streams once; this is the exact baseline;
+  *  - IVF-style search joins on a coarse cell id (here the provided
+  *    `label`), touching only same-cell candidates;
+  *  - LSH pairs bucket by banded hyperplane-sign keys (8 bands × 4 bits of
+  *    a 32-bit signature) and equi-join on the band key — no cartesian
+  *    product anywhere. Hyperplanes are ±1 vectors derived from md5 on the
+  *    driver (deterministic, reproducible in SQL) and shipped as literals,
+  *    the same precompute-and-broadcast you'd do on a 1000-executor
+  *    cluster.
+  */
+object VectorOps {
+
+  /** Quantized embedding: round(x * 1000) per component, as Long. */
+  val quant: Column =
+    transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Cosine similarity of two quantized vectors (double; bit-identical
+    * across engines because all inputs to /, * and sqrt are exact). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b).cast("double") / sqrt((dot(a, a) * dot(b, b)).cast("double"))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane matrix derived from md5("h,i") — parity of the 60-bit
+    * hex prefix, matching the SQL spelling
+    * (CAST('0x'||substr(md5(h||','||i),1,15) AS BIGINT) % 2) * 2 - 1. */
+  def hyperplanes(nH: Int = 32, dim: Int = 64): Seq[Seq[Int]] =
+    (0 until nH).map(h => (0 until dim).map { i =>
+      ((java.lang.Long.parseLong(md5Hex(s"$h,$i").substring(0, 15), 16) % 2) * 2 - 1).toInt
+    })
+
+  /** 32-bit hyperplane-sign signature of a quantized vector (array of 0/1;
+    * bit h = [dot(q, plane_h) >= 0]). */
+  def signBits(q: Column, planes: Seq[Seq[Int]]): Column = {
+    val p2d = typedlit(planes)
+    transform(sequence(lit(0), lit(planes.size - 1)), h =>
+      when(aggregate(zip_with(q, element_at(p2d, h + 1), (x, r) => x * r.cast("long")),
+        lit(0L), _ + _) >= 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Banded LSH keys over a sign signature: `bands` bands of `r` bits. */
+  def signBandKeys(sig: Column, bands: Int = 8, r: Int = 4): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string"))))))
+
+  /** Brute-force exact cosine top-k: for each query vector (`vec_id` in
+    * `queryIds`), the `k` nearest others. The query side is broadcast; the
+    * corpus streams through once. */
+  def bruteForceTopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quant.as("q"))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", cosine(col("qq"), col("q")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** IVF-style cell-restricted top-k: candidates share the coarse cell id
+    * (`label`), so the join fan-out is corpus/cells per row, not corpus. */
+  def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), quant.as("q"))
+    import org.apache.spark.sql.expressions.Window
+    e.select(col("vec_id").as("q_id"), col("label"), col("q").as("qq"))
+      .join(e, Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", cosine(col("qq"), col("q")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** LSH near-pair mining: bucket by banded sign keys, equi-join on the
+    * key, verify candidates with the exact quantized cosine at `threshold`.
+    */
+  def lshPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val planes = hyperplanes()
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("sig", signBits(col("q"), planes))
+    val bands = e.select(col("vec_id"), explode(signBandKeys(col("sig"))).as("bkey"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb")), Seq("vec_b"))
+      .withColumn("c", cosine(col("qa"), col("qb")))
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c") + lit(1e-9), 6).as("cosine"))
+  }
+}

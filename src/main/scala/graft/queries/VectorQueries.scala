@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Verifiable similarity-search queries over the `embeddings` table:
+  * brute-force exact cosine top-k (the ANN baseline), IVF-style
+  * cell-restricted top-k, and hyperplane-sign LSH near-pair mining. All
+  * scoring runs on integer-quantized vectors so the DuckDB oracles are
+  * bit-exact (see [[graft.pipeline.VectorOps]]).
+  */
+object VectorQueries extends QueryModule {
+
+  /** DuckDB spelling of the quantized vector of `embedding`. */
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** DuckDB cosine of two quantized vector columns. */
+  private def cosSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS DOUBLE)
+       | / sqrt(CAST(list_sum(list_transform($a, x -> x * x))
+       |             * list_sum(list_transform($b, x -> x * x)) AS DOUBLE))""".stripMargin
+
+  /** DuckDB spelling of the 32-bit hyperplane-sign signature (matches
+    * [[VectorOps.hyperplanes]]: ±1 from md5("h,i") parity, i 0-based). */
+  private val sigSql =
+    """list_transform(range(0, 32), h -> CASE WHEN list_sum(
+      |  list_transform(range(1, len(qv) + 1), i -> qv[i] *
+      |    ((CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ',' ||
+      |        CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1)))
+      |  >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> ((s, d) =>
+      VectorOps.bruteForceTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 5)),
+    "ann_ivf_topk" -> ((s, d) =>
+      VectorOps.ivfTopK(Tables.embeddings(s, d), k = 3)),
+    "ann_lsh_pairs" -> ((s, d) =>
+      VectorOps.lshPairs(Tables.embeddings(s, d), threshold = 0.4)))
+
+  def oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |sc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |       FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM r WHERE rk <= 5""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+         |sc AS (SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS vec_id,
+         |         ${cosSql("a.qv", "b.qv")} AS c
+         |       FROM q a JOIN q b ON a.label = b.label
+         |         AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, label, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM r WHERE rk <= 3""".stripMargin,
+
+    "ann_lsh_pairs" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |bands AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |  FROM sg),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT vec_a, vec_b, ${cosSql("qa.qv", "qb.qv")} AS c
+         |  FROM cands
+         |  JOIN q qa ON qa.vec_id = vec_a
+         |  JOIN q qb ON qb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine
+         |FROM scored WHERE c >= 0.4""".stripMargin)
+}
