@@ -14,7 +14,8 @@ object SparkEntry {
     TimeSeriesQueries,
     RelationalQueries,
     TextQueries,
-    VectorQueries)
+    VectorQueries,
+    MetricQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

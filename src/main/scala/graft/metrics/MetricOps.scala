@@ -1,0 +1,168 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The metric-query layer: PromQL-equivalent aggregations (A4/A5/A6),
+  * trailing windows (A3), and the closed-form simple-regression family
+  * (M7/M8/M10/M11) the reference serves via REST
+  * (reference analytics/app/common/routes.py:27-47, closed-form predict
+  * ClientsManager.java:441-450, validity Evaluate.java:41-56, backpressure
+  * rule ClientsManager.java:329-339).
+  *
+  * FP discipline: OLS runs on the closed form slope = (n·Sxy − Sx·Sy) /
+  * (n·Sxx − Sx²) where every sum is an exact DECIMAL aggregate of exact
+  * inputs (x integer, y 4-decimal), cast to double only at the end. Both
+  * engines then evaluate the same IEEE expression on identical doubles →
+  * bit-identical slopes (covar_pop/var_pop would NOT be portable: Spark
+  * and DuckDB use different streaming accumulation orders).
+  *
+  * Scale: everything is groupBy partial aggregation or a group-partitioned
+  * window — no global windows, no driver loops.
+  */
+object MetricOps {
+
+  /** Per-group exact OLS sums over columns `x` (integer, pre-centered) and
+    * `y` (double with ≤4 decimals). Rows with null y must be pre-filtered.
+    */
+  def fitStats(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(col("y")).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y").cast(DecimalType(18, 4))).cast("double").as("sy"),
+      sum(col("x").cast(DecimalType(18, 0)) * col("y").cast(DecimalType(18, 4)))
+        .cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast("double").as("sxx"))
+
+  /** Closed-form slope/intercept from [[fitStats]] sums (intercept at x=0,
+    * i.e. at the centering origin — matching SimpleRegression fed with
+    * ts − firstTs, reference Evaluate.java:50-53). */
+  def withLine(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+
+  /** M7 — per-series slope/intercept with x = ts − min(ts) per group. */
+  def slopeIntercept(series: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val xy = series.filter(col("value").isNotNull)
+      .withColumn("x", col("ts") - min(col("ts")).over(w))
+      .withColumn("y", col("value"))
+    withLine(fitStats(xy, groupCols))
+      .select(groupCols.map(col) :+ col("n") :+
+        round(col("slope") + lit(1e-9), 6).as("slope") :+
+        round(col("intercept") + lit(1e-9), 4).as("intercept"): _*)
+  }
+
+  /** M11 — forecast slope: M7 restricted to the second half of each
+    * series' time range (the "future workload" slice, reference
+    * recoverytime/models.py:111-116). */
+  def forecastSlope(series: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val sliced = series.filter(col("value").isNotNull)
+      .withColumn("mid", (min(col("ts")).over(w) + max(col("ts")).over(w)) / 2)
+      .filter(col("ts") >= col("mid"))
+    val xy = sliced
+      .withColumn("x", col("ts") - min(col("ts")).over(w))
+      .withColumn("y", col("value"))
+    withLine(fitStats(xy, groupCols))
+      .select(groupCols.map(col) :+ col("n") :+
+        round(col("slope") + lit(1e-9), 6).as("slope"): _*)
+  }
+
+  /** M8 — validity via regression, per candidate group: fit on all
+    * observations but the last (ordered by ts, ties by `tieCol`), predict
+    * the last, valid iff |(last − pred)/pred| < `distance`
+    * (reference Evaluate.java:41-56). */
+  def validityRegression(obs: DataFrame, groupCols: Seq[String],
+                         tieCol: String, distance: Double = 2.0): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+    val ranked = obs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col(tieCol).desc)))
+      .withColumn("x", col("ts") - min(col("ts")).over(w))
+    val lastRow = ranked.filter(col("rn") === 1)
+      .select(g :+ col("x").as("x_last") :+ col("value").as("last_value"): _*)
+    val train = ranked.filter(col("rn") > 1).withColumn("y", col("value"))
+    withLine(fitStats(train, groupCols))
+      .join(lastRow, groupCols)
+      .withColumn("pred", col("intercept") + col("slope") * col("x_last"))
+      .withColumn("valid",
+        abs((col("last_value") - col("pred")) / col("pred")) < distance)
+      .select(g :+ col("n").as("n_train") :+ col("last_value") :+
+        round(col("pred") + lit(1e-9), 4).as("pred") :+ col("valid"): _*)
+  }
+
+  /** A4 — PromQL `sum(metric)` across series per timestamp. */
+  def promSum(series: DataFrame): DataFrame =
+    series.filter(col("value").isNotNull).groupBy(col("ts"))
+      .agg(round(sum(col("value").cast(DecimalType(30, 6))).cast("double"), 4).as("value"))
+
+  /** A5 — PromQL `sum/count` (mean across series) per timestamp. */
+  def promMean(series: DataFrame): DataFrame =
+    series.filter(col("value").isNotNull).groupBy(col("ts"))
+      .agg(round(sum(col("value").cast(DecimalType(30, 6))).cast("double") /
+        count(col("value")) + lit(1e-9), 4).as("value"))
+
+  /** A3 — trailing-window average per series: mean of the last `points`
+    * grid steps (inclusive window [max_ts − points·step, max_ts], matching
+    * the reference's getLat(now − avgWindow, now).avg(),
+    * reference execution/phoebe/Graph.java:82-87). */
+  def trailingAvg(dense: DataFrame, step: Long, points: Int,
+                  groupCols: Seq[String] = Seq("sid")): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+    dense
+      .withColumn("w0", max(col("ts")).over(w) - lit(points.toLong * step))
+      .filter(col("ts") >= col("w0"))
+      .groupBy(g: _*)
+      .agg(
+        min(col("w0")).as("window_start"),
+        round(sum(col("value").cast(DecimalType(30, 6))).cast("double") /
+          count(col("value")) + lit(1e-9), 4).as("avg_value"),
+        count(col("value")).as("n_obs"))
+  }
+
+  /** A6 — discrete p95 per series: the ⌈0.95·n⌉-th smallest non-null value
+    * (value-then-ts ordering). Element selection, not interpolation, so the
+    * result is an exact input value on both engines. */
+  def quantileP95(series: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+    series.filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("ts"))))
+      .withColumn("n", count(lit(1)).over(w))
+      // ceil(0.95n) = (19n+19) div 20, in exact integer arithmetic
+      .filter(col("rn") === ((lit(19) * col("n") + lit(19)) / 20).cast("long"))
+      .select(g :+ col("n") :+ col("value").as("p95"): _*)
+  }
+
+  /** M10 — backpressure rule: isBckPres ⇐ (per == 1) ∨ (0 < per ∧
+    * slope(latency) > 1 ∧ slope(consLag) > 1)
+    * (reference ClientsManager.java:329-339). `per` is the fraction of
+    * grid points where the backpressure series is positive. */
+  def backpressureRule(latency: DataFrame, consLag: DataFrame,
+                       bckPres: DataFrame): DataFrame = {
+    def slopeOf(df: DataFrame, name: String) =
+      slopeIntercept(df.withColumn("sid", lit(name))).select(
+        col("slope").as(s"${name}_slope"))
+    val per = bckPres.agg(
+      (sum(when(col("value") > 0, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("bck_pres_per"))
+    per.crossJoin(slopeOf(latency, "latency"))
+      .crossJoin(slopeOf(consLag, "conslag"))
+      .withColumn("is_bck_pres",
+        (col("bck_pres_per") === 1.0) ||
+          (col("bck_pres_per") > 0.0 && col("latency_slope") > 1.0 &&
+            col("conslag_slope") > 1.0))
+      .select(round(col("bck_pres_per") + lit(1e-9), 4).as("bck_pres_per"),
+        round(col("latency_slope") + lit(1e-9), 6).as("latency_slope"),
+        round(col("conslag_slope") + lit(1e-9), 6).as("conslag_slope"),
+        col("is_bck_pres"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.metrics.MetricOps
+import graft.timeseries.TimeSeriesOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Verifiable queries for the metric layer (SURVEY.md §2: A3–A6, M7, M8,
+  * M10, M11) over the events-derived `series` table and the profiles
+  * store. The OLS oracles mirror [[MetricOps]]'s exact-decimal closed form
+  * term by term — see the FP note there.
+  */
+object MetricQueries extends QueryModule {
+
+  private val SER = Tables.seriesSql
+  private val PRO = Tables.profilesSql
+  private val STEP = 3600L
+
+  private def seriesDf(s: SparkSession, d: String) = Tables.series(s, d)
+
+  /** Oracle fit-sums over a relation providing (g, x, y). */
+  private def fitSumsSql(from: String, g: String) =
+    s"""SELECT $g, COUNT(y) AS n,
+       |  CAST(SUM(x) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,4)))
+       |    AS DOUBLE) AS sxy,
+       |  CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+       |FROM $from GROUP BY $g""".stripMargin
+
+  private val slopeSql = "(n*sxy - sx*sy) / (n*sxx - sx*sx)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_slope_intercept" -> ((s, d) => MetricOps.slopeIntercept(seriesDf(s, d))),
+
+    "m8_validity_regression" -> ((s, d) =>
+      MetricOps.validityRegression(
+        Tables.profiles(s, d).select(col("scaleout"),
+          col("stopts").as("ts"), col("avglat").as("value"), col("expid")),
+        Seq("scaleout"), tieCol = "expid")),
+
+    "m10_backpressure_rule" -> ((s, d) => {
+      val ser = seriesDf(s, d)
+      MetricOps.backpressureRule(
+        latency = ser.filter(col("sid") === "click").drop("sid"),
+        consLag = ser.filter(col("sid") === "view").drop("sid"),
+        bckPres = ser.filter(col("sid") === "error").drop("sid"))
+    }),
+
+    "m11_forecast_slope" -> ((s, d) => MetricOps.forecastSlope(seriesDf(s, d))),
+
+    "a3_trailing_avg" -> ((s, d) =>
+      MetricOps.trailingAvg(TimeSeriesOps.dense(seriesDf(s, d), STEP), STEP, points = 120)),
+
+    "a4_promql_sum" -> ((s, d) => MetricOps.promSum(seriesDf(s, d))),
+
+    "a5_promql_mean" -> ((s, d) => MetricOps.promMean(seriesDf(s, d))),
+
+    "a6_quantile_p95" -> ((s, d) => MetricOps.quantileP95(seriesDf(s, d))))
+
+  def oracles: Map[String, String] = Map(
+    "m7_slope_intercept" ->
+      s"""WITH series AS ($SER),
+         |c AS (SELECT sid, ts - MIN(ts) OVER (PARTITION BY sid) AS x,
+         |        value AS y FROM series WHERE value IS NOT NULL),
+         |f AS (${fitSumsSql("c", "sid")}),
+         |l AS (SELECT *, $slopeSql AS slope FROM f)
+         |SELECT sid, n, ROUND(slope + 1e-9, 6) AS slope,
+         |  ROUND((sy - slope*sx)/n + 1e-9, 4) AS intercept
+         |FROM l""".stripMargin,
+
+    "m8_validity_regression" ->
+      s"""WITH profiles AS ($PRO),
+         |r AS (SELECT scaleout, avglat AS value, expid,
+         |        row_number() OVER (PARTITION BY scaleout
+         |          ORDER BY stopts DESC, expid DESC) AS rn,
+         |        stopts - MIN(stopts) OVER (PARTITION BY scaleout) AS x
+         |      FROM profiles),
+         |lastr AS (SELECT scaleout, x AS x_last, value AS last_value
+         |          FROM r WHERE rn = 1),
+         |train AS (SELECT scaleout, x, value AS y FROM r WHERE rn > 1),
+         |f AS (${fitSumsSql("train", "scaleout")}),
+         |l AS (SELECT *, $slopeSql AS slope FROM f),
+         |p AS (SELECT l.scaleout, n AS n_train, last_value,
+         |        (sy - slope*sx)/n + slope * x_last AS pred
+         |      FROM l JOIN lastr ON l.scaleout = lastr.scaleout)
+         |SELECT scaleout, n_train, last_value,
+         |  ROUND(pred + 1e-9, 4) AS pred,
+         |  abs((last_value - pred) / pred) < 2.0 AS valid
+         |FROM p""".stripMargin,
+
+    "m10_backpressure_rule" ->
+      s"""WITH series AS ($SER),
+         |per AS (SELECT CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / COUNT(*) AS bck_pres_per
+         |        FROM series WHERE sid = 'error'),
+         |lc AS (SELECT sid, ts - MIN(ts) OVER (PARTITION BY sid) AS x,
+         |         value AS y FROM series
+         |       WHERE value IS NOT NULL AND sid IN ('click', 'view')),
+         |f AS (${fitSumsSql("lc", "sid")}),
+         |sl AS (SELECT sid, ROUND($slopeSql + 1e-9, 6) AS slope FROM f),
+         |j AS (SELECT bck_pres_per,
+         |        (SELECT slope FROM sl WHERE sid = 'click') AS latency_slope,
+         |        (SELECT slope FROM sl WHERE sid = 'view') AS conslag_slope
+         |      FROM per)
+         |SELECT ROUND(bck_pres_per + 1e-9, 4) AS bck_pres_per,
+         |  latency_slope, conslag_slope,
+         |  (bck_pres_per = 1.0) OR (bck_pres_per > 0.0
+         |    AND latency_slope > 1.0 AND conslag_slope > 1.0) AS is_bck_pres
+         |FROM j""".stripMargin,
+
+    "m11_forecast_slope" ->
+      s"""WITH series AS ($SER),
+         |b AS (SELECT sid, MIN(ts) AS t0, MAX(ts) AS t1 FROM series
+         |      WHERE value IS NOT NULL GROUP BY sid),
+         |s2 AS (SELECT s.sid, s.ts, s.value FROM series s JOIN b USING (sid)
+         |       WHERE s.value IS NOT NULL AND s.ts >= (t0 + t1) / 2),
+         |c AS (SELECT sid, ts - MIN(ts) OVER (PARTITION BY sid) AS x,
+         |        value AS y FROM s2),
+         |f AS (${fitSumsSql("c", "sid")})
+         |SELECT sid, n, ROUND($slopeSql + 1e-9, 6) AS slope FROM f""".stripMargin,
+
+    "a3_trailing_avg" ->
+      s"""WITH series AS ($SER),
+         |b AS (SELECT sid, MIN(ts) AS t0, MAX(ts) AS t1 FROM series GROUP BY 1),
+         |g AS (SELECT sid, UNNEST(range(t0, t1 + $STEP, $STEP)) AS ts FROM b),
+         |d AS (SELECT g.sid, g.ts, s.value FROM g LEFT JOIN series s USING (sid, ts)),
+         |w AS (SELECT sid, ts, value,
+         |        MAX(ts) OVER (PARTITION BY sid) - ${120L * STEP} AS w0 FROM d)
+         |SELECT sid, MIN(w0) AS window_start,
+         |  ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS avg_value,
+         |  COUNT(value) AS n_obs
+         |FROM w WHERE ts >= w0 GROUP BY sid""".stripMargin,
+
+    "a4_promql_sum" ->
+      s"""WITH series AS ($SER)
+         |SELECT ts, ROUND(${Sql.decSumSql("value")}, 4) AS value
+         |FROM series WHERE value IS NOT NULL GROUP BY ts""".stripMargin,
+
+    "a5_promql_mean" ->
+      s"""WITH series AS ($SER)
+         |SELECT ts, ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS value
+         |FROM series WHERE value IS NOT NULL GROUP BY ts""".stripMargin,
+
+    "a6_quantile_p95" ->
+      s"""WITH series AS ($SER),
+         |r AS (SELECT sid, value,
+         |        row_number() OVER (PARTITION BY sid ORDER BY value, ts) AS rn,
+         |        COUNT(*) OVER (PARTITION BY sid) AS n
+         |      FROM series WHERE value IS NOT NULL)
+         |SELECT sid, n, value AS p95 FROM r
+         |WHERE rn = (19*n + 19) // 20""".stripMargin)
+}
