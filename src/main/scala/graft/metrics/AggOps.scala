@@ -80,8 +80,9 @@ object AggOps {
     * this form is pure window+aggregate (scales as a groupBy, oracle-able
     * in SQL), the UDAF form serves Dataset-typed callers. Input must be
     * null-free (interpolate first). */
-  def simpsonIntegral(dense: DataFrame, h: Long,
-                      groupCols: Seq[String] = Seq("sid")): DataFrame = {
+  /** Unrounded variant of [[simpsonIntegral]]: per group, (n, integral). */
+  def simpsonRaw(dense: DataFrame, h: Long,
+                 groupCols: Seq[String] = Seq("sid")): DataFrame = {
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*)
     val withPos = dense
@@ -103,6 +104,11 @@ object AggOps {
             max(when(col("pos") === col("n") - 1, dec4(col("value")))))
             .cast("double") * h / 2)
           .otherwise(lit(0.0))).as("integral"))
-      .select(g :+ col("n") :+ round(col("integral") + lit(1e-9), 4).as("integral"): _*)
   }
+
+  def simpsonIntegral(dense: DataFrame, h: Long,
+                      groupCols: Seq[String] = Seq("sid")): DataFrame =
+    simpsonRaw(dense, h, groupCols)
+      .select(groupCols.map(col) :+ col("n") :+
+        round(col("integral") + lit(1e-9), 4).as("integral"): _*)
 }
