@@ -18,7 +18,8 @@ object SparkEntry {
     MetricQueries,
     AggQueries,
     SmoothQueries,
-    ModelQueries)
+    ModelQueries,
+    MlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

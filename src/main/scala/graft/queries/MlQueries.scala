@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.Tables
+import graft.metrics.SmoothOps
+import graft.models.{ArEnsemble, Cluster1D, TwresModel}
+import graft.timeseries.TimeSeriesOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-family queries: M1 AR(2) ensemble skeleton + A17 blend (exact
+  * oracles), M4/A16 optimal 1-D 2-means clustering (exact oracle), and
+  * the two driver-fit models that are not SQL-expressible — M3 GBT and
+  * M6 TWRES NNLS — registered as rows-only checks with ScalaTest
+  * coverage instead.
+  */
+object MlQueries extends QueryModule {
+
+  private val SER = Tables.seriesSql
+  private val PRO = Tables.profilesSql
+  private val STEP = 3600L
+  private val MODELS = 20
+  private val HORIZON = 6
+
+  private def clickDf(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps.interpolate(
+      TimeSeriesOps.dense(Tables.series(s, d).filter(col("sid") === "click"), STEP))
+      .withColumn("value", round(col("value") + lit(1e-9), 4))
+      .select("ts", "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_ar_forecast" -> ((s, d) =>
+      ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)),
+
+    // A17+A10: the ensemble frame blended across the model axis with the
+    // EWM fold (span 5), per forecast step.
+    "a17_ensemble_blend" -> ((s, d) => {
+      val wide = ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)
+      // long: (step, model_id, f) → pivot models to x1..x20 → fold chain
+      val long = wide.select(col("model_id"),
+        posexplode(array((1 to HORIZON).map(k => col(s"f$k")): _*)))
+        .select(col("model_id"), (col("pos") + 1).as("step"), col("col").as("f"))
+      var piv = long.groupBy(col("step")).agg(
+        (1 to MODELS).map(k =>
+          max(when(col("model_id") === k, col("f"))).as(s"x$k")).head,
+        (1 to MODELS).drop(1).map(k =>
+          max(when(col("model_id") === k, col("f"))).as(s"x$k")): _*)
+      piv = piv.withColumn("acc1", col("x1"))
+      (2 to MODELS).foreach(k => piv = piv.withColumn(s"acc$k", expr(SmoothOps.ewmLevelSql(k))))
+      piv.select(col("step"), round(col(s"acc$MODELS") + lit(1e-9), 4).as("blend"))
+    }),
+
+    "m4_cluster_stats" -> ((s, d) =>
+      Cluster1D.clusterStats(
+        Cluster1D.twoMeans(
+          Tables.profiles(s, d).filter(col("isbckpres") === 0)
+            .select(col("gentype"), col("avglat").as("y")),
+          Seq("gentype")),
+        Seq("gentype"))),
+
+    // M3 — MLlib GBT latency regressor (driver-fit, rows-only check;
+    // sanity covered in MlSpec).
+    "m3_latency_gbt" -> ((s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+      import org.apache.spark.ml.regression.GBTRegressor
+      val train = Tables.profiles(s, d).filter(col("isbckpres") === 0)
+        .select(col("scaleout").cast("double"), col("avgthr"), col("avglat"))
+      val pipe = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(Array("scaleout", "avgthr"))
+          .setOutputCol("rawf"),
+        new StandardScaler().setInputCol("rawf").setOutputCol("features"),
+        new GBTRegressor().setLabelCol("avglat").setFeaturesCol("features")
+          .setMaxDepth(5).setMaxIter(10).setSeed(42)))
+      val model = pipe.fit(train)
+      val grid = train.groupBy(col("scaleout"))
+        .agg(min(col("avgthr")).as("lo"), max(col("avgthr")).as("hi"))
+        .select(col("scaleout"), explode(array(col("lo"), (col("lo") + col("hi")) / 2,
+          col("hi"))).as("avgthr"))
+      model.transform(grid)
+        .select(col("scaleout"), round(col("avgthr"), 4).as("avgthr"),
+          round(col("prediction"), 4).as("pred_latency"))
+    }),
+
+    // M6 — TWRES NNLS baseline (driver-fit, rows-only check; NnlsSpec
+    // covers the solver).
+    "m6_twres_decision" -> ((s, d) => {
+      val coeffs = TwresModel.fit(
+        Tables.profiles(s, d).filter(col("isbckpres") === 1)
+          .select(col("scaleout"), col("avgthr").as("y")))
+      TwresModel.decide(s, coeffs, minSo = 2, maxSo = 24, interval = 600.0,
+        predLoad = 1.45e8, currentScaleOut = 8, avgLat = 300.0, maxLat = 250.0)
+    }))
+
+  // ------------------------------------------------------------ oracles --
+
+  /** Shared CTEs: click workload → strided AR(2) fits → f1..f6 (rounded),
+    * mirroring [[ArEnsemble.fitForecast]] expression-for-expression. */
+  private val arCtes = {
+    val fChain = (1 to HORIZON)
+      .map(k => s"ar$k AS (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
+      .mkString(",\n")
+    s"""ser AS (SELECT ts, value FROM series WHERE sid = 'click'),
+       |bb AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM ser),
+       |gg AS (SELECT UNNEST(range(t0, t1 + $STEP, $STEP)) AS ts FROM bb),
+       |dd AS (SELECT gg.ts, ser.value FROM gg LEFT JOIN ser USING (ts)),
+       |iii AS (SELECT ts, value,
+       |  last_value(value IGNORE NULLS) OVER wp AS pv,
+       |  last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
+       |  first_value(value IGNORE NULLS) OVER wn AS nv,
+       |  first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS nt
+       |  FROM dd
+       |  WINDOW wp AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wn AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       |wl AS MATERIALIZED (SELECT ts, ROUND(CASE WHEN value IS NOT NULL THEN value
+       |  WHEN pv IS NULL THEN nv
+       |  WHEN nv IS NULL THEN pv
+       |  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END + 1e-9, 4) AS value
+       |FROM iii),
+       |posed AS (SELECT value, row_number() OVER (ORDER BY ts) - 1 AS pos,
+       |    COUNT(*) OVER () AS n FROM wl),
+       |strided AS (SELECT m.model_id, pos, value
+       |  FROM posed CROSS JOIN (SELECT UNNEST(range(1, ${MODELS + 1})) AS model_id) m
+       |  WHERE (n - 1 - pos) % m.model_id = 0),
+       |lagged AS (SELECT model_id, pos, value,
+       |    lag(value, 1) OVER wm AS y1, lag(value, 2) OVER wm AS y2,
+       |    row_number() OVER (PARTITION BY model_id ORDER BY pos DESC) AS rend
+       |  FROM strided WINDOW wm AS (PARTITION BY model_id ORDER BY pos)),
+       |moments AS (SELECT model_id, COUNT(*) AS n3,
+       |    CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(y1 AS DECIMAL(15,4))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(y1 AS DECIMAL(15,4))) AS DOUBLE) AS s11,
+       |    CAST(SUM(CAST(y2 AS DECIMAL(15,4)) * CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s22,
+       |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s12,
+       |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS s1y,
+       |    CAST(SUM(CAST(y2 AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS s2y
+       |  FROM lagged WHERE y2 IS NOT NULL GROUP BY model_id),
+       |lastv AS (SELECT model_id, value AS yl1, y1 AS yl2 FROM lagged WHERE rend = 1),
+       |j0 AS (SELECT * FROM moments JOIN lastv USING (model_id)),
+       |j1 AS (SELECT *, ${ArEnsemble.detSql} AS det FROM j0),
+       |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/det AS c,
+       |    (${ArEnsemble.det1Sql})/det AS a1,
+       |    (${ArEnsemble.det2Sql})/det AS a2 FROM j1),
+       |$fChain,
+       |fc AS MATERIALIZED (SELECT model_id, n3,
+       |    ${(1 to HORIZON).map(k => s"ROUND(f$k + 1e-9, 4) AS f$k").mkString(", ")}
+       |  FROM ar$HORIZON)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "m1_ar_forecast" ->
+      s"""WITH series AS ($SER),
+         |$arCtes
+         |SELECT * FROM fc""".stripMargin,
+
+    "a17_ensemble_blend" -> {
+      val pivots = (1 to MODELS)
+        .map(k => s"MAX(CASE WHEN model_id = $k THEN f END) AS x$k")
+        .mkString(",\n    ")
+      val chain = (2 to MODELS)
+        .map(k => s"p$k AS (SELECT *, ${SmoothOps.ewmLevelSql(k)} AS acc$k FROM p${k - 1})")
+        .mkString(",\n")
+      val unpivot = (1 to HORIZON)
+        .map(k => s"SELECT model_id, $k AS step, f$k AS f FROM fc")
+        .mkString(" UNION ALL ")
+      s"""WITH series AS ($SER),
+         |$arCtes,
+         |longf AS ($unpivot),
+         |p0 AS (SELECT step,
+         |    $pivots
+         |  FROM longf GROUP BY step),
+         |p1 AS (SELECT *, x1 AS acc1 FROM p0),
+         |$chain
+         |SELECT step, ROUND(acc$MODELS + 1e-9, 4) AS blend FROM p$MODELS""".stripMargin
+    },
+
+    "m4_cluster_stats" ->
+      s"""WITH profiles AS ($PRO),
+         |inp AS (SELECT gentype, avglat AS y FROM profiles WHERE isbckpres = 0),
+         |b1 AS (SELECT gentype, y,
+         |    row_number() OVER (PARTITION BY gentype ORDER BY y) AS pos,
+         |    COUNT(*) OVER (PARTITION BY gentype) AS n,
+         |    SUM(CAST(y AS DECIMAL(18,4))) OVER wo AS s1,
+         |    SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) OVER wo AS s2,
+         |    SUM(CAST(y AS DECIMAL(18,4))) OVER wa AS tot1,
+         |    SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) OVER wa AS tot2
+         |  FROM inp
+         |  WINDOW wo AS (PARTITION BY gentype ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wa AS (PARTITION BY gentype)),
+         |b2 AS (SELECT *, tot1 - s1 AS t1, tot2 - s2 AS t2 FROM b1),
+         |sse AS (SELECT gentype, pos, y,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/pos)
+         |    + (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)*CAST(t1 AS DOUBLE)/(n - pos)) AS sse
+         |  FROM b2 WHERE pos < n),
+         |pick AS (SELECT gentype, pos AS split_pos, y AS threshold FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY gentype
+         |      ORDER BY sse, pos) AS rk FROM sse) WHERE rk = 1),
+         |lab AS (SELECT b2.gentype, b2.y,
+         |    CASE WHEN b2.pos <= p.split_pos THEN 0 ELSE 1 END AS label,
+         |    p.threshold
+         |  FROM b2 JOIN pick p ON b2.gentype = p.gentype)
+         |SELECT gentype, label, COUNT(*) AS n,
+         |  ROUND(MIN(y), 4) AS min_y, ROUND(MAX(y), 4) AS max_y,
+         |  ROUND(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) + 1e-9, 4) AS mean_y,
+         |  ROUND(MAX(threshold), 4) AS threshold
+         |FROM lab GROUP BY gentype, label""".stripMargin)
+}

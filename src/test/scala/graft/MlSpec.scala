@@ -1,0 +1,69 @@
+package graft
+
+import graft.models.{Cluster1D, Nnls, TwresModel}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Driver-fit model coverage: NNLS KKT/golden checks, TWRES decision
+  * branches, 1-D 2-means optimality. */
+class MlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("NNLS recovers exact non-negative solutions") {
+    // y generated from known non-negative coefficients over the TWRES basis
+    val truth = Array(100.0, 5.0, 0.0, 40.0)
+    val xs = (2 to 24).map(_.toDouble)
+    val a = xs.map(TwresModel.features).toArray
+    val b = a.map(row => row.zip(truth).map { case (f, c) => f * c }.sum)
+    val sol = Nnls.solve(a, b)
+    truth.zip(sol).foreach { case (t, s) => assert(math.abs(t - s) < 1e-6, s"$t vs $s") }
+  }
+
+  test("NNLS clamps negatively-correlated coefficients at zero (KKT)") {
+    // y decreasing in x → the +x coefficient must be inactive, not negative
+    val xs = (1 to 20).map(_.toDouble)
+    val a = xs.map(TwresModel.features).toArray
+    val b = xs.map(x => 1000.0 / x).toArray
+    val sol = Nnls.solve(a, b)
+    assert(sol.forall(_ >= 0.0))
+    // residual gradient must be <= 0 on inactive coords (KKT optimality)
+    val r = a.zip(b).map { case (row, y) => y - row.zip(sol).map(p => p._1 * p._2).sum }
+    for (j <- sol.indices if sol(j) == 0.0) {
+      val w = a.indices.map(i => a(i)(j) * r(i)).sum
+      assert(w <= 1e-6, s"coef $j inactive but gradient $w > 0")
+    }
+  }
+
+  test("TWRES decision branches: overload -> min_opt, latency breach -> +1") {
+    val coeffs = Array(1000.0, 100.0, 0.0, 0.0) // mst = 1000 + 100x
+    // mstw(x) = (1000 + 100x) * 10; current=4 -> 14000
+    val overload = TwresModel.decide(spark, coeffs, 2, 8, interval = 10.0,
+      predLoad = 20000.0, currentScaleOut = 4, avgLat = 1.0, maxLat = 10.0)
+    val o = overload.filter(col("is_min_opt")).head
+    // first scaleout with mstw > 20000: x=2 ->12000, 3->13000 ... 9? within 2..8: none? 8->18000; argmax slack = 8
+    assert(o.getLong(0) == 8 && o.getString(4) == "min_opt")
+    val breach = TwresModel.decide(spark, coeffs, 2, 8, interval = 10.0,
+      predLoad = 13500.0, currentScaleOut = 4, avgLat = 11.0, maxLat = 10.0)
+    val b = breach.head
+    assert(b.getString(4) == "scale_up_one" && b.getLong(5) == 5)
+    val calm = TwresModel.decide(spark, coeffs, 2, 8, interval = 10.0,
+      predLoad = 13500.0, currentScaleOut = 4, avgLat = 1.0, maxLat = 10.0)
+    // min-opt = first with mstw > 13500 -> x=4 (14000)
+    assert(calm.head.getString(4) == "min_opt" && calm.head.getLong(5) == 4)
+  }
+
+  test("1-D 2-means finds the optimal split on well-separated clusters") {
+    val rnd = new Random(3)
+    val lo = Seq.fill(50)(10.0 + rnd.nextInt(100) / 100.0)
+    val hi = Seq.fill(30)(500.0 + rnd.nextInt(100) / 100.0)
+    val df = rnd.shuffle(lo ++ hi).map(("g", _)).toDF("g", "y")
+    val labeled = Cluster1D.twoMeans(df, Seq("g"))
+    val stats = Cluster1D.clusterStats(labeled, Seq("g"))
+      .orderBy("label").collect()
+    assert(stats(0).getInt(1) == 0 && stats(0).getLong(2) == 50)
+    assert(stats(1).getInt(1) == 1 && stats(1).getLong(2) == 30)
+    assert(stats(0).getDouble(4) < stats(1).getDouble(3)) // max(c0) < min(c1)
+  }
+}
