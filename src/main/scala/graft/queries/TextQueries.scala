@@ -29,11 +29,15 @@ object TextQueries extends QueryModule {
   private val lshCte =
     s"""WITH sets AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |hashes AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${hex60Sql("md5(s)")} % 1000000007) AS hs
+       |  FROM sets),
        |sigs AS (
        |  SELECT doc_id, sh, list_transform(range(0, 16), j ->
-       |    list_min(list_transform(sh, s ->
-       |      ${hex60Sql("md5(CAST(j AS VARCHAR) || ':' || s)")}))) AS sig
-       |  FROM sets),
+       |    list_min(list_transform(hs, h ->
+       |      (h * (j * 2 + 1) + j * 7919) % 1000000007))) AS sig
+       |  FROM hashes),
        |bands AS (
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
        |    md5(CAST(b AS VARCHAR) || '|' ||
@@ -134,7 +138,9 @@ object TextQueries extends QueryModule {
     "dedup_jaccard_ngram" ->
       s"""WITH sets AS (
          |  SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |inv0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
          |         MIN(a.n) AS na, MIN(b.n) AS nb
