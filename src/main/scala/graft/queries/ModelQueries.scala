@@ -42,6 +42,17 @@ object ModelQueries extends QueryModule {
         .select(col("scaleout"), round(col("capacity") + lit(1e-9), 4).as("capacity"),
           col("alpha"))),
 
+    // S11 — model persistence: fit, save the coefficient row to parquet,
+    // LOAD it back, predict from the loaded state. Same oracle as
+    // m2_capacity — the round-trip must be value-exact.
+    "s11_model_persistence" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-tmp/capmodel_${new java.io.File(d).getName}"
+      CapacityModel.fit(capacityTrain(s, d)).write.mode("overwrite").parquet(path)
+      CapacityModel.predict(s, s.read.parquet(path), 2, 24)
+        .select(col("scaleout"), round(col("capacity") + lit(1e-9), 4).as("capacity"),
+          col("alpha"))
+    }),
+
     "m5_recovery_candidates" -> ((s, d) => {
       val past = pastDf(s, d)
       val anchor = past.agg(max("ts")).head.getLong(0)
@@ -144,13 +155,16 @@ object ModelQueries extends QueryModule {
        |  FROM $p c LEFT JOIN ig$k i USING (scaleout))""".stripMargin
   }
 
+  private val m2Sql =
+    s"""WITH profiles AS ($PRO),
+       |$fitCtes
+       |SELECT r.scaleout, ROUND(intercept + slope*r.scaleout + 1e-9, 4) AS capacity,
+       |  alpha
+       |FROM range(2, 25) r(scaleout) CROSS JOIN best""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "m2_capacity" ->
-      s"""WITH profiles AS ($PRO),
-         |$fitCtes
-         |SELECT r.scaleout, ROUND(intercept + slope*r.scaleout + 1e-9, 4) AS capacity,
-         |  alpha
-         |FROM range(2, 25) r(scaleout) CROSS JOIN best""".stripMargin,
+    "m2_capacity" -> m2Sql,
+    "s11_model_persistence" -> m2Sql,
 
     "m5_recovery_candidates" ->
       s"""WITH series AS ($SER),

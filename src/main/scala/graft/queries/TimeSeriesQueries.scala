@@ -69,6 +69,15 @@ object TimeSeriesQueries extends QueryModule {
       val path = s"/root/repo/target/graft-tmp/csv_click_${new java.io.File(d).getName}"
       toCsv(denseDf(s, d).filter(col("sid") === "click").select("ts", "value"), path)
       fromCsv(s, path)
+    }),
+
+    // S3 — the ×5-generator CSV scan: read the workload CSV and scale by
+    // the generator count (reference analytics/app/prepare_model.py:50-63
+    // `value *= 5`).
+    "s3_csv_x5" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-tmp/csv_click_s3_${new java.io.File(d).getName}"
+      toCsv(denseDf(s, d).filter(col("sid") === "click").select("ts", "value"), path)
+      fromCsv(s, path).withColumn("value", round(col("value") * 5, 4))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -169,5 +178,9 @@ object TimeSeriesQueries extends QueryModule {
          |FROM series GROUP BY sid""".stripMargin,
 
     "ts_csv_roundtrip" ->
-      s"$denseCte SELECT ts, value FROM d WHERE sid = 'click'")
+      s"$denseCte SELECT ts, value FROM d WHERE sid = 'click'",
+
+    "s3_csv_x5" ->
+      s"""$denseCte
+         |SELECT ts, ROUND(value * 5, 4) AS value FROM d WHERE sid = 'click'""".stripMargin)
 }
