@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet-footer paths once so the first timed
+    // query doesn't absorb session startup costs.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     // noop sink forces full evaluation of every column (count() would let
     // Catalyst prune unused projections, under-measuring the query).
     val results = SparkEntry.queries.map { case (name, fn) =>

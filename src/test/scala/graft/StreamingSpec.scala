@@ -73,4 +73,37 @@ class StreamingSpec extends SparkSpec {
     assert(a.forall(_ >= 0.0))
     assert(a.max > 200.0 && a.min < 100.0) // amplitude+phase shape present
   }
+
+  test("optimize loop: foreachBatch accumulates history and emits decisions") {
+    import graft.streaming.OptimizeLoop
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val store = "/root/repo/target/graft-tmp/optloop_store"
+    new java.io.File(store).delete()
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(store), true)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Boolean)]
+    val q = OptimizeLoop.attach(
+      in.toDF.toDF("sid", "ts", "value"), store, step = 1L,
+      avgWindowPoints = 5, evalEveryBatches = 2, currentScaleOut = 8, candidateBest = 4,
+      trigger = Trigger.ProcessingTime("0 seconds")) { (id, lat, thr, bck, best, resc) =>
+        decisions += ((id, bck, best, resc))
+      }.start()
+    try {
+      // rising latency + conslag, backpressure partially on
+      val mk = (t: Long) => Seq(
+        ("latency", t, 100.0 + 10 * t), ("throughput", t, 5000.0 - t),
+        ("conslag", t, 50.0 + 5 * t), ("backpressure", t, if (t % 2 == 0) 1.0 else 0.0))
+      in.addData((0L to 5L).flatMap(mk))
+      q.processAllAvailable()
+      in.addData((6L to 11L).flatMap(mk))
+      q.processAllAvailable()
+      assert(decisions.nonEmpty)
+      val (_, bck, best, resc) = decisions.last
+      assert(bck)              // slopes > 1 and partial backpressure => flagged
+      assert(best == 4L)       // current invalid => candidate best wins
+      assert(resc)             // 4 is not within {8,7,6}
+    } finally q.stop()
+  }
 }
