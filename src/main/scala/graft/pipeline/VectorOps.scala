@@ -39,6 +39,12 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b).cast("double") / sqrt((dot(a, a) * dot(b, b)).cast("double"))
 
+  /** Cosine from precomputed squared norms — same arithmetic as [[cosine]]
+    * but the self-dots are carried as columns instead of being recomputed
+    * per pair (3× fewer interpreted array folds in pair joins). */
+  def cosinePre(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dot(a, b).cast("double") / sqrt((n2a * n2b).cast("double"))
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -66,17 +72,44 @@ object VectorOps {
       md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string"))))))
 
+  /** Relational sign-banding: (vec_id, bkey) rows with values identical to
+    * [[signBandKeys]]∘[[signBits]]. Explodes vector components, joins the
+    * broadcast ±1 plane matrix, groupBy-sums the projections and
+    * assembles 4-bit band keys — whole-stage-codegen'd shuffles instead
+    * of 32 interpreted zip_with folds per row (see the MinHash note in
+    * [[DedupOps.minhashBandsRelational]]). */
+  def signBandsRelational(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
+      row.zipWithIndex.map { case (r, i) => (h, i, r.toLong) }
+    }.toDF("h", "i", "r")
+    val ex = emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    ex.join(broadcast(planeDf), Seq("i"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("x") * col("r")).as("p"))
+      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+      .withColumn("b", (col("h") / 4).cast("int"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(md5(concat(col("b").cast("string"), lit("|"),
+        concat_ws(",", transform(array_sort(collect_list(struct(col("h"), col("bit")))),
+          x => x.getField("bit").cast("string"))))).as("bkey"))
+      .select(col("vec_id"), col("bkey"))
+  }
+
   /** Brute-force exact cosine top-k: for each query vector (`vec_id` in
     * `queryIds`), the `k` nearest others. The query side is broadcast; the
     * corpus streams through once. */
   def bruteForceTopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
     val qs = e.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
     import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", cosine(col("qq"), col("q")))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -87,11 +120,12 @@ object VectorOps {
     * (`label`), so the join fan-out is corpus/cells per row, not corpus. */
   def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
     import org.apache.spark.sql.expressions.Window
-    e.select(col("vec_id").as("q_id"), col("label"), col("q").as("qq"))
+    e.select(col("vec_id").as("q_id"), col("label"), col("q").as("qq"), col("n2").as("qn2"))
       .join(e, Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", cosine(col("qq"), col("q")))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -103,18 +137,17 @@ object VectorOps {
     * key, verify candidates with the exact quantized cosine at `threshold`.
     */
   def lshPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val planes = hyperplanes()
     val e = emb.select(col("vec_id"), quant.as("q"))
-      .withColumn("sig", signBits(col("q"), planes))
-    val bands = e.select(col("vec_id"), explode(signBandKeys(col("sig"))).as("bkey"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val bands = signBandsRelational(emb)
     val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cands
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb")), Seq("vec_b"))
-      .withColumn("c", cosine(col("qa"), col("qb")))
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b")), Seq("vec_b"))
+      .withColumn("c", cosinePre(col("qa"), col("qb"), col("n2a"), col("n2b")))
       .filter(col("c") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("c") + lit(1e-9), 6).as("cosine"))
   }
