@@ -35,6 +35,19 @@ object DedupOps {
     transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
 
+  /** Relational distinct shingles: one (doc_id, shingle) row each — the
+    * inverted-index representation. element_at/concat_ws run in
+    * whole-stage codegen, unlike the array-lambda form of [[shingles]],
+    * and downstream consumers share one computation instead of
+    * re-deriving arrays per join side. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("toks", toks)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(k => element_at(col("toks"), col("i") + lit(k))): _*).as("s"))
+      .distinct()
+
   /** Base shingle hashes: ONE md5 per shingle, reduced mod p. The k
     * MinHash permutations below are affine maps of this value — md5 is
     * two orders of magnitude more expensive than the arithmetic, so the
@@ -66,7 +79,7 @@ object DedupOps {
     * 15× slower). Key values are identical to [[bandKeys]]∘[[minhashSig]].
     */
   def minhashBandsRelational(docs: DataFrame): DataFrame = {
-    val ex = shingleSets(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = shingleRows(docs)
       .withColumn("h", hex60(md5(col("s"))) % MOD)
     val mins = ex
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
@@ -101,13 +114,20 @@ object DedupOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(docs)
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    // exact verification on the (tiny) candidate set via the inverted
+    // index: |∩| from a shingle join, |∪| = na + nb − |∩|
+    val inv = shingleRows(docs)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
@@ -119,8 +139,8 @@ object DedupOps {
     * so it suits corpora with discriminative shingles. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                    maxPostingLen: Int = 100): DataFrame = {
-    val sets = shingleSets(docs).withColumn("n", size(col("sh")))
-    val invAll = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val invAll = shingleRows(docs)
+    val sizes = invAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df-cap: a shingle shared by >maxPostingLen docs generates quadratic
     // join fan-out while contributing almost nothing discriminative —
     // drop it from the index (the oracle applies the same cap). Pairs at
@@ -128,11 +148,13 @@ object DedupOps {
     val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxPostingLen).select(col("s"))
     val inv = invAll.join(broadcast(hot), Seq("s"), "left_anti")
-    inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s")).as("a")
-      .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")).as("b"), Seq("s"))
+    inv.select(col("doc_id").as("doc_a"), col("s"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
