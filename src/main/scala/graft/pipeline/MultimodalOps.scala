@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: an opaque binary payload (image/audio/video bytes)
+  * plus typed metadata. The decode step is a STUB — this container has no
+  * codec libraries — but the payload is real `binary` data and every
+  * operator consumes it byte-wise through typed iterators, so the schema,
+  * partitioning, function signatures and batch shape are the production
+  * plumbing. */
+case class MMRecord(doc_id: Long, kind: String, payload: Array[Byte],
+                    width: Int, height: Int, frames: Int, frame_size: Int)
+
+/** Multimodal-column operators for a training-data pipeline: synthesize /
+  * decode(stub) / frame-sample / feature-extract / resize over binary
+  * payloads. Processing runs as `mapPartitions` over a typed Dataset —
+  * records stream through each partition in batches exactly like
+  * arrow-batched pandas UDFs would, and nothing ever collects to the
+  * driver. Payload bytes are md5-derived, so DuckDB oracles can recompute
+  * every output through the hex representation (byte i = the i-th hex
+  * pair).
+  */
+object MultimodalOps {
+
+  val FRAME_SIZE = 32 // bytes per synthetic frame = 2 md5 digests
+  val FRAMES = 4
+
+  /** Synthesize the multimodal table from `documents`: payload =
+    * concat(md5(doc_id:k) digests), kind/width/height from doc_id. */
+  def mmTable(docs: DataFrame): DataFrame = {
+    val chunks = FRAMES * FRAME_SIZE / 16 // md5 digest = 16 bytes
+    docs.select(
+      col("doc_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      unhex(concat_ws("", transform(sequence(lit(0), lit(chunks - 1)),
+        k => md5(concat(col("doc_id").cast("string"), lit(":"), k.cast("string"))))))
+        .as("payload"),
+      (col("doc_id") % 32 + 8).cast("int").as("width"),
+      (col("doc_id") % 24 + 6).cast("int").as("height"),
+      lit(FRAMES).as("frames"),
+      lit(FRAME_SIZE).as("frame_size"))
+  }
+
+  def asRecords(mm: DataFrame): Dataset[MMRecord] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord]
+  }
+
+  /** Frame sampling: keep every `stride`-th frame, emit per-frame byte
+    * checksums (the stub "decode": real slicing of real bytes; a codec
+    * would decode the slice instead). */
+  def frameSample(mm: Dataset[MMRecord], stride: Int): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.mapPartitions(_.flatMap { r =>
+      Iterator.range(0, r.frames, stride).map { f =>
+        val bytes = r.payload.slice(f * r.frame_size, (f + 1) * r.frame_size)
+        (r.doc_id, f, bytes.length.toLong,
+          bytes.map(b => (b & 0xff).toLong).sum)
+      }
+    }).toDF("doc_id", "frame_idx", "n_bytes", "checksum")
+  }
+
+  /** Feature extraction: 16-bucket byte histogram (high nibble) per
+    * payload — the cheap content signature you'd feed a downstream
+    * dedup/classifier stage. */
+  def byteHistogram(mm: Dataset[MMRecord]): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.mapPartitions(_.map { r =>
+      val hist = new Array[Long](16)
+      r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
+      (r.doc_id, hist.toSeq)
+    }).toDF("doc_id", "hist")
+      .select(col("doc_id"), posexplode(col("hist")).as(Seq("bucket", "n")))
+  }
+
+  /** Resize stub: halve width/height until both fit `maxDim`, truncate the
+    * payload to the implied byte budget (a codec would re-encode), emit
+    * the new geometry + truncated-payload checksum. */
+  def resize(mm: Dataset[MMRecord], maxDim: Int): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.mapPartitions(_.map { r =>
+      var w = r.width; var h = r.height
+      while (w > maxDim || h > maxDim) { w = (w + 1) / 2; h = (h + 1) / 2 }
+      val budget = math.min(r.payload.length, w * h)
+      val cut = r.payload.take(budget)
+      (r.doc_id, w, h, budget.toLong, cut.map(b => (b & 0xff).toLong).sum)
+    }).toDF("doc_id", "new_width", "new_height", "n_bytes", "checksum")
+  }
+}

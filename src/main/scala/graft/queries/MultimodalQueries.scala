@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.MultimodalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Verifiable queries for the multimodal-column operators. Payload bytes
+  * are md5-derived, so the oracles recompute every byte as a hex pair —
+  * the Spark side runs genuine binary processing over typed iterators,
+  * the DuckDB side arithmetic on the hex encoding, and both must agree
+  * exactly.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private def mm(s: SparkSession, d: String) =
+    MultimodalOps.asRecords(MultimodalOps.mmTable(Tables.documents(s, d)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSample(mm(s, d), stride = 2)),
+    "mm_byte_histogram" -> ((s, d) => MultimodalOps.byteHistogram(mm(s, d))),
+    "mm_resize" -> ((s, d) => MultimodalOps.resize(mm(s, d), maxDim = 16)))
+
+  /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
+    * recomputed from the md5 hex chain. */
+  private val bytesCte = {
+    val hexConcat = (0 until 8)
+      .map(k => s"md5(CAST(doc_id AS VARCHAR) || ':$k')").mkString(" || ")
+    s"""WITH mm AS (
+       |  SELECT doc_id, $hexConcat AS hex,
+       |    CAST(doc_id % 32 + 8 AS INT) AS width,
+       |    CAST(doc_id % 24 + 6 AS INT) AS height
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT doc_id, ii.i AS i,
+       |    CAST('0x' || substr(hex, 2*ii.i + 1, 2) AS INT) AS b
+       |  FROM mm CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) ii)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""$bytesCte
+         |SELECT doc_id, CAST(i // 32 AS INT) AS frame_idx,
+         |  COUNT(*) AS n_bytes, SUM(b) AS checksum
+         |FROM bytes WHERE (i // 32) % 2 = 0
+         |GROUP BY doc_id, i // 32""".stripMargin,
+
+    "mm_byte_histogram" ->
+      s"""$bytesCte,
+         |counts AS (SELECT doc_id, b // 16 AS bucket, COUNT(*) AS n
+         |           FROM bytes GROUP BY doc_id, b // 16)
+         |SELECT m.doc_id, CAST(bk.bucket AS INT) AS bucket,
+         |  COALESCE(c.n, 0) AS n
+         |FROM mm m
+         |CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bucket) bk
+         |LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.bucket = bk.bucket""".stripMargin,
+
+    "mm_resize" ->
+      s"""$bytesCte,
+         |g1 AS (SELECT doc_id, width, height,
+         |    CASE WHEN width > 16 OR height > 16 THEN (width + 1) // 2
+         |         ELSE width END AS w1,
+         |    CASE WHEN width > 16 OR height > 16 THEN (height + 1) // 2
+         |         ELSE height END AS h1
+         |  FROM mm),
+         |g2 AS (SELECT doc_id,
+         |    CASE WHEN w1 > 16 OR h1 > 16 THEN (w1 + 1) // 2 ELSE w1 END AS w2,
+         |    CASE WHEN w1 > 16 OR h1 > 16 THEN (h1 + 1) // 2 ELSE h1 END AS h2
+         |  FROM g1),
+         |geo AS (SELECT doc_id, CAST(w2 AS INT) AS new_width,
+         |    CAST(h2 AS INT) AS new_height,
+         |    least(128, w2 * h2) AS budget
+         |  FROM g2)
+         |SELECT geo.doc_id, new_width, new_height,
+         |  CAST(budget AS BIGINT) AS n_bytes, SUM(b) AS checksum
+         |FROM geo JOIN bytes ON bytes.doc_id = geo.doc_id AND bytes.i < budget
+         |GROUP BY geo.doc_id, new_width, new_height, budget""".stripMargin)
+}
