@@ -37,6 +37,8 @@ object RecoveryOps {
     import spark.implicits._
     val lastTs = anchorTs
     val end0 = lastTs + math.ceil(downtime).toLong
+    // the workload plan is re-joined every iteration: materialize once
+    val wl = workload.persist()
     // driver state: scaleout -> (capacity, start, end, sumTc, iters, active)
     var state = capacity.select("scaleout", "capacity").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -48,7 +50,7 @@ object RecoveryOps {
       val active = state.filter(_._7)
       val intervals = active.map(s => (s._1, s._3, s._4)).toSeq
         .toDF("scaleout", "st", "en")
-      val sliced = workload.join(broadcast(intervals),
+      val sliced = wl.join(broadcast(intervals),
         col("ts").between(col("st"), col("en")))
       val integrals = AggOps.simpsonRaw(sliced, h, Seq("scaleout"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -65,6 +67,7 @@ object RecoveryOps {
       }
       iter += 1
     }
+    wl.unpersist()
     state.toSeq.map { case (so, cap, _, _, sum, it, _) => (so, cap, sum, it) }
       .toDF("scaleout", "capacity", "catch_up", "n_iters")
   }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipeline.{DedupOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The relational (explode/groupBy) formulations used in the hot query
+  * paths must produce EXACTLY the same values as the direct array-lambda
+  * formulations they replaced — these tests pin that equivalence, so the
+  * perf rewrites can never drift semantically. */
+class DedupEquivalenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g"),
+    (2L, "a b c d e f g h i"),
+    (3L, "x y z a b c"),
+    (4L, "q w e r t y u i o p")).toDF("doc_id", "text")
+
+  test("relational MinHash band keys equal the lambda formulation") {
+    val viaLambda = DedupOps.shingleSets(docs)
+      .withColumn("sig", DedupOps.minhashSig(DedupOps.shingleHashes(col("sh"))))
+      .select(col("doc_id"), explode(DedupOps.bandKeys(col("sig"))).as("bkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaRelational = DedupOps.minhashBandsRelational(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaLambda == viaRelational)
+  }
+
+  test("relational shingle rows equal the lambda shingle sets") {
+    val viaLambda = DedupOps.shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaRelational = DedupOps.shingleRows(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaLambda == viaRelational)
+  }
+
+  test("relational hyperplane sign bands equal the lambda formulation") {
+    val emb = (0L until 6L).map { id =>
+      (id, (0 until 64).map(i => ((id * 31 + i * 7) % 13).toFloat / 13f - 0.5f).toArray)
+    }.toDF("vec_id", "embedding")
+    val planes = VectorOps.hyperplanes()
+    val viaLambda = emb.select(col("vec_id"), VectorOps.quant.as("q"))
+      .withColumn("sig", VectorOps.signBits(col("q"), planes))
+      .select(col("vec_id"), explode(VectorOps.signBandKeys(col("sig"))).as("bkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaRelational = VectorOps.signBandsRelational(emb)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaLambda == viaRelational)
+  }
+
+  test("cosinePre equals cosine bit-for-bit") {
+    val emb = (0L until 5L).map { id =>
+      (id, (0 until 8).map(i => ((id * 17 + i * 3) % 11).toFloat / 11f - 0.4f).toArray)
+    }.toDF("vec_id", "embedding")
+    val e = emb.select(col("vec_id"), VectorOps.quant.as("q"))
+      .withColumn("n2", VectorOps.dot(col("q"), col("q")))
+    val pairs = e.select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("n2a"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("q").as("qb"), col("n2").as("n2b")))
+      .filter(col("ida") < col("idb"))
+    val both = pairs.select(
+      VectorOps.cosine(col("qa"), col("qb")).as("c1"),
+      VectorOps.cosinePre(col("qa"), col("qb"), col("n2a"), col("n2b")).as("c2"))
+      .collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+}
