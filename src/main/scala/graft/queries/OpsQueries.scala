@@ -83,6 +83,18 @@ object OpsQueries extends QueryModule {
     "s14_random_series" -> ((s, _) =>
       StreamingJobs.randomSeries(s, n = 500, startTs = 1704067200L, step = 60L)),
 
+    // S4 — the profiles fixture as a comma CSV with header (reference
+    // test/profiles2.csv shape): write, read back with the explicit
+    // schema (never inferred), values must survive exactly.
+    "s4_profiles_csv" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-tmp/profiles_csv_${new java.io.File(d).getName}"
+      profiles(s, d).write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("expid BIGINT, gentype STRING, jobname STRING, scaleout BIGINT, " +
+          "avglat DOUBLE, avgthr DOUBLE, isbckpres BIGINT, startts BIGINT, stopts BIGINT")
+        .csv(path)
+    }),
+
     // S5/S6/S7 — store lifecycle: init with non-backpressure rows, append
     // the rest, delete a slice, read back.
     "s5_s7_store_roundtrip" -> ((s, d) => {
@@ -182,6 +194,9 @@ object OpsQueries extends QueryModule {
         |  CAST(CAST('0x' || substr(md5('r' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
         |    % 10000 AS DOUBLE) / 10000 AS value
         |FROM range(0, 500) r(i)""".stripMargin,
+
+    "s4_profiles_csv" ->
+      s"WITH profiles AS ($PRO) SELECT * FROM profiles",
 
     "s5_s7_store_roundtrip" ->
       s"""WITH profiles AS ($PRO)
