@@ -142,7 +142,28 @@ object RelationalQueries extends QueryModule {
     // is the shuffle, the sort is on ≤23 rows).
     "profiles_o9_distinct" -> ((s, d) =>
       Tables.profiles(s, d).select(col("scaleout")).distinct()
-        .orderBy(col("scaleout"))))
+        .orderBy(col("scaleout"))),
+
+    // P3 — dedup on a key subset keeping the FIRST row per key in
+    // (stopts, expid) order (pandas drop_duplicates(subset=...) keeps the
+    // first occurrence; our deterministic order stands in for pandas row
+    // order). min_by on a struct = one shuffle, no window.
+    "p3_dedup_subset" -> ((s, d) =>
+      Tables.profiles(s, d).groupBy(col("scaleout")).agg(
+        min_by(struct(col("expid"), col("gentype"), col("avglat"), col("avgthr")),
+          struct(col("stopts"), col("expid"))).as("r"))
+        .select(col("scaleout"), col("r.expid").as("expid"),
+          col("r.gentype").as("gentype"), col("r.avglat").as("avglat"),
+          col("r.avgthr").as("avgthr"))),
+
+    // S8 — the Prometheus matrix shape: the long-format metric store
+    // pivoted to one column per label (series id), per timestamp.
+    "s8_label_matrix" -> ((s, d) => {
+      val sids = Seq("click", "view", "purchase", "signup", "error")
+      Tables.series(s, d).groupBy(col("ts")).agg(
+        max(when(col("sid") === sids.head, col("value"))).as(sids.head),
+        sids.tail.map(t => max(when(col("sid") === t, col("value"))).as(t)): _*)
+    }))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -221,5 +242,22 @@ object RelationalQueries extends QueryModule {
 
     "profiles_o9_distinct" ->
       s"""WITH profiles AS ($PRO)
-         |SELECT DISTINCT scaleout FROM profiles ORDER BY scaleout""".stripMargin)
+         |SELECT DISTINCT scaleout FROM profiles ORDER BY scaleout""".stripMargin,
+
+    "p3_dedup_subset" ->
+      s"""WITH profiles AS ($PRO),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY scaleout
+         |        ORDER BY stopts, expid) AS rn FROM profiles)
+         |SELECT scaleout, expid, gentype, avglat, avgthr
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "s8_label_matrix" -> {
+      val sids = Seq("click", "view", "purchase", "signup", "error")
+      val cols = sids.map(t => s"MAX(CASE WHEN sid = '$t' THEN value END) AS $t")
+        .mkString(",\n  ")
+      s"""WITH series AS (${graft.Tables.seriesSql})
+         |SELECT ts,
+         |  $cols
+         |FROM series GROUP BY ts""".stripMargin
+    })
 }
