@@ -57,6 +57,16 @@ object Tables {
       |       ROUND(SUM(value), 4) AS value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** The interpolated, 4-decimal-renormalized click workload series —
+    * the shared single-series input of the forecaster/recovery queries.
+    * (SQL twin: [[graft.queries.Sql.clickWorkloadCtes]].) */
+  def clickWorkload(spark: SparkSession, dir: String): DataFrame =
+    graft.timeseries.TimeSeriesOps.interpolate(
+      graft.timeseries.TimeSeriesOps.dense(
+        series(spark, dir).where(col("sid") === "click"), 3600L))
+      .withColumn("value", round(col("value") + lit(1e-9), 4))
+      .select("ts", "value")
+
   /** Synthetic profiles table derived deterministically from `orders`,
     * mirroring the reference's SQLite profiles store schema
     * (reference managers/DataManager.java:150-160). */

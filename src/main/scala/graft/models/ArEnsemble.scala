@@ -41,7 +41,6 @@ object ArEnsemble {
     * [1, models]: n3 (training rows), c/a1/a2, f1..f6. */
   def fitForecast(series: DataFrame, models: Int = 20, horizon: Int = 6): DataFrame = {
     val dec = (c: Column) => c.cast(DecimalType(15, 4))
-    val wAll = Window.partitionBy(lit(1) * lit(1)) // single series, bounded
     val posed = series
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("ts") % 1).orderBy("ts")) - 1)

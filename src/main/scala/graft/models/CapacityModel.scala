@@ -21,10 +21,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CapacityModel {
 
-  /** Alpha grid as e-notation SQL literals (parse as DOUBLE in both Spark
-    * and DuckDB — x.y literals would parse as DECIMAL). */
-  val alphasSql = "(VALUES (1e-1), (1e0), (1e1))"
-
   /** Fit on (scaleout, y) training rows → single best-alpha row
     * (alpha, slope, intercept, score). */
   def fit(train: DataFrame): DataFrame = {
@@ -53,7 +49,7 @@ object CapacityModel {
           (col("scaleout") - col("xbar")) * (col("scaleout") - col("xbar")) /
             (col("sxxc") + col("alpha")))
       .withColumn("loo", round((col("e") / (lit(1.0) - col("h"))) *
-        (col("e") / (lit(1.0) - col("h"))), 4).cast(DecimalType(30, 4)))
+        (col("e") / (lit(1.0) - col("h"))) + lit(1e-9), 4).cast(DecimalType(30, 4)))
       .groupBy(col("alpha"), col("slope"), col("intercept"))
       .agg((sum(col("loo")).cast("double") / count(lit(1))).as("score"))
     scored.orderBy(col("score"), col("alpha")).limit(1)

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.metrics.SmoothOps
 import graft.models.{ArEnsemble, Cluster1D, TwresModel}
-import graft.timeseries.TimeSeriesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,10 +21,7 @@ object MlQueries extends QueryModule {
   private val HORIZON = 6
 
   private def clickDf(s: SparkSession, d: String): DataFrame =
-    TimeSeriesOps.interpolate(
-      TimeSeriesOps.dense(Tables.series(s, d).filter(col("sid") === "click"), STEP))
-      .withColumn("value", round(col("value") + lit(1e-9), 4))
-      .select("ts", "value")
+    Tables.clickWorkload(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_ar_forecast" -> ((s, d) =>
@@ -103,23 +99,7 @@ object MlQueries extends QueryModule {
     val fChain = (1 to HORIZON)
       .map(k => s"ar$k AS (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
       .mkString(",\n")
-    s"""ser AS (SELECT ts, value FROM series WHERE sid = 'click'),
-       |bb AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM ser),
-       |gg AS (SELECT UNNEST(range(t0, t1 + $STEP, $STEP)) AS ts FROM bb),
-       |dd AS (SELECT gg.ts, ser.value FROM gg LEFT JOIN ser USING (ts)),
-       |iii AS (SELECT ts, value,
-       |  last_value(value IGNORE NULLS) OVER wp AS pv,
-       |  last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
-       |  first_value(value IGNORE NULLS) OVER wn AS nv,
-       |  first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS nt
-       |  FROM dd
-       |  WINDOW wp AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |         wn AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-       |wl AS MATERIALIZED (SELECT ts, ROUND(CASE WHEN value IS NOT NULL THEN value
-       |  WHEN pv IS NULL THEN nv
-       |  WHEN nv IS NULL THEN pv
-       |  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END + 1e-9, 4) AS value
-       |FROM iii),
+    s"""${Sql.clickWorkloadCtes},
        |posed AS (SELECT value, row_number() OVER (ORDER BY ts) - 1 AS pos,
        |    COUNT(*) OVER () AS n FROM wl),
        |strided AS (SELECT m.model_id, pos, value

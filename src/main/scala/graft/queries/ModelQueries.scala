@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.models.{CapacityModel, RecoveryOps}
-import graft.timeseries.TimeSeriesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,10 +26,7 @@ object ModelQueries extends QueryModule {
 
   /** Past workload: the interpolated, 4-decimal-renormalized click series. */
   private def pastDf(s: SparkSession, d: String): DataFrame =
-    TimeSeriesOps.interpolate(
-      TimeSeriesOps.dense(Tables.series(s, d).filter(col("sid") === "click"), STEP))
-      .withColumn("value", round(col("value") + lit(1e-9), 4))
-      .select("ts", "value")
+    Tables.clickWorkload(s, d)
 
   private def capacityTrain(s: SparkSession, d: String): DataFrame =
     Tables.profiles(s, d).filter(col("isbckpres") === 1)
@@ -96,31 +92,14 @@ object ModelQueries extends QueryModule {
        |    CAST(ROUND((y - (intercept + slope*scaleout))
        |        / (1e0 - (1e0/n + (scaleout - xbar)*(scaleout - xbar)/(sxxc + alpha)))
        |      * ((y - (intercept + slope*scaleout))
-       |        / (1e0 - (1e0/n + (scaleout - xbar)*(scaleout - xbar)/(sxxc + alpha)))),
-       |      4) AS DECIMAL(30,4)) AS loo
+       |        / (1e0 - (1e0/n + (scaleout - xbar)*(scaleout - xbar)/(sxxc + alpha))))
+       |      + 1e-9, 4) AS DECIMAL(30,4)) AS loo
        |    FROM train CROSS JOIN par3 p)
        |  GROUP BY alpha, slope, intercept),
        |best AS MATERIALIZED (SELECT * FROM sc ORDER BY score, alpha LIMIT 1)""".stripMargin
 
   /** Interpolated click workload CTEs → wl(ts, value). */
-  private val workloadCtes =
-    s"""ser AS (SELECT ts, value FROM series WHERE sid = 'click'),
-       |bb AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM ser),
-       |gg AS (SELECT UNNEST(range(t0, t1 + $STEP, $STEP)) AS ts FROM bb),
-       |dd AS (SELECT gg.ts, ser.value FROM gg LEFT JOIN ser USING (ts)),
-       |iii AS (SELECT ts, value,
-       |  last_value(value IGNORE NULLS) OVER wp AS pv,
-       |  last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
-       |  first_value(value IGNORE NULLS) OVER wn AS nv,
-       |  first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS nt
-       |  FROM dd
-       |  WINDOW wp AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |         wn AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-       |wl AS MATERIALIZED (SELECT ts, ROUND(CASE WHEN value IS NOT NULL THEN value
-       |  WHEN pv IS NULL THEN nv
-       |  WHEN nv IS NULL THEN pv
-       |  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END + 1e-9, 4) AS value
-       |FROM iii)""".stripMargin
+  private val workloadCtes = Sql.clickWorkloadCtes
 
   /** One unrolled catch-up iteration: s{k-1} → s{k}. */
   private def iterCtes(k: Int): String = {

@@ -54,6 +54,9 @@ object MultimodalQueries extends QueryModule {
          |CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bucket) bk
          |LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.bucket = bk.bucket""".stripMargin,
 
+    // NOTE: two unrolled halving layers suffice because the synthesis
+    // bounds width at 39 (doc_id % 32 + 8) and maxDim is 16; widen the
+    // unroll if either bound changes.
     "mm_resize" ->
       s"""$bytesCte,
          |g1 AS (SELECT doc_id, width, height,

@@ -128,7 +128,10 @@ object OpsQueries extends QueryModule {
       import s.implicits._
       val cands = m8Cands(s, d).select("scaleout", "pred").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val cur = cands.find(_._1 == 8L).get
+      // fail loudly (not with a cryptic NoSuchElement) if the fixture ever
+      // stops covering the current scale-out
+      val cur = cands.find(_._1 == 8L)
+        .getOrElse(sys.error("o6: no candidate at current scale-out 8"))
       val (so, v) = CandidateOps.bestByTolerantArgmin(cands, cur._1, cur._2)
       val rounded = java.math.BigDecimal.valueOf(v + 1e-9)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
@@ -139,7 +142,8 @@ object OpsQueries extends QueryModule {
       import s.implicits._
       val m8 = m8Cands(s, d).select("scaleout", "pred", "valid").collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
-      val cur = m8.find(_._1 == 8L).get
+      val cur = m8.find(_._1 == 8L)
+        .getOrElse(sys.error("m13: no candidate at current scale-out 8"))
       val (bestLat, _) = CandidateOps.bestByTolerantArgmin(
         m8.map(t => (t._1, t._2)).toSeq, cur._1, cur._2)
       val bestRec = p9Cands(s, d).filter(col("is_valid")).orderBy(col("scaleout"))

@@ -117,10 +117,11 @@ object RelationalQueries extends QueryModule {
       Tables.profiles(s, d).filter(col("isbckpres") === 0)),
 
     // O2 — profile-store scan ordered by (scaleOut, stopTs). The global
-    // sort range-partitions (scale-safe); the sort key columns are in the
-    // output, so the set-compare pins the order a consumer would observe —
-    // no global row_number (which would serialize the table through one
-    // window partition at scale).
+    // sort range-partitions (scale-safe). NOTE: the driver set-compares
+    // rows, so the ordering itself is exercised but not asserted here —
+    // the alternative (a global row_number rank column) serializes the
+    // table through one window partition at scale and was deliberately
+    // dropped; ordering semantics are covered by orderBy's contract.
     "profiles_o2_sort" -> ((s, d) =>
       Tables.profiles(s, d).orderBy(col("scaleout"), col("stopts"), col("expid"))),
 

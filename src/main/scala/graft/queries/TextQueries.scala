@@ -17,13 +17,16 @@ object TextQueries extends QueryModule {
   /** DuckDB spelling of [[DedupOps.hex60]]. */
   private def hex60Sql(h: String) = s"CAST('0x' || substr($h, 1, 15) AS BIGINT)"
 
-  /** DuckDB spelling of the distinct 3-token shingle set of `text`. */
+  /** DuckDB spelling of the distinct 3-token shingle set of `text`.
+    * concat_ws (not ||) so out-of-range trailing tokens are SKIPPED like
+    * Spark's concat_ws, keeping <3-token documents' partial shingle
+    * identical instead of NULL-propagating. */
   private val shinglesSql =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-      |  i -> string_split(text, ' ')[i] || ' ' ||
-      |       string_split(text, ' ')[i+1] || ' ' ||
-      |       string_split(text, ' ')[i+2]))""".stripMargin
+      |  i -> concat_ws(' ', string_split(text, ' ')[i],
+      |       string_split(text, ' ')[i+1],
+      |       string_split(text, ' ')[i+2])))""".stripMargin
 
   /** Shared oracle CTE: doc_id → shingle set, MinHash signature, band keys. */
   private val lshCte =

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.metrics.MetricOps
 import graft.models.CandidateOps
 import graft.sources.ProfilesStore
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -26,7 +26,7 @@ object OptimizeLoop {
 
   /** One evaluation over the accumulated metric history (long format:
     * sid ∈ {latency, throughput, conslag, backpressure}, ts, value). */
-  def evaluateTick(spark: SparkSession, history: DataFrame, step: Long,
+  def evaluateTick(history: DataFrame, step: Long,
                    avgWindowPoints: Int, currentScaleOut: Long,
                    candidateBest: Long): (Double, Double, Boolean, Long, Boolean) = {
     def series(name: String) = history.filter(col("sid") === name).drop("sid")
@@ -58,8 +58,7 @@ object OptimizeLoop {
         if ((id + 1) % evalEveryBatches == 0) {
           val hist = ProfilesStore.read(batch.sparkSession, storePath)
           val (lat, thr, bck, best, resc) = evaluateTick(
-            batch.sparkSession, hist, step, avgWindowPoints,
-            currentScaleOut, candidateBest)
+            hist, step, avgWindowPoints, currentScaleOut, candidateBest)
           onDecision(id, lat, thr, bck, best, resc)
         }
     }
