@@ -13,10 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-footer paths once so the first timed
-    // query doesn't absorb session startup costs.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+    // query doesn't absorb session startup costs. A failed warm-up must not
+    // kill the run — per-query failures degrade to -1 sentinels below.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // noop sink forces full evaluation of every column (count() would let
     // Catalyst prune unused projections, under-measuring the query).
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -27,10 +30,20 @@ object Bench {
       // -1 marks a failed query so consumers can't mistake it for a timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the single result line short enough for the
+    // driver's tail capture to parse (r2's full-precision line was truncated).
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file so the bench stays machine-readable even if
+    // stdout capture truncates.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -38,7 +38,17 @@ object SimpsonUdaf extends Aggregator[(Long, Double), ArrayBuffer[(Long, Double)
     val obs = buf.sortBy(_._1)
     val n = obs.length
     if (n < 2) return 0.0
-    val h = BigDecimal(obs(1)._1 - obs(0)._1)
+    val hL = obs(1)._1 - obs(0)._1
+    // Simpson weights assume a uniform grid; a caller that forgot to
+    // densify/interpolate first must fail loudly, not integrate wrongly
+    // (AggOps.simpsonRaw takes h explicitly and has the same contract).
+    var j = 1
+    while (j < n - 1) {
+      require(obs(j + 1)._1 - obs(j)._1 == hL,
+        s"SimpsonUdaf requires a uniform grid: step ${obs(j + 1)._1 - obs(j)._1} at index $j != $hL")
+      j += 1
+    }
+    val h = BigDecimal(hL)
     val y = obs.map(o => BigDecimal.valueOf(o._2))
     if (n == 2) return (y(0) + y(1)).toDouble * h.toDouble / 2
     val m = if (n % 2 == 1) n else n - 1 // odd-length Simpson prefix

@@ -143,7 +143,8 @@ object MetricOps {
       .withColumn("rn", row_number().over(w.orderBy(col("value"), col("ts"))))
       .withColumn("n", count(lit(1)).over(w))
       // ceil(0.95n) = (19n+19) div 20, in exact integer arithmetic
-      .filter(col("rn") === ((lit(19) * col("n") + lit(19)) / 20).cast("long"))
+      // (Column `/` is double division; `div` keeps this exact at any n)
+      .filter(col("rn") === expr("(19 * n + 19) div 20"))
       .select(g :+ col("n") :+ col("value").as("p95"): _*)
   }
 

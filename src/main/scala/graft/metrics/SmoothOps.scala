@@ -85,9 +85,13 @@ object SmoothOps {
     val g = groupCols.map(col)
     val wOrd = Window.partitionBy(g: _*).orderBy("ts")
     val wAll = Window.partitionBy(g: _*)
+    // base feeds four consumers (interior/head/tail contributions + the
+    // final join); without persist the whole upstream (typically dense
+    // grid → chunked interpolation) re-executes per consumer — 4× the work
     val base = df
       .withColumn("pos", row_number().over(wOrd) - 1)
       .withColumn("n", count(lit(1)).over(wAll))
+      .persist()
     val cInt = decArr(sgInterior)
     val cHead = decArr(sgHead)
     val cTail = decArr(sgTail)
@@ -141,7 +145,10 @@ object SmoothOps {
                      groupCols: Seq[String] = Seq("sid")): DataFrame = {
     val g = groupCols.map(col)
     val wLit = typedlit(expWeights().map(scala.math.BigDecimal(_)))
-    val contribs = dense.filter(col("value").isNotNull)
+    // dense feeds both the contribution explode and the grid join below;
+    // persist so its (interpolated) upstream executes once
+    val dense1 = dense.persist()
+    val contribs = dense1.filter(col("value").isNotNull)
       .select(g :+ col("ts") :+ col("value") :+
         explode(sequence(lit(-30), lit(29))).as("d"): _*)
       .withColumn("t_out", col("ts") - col("d") * step)
@@ -149,7 +156,7 @@ object SmoothOps {
       .groupBy(g :+ col("t_out"): _*)
       .agg(sum(col("cf") * dec4(col("value"))).as("num"),
         sum(col("cf")).as("den"))
-    val joined = dense.join(
+    val joined = dense1.join(
       contribs.withColumnRenamed("t_out", "ts"), groupCols :+ "ts", "left")
       .withColumn("value", col("num").cast("double") / col("den").cast("double"))
       .drop("num", "den")

@@ -37,13 +37,16 @@ object VectorOps {
   /** Cosine similarity of two quantized vectors (double; bit-identical
     * across engines because all inputs to /, * and sqrt are exact). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b).cast("double") / sqrt((dot(a, a) * dot(b, b)).cast("double"))
+    dot(a, b).cast("double") / sqrt(dot(a, a).cast("double") * dot(b, b).cast("double"))
 
   /** Cosine from precomputed squared norms — same arithmetic as [[cosine]]
     * but the self-dots are carried as columns instead of being recomputed
     * per pair (3× fewer interpreted array folds in pair joins). */
   def cosinePre(a: Column, b: Column, n2a: Column, n2b: Column): Column =
-    dot(a, b).cast("double") / sqrt((n2a * n2b).cast("double"))
+    // each norm cast to double BEFORE the product: the BIGINT×BIGINT form
+    // overflows Long for higher-dim/-magnitude vectors (Spark wraps
+    // silently; DuckDB promotes to HUGEINT, so the engines would diverge)
+    dot(a, b).cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -116,21 +119,70 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
   }
 
-  /** IVF-style cell-restricted top-k: candidates share the coarse cell id
-    * (`label`), so the join fan-out is corpus/cells per row, not corpus. */
-  def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), quant.as("q"))
-      .withColumn("n2", dot(col("q"), col("q")))
-    import org.apache.spark.sql.expressions.Window
-    e.select(col("vec_id").as("q_id"), col("label"), col("q").as("qq"), col("n2").as("qn2"))
-      .join(e, Seq("label"))
+  /** Smallest b ≥ 1 (capped at `maxBits`) with 2^b · targetCellSize ≥ n —
+    * exact integer arithmetic so the DuckDB oracle (same search over
+    * range(1,17)) picks the identical b; a floating ceil(log2(…)) could
+    * differ by 1 ulp across libms exactly at powers of two. */
+  def cellBits(n: Long, targetCellSize: Int, maxBits: Int = 16): Int = {
+    var b = 1
+    while (b < maxBits && (1L << b) * targetCellSize < n) b += 1
+    b
+  }
+
+  /** IVF-style cell-restricted top-k.
+    *
+    * Cells are the first `b` hyperplane-sign bits of each vector, with
+    * b chosen so the average cell holds ~`targetCellSize` vectors: cell
+    * count grows LINEARLY with the corpus, so total candidate pairs are
+    * O(n · targetCellSize) — not O(n²/cells) as a fixed cell set would
+    * give. (b caps at 16 → 65,536 cells; raise the cap before cells
+    * saturate at ~ targetCellSize·65k vectors.)
+    *
+    * Pair scoring is fully relational: one posexplode of the corpus feeds
+    * the cell assignment, the per-vector norms, and both sides of the
+    * candidate dot products (explode → equi-join on (pair, component) →
+    * groupBy-sum), keeping the hot path in whole-stage codegen instead of
+    * interpreted per-pair zip_with folds. */
+  def ivfTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
+    val bits = cellBits(emb.count(), targetCellSize)
+    // (vec_id, i, x): single exploded view reused by every downstream leg
+    val ex = emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .persist()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
+      if (h < bits) row.zipWithIndex.map { case (r, i) => (h, i, r.toLong) } else Nil
+    }.toDF("h", "i", "r")
+    val cells = ex.join(broadcast(planeDf), Seq("i"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("x") * col("r")).as("p"))
+      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+      .groupBy(col("vec_id"))
+      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("h"), col("bit")))),
+        x => x.getField("bit").cast("string"))).as("cell"))
+    val norms = ex.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("n2"))
+    val cands = cells.select(col("vec_id").as("q_id"), col("cell"))
+      .join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+    val dots = cands
+      .join(ex.select(col("vec_id").as("q_id"), col("i"), col("x").as("xq")), Seq("q_id"))
+      .join(ex.select(col("vec_id"), col("i"), col("x").as("xv")), Seq("vec_id", "i"))
+      .groupBy(col("q_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("xq") * col("xv")).as("dp"))
+    import org.apache.spark.sql.expressions.Window
+    val out = dots
+      .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), Seq("q_id"))
+      .join(norms, Seq("vec_id"))
+      .withColumn("c", col("dp").cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("label"), col("vec_id"),
+      .select(col("q_id"), col("cell"), col("vec_id"),
         round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+    out
   }
 
   /** LSH near-pair mining: bucket by banded sign keys, equi-join on the

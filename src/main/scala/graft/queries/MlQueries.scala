@@ -2,15 +2,15 @@ package graft.queries
 
 import graft.Tables
 import graft.metrics.SmoothOps
-import graft.models.{ArEnsemble, Cluster1D, TwresModel}
+import graft.models.{ArEnsemble, Cluster1D, TwresRelational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-family queries: M1 AR(2) ensemble skeleton + A17 blend (exact
-  * oracles), M4/A16 optimal 1-D 2-means clustering (exact oracle), and
-  * the two driver-fit models that are not SQL-expressible — M3 GBT and
-  * M6 TWRES NNLS — registered as rows-only checks with ScalaTest
-  * coverage instead.
+  * oracles), M4/A16 optimal 1-D 2-means clustering (exact oracle), M6
+  * TWRES NNLS via relational subset enumeration (exact oracle), and the
+  * one driver-fit model that is not SQL-expressible — M3 GBT —
+  * registered as a rows-only check with ScalaTest coverage instead.
   */
 object MlQueries extends QueryModule {
 
@@ -81,15 +81,12 @@ object MlQueries extends QueryModule {
           round(col("prediction"), 4).as("pred_latency"))
     }),
 
-    // M6 — TWRES NNLS baseline (driver-fit, rows-only check; NnlsSpec
-    // covers the solver).
-    "m6_twres_decision" -> ((s, d) => {
-      val coeffs = TwresModel.fit(
+    // M6 — TWRES NNLS baseline, fully relational (subset-enumeration NNLS
+    // over exact moments; bit-exact DuckDB oracle — see TwresRelational).
+    "m6_twres_decision" -> ((s, d) =>
+      TwresRelational.fitDecide(
         Tables.profiles(s, d).filter(col("isbckpres") === 1)
-          .select(col("scaleout"), col("avgthr").as("y")))
-      TwresModel.decide(s, coeffs, minSo = 2, maxSo = 24, interval = 600.0,
-        predLoad = 1.45e8, currentScaleOut = 8, avgLat = 300.0, maxLat = 250.0)
-    }))
+          .select(col("scaleout"), col("avgthr").as("y")))))
 
   // ------------------------------------------------------------ oracles --
 
@@ -132,6 +129,9 @@ object MlQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "m6_twres_decision" -> TwresRelational.oracleSql(
+      s"SELECT scaleout, avgthr AS y FROM ($PRO) p WHERE isbckpres = 1"),
+
     "m1_ar_forecast" ->
       s"""WITH series AS ($SER),
          |$arCtes

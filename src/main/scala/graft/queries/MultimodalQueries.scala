@@ -40,7 +40,7 @@ object MultimodalQueries extends QueryModule {
     "mm_frame_sample" ->
       s"""$bytesCte
          |SELECT doc_id, CAST(i // 32 AS INT) AS frame_idx,
-         |  COUNT(*) AS n_bytes, SUM(b) AS checksum
+         |  COUNT(*) AS n_bytes, CAST(SUM(b) AS BIGINT) AS checksum
          |FROM bytes WHERE (i // 32) % 2 = 0
          |GROUP BY doc_id, i // 32""".stripMargin,
 
@@ -74,7 +74,7 @@ object MultimodalQueries extends QueryModule {
          |    least(128, w2 * h2) AS budget
          |  FROM g2)
          |SELECT geo.doc_id, new_width, new_height,
-         |  CAST(budget AS BIGINT) AS n_bytes, SUM(b) AS checksum
+         |  CAST(budget AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS checksum
          |FROM geo JOIN bytes ON bytes.doc_id = geo.doc_id AND bytes.i < budget
          |GROUP BY geo.doc_id, new_width, new_height, budget""".stripMargin)
 }

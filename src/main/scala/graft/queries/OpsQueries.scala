@@ -218,8 +218,8 @@ object OpsQueries extends QueryModule {
          |lastv AS ($lastValsSql),
          |votes AS (
          |  SELECT a.scaleout, a.last_value,
-         |    SUM(CASE WHEN abs((a.last_value - b.last_value) / b.last_value) < 2.0e0
-         |        THEN 1 ELSE 0 END) AS votes
+         |    CAST(SUM(CASE WHEN abs((a.last_value - b.last_value) / b.last_value) < 2.0e0
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS votes
          |  FROM lastv a CROSS JOIN lastv b
          |  WHERE a.scaleout <> b.scaleout
          |  GROUP BY a.scaleout, a.last_value)
@@ -233,8 +233,8 @@ object OpsQueries extends QueryModule {
          |lastv AS ($lastValsSql),
          |votes AS (
          |  SELECT a.scaleout, a.last_value,
-         |    SUM(CASE WHEN abs((a.last_value - b.last_value) / b.last_value) < 2.0e0
-         |        THEN 1 ELSE 0 END) AS votes
+         |    CAST(SUM(CASE WHEN abs((a.last_value - b.last_value) / b.last_value) < 2.0e0
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS votes
          |  FROM lastv a CROSS JOIN lastv b
          |  WHERE a.scaleout <> b.scaleout
          |  GROUP BY a.scaleout, a.last_value),

@@ -16,11 +16,13 @@ object VectorQueries extends QueryModule {
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** DuckDB cosine of two quantized vector columns. */
+  /** DuckDB cosine of two quantized vector columns (each norm cast to
+    * DOUBLE before the product — mirrors [[VectorOps.cosinePre]]'s
+    * overflow-safe shape). */
   private def cosSql(a: String, b: String) =
     s"""CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS DOUBLE)
-       | / sqrt(CAST(list_sum(list_transform($a, x -> x * x))
-       |             * list_sum(list_transform($b, x -> x * x)) AS DOUBLE))""".stripMargin
+       | / sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)
+       |        * CAST(list_sum(list_transform($b, x -> x * x)) AS DOUBLE))""".stripMargin
 
   /** DuckDB spelling of the 32-bit hyperplane-sign signature (matches
     * [[VectorOps.hyperplanes]]: ±1 from md5("h,i") parity, i 0-based). */
@@ -50,15 +52,25 @@ object VectorQueries extends QueryModule {
          |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM r WHERE rk <= 5""".stripMargin,
 
+    // Cells = first `bits` hyperplane-sign bits, bits = smallest b with
+    // 2^b * 50 >= corpus size (integer search, same as VectorOps.cellBits)
     "ann_ivf_topk" ->
-      s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
-         |sc AS (SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS vec_id,
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |sc AS (SELECT a.vec_id AS q_id, a.cell AS cell, b.vec_id AS vec_id,
          |         ${cosSql("a.qv", "b.qv")} AS c
-         |       FROM q a JOIN q b ON a.label = b.label
+         |       FROM cl a JOIN cl b ON a.cell = b.cell
          |         AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, row_number() OVER (
          |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
-         |SELECT q_id, label, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |SELECT q_id, cell, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM r WHERE rk <= 3""".stripMargin,
 
     "ann_lsh_pairs" ->

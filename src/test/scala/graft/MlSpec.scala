@@ -1,6 +1,6 @@
 package graft
 
-import graft.models.{Cluster1D, Nnls, TwresModel}
+import graft.models.{Cluster1D, Nnls, TwresModel, TwresRelational}
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -52,6 +52,26 @@ class MlSpec extends SparkSpec {
       predLoad = 13500.0, currentScaleOut = 4, avgLat = 1.0, maxLat = 10.0)
     // min-opt = first with mstw > 13500 -> x=4 (14000)
     assert(calm.head.getString(4) == "min_opt" && calm.head.getLong(5) == 4)
+  }
+
+  test("relational TWRES subset-enumeration matches Lawson-Hanson NNLS") {
+    // same quantized-feature problem fed to both solvers: the 16-subset
+    // Cramer enumeration must land on the Lawson-Hanson optimum (the
+    // active-set structure forces one coefficient to clamp at 0 here)
+    val rnd = new Random(7)
+    val rows = (2 to 24).flatMap(x =>
+      Seq.fill(3)((x, 500.0 + 20.0 * x + rnd.nextInt(10000) / 100.0)))
+    val df = rows.toDF("scaleout", "y")
+    val one = TwresRelational.fitCoeffs(df)
+      .select("c0", "c1", "c2", "c3").head
+    val feats = rows.map { case (x, _) =>
+      TwresRelational.feats(x).map(_.toDouble / 1e6).toArray }.toArray
+    val sol = Nnls.solve(feats, rows.map(_._2).toArray)
+    assert(sol.exists(_ == 0.0), "expected an active zero constraint")
+    (0 to 3).foreach { i =>
+      assert(math.abs(one.getDouble(i) - sol(i)) < 1e-3 * (1 + math.abs(sol(i))),
+        s"c$i: relational ${one.getDouble(i)} vs LH ${sol(i)}")
+    }
   }
 
   test("1-D 2-means finds the optimal split on well-separated clusters") {
