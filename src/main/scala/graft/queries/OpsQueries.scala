@@ -64,6 +64,21 @@ object OpsQueries extends QueryModule {
           col("value").as("speed")),
         windowLen = "6 hours")),
 
+    // S9 — the Kafka payload codec verified end-to-end in batch: encode
+    // events as kafka (key, JSON value) pairs, decode with the consumer
+    // schema, run the A18 job transform. encode∘decode must be the
+    // identity (timestamps, longs, doubles all survive JSON), so the
+    // oracle is exactly A18's — any codec lossiness breaks the hash.
+    "s9_kafka_roundtrip" -> ((s, d) => {
+      import graft.streaming.KafkaWiring
+      val cars = Tables.events(s, d).select(col("ts"),
+        (col("user_id") % 50).as("car_id"), col("value").as("speed"))
+      StreamingJobs.topSpeedWindows(
+        KafkaWiring.decode(KafkaWiring.encode(cars, "car_id"),
+          KafkaWiring.carEventSchema),
+        windowLen = "6 hours")
+    }),
+
     // A19 — view events × broadcast campaigns, counted per 12h window.
     "a19_campaign_windows" -> ((s, d) =>
       StreamingJobs.campaignWindows(
@@ -161,6 +176,13 @@ object OpsQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "a18_top_speed_windows" ->
+      """SELECT (user_id % 50) AS car_id,
+        |  CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600 AS win_start,
+        |  MAX(value) AS max_speed
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to a18: the kafka JSON codec is lossless by contract
+    "s9_kafka_roundtrip" ->
       """SELECT (user_id % 50) AS car_id,
         |  CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600 AS win_start,
         |  MAX(value) AS max_speed

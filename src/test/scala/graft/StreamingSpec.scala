@@ -64,6 +64,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S9 kafka-shaped stream: decode -> A18 job -> encode round-trips") {
+    import graft.streaming.KafkaWiring
+    implicit val sqlCtx = spark.sqlContext
+    // wire-shaped input: binary value holding one JSON event, as the
+    // kafka source delivers it (key/topic/partition omitted — decode
+    // only touches `value`)
+    val in = MemoryStream[Array[Byte]]
+    val raw = in.toDF.toDF("value")
+    val streamed = KafkaWiring.encode(
+      StreamingJobs.topSpeedWindows(
+        KafkaWiring.decode(raw, KafkaWiring.carEventSchema),
+        windowLen = "60 seconds", watermark = "10 seconds"),
+      keyCol = "car_id")
+    val q = streamed.writeStream.format("memory").queryName("kafka_rt")
+      .outputMode("complete").start()
+    try {
+      def ev(t: Long, car: Long, speed: Double): Array[Byte] =
+        s"""{"ts":"${ts(t)}","car_id":$car,"speed":$speed}"""
+          .getBytes("UTF-8")
+      in.addData(Seq(ev(0, 1, 10.5), ev(30, 1, 50.25), ev(61, 1, 20.0),
+        ev(10, 2, 99.125)))
+      q.processAllAvailable()
+      val got = spark.table("kafka_rt").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      // producer-side payloads: key = car_id, value = full JSON row
+      assert(got == Seq(
+        ("1", """{"car_id":1,"win_start":0,"max_speed":50.25}"""),
+        ("1", """{"car_id":1,"win_start":60,"max_speed":20.0}"""),
+        ("2", """{"car_id":2,"win_start":0,"max_speed":99.125}""")))
+    } finally q.stop()
+  }
+
+  test("S9 kafka source/sink plans build with the reference wiring config") {
+    import graft.streaming.KafkaWiring
+    // without the connector jar the plan must fail at source-resolution
+    // time with the kafka-specific hint, not silently do something else —
+    // this pins that the wiring really targets format("kafka")
+    val e = intercept[Exception] {
+      KafkaWiring.topSpeedKafka(spark, KafkaWiring.KafkaConf(
+        brokerList = "localhost:9092", consumerTopic = "input",
+        producerTopic = "output"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("S12 sine workload is deterministic and strictly positive") {
     val a = StreamingJobs.sineWorkload(spark, 200, 360, 100.0, 120.0, 0L, 1L)
       .collect().map(_.getDouble(1)).toSeq
