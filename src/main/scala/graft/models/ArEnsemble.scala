@@ -77,4 +77,143 @@ object ArEnsemble {
     df.select(col("model_id") +: col("n3") +:
       (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)
   }
+
+  // ------------------------------------------------------- M1 incremental --
+
+  private def dec15(c: Column) = c.cast(DecimalType(15, 4))
+  private val decSumT = DecimalType(25, 4)
+  private val decProdT = DecimalType(38, 8)
+
+  private def momentAggs(v: Column, y1: Column, y2: Column) = Seq(
+    count(lit(1)).as("n3"),
+    sum(dec15(v)).cast(decSumT).as("sy"),
+    sum(dec15(y1)).cast(decSumT).as("s1"),
+    sum(dec15(y2)).cast(decSumT).as("s2"),
+    sum(dec15(y1) * dec15(y1)).cast(decProdT).as("s11"),
+    sum(dec15(y2) * dec15(y2)).cast(decProdT).as("s22"),
+    sum(dec15(y1) * dec15(y2)).cast(decProdT).as("s12"),
+    sum(dec15(y1) * dec15(v)).cast(decProdT).as("s1y"),
+    sum(dec15(y2) * dec15(v)).cast(decProdT).as("s2y"))
+
+  /** M1 incremental state — the closed-form analog of the reference's
+    * per-model ArimaModelWrapper bookkeeping (reference
+    * analytics/app/workload/models.py:96-136: `model.update(new_obs)` +
+    * `last_learned_timestamp` + cached workload). Per model_id: the nine
+    * EXACT decimal moments of the strided AR(2) design, the last two grid
+    * values (the lag context), and counters. The OLS moments are
+    * ADDITIVE, so [[updateState]] aggregates only the stride-aligned NEW
+    * observations — O(1) state per model, never a refit over history. On
+    * a cluster the state is `models` tiny rows while each update's moment
+    * deltas are a distributed aggregation over the new batch only.
+    *
+    * The stride grid is anchored at the END of the initial series
+    * (reference `(count-1) - arange(0, count, stride)`); updates consume
+    * observations that land on the same grid and leave the rest to later
+    * ticks (the reference's cached-workload semantics, with the global
+    * position counter `n_tot` standing in for the cached points). */
+  def fitState(series: DataFrame, models: Int = 20): DataFrame = {
+    val wOrd = Window.partitionBy(col("ts") % 1).orderBy("ts")
+    val wAll = Window.partitionBy(col("ts") % 1)
+    val posed = series
+      .withColumn("pos", row_number().over(wOrd) - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+    val grid = posed
+      .select(col("pos"), col("n"), col("ts"), col("value"),
+        explode(sequence(lit(1), lit(models))).as("model_id"))
+      .filter((col("n") - 1 - col("pos")) % col("model_id") === 0)
+    val wM = Window.partitionBy(col("model_id")).orderBy(col("pos"))
+    val lagged = grid
+      .withColumn("y1", lag(col("value"), 1).over(wM))
+      .withColumn("y2", lag(col("value"), 2).over(wM))
+      .withColumn("rend", row_number().over(
+        Window.partitionBy(col("model_id")).orderBy(col("pos").desc)))
+    val moments = lagged.filter(col("y2").isNotNull)
+      .groupBy(col("model_id"))
+      .agg(momentAggs(col("value"), col("y1"), col("y2")).head,
+        momentAggs(col("value"), col("y1"), col("y2")).tail: _*)
+    val lastVals = lagged.filter(col("rend") === 1)
+      .select(col("model_id"), col("value").as("yl1"), col("y1").as("yl2"),
+        col("ts").as("last_ts"), col("pos").as("anchor"), col("n").as("n_tot"))
+    moments.join(lastVals, "model_id").withColumn("n_upd", lit(0L))
+  }
+
+  /** Consume a batch of NEW observations (ts strictly after everything
+    * already seen): per model, the points landing on its anchored stride
+    * grid extend the moments additively; the rest only advance the global
+    * position counter (they may become grid points of later batches). */
+  def updateState(state: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
+    val base = state.agg(max(col("n_tot")).as("n0"), max(col("anchor")).as("anc"))
+    val nNew = newObs.agg(count(lit(1)).as("n_new"))
+    val posedNew = newObs
+      .withColumn("k", row_number().over(Window.partitionBy(col("ts") % 1).orderBy("ts")))
+      .crossJoin(broadcast(base))
+      .select(col("ts"), col("value"), (col("n0") + col("k") - 1).as("pos"), col("anc"))
+    val aligned = posedNew
+      .select(col("ts"), col("value"), col("pos"), col("anc"),
+        explode(sequence(lit(1), lit(models))).as("model_id"))
+      .filter((col("pos") - col("anc")) % col("model_id") === 0)
+      .withColumn("sk", row_number().over(
+        Window.partitionBy(col("model_id")).orderBy(col("pos"))).cast("long"))
+      .select(col("model_id"), col("sk"), col("value"), col("pos"), col("ts"))
+    // the state's last two grid values, as pseudo-rows providing the lag
+    // context beneath the first aligned new points
+    val ctx = state.select(col("model_id"), explode(array(
+        struct(lit(-2L).as("sk"), col("yl2").as("value")),
+        struct(lit(-1L).as("sk"), col("yl1").as("value")))).as("c"))
+      .select(col("model_id"), col("c.sk").as("sk"), col("c.value").as("value"),
+        lit(null).cast("long").as("pos"), lit(null).cast("long").as("ts"))
+    val wS = Window.partitionBy(col("model_id")).orderBy(col("sk"))
+    val ext = ctx.unionByName(aligned)
+      .withColumn("y1", lag(col("value"), 1).over(wS))
+      .withColumn("y2", lag(col("value"), 2).over(wS))
+      .withColumn("rend", row_number().over(
+        Window.partitionBy(col("model_id")).orderBy(col("sk").desc)))
+    val deltas = ext.filter(col("sk") >= 1)
+      .groupBy(col("model_id"))
+      .agg((momentAggs(col("value"), col("y1"), col("y2")) :+
+        max(col("ts")).as("d_last_ts")).head,
+        (momentAggs(col("value"), col("y1"), col("y2")) :+
+          max(col("ts")).as("d_last_ts")).tail: _*)
+      .select(col("model_id") +: col("d_last_ts") +: (Seq("n3", "sy", "s1", "s2",
+        "s11", "s22", "s12", "s1y", "s2y").map(c => col(c).as(s"d_$c"))): _*)
+    val newLast = ext.filter(col("rend") <= 2)
+      .groupBy(col("model_id")).agg(
+        max(when(col("rend") === 1, col("value"))).as("nyl1"),
+        max(when(col("rend") === 2, col("value"))).as("nyl2"))
+    def addDec(name: String, t: DecimalType) =
+      (col(name) + coalesce(col(s"d_$name"), lit(0).cast(t))).cast(t).as(name)
+    state.join(deltas, Seq("model_id"), "left")
+      .join(newLast, Seq("model_id"), "left")
+      .crossJoin(broadcast(nNew))
+      .select(col("model_id"),
+        (col("n3") + coalesce(col("d_n3"), lit(0L))).as("n3"),
+        addDec("sy", decSumT), addDec("s1", decSumT), addDec("s2", decSumT),
+        addDec("s11", decProdT), addDec("s22", decProdT), addDec("s12", decProdT),
+        addDec("s1y", decProdT), addDec("s2y", decProdT),
+        coalesce(col("nyl1"), col("yl1")).as("yl1"),
+        coalesce(col("nyl2"), col("yl2")).as("yl2"),
+        coalesce(col("d_last_ts"), col("last_ts")).as("last_ts"),
+        col("anchor"), (col("n_tot") + col("n_new")).as("n_tot"),
+        (col("n_upd") + coalesce(col("d_n3"), lit(0L))).as("n_upd"))
+  }
+
+  /** Closed-form refit + recursive forecast from the (decimal) state: the
+    * reference's 600 s horizon is `models` steps of the base step size
+    * (models.py:97 `prediction_horizon = len(models) * step_size`). */
+  def forecastFromState(state: DataFrame, horizon: Int = 20): DataFrame = {
+    var df = state.select(Seq(col("model_id"), col("n3"), col("n_upd"),
+      col("last_ts"), col("yl1"), col("yl2")) ++
+      Seq("sy", "s1", "s2", "s11", "s22", "s12", "s1y", "s2y")
+        .map(c => col(c).cast("double").as(c)): _*)
+      .withColumn("det", expr(detSql))
+      // a singular design (too few points, or a perfectly collinear
+      // series) yields null forecasts instead of an ANSI division error;
+      // callers skip nulls when blending
+      .withColumn("c", when(col("det") =!= 0.0, expr(det0Sql) / col("det")))
+      .withColumn("a1", when(col("det") =!= 0.0, expr(det1Sql) / col("det")))
+      .withColumn("a2", when(col("det") =!= 0.0, expr(det2Sql) / col("det")))
+    (1 to horizon).foreach(k => df = df.withColumn(s"f$k", expr(forecastSql(k))))
+    df.select(col("model_id") +: col("n3") +: col("n_upd") +: col("last_ts") +:
+      (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)
+  }
 }

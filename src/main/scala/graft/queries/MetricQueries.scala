@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.metrics.MetricOps
+import graft.sources.ProfilesStore
 import graft.timeseries.TimeSeriesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,7 +58,34 @@ object MetricQueries extends QueryModule {
 
     "a5_promql_mean" -> ((s, d) => MetricOps.promMean(seriesDf(s, d))),
 
-    "a6_quantile_p95" -> ((s, d) => MetricOps.quantileP95(seriesDf(s, d))))
+    "a6_quantile_p95" -> ((s, d) => MetricOps.quantileP95(seriesDf(s, d))),
+
+    // Predictions-table parity (reference managers/DataManager.java:
+    // 218-242 — one recorded decision row per evaluation tick): simulate
+    // three ticks over growing prefixes of the metric history, append
+    // each tick's M10 decision row to the durable store (exactly what
+    // OptimizeLoop.attach does per tick), read the store back.
+    "predictions_roundtrip" -> ((s, d) => {
+      import org.apache.hadoop.fs.{FileSystem, Path}
+      val path = s"/root/repo/target/graft-tmp/decisions_${new java.io.File(d).getName}"
+      FileSystem.get(s.sparkContext.hadoopConfiguration).delete(new Path(path), true)
+      val ser = seriesDf(s, d)
+      val b = ser.agg(min("ts"), max("ts")).head
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      (1 to 3).foreach { i =>
+        val cut = t0 + (t1 - t0) * i / 3
+        val pre = ser.filter(col("ts") <= cut)
+        ProfilesStore.append(
+          MetricOps.backpressureRule(
+            pre.filter(col("sid") === "click").drop("sid"),
+            pre.filter(col("sid") === "view").drop("sid"),
+            pre.filter(col("sid") === "error").drop("sid"))
+            .withColumn("tick", lit(i.toLong))
+            .withColumn("cut_ts", lit(cut)),
+          path)
+      }
+      ProfilesStore.read(s, path)
+    }))
 
   def oracles: Map[String, String] = Map(
     "m7_slope_intercept" ->
@@ -150,5 +178,32 @@ object MetricQueries extends QueryModule {
          |        COUNT(*) OVER (PARTITION BY sid) AS n
          |      FROM series WHERE value IS NOT NULL)
          |SELECT sid, n, value AS p95 FROM r
-         |WHERE rn = (19*n + 19) // 20""".stripMargin)
+         |WHERE rn = (19*n + 19) // 20""".stripMargin,
+
+    // three prefix ticks of the m10 decision, one row per tick
+    "predictions_roundtrip" -> (1 to 3).map { i =>
+      s"""SELECT * FROM (
+         |WITH series AS ($SER),
+         |cutc AS (SELECT MIN(ts) + ((MAX(ts) - MIN(ts)) * $i) // 3 AS cut FROM series),
+         |pre AS (SELECT s.* FROM series s CROSS JOIN cutc WHERE s.ts <= cut),
+         |per AS (SELECT CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / COUNT(*) AS bck_pres_per
+         |        FROM pre WHERE sid = 'error'),
+         |lc AS (SELECT sid, ts - MIN(ts) OVER (PARTITION BY sid) AS x,
+         |         value AS y FROM pre
+         |       WHERE value IS NOT NULL AND sid IN ('click', 'view')),
+         |f AS (${fitSumsSql("lc", "sid")}),
+         |sl AS (SELECT sid, ROUND($slopeSql + 1e-9, 6) AS slope FROM f),
+         |j AS (SELECT bck_pres_per,
+         |        (SELECT slope FROM sl WHERE sid = 'click') AS latency_slope,
+         |        (SELECT slope FROM sl WHERE sid = 'view') AS conslag_slope
+         |      FROM per)
+         |SELECT ROUND(bck_pres_per + 1e-9, 4) AS bck_pres_per,
+         |  latency_slope, conslag_slope,
+         |  (bck_pres_per = 1.0) OR (bck_pres_per > 0.0
+         |    AND latency_slope > 1.0 AND conslag_slope > 1.0) AS is_bck_pres,
+         |  CAST($i AS BIGINT) AS tick,
+         |  (SELECT cut FROM cutc) AS cut_ts
+         |FROM j)""".stripMargin
+    }.mkString("\nUNION ALL\n"))
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.metrics.SmoothOps
 import graft.models.{ArEnsemble, Cluster1D, TwresRelational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-family queries: M1 AR(2) ensemble skeleton + A17 blend (exact
@@ -23,9 +24,33 @@ object MlQueries extends QueryModule {
   private def clickDf(s: SparkSession, d: String): DataFrame =
     Tables.clickWorkload(s, d)
 
+  /** Update-path horizon: `models` steps (reference models.py:97
+    * prediction_horizon = len(models) · step_size → 20 × step). */
+  private val HOR_UPD = 20
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_ar_forecast" -> ((s, d) =>
       ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)),
+
+    // M1 incremental: fit on the first ~5/6 of the workload, then
+    // update() each model with the stride-aligned points of the last
+    // sixth (additive decimal moments — the genuinely incremental path),
+    // then forecast 20 steps. The oracle fits once over the full series
+    // on the SAME end-of-initial-segment-anchored grid: moment
+    // additivity makes the two bit-identical, so the driver hash checks
+    // incremental == from-scratch.
+    "m1_update_forecast" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("ts") % 1).orderBy("ts")
+      val posed = clickDf(s, d)
+        .withColumn("pos", row_number().over(wOrd) - 1)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ts") % 1)))
+        .withColumn("cut", col("n") - 1 - expr("(n - 1) div 6"))
+      val init = posed.filter(col("pos") <= col("cut")).select("ts", "value")
+      val tail = posed.filter(col("pos") > col("cut")).select("ts", "value")
+      ArEnsemble.forecastFromState(
+        ArEnsemble.updateState(ArEnsemble.fitState(init, MODELS), tail, MODELS),
+        HOR_UPD)
+    }),
 
     // A17+A10: the ensemble frame blended across the model axis with the
     // EWM fold (span 5), per forecast step.
@@ -136,6 +161,48 @@ object MlQueries extends QueryModule {
       s"""WITH series AS ($SER),
          |$arCtes
          |SELECT * FROM fc""".stripMargin,
+
+    // from-scratch fit on the update path's anchored grid == the
+    // incremental Spark result, by moment additivity (see the query)
+    "m1_update_forecast" -> {
+      val fChain = (1 to HOR_UPD)
+        .map(k => s"ar$k AS (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
+        .mkString(",\n")
+      s"""WITH series AS ($SER),
+         |${Sql.clickWorkloadCtes},
+         |posed AS (SELECT ts, value, row_number() OVER (ORDER BY ts) - 1 AS pos FROM wl),
+         |cutc AS (SELECT MAX(pos) - (MAX(pos) // 6) AS cut FROM posed),
+         |strided AS (SELECT m.model_id, pos, ts, value
+         |  FROM posed CROSS JOIN (SELECT UNNEST(range(1, ${MODELS + 1})) AS model_id) m
+         |  CROSS JOIN cutc
+         |  WHERE (pos - cut) % m.model_id = 0),
+         |lagged AS (SELECT model_id, pos, ts, value,
+         |    lag(value, 1) OVER wm AS y1, lag(value, 2) OVER wm AS y2,
+         |    row_number() OVER (PARTITION BY model_id ORDER BY pos DESC) AS rend
+         |  FROM strided WINDOW wm AS (PARTITION BY model_id ORDER BY pos)),
+         |moments AS (SELECT model_id, COUNT(*) AS n3,
+         |    COUNT(*) FILTER (WHERE pos > (SELECT cut FROM cutc)) AS n_upd,
+         |    CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(y1 AS DECIMAL(15,4))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(y1 AS DECIMAL(15,4))) AS DOUBLE) AS s11,
+         |    CAST(SUM(CAST(y2 AS DECIMAL(15,4)) * CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s22,
+         |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(y2 AS DECIMAL(15,4))) AS DOUBLE) AS s12,
+         |    CAST(SUM(CAST(y1 AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS s1y,
+         |    CAST(SUM(CAST(y2 AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS s2y
+         |  FROM lagged WHERE y2 IS NOT NULL GROUP BY model_id),
+         |lastv AS (SELECT model_id, value AS yl1, y1 AS yl2 FROM lagged WHERE rend = 1),
+         |lts AS (SELECT model_id, MAX(ts) AS last_ts FROM strided GROUP BY model_id),
+         |j0 AS (SELECT * FROM moments JOIN lastv USING (model_id) JOIN lts USING (model_id)),
+         |j1 AS (SELECT *, ${ArEnsemble.detSql} AS det FROM j0),
+         |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/det AS c,
+         |    (${ArEnsemble.det1Sql})/det AS a1,
+         |    (${ArEnsemble.det2Sql})/det AS a2 FROM j1),
+         |$fChain
+         |SELECT model_id, n3, n_upd, last_ts,
+         |  ${(1 to HOR_UPD).map(k => s"ROUND(f$k + 1e-9, 4) AS f$k").mkString(", ")}
+         |FROM ar$HOR_UPD""".stripMargin
+    },
 
     "a17_ensemble_blend" -> {
       val pivots = (1 to MODELS)

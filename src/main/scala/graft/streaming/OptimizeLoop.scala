@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.metrics.MetricOps
-import graft.models.CandidateOps
+import graft.models.{ArEnsemble, CandidateOps}
 import graft.sources.ProfilesStore
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -45,21 +46,71 @@ object OptimizeLoop {
     (avgLat, avgThr, isBck, best, rescale)
   }
 
+  /** M1 forecaster tick (reference analytics/app/workload/models.py:166-183
+    * `predict()`: update each model with the new observations, persist the
+    * updated state, forecast): maintains the incremental [[ArEnsemble]]
+    * state under `stateDir` — first tick fits, later ticks `update()` with
+    * only `newObs` — and returns the per-model forecast frame. The state
+    * swap is write-next → delete → rename (a parquet table can't be
+    * overwritten while being read). */
+  def forecastTick(spark: SparkSession, stateDir: String, newObs: DataFrame,
+                   models: Int = 20, horizon: Int = 20): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$stateDir/m1_state")
+    val nxt = new Path(s"$stateDir/m1_state_next")
+    val st =
+      if (fs.exists(cur))
+        ArEnsemble.updateState(spark.read.parquet(cur.toString), newObs, models)
+      else ArEnsemble.fitState(newObs, models)
+    st.write.mode("overwrite").parquet(nxt.toString)
+    fs.delete(cur, true)
+    fs.rename(nxt, cur)
+    ArEnsemble.forecastFromState(spark.read.parquet(cur.toString), horizon)
+  }
+
   /** Attach the loop to a metrics stream. Decisions are delivered to
-    * `onDecision(batchId, avgLat, avgThr, isBck, best, rescale)`. */
+    * `onDecision(batchId, avgLat, avgThr, isBck, best, rescale)` AND — the
+    * reference's predictions-table parity (managers/DataManager.java:
+    * 218-242, one row per tick) — appended durably to
+    * `storePath_decisions`. When `forecastDir` is set, each tick also
+    * update()s the M1 ensemble with the throughput observations that
+    * arrived since the last tick and records the blended next-step
+    * forecast in the decision row. */
   def attach(metrics: DataFrame, storePath: String, step: Long,
              avgWindowPoints: Int, evalEveryBatches: Long,
              currentScaleOut: Long, candidateBest: Long,
-             trigger: Trigger = Trigger.ProcessingTime("60 seconds"))(
-      onDecision: (Long, Double, Double, Boolean, Long, Boolean) => Unit): DataStreamWriter[Row] =
+             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+             forecastDir: Option[String] = None, forecastModels: Int = 20)(
+      onDecision: (Long, Double, Double, Boolean, Long, Boolean) => Unit): DataStreamWriter[Row] = {
+    // driver-side bookkeeping, like the reference's last_learned_timestamp:
+    // the forecaster must consume each observation exactly once
+    var lastSeenTs = Long.MinValue
     metrics.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, id: Long) =>
         ProfilesStore.append(batch, storePath)
         if ((id + 1) % evalEveryBatches == 0) {
-          val hist = ProfilesStore.read(batch.sparkSession, storePath)
+          val spark = batch.sparkSession
+          val hist = ProfilesStore.read(spark, storePath)
           val (lat, thr, bck, best, resc) = evaluateTick(
             hist, step, avgWindowPoints, currentScaleOut, candidateBest)
+          val fNext: Option[Double] = forecastDir.map { fd =>
+            val newThr = hist.filter(col("sid") === "throughput" &&
+              col("ts") > lastSeenTs).select("ts", "value")
+            val mx = newThr.agg(max("ts")).head
+            if (!mx.isNullAt(0)) lastSeenTs = math.max(lastSeenTs, mx.getLong(0))
+            val fRow = forecastTick(spark, fd, newThr, forecastModels, horizon = 1)
+              .agg(avg(col("f1"))).head
+            if (fRow.isNullAt(0)) Double.NaN else fRow.getDouble(0)
+          }
+          import spark.implicits._
+          val tickTs = hist.agg(max("ts")).head.getLong(0)
+          ProfilesStore.append(
+            Seq((id, tickTs, lat, thr, bck, best, resc, fNext))
+              .toDF("batch_id", "ts", "avg_lat", "avg_thr", "is_bck_pres",
+                "best_scale_out", "rescale", "forecast_next"),
+            storePath + "_decisions")
           onDecision(id, lat, thr, bck, best, resc)
         }
     }
+  }
 }

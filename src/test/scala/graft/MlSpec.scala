@@ -1,6 +1,6 @@
 package graft
 
-import graft.models.{Cluster1D, Nnls, TwresModel, TwresRelational}
+import graft.models.{ArEnsemble, Cluster1D, Nnls, TwresModel, TwresRelational}
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -72,6 +72,25 @@ class MlSpec extends SparkSpec {
       assert(math.abs(one.getDouble(i) - sol(i)) < 1e-3 * (1 + math.abs(sol(i))),
         s"c$i: relational ${one.getDouble(i)} vs LH ${sol(i)}")
     }
+  }
+
+  test("M1 incremental state: one batch update == chained batch updates") {
+    // the moments are additive and the position bookkeeping global, so
+    // consuming the tail in one update() or in two (with an awkward split
+    // that strands unaligned points between ticks) must be bit-identical
+    val vals = (0 until 150).map(i => (1704067200L + i * 60L,
+      math.rint((100 + 10 * math.sin(i / 7.0) + i * 0.25) * 10000) / 10000))
+    def df(s: Seq[(Long, Double)]) = s.toDF("ts", "value")
+    val (a, rest) = vals.splitAt(100)
+    val (b, c) = rest.splitAt(27)
+    def out(st: org.apache.spark.sql.DataFrame) =
+      ArEnsemble.forecastFromState(st, 6).orderBy("model_id").collect().toSeq
+    val one = out(ArEnsemble.updateState(ArEnsemble.fitState(df(a), 5), df(rest), 5))
+    val two = out(ArEnsemble.updateState(
+      ArEnsemble.updateState(ArEnsemble.fitState(df(a), 5), df(b), 5), df(c), 5))
+    assert(one == two)
+    // every model consumed some of the 50 new points
+    assert(one.forall(_.getAs[Long]("n_upd") > 0))
   }
 
   test("1-D 2-means finds the optimal split on well-separated clusters") {

@@ -128,17 +128,23 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(store).delete()
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(store), true)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(store + "_decisions"), true)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(store + "_m1"), true)
     val decisions = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Boolean)]
     val q = OptimizeLoop.attach(
       in.toDF.toDF("sid", "ts", "value"), store, step = 1L,
       avgWindowPoints = 5, evalEveryBatches = 2, currentScaleOut = 8, candidateBest = 4,
-      trigger = Trigger.ProcessingTime("0 seconds")) { (id, lat, thr, bck, best, resc) =>
+      trigger = Trigger.ProcessingTime("0 seconds"),
+      forecastDir = Some(store + "_m1"), forecastModels = 2) { (id, lat, thr, bck, best, resc) =>
         decisions += ((id, bck, best, resc))
       }.start()
     try {
       // rising latency + conslag, backpressure partially on
+      // throughput carries a %3 wiggle so the AR(2) design is nonsingular
       val mk = (t: Long) => Seq(
-        ("latency", t, 100.0 + 10 * t), ("throughput", t, 5000.0 - t),
+        ("latency", t, 100.0 + 10 * t), ("throughput", t, 5000.0 - 7 * t + (t % 3)),
         ("conslag", t, 50.0 + 5 * t), ("backpressure", t, if (t % 2 == 0) 1.0 else 0.0))
       in.addData((0L to 5L).flatMap(mk))
       q.processAllAvailable()
@@ -149,6 +155,18 @@ class StreamingSpec extends SparkSpec {
       assert(bck)              // slopes > 1 and partial backpressure => flagged
       assert(best == 4L)       // current invalid => candidate best wins
       assert(resc)             // 4 is not within {8,7,6}
+      // predictions-table parity: one durable decision row per tick,
+      // carrying the M1 forecast produced by the incremental update path
+      val stored = spark.read.parquet(store + "_decisions")
+        .orderBy("batch_id").collect()
+      assert(stored.length == decisions.length)
+      assert(stored.last.getAs[Boolean]("is_bck_pres") == bck)
+      assert(stored.last.getAs[Long]("best_scale_out") == best)
+      assert(!stored.last.isNullAt(stored.last.fieldIndex("forecast_next")))
+      // throughput falls ~7/step from 5000 over 12 steps; the AR forecast
+      // of the next step must land in that neighborhood
+      val fc = stored.last.getAs[Double]("forecast_next")
+      assert(fc > 4800 && fc < 5000, s"forecast_next $fc")
     } finally q.stop()
   }
 }
