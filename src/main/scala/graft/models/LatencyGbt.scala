@@ -1,0 +1,36 @@
+package graft.models
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.GBTRegressor
+
+/** M3 — the latency GBT with the reference's configuration
+  * (reference analytics/app/latency/models.py:28-54): StandardScaler over
+  * (scale_outs, throughput_rates), GradientBoostingRegressor(max_depth=10)
+  * with n_estimators = ESTIMATOR_FACTOR·|data| (models.py:30,
+  * ESTIMATOR_FACTOR = 3). Trees are capped at [[MaxTrees]] — a documented
+  * deviation: unbounded 3·n estimators is quadratic total work as the
+  * profiles table grows with SF, while the reference only ever trains on
+  * dozens of profile rows. Not SQL-expressible (tree ensembles), so the
+  * driver check is rows-only; MlSpec pins the configuration and
+  * prediction sanity.
+  */
+object LatencyGbt {
+
+  /** reference latency/models.py:30 */
+  val EstimatorFactor = 3
+
+  /** documented cap keeping training linear in |data| */
+  val MaxTrees = 100
+
+  def numTrees(nTrain: Long): Int =
+    math.max(10L, math.min(MaxTrees.toLong, EstimatorFactor * nTrain)).toInt
+
+  /** The assemble → scale → GBT pipeline, depth 10 per the reference. */
+  def pipeline(nTrain: Long): Pipeline = new Pipeline().setStages(Array(
+    new VectorAssembler().setInputCols(Array("scaleout", "avgthr"))
+      .setOutputCol("rawf"),
+    new StandardScaler().setInputCol("rawf").setOutputCol("features"),
+    new GBTRegressor().setLabelCol("avglat").setFeaturesCol("features")
+      .setMaxDepth(10).setMaxIter(numTrees(nTrain)).setSeed(42)))
+}

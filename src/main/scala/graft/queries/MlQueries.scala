@@ -70,33 +70,28 @@ object MlQueries extends QueryModule {
       piv.select(col("step"), round(col(s"acc$MODELS") + lit(1e-9), 4).as("blend"))
     }),
 
+    // M4 — reference-parity transform (RobustScaler(0,1) + log-clamp)
+    // before the optimal 1-D split; stats reported on the raw latencies.
     "m4_cluster_stats" -> ((s, d) =>
       Cluster1D.clusterStats(
-        Cluster1D.twoMeans(
-          Tables.profiles(s, d).filter(col("isbckpres") === 0)
-            .select(col("gentype"), col("avglat").as("y")),
+        Cluster1D.twoMeansOn(
+          Cluster1D.robustLogTransform(
+            Tables.profiles(s, d).filter(col("isbckpres") === 0)
+              .select(col("gentype"), col("avglat").as("y")),
+            Seq("gentype")),
           Seq("gentype")),
         Seq("gentype"))),
 
     // M3 — MLlib GBT latency regressor (driver-fit, rows-only check;
-    // sanity covered in MlSpec).
+    // config + sanity pinned in MlSpec via LatencyGbt).
     "m3_latency_gbt" -> ((s, d) => {
-      import org.apache.spark.ml.Pipeline
-      import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-      import org.apache.spark.ml.regression.GBTRegressor
       // deterministic subsample cap: GBT training cost is linear in rows
       // x trees; the synthetic profiles table scales with SF while the
       // reference trains on dozens of profile rows
       val train = Tables.profiles(s, d).filter(col("isbckpres") === 0)
         .filter(col("expid") % 41 === 1)
         .select(col("scaleout").cast("double"), col("avgthr"), col("avglat"))
-      val pipe = new Pipeline().setStages(Array(
-        new VectorAssembler().setInputCols(Array("scaleout", "avgthr"))
-          .setOutputCol("rawf"),
-        new StandardScaler().setInputCol("rawf").setOutputCol("features"),
-        new GBTRegressor().setLabelCol("avglat").setFeaturesCol("features")
-          .setMaxDepth(5).setMaxIter(10).setSeed(42)))
-      val model = pipe.fit(train)
+      val model = graft.models.LatencyGbt.pipeline(train.count()).fit(train)
       val grid = train.groupBy(col("scaleout"))
         .agg(min(col("avgthr")).as("lo"), max(col("avgthr")).as("hi"))
         .select(col("scaleout"), explode(array(col("lo"), (col("lo") + col("hi")) / 2,
@@ -228,23 +223,36 @@ object MlQueries extends QueryModule {
     "m4_cluster_stats" ->
       s"""WITH profiles AS ($PRO),
          |inp AS (SELECT gentype, avglat AS y FROM profiles WHERE isbckpres = 0),
-         |b1 AS (SELECT gentype, y,
+         |posed AS (SELECT gentype, y,
          |    row_number() OVER (PARTITION BY gentype ORDER BY y) AS pos,
+         |    COUNT(*) OVER (PARTITION BY gentype) AS n
+         |  FROM inp),
+         |qs AS (SELECT gentype,
+         |    MAX(CASE WHEN pos = CAST(FLOOR(5e-1*(n-1)) AS BIGINT) + 1 THEN y END) AS med_lo,
+         |    MAX(CASE WHEN pos = CAST(FLOOR(5e-1*(n-1)) AS BIGINT) + 2 THEN y END) AS med_hi,
+         |    MAX(CASE WHEN pos = CAST(FLOOR(1e-2*(n-1)) AS BIGINT) + 1 THEN y END) AS q_lo,
+         |    MAX(CASE WHEN pos = CAST(FLOOR(1e-2*(n-1)) AS BIGINT) + 2 THEN y END) AS q_hi,
+         |    MIN(y) AS lo0, MAX(n) AS n
+         |  FROM posed GROUP BY gentype),
+         |tr AS (SELECT inp.gentype, y, ${Cluster1D.robustLogSql} AS t
+         |  FROM inp JOIN qs USING (gentype)),
+         |b1 AS (SELECT gentype, y, t,
+         |    row_number() OVER (PARTITION BY gentype ORDER BY t, y) AS pos,
          |    COUNT(*) OVER (PARTITION BY gentype) AS n,
-         |    SUM(CAST(y AS DECIMAL(18,4))) OVER wo AS s1,
-         |    SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) OVER wo AS s2,
-         |    SUM(CAST(y AS DECIMAL(18,4))) OVER wa AS tot1,
-         |    SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) OVER wa AS tot2
-         |  FROM inp
-         |  WINDOW wo AS (PARTITION BY gentype ORDER BY y
+         |    SUM(CAST(t AS DECIMAL(18,6))) OVER wo AS s1,
+         |    SUM(CAST(t AS DECIMAL(18,6)) * CAST(t AS DECIMAL(18,6))) OVER wo AS s2,
+         |    SUM(CAST(t AS DECIMAL(18,6))) OVER wa AS tot1,
+         |    SUM(CAST(t AS DECIMAL(18,6)) * CAST(t AS DECIMAL(18,6))) OVER wa AS tot2
+         |  FROM tr
+         |  WINDOW wo AS (PARTITION BY gentype ORDER BY t, y
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |         wa AS (PARTITION BY gentype)),
          |b2 AS (SELECT *, tot1 - s1 AS t1, tot2 - s2 AS t2 FROM b1),
-         |sse AS (SELECT gentype, pos, y,
+         |sse AS (SELECT gentype, pos, t,
          |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/pos)
          |    + (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)*CAST(t1 AS DOUBLE)/(n - pos)) AS sse
          |  FROM b2 WHERE pos < n),
-         |pick AS (SELECT gentype, pos AS split_pos, y AS threshold FROM (
+         |pick AS (SELECT gentype, pos AS split_pos, t AS threshold FROM (
          |    SELECT *, row_number() OVER (PARTITION BY gentype
          |      ORDER BY sse, pos) AS rk FROM sse) WHERE rk = 1),
          |lab AS (SELECT b2.gentype, b2.y,

@@ -93,6 +93,29 @@ class MlSpec extends SparkSpec {
     assert(one.forall(_.getAs[Long]("n_upd") > 0))
   }
 
+  test("M3 GBT config matches the reference (depth 10, 3n trees, capped)") {
+    import graft.models.LatencyGbt
+    import org.apache.spark.ml.regression.GBTRegressor
+    assert(LatencyGbt.numTrees(5) == 15)
+    assert(LatencyGbt.numTrees(2) == 10)    // floor
+    assert(LatencyGbt.numTrees(1000) == 100) // documented cap
+    val gbt = LatencyGbt.pipeline(20).getStages.last.asInstanceOf[GBTRegressor]
+    assert(gbt.getMaxDepth == 10 && gbt.getMaxIter == 60)
+  }
+
+  test("M4 robust-log transform is monotone and clamps the low end to 0") {
+    val ys = (1 to 200).map(_.toDouble) ++ Seq(1e6, 2e6)
+    val df = ys.map(("g", _)).toDF("g", "y")
+    val got = Cluster1D.robustLogTransform(df, Seq("g"))
+      .orderBy("y").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // monotone nondecreasing in y
+    assert(got.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // values at/below the scaled clamp map to ln(1) = 0 exactly
+    assert(got.head._2 == 0.0)
+    // far outliers survive the clamp with a large positive log
+    assert(got.last._2 > 5.0)
+  }
+
   test("1-D 2-means finds the optimal split on well-separated clusters") {
     val rnd = new Random(3)
     val lo = Seq.fill(50)(10.0 + rnd.nextInt(100) / 100.0)
