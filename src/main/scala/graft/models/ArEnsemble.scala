@@ -37,15 +37,41 @@ object ArEnsemble {
     case n => s"c + a1*f${n - 1} + a2*f${n - 2}"
   }
 
+  /** (pos, n)-posed single series. With `bucketSpan` set the ranking is
+    * DISTRIBUTED: rank within ts-buckets plus carried bucket offsets (the
+    * TimeSeriesOps.interpolate chunking pattern) — only the per-bucket
+    * COUNT relation (one row per bucket) passes through a single
+    * partition, so a multi-month 1 Hz series ranks in parallel. Without
+    * it, the deliberate `% 1`-keyed single-partition window applies —
+    * bounded by contract to series that fit one task (≲ a few million
+    * rows; the metric series here are hundreds of points). */
+  def posed(series: DataFrame, bucketSpan: Option[Long] = None): DataFrame =
+    bucketSpan match {
+      case None =>
+        series
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("ts") % 1).orderBy("ts")) - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ts") % 1)))
+      case Some(span) =>
+        val bk = series.withColumn("bk", expr(s"ts div $span"))
+        val wTiny = Window.partitionBy(col("bk") % 1)
+        val offs = bk.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(
+            wTiny.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(wTiny))
+          .select(col("bk"), col("off"), col("n"))
+        bk.join(offs, "bk")
+          .withColumn("pos", col("off") +
+            row_number().over(Window.partitionBy(col("bk")).orderBy("ts")) - 1)
+          .drop("bk", "off")
+    }
+
   /** Input: single null-free series (ts, value). Output per model_id ∈
     * [1, models]: n3 (training rows), c/a1/a2, f1..f6. */
-  def fitForecast(series: DataFrame, models: Int = 20, horizon: Int = 6): DataFrame = {
+  def fitForecast(series: DataFrame, models: Int = 20, horizon: Int = 6,
+                  posBucketSpan: Option[Long] = None): DataFrame = {
     val dec = (c: Column) => c.cast(DecimalType(15, 4))
-    val posed = series
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("ts") % 1).orderBy("ts")) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ts") % 1)))
-    val strided = posed
+    val strided = posed(series, posBucketSpan)
       .select(col("pos"), col("n"), col("value"),
         explode(sequence(lit(1), lit(models))).as("model_id"))
       .filter((col("n") - 1 - col("pos")) % col("model_id") === 0)
@@ -111,13 +137,9 @@ object ArEnsemble {
     * observations that land on the same grid and leave the rest to later
     * ticks (the reference's cached-workload semantics, with the global
     * position counter `n_tot` standing in for the cached points). */
-  def fitState(series: DataFrame, models: Int = 20): DataFrame = {
-    val wOrd = Window.partitionBy(col("ts") % 1).orderBy("ts")
-    val wAll = Window.partitionBy(col("ts") % 1)
-    val posed = series
-      .withColumn("pos", row_number().over(wOrd) - 1)
-      .withColumn("n", count(lit(1)).over(wAll))
-    val grid = posed
+  def fitState(series: DataFrame, models: Int = 20,
+               posBucketSpan: Option[Long] = None): DataFrame = {
+    val grid = posed(series, posBucketSpan)
       .select(col("pos"), col("n"), col("ts"), col("value"),
         explode(sequence(lit(1), lit(models))).as("model_id"))
       .filter((col("n") - 1 - col("pos")) % col("model_id") === 0)

@@ -20,8 +20,17 @@ object LatencyGbt {
   /** reference latency/models.py:30 */
   val EstimatorFactor = 3
 
-  /** documented cap keeping training linear in |data| */
-  val MaxTrees = 100
+  /** documented cap keeping training linear in |data|: each boosting
+    * iteration is a full tree fit (several Spark jobs), so unbounded 3·n
+    * iterations would dominate wall time long before data size matters */
+  val MaxTrees = 60
+
+  /** Training-set size target: the reference only ever fits on dozens of
+    * profile rows (one per completed profiling run), while the synthetic
+    * profiles table grows with SF — subsample deterministically down to
+    * ~this many rows so the model (and its cost) matches the reference's
+    * regime at any SF. */
+  val TrainTarget = 80L
 
   def numTrees(nTrain: Long): Int =
     math.max(10L, math.min(MaxTrees.toLong, EstimatorFactor * nTrain)).toInt

@@ -85,13 +85,17 @@ object MlQueries extends QueryModule {
     // M3 — MLlib GBT latency regressor (driver-fit, rows-only check;
     // config + sanity pinned in MlSpec via LatencyGbt).
     "m3_latency_gbt" -> ((s, d) => {
-      // deterministic subsample cap: GBT training cost is linear in rows
-      // x trees; the synthetic profiles table scales with SF while the
-      // reference trains on dozens of profile rows
-      val train = Tables.profiles(s, d).filter(col("isbckpres") === 0)
-        .filter(col("expid") % 41 === 1)
+      import graft.models.LatencyGbt
+      // deterministic subsample to the reference's dozens-of-rows regime
+      // (LatencyGbt.TrainTarget) at any SF: adaptive expid modulus. The
+      // tiny train set is single-partition + cached — the reference's fit
+      // is single-node sklearn; the distributed piece is the grid scoring.
+      val pool = Tables.profiles(s, d).filter(col("isbckpres") === 0)
+      val mod = math.max(1L, pool.count() / LatencyGbt.TrainTarget)
+      val train = pool.filter(col("expid") % mod === 1)
         .select(col("scaleout").cast("double"), col("avgthr"), col("avglat"))
-      val model = graft.models.LatencyGbt.pipeline(train.count()).fit(train)
+        .coalesce(1).cache()
+      val model = LatencyGbt.pipeline(train.count()).fit(train)
       val grid = train.groupBy(col("scaleout"))
         .agg(min(col("avgthr")).as("lo"), max(col("avgthr")).as("hi"))
         .select(col("scaleout"), explode(array(col("lo"), (col("lo") + col("hi")) / 2,

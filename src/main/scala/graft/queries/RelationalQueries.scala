@@ -99,10 +99,12 @@ object RelationalQueries extends QueryModule {
         .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))),
 
     // J7 — stream-static enrichment in batch form: fact stream joined to a
-    // broadcast dimension (reference: ad event → Redis campaign lookup).
+    // size-guarded broadcast dimension (reference: ad event → Redis
+    // campaign lookup; see FrameOps.dimBroadcast for the SF caveat).
     "j7_enrich_broadcast" -> ((s, d) =>
       Tables.events(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .join(graft.pipeline.FrameOps.dimBroadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))),
 

@@ -34,13 +34,16 @@ object StreamingJobs {
       .select(col("car_id"), unix_timestamp(col("w.start")).as("win_start"),
         col("max_speed"))
 
-  /** A19 — view events enriched with the (broadcast) campaign dim, counted
+  /** A19 — view events enriched with the campaign dim (broadcast while
+    * the dim's estimated size fits the session threshold — the real
+    * campaign dim is ~100 rows; the TPC-H proxy grows with SF), counted
     * per campaign per window. */
   def campaignWindows(events: DataFrame, campaigns: DataFrame, windowLen: String,
                       watermark: String = "30 minutes"): DataFrame =
     events.filter(col("event_type") === "view")
       .withWatermark("ts", watermark)
-      .join(broadcast(campaigns), col("user_id") === col("c_custkey"))
+      .join(graft.pipeline.FrameOps.dimBroadcast(campaigns),
+        col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), windowLen).as("w"), col("campaign"))
       .agg(count(lit(1)).as("n_views"))
       .select(col("campaign"), unix_timestamp(col("w.start")).as("win_start"),

@@ -93,14 +93,27 @@ class MlSpec extends SparkSpec {
     assert(one.forall(_.getAs[Long]("n_upd") > 0))
   }
 
+  test("M1 chunked (bucket-carry) ranking == single-partition ranking") {
+    // a long series across many ts-buckets, deliberately NOT bucket-aligned
+    val vals = (0 until 1200).map(i => (7L + i * 60L,
+      math.rint((500 + 40 * math.sin(i / 11.0) + (i % 13)) * 10000) / 10000))
+    val df = vals.toDF("ts", "value")
+    val global = ArEnsemble.fitForecast(df, 8, 4).orderBy("model_id").collect().toSeq
+    for (span <- Seq(601L, 3600L, 1000000L)) {
+      val chunked = ArEnsemble.fitForecast(df, 8, 4, posBucketSpan = Some(span))
+        .orderBy("model_id").collect().toSeq
+      assert(chunked == global, s"span $span diverged")
+    }
+  }
+
   test("M3 GBT config matches the reference (depth 10, 3n trees, capped)") {
     import graft.models.LatencyGbt
     import org.apache.spark.ml.regression.GBTRegressor
     assert(LatencyGbt.numTrees(5) == 15)
     assert(LatencyGbt.numTrees(2) == 10)    // floor
-    assert(LatencyGbt.numTrees(1000) == 100) // documented cap
-    val gbt = LatencyGbt.pipeline(20).getStages.last.asInstanceOf[GBTRegressor]
-    assert(gbt.getMaxDepth == 10 && gbt.getMaxIter == 60)
+    assert(LatencyGbt.numTrees(1000) == 60) // documented cap
+    val gbt = LatencyGbt.pipeline(15).getStages.last.asInstanceOf[GBTRegressor]
+    assert(gbt.getMaxDepth == 10 && gbt.getMaxIter == 45)
   }
 
   test("M4 robust-log transform is monotone and clamps the low end to 0") {
