@@ -29,6 +29,12 @@ object OpsQueries extends QueryModule {
 
   private val m8Sql: String = MetricQueries.oracles("m8_validity_regression")
 
+  /** S10 generator fleet: (period, amplitude, vphase) per generator, and
+    * the inclusive retrieval window (points 100..600 of the 60 s grid). */
+  private val s10Gens = Seq((360, 100.0, 120.0), (180, 55.0, 80.0), (720, 20.0, 210.0))
+  private val s10Start = 1704067200L + 100 * 60
+  private val s10Stop = 1704067200L + 600 * 60
+
   /** J6 input: per scale-out the latest (stopts, expid) avgLat. */
   private def lastVals(s: SparkSession, d: String): DataFrame =
     profiles(s, d)
@@ -97,6 +103,23 @@ object OpsQueries extends QueryModule {
 
     "s14_random_series" -> ((s, _) =>
       StreamingJobs.randomSeries(s, n = 500, startTs = 1704067200L, step = 60L)),
+
+    // S10 — generator workload retrieval (reference
+    // clients/generators/GeneratorsRest.java:35-38 `POST generators/
+    // workload {startTs, stopTs}` + managers/ClientsManager.java:295-306
+    // `getWorkload`): each generator serves its history sliced to the
+    // inclusive [startTs, stopTs] window (P6), and the manager merges the
+    // per-generator series with the n-way summing merge (J2 — the
+    // reference's TimeSeries.asyncMerge). Three sine generators with
+    // distinct period/amplitude/phase stand in for the REST fleet.
+    "s10_generator_workload" -> ((s, _) => {
+      val gens = s10Gens.map { case (p, a, v) =>
+        StreamingJobs.sineWorkload(s, n = 1000, period = p, amplitude = a,
+          vphase = v, startTs = 1704067200L, step = 60L)
+      }
+      graft.timeseries.TimeSeriesOps.mergeSumN(
+        gens.map(graft.timeseries.TimeSeriesOps.slice(_, s10Start, s10Stop)))
+    }),
 
     // S4 — the profiles fixture as a comma CSV with header (reference
     // test/profiles2.csv shape): write, read back with the explicit
@@ -220,6 +243,25 @@ object OpsQueries extends QueryModule {
         |  CAST(CAST('0x' || substr(md5('r' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
         |    % 10000 AS DOUBLE) / 10000 AS value
         |FROM range(0, 500) r(i)""".stripMargin,
+
+    "s10_generator_workload" -> {
+      val gensVals = s10Gens
+        .map { case (p, a, v) => s"($p, ${a}e0, ${v}e0)" }.mkString(", ")
+      s"""WITH g(period, amp, vph) AS (VALUES $gensVals),
+         |pts AS (
+         |  SELECT 1704067200 + i * 60 AS ts,
+         |    ROUND(abs(x + x * noise) + 1e-9, 4) AS value
+         |  FROM (SELECT i,
+         |      ROUND(SIN(CAST(i AS DOUBLE) * 6.283185307179586e0 / period), 8)
+         |        * amp + vph AS x,
+         |      CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         |        % 2001 - 1000 AS DOUBLE) / 100000.0e0 AS noise
+         |    FROM range(0, 1000) r(i) CROSS JOIN g))
+         |SELECT ts, CASE WHEN COUNT(value) = 0 THEN NULL
+         |  ELSE ROUND(SUM(value), 4) END AS value
+         |FROM pts WHERE ts BETWEEN $s10Start AND $s10Stop
+         |GROUP BY ts""".stripMargin
+    },
 
     "s4_profiles_csv" ->
       s"WITH profiles AS ($PRO) SELECT * FROM profiles",

@@ -109,6 +109,58 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"))
   }
 
+  test("rescale execution: stop -> restart from checkpoint with new parallelism, " +
+       "exactly-once, measured downtime recorded") {
+    import graft.streaming.Rescaler
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.types._
+    val base = "/root/repo/target/graft-tmp/rescale"
+    val (srcDir, sinkDir, ckptDir, store) =
+      (s"$base/src", s"$base/sink", s"$base/ckpt", s"$base/store")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // the managed job: file stream -> repartition(parallelism) -> file sink.
+    // `parallelism` is the rescale knob the start callback owns (executor
+    // count on a cluster; an explicit repartition on local[n])
+    def start(parallelism: Int): StreamingQuery =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .repartition(parallelism)
+        .select(col("id"), spark_partition_id().as("part_id"))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .start()
+    (0L until 100L).map(Tuple1(_)).toDF("id")
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(1)
+    q1.processAllAvailable()
+    // data keeps arriving while the job is being rescaled
+    (100L until 200L).map(Tuple1(_)).toDF("id")
+      .write.mode("append").parquet(srcDir)
+    val (q2, downtimeMs) = Rescaler.rescale(
+      spark, store, tickTs = 199L, running = q1,
+      fromParallelism = 1, toParallelism = 3, start = start)
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(sinkDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // exactly-once across the restart: every id exactly once
+      assert(out.map(_._1).sorted.toSeq == (0L until 200L).toSeq)
+      // old parallelism before the rescale, new parallelism after
+      assert(out.filter(_._1 < 100).map(_._2).distinct.toSeq == Seq(0))
+      assert(out.filter(_._1 >= 100).map(_._2).distinct.length > 1)
+      // durable rescale event with the measured downtime
+      val ev = Rescaler.history(spark, store).collect()
+      assert(ev.length == 1)
+      assert(ev.head.getAs[Long]("from_so") == 1L &&
+             ev.head.getAs[Long]("to_so") == 3L)
+      assert(ev.head.getAs[Long]("downtime_ms") == downtimeMs && downtimeMs > 0)
+      // the M5 wiring: observed downtime replaces the reference's constant
+      val dt = Rescaler.avgDowntimeSec(spark, store)
+      assert(dt.exists(d => d > 0.0 && d * 1000 == downtimeMs.toDouble))
+    } finally q2.stop()
+  }
+
   test("S12 sine workload is deterministic and strictly positive") {
     val a = StreamingJobs.sineWorkload(spark, 200, 360, 100.0, 120.0, 0L, 1L)
       .collect().map(_.getDouble(1)).toSeq
