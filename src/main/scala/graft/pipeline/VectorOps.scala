@@ -203,4 +203,17 @@ object VectorOps {
       .filter(col("c") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("c") + lit(1e-9), 6).as("cosine"))
   }
+
+  /** Embedding-cosine near-duplicate verdicts: candidate pairs come from
+    * the banded sign-LSH equi-join ([[lshPairs]] — never all-pairs),
+    * scored with the exact quantized cosine; a vector is a DUPLICATE of
+    * its smallest ≥-threshold neighbor by id, the same keep-min-id
+    * convention as [[DedupOps.dedupExact]]. One row per duplicate:
+    * (vec_id, dup_of, cosine to dup_of); vectors absent from the output
+    * are the surviving representatives. */
+  def embCosineDups(emb: DataFrame, threshold: Double): DataFrame =
+    lshPairs(emb, threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"),
+        min_by(col("cosine"), col("vec_a")).as("cosine"))
 }

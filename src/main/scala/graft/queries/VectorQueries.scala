@@ -39,7 +39,12 @@ object VectorQueries extends QueryModule {
     "ann_ivf_topk" -> ((s, d) =>
       VectorOps.ivfTopK(Tables.embeddings(s, d), k = 3)),
     "ann_lsh_pairs" -> ((s, d) =>
-      VectorOps.lshPairs(Tables.embeddings(s, d), threshold = 0.4)))
+      VectorOps.lshPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // threshold 0.4 = this corpus's "near" (synthetic embeddings top out
+    // at cosine ~0.48; a production near-dup pass would use ~0.9 — the
+    // plan is threshold-independent)
+    "dedup_embedding_cosine" -> ((s, d) =>
+      VectorOps.embCosineDups(Tables.embeddings(s, d), threshold = 0.4)))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -91,5 +96,27 @@ object VectorQueries extends QueryModule {
          |  JOIN q qa ON qa.vec_id = vec_a
          |  JOIN q qb ON qb.vec_id = vec_b)
          |SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine
-         |FROM scored WHERE c >= 0.4""".stripMargin)
+         |FROM scored WHERE c >= 0.4""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |bands AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |  FROM sg),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT vec_a, vec_b, ROUND(${cosSql("qa.qv", "qb.qv")} + 1e-9, 6) AS cosine
+         |  FROM cands
+         |  JOIN q qa ON qa.vec_id = vec_a
+         |  JOIN q qb ON qb.vec_id = vec_b
+         |  WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4)
+         |SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+         |  min_by(cosine, vec_a) AS cosine
+         |FROM pairs GROUP BY vec_b""".stripMargin)
 }
