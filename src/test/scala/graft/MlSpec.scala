@@ -116,6 +116,29 @@ class MlSpec extends SparkSpec {
     assert(gbt.getMaxDepth == 10 && gbt.getMaxIter == 45)
   }
 
+  test("M3 prediction grid: deterministic, finite, inside the training span") {
+    // the rows-only driver check can't see values; pin what a GBT latency
+    // surface must satisfy regardless of the fitted trees
+    val run = () => graft.queries.MlQueries.queries("m3_latency_gbt")(
+      spark, "/root/testdata/sf0.001")
+      .orderBy("scaleout", "avgthr").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    // refit from the identical subsample is bit-identical (seeded MLlib)
+    assert(a == run())
+    // every (scaleout, lo/mid/hi) grid point scored exactly once
+    assert(a.map(g => (g._1, g._2)).distinct.length == a.length)
+    assert(a.groupBy(_._1).forall(_._2.length == 3))
+    // squared-loss GBT leaves are residual means: predictions stay within
+    // the training latency span (no extrapolated blow-ups on the grid)
+    val lat = Tables.profiles(spark, "/root/testdata/sf0.001")
+      .filter(col("isbckpres") === 0).agg(min("avglat"), max("avglat")).head
+    val (lo, hi) = (lat.getDouble(0), lat.getDouble(1))
+    assert(a.forall { case (_, _, p) =>
+      !p.isNaN && !p.isInfinite && p >= lo - (hi - lo) && p <= hi + (hi - lo) })
+  }
+
   test("M4 robust-log transform is monotone and clamps the low end to 0") {
     val ys = (1 to 200).map(_.toDouble) ++ Seq(1e6, 2e6)
     val df = ys.map(("g", _)).toDF("g", "y")
