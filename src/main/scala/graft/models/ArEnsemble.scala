@@ -163,7 +163,11 @@ object ArEnsemble {
     * already seen): per model, the points landing on its anchored stride
     * grid extend the moments additively; the rest only advance the global
     * position counter (they may become grid points of later batches). */
-  def updateState(state: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
+  def updateState(stateIn: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
+    // the state is O(models) rows but referenced three times below (base
+    // aggregate, lag context, final join): materialize once so an
+    // in-memory chain doesn't re-run the upstream fit per reference
+    val state = stateIn.persist()
     val base = state.agg(max(col("n_tot")).as("n0"), max(col("anchor")).as("anc"))
     val nNew = newObs.agg(count(lit(1)).as("n_new"))
     val posedNew = newObs

@@ -41,10 +41,13 @@ object MlQueries extends QueryModule {
     // incremental == from-scratch.
     "m1_update_forecast" -> ((s, d) => {
       val wOrd = Window.partitionBy(col("ts") % 1).orderBy("ts")
+      // both the init and tail segments (and the tail twice, via
+      // updateState's count + alignment legs) read this subplan: cache it
       val posed = clickDf(s, d)
         .withColumn("pos", row_number().over(wOrd) - 1)
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ts") % 1)))
         .withColumn("cut", col("n") - 1 - expr("(n - 1) div 6"))
+        .persist()
       val init = posed.filter(col("pos") <= col("cut")).select("ts", "value")
       val tail = posed.filter(col("pos") > col("cut")).select("ts", "value")
       ArEnsemble.forecastFromState(

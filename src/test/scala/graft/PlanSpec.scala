@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan guardrails over the ENTIRE query surface.
+  *
+  * The two join shapes that melt at 100 TB are an un-broadcast
+  * CartesianProduct (O(n·m) rows through one task pair) and an accidental
+  * BroadcastNestedLoopJoin (non-equi or keyless join that re-scans the
+  * broadcast side per row). Some plans here use a nested-loop join ON
+  * PURPOSE — always with a provably tiny broadcast side (a 1-row
+  * aggregate, an O(candidates) interval list, a fixed query set); those
+  * are whitelisted BY NAME with the bound that keeps them safe, and
+  * everything else is asserted clean. A new query that accidentally
+  * introduces a cartesian shape fails this spec, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** name -> why its nested-loop join cannot blow up. */
+  private val allowedNestedLoop: Map[String, String] = Map(
+    "ann_cosine_topk" -> "brute-force baseline BY DESIGN: broadcast side is the fixed query set (vec_id < 10)",
+    "m2_capacity" -> "broadcasts a 1-row stats aggregate x 3 alphas back over the training rows",
+    "m1_update_forecast" -> "broadcasts a 1-row (n_tot, anchor) aggregate over the new observations",
+    "j6_cluster_validity" -> "pairwise validity over the <= 23-row candidate set, both sides bounded",
+    "j8_candidate_response_join" -> "non-equi ts join against the <= 23-row candidate set (broadcast side bounded)",
+    "m10_backpressure_rule" -> "broadcasts 1-row slope-fit aggregates over the series",
+    "m6_twres_decision" -> "subset-enumeration NNLS: 15 candidate subsets x 1-row moment aggregates, all bounded",
+    "s11_model_persistence" -> "persists/reloads the <= 23-row model frame; broadcast side is that frame")
+
+  test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
+    // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      (name, plan)
+    }
+    val planningFailures = results.collect {
+      case (n, p) if p.startsWith("PLANNING FAILED") => s"$n: $p" }
+    assert(planningFailures.isEmpty, planningFailures.mkString("\n"))
+    // CartesianProduct (non-broadcast O(n*m)) is never acceptable
+    val cartesian = results.collect {
+      case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
+    // nested-loop joins only where the broadcast side is proven tiny
+    val nlj = results.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowedNestedLoop.contains(n) => n }
+    assert(nlj.isEmpty,
+      s"unvetted BroadcastNestedLoopJoin in: $nlj — broadcast side must be bounded; add a justified whitelist entry")
+    // keep the whitelist honest: drop entries whose plans no longer need them
+    val stale = allowedNestedLoop.keySet.filter { n =>
+      results.find(_._1 == n).exists(r => !r._2.contains("BroadcastNestedLoopJoin")) }
+    assert(stale.isEmpty, s"whitelist entries no longer needed: $stale")
+  }
+}

@@ -142,13 +142,19 @@ class StreamingSpec extends SparkSpec {
       fromParallelism = 1, toParallelism = 3, start = start)
     try {
       q2.processAllAvailable()
+      // rows arriving once the restarted query owns the source are the
+      // ones that must show the new parallelism (batch 2 may land in
+      // either query depending on when q1's last trigger fired)
+      (200L until 300L).map(Tuple1(_)).toDF("id")
+        .write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
       val out = spark.read.parquet(sinkDir).collect()
         .map(r => (r.getLong(0), r.getInt(1)))
       // exactly-once across the restart: every id exactly once
-      assert(out.map(_._1).sorted.toSeq == (0L until 200L).toSeq)
+      assert(out.map(_._1).sorted.toSeq == (0L until 300L).toSeq)
       // old parallelism before the rescale, new parallelism after
       assert(out.filter(_._1 < 100).map(_._2).distinct.toSeq == Seq(0))
-      assert(out.filter(_._1 >= 100).map(_._2).distinct.length > 1)
+      assert(out.filter(_._1 >= 200).map(_._2).distinct.length > 1)
       // durable rescale event with the measured downtime
       val ev = Rescaler.history(spark, store).collect()
       assert(ev.length == 1)
