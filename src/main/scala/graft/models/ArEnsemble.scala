@@ -162,12 +162,14 @@ object ArEnsemble {
   /** Consume a batch of NEW observations (ts strictly after everything
     * already seen): per model, the points landing on its anchored stride
     * grid extend the moments additively; the rest only advance the global
-    * position counter (they may become grid points of later batches). */
-  def updateState(stateIn: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
-    // the state is O(models) rows but referenced three times below (base
-    // aggregate, lag context, final join): materialize once so an
-    // in-memory chain doesn't re-run the upstream fit per reference
-    val state = stateIn.persist()
+    * position counter (they may become grid points of later batches).
+    *
+    * NOTE for callers: `state` is referenced three times below (base
+    * aggregate, lag context, final join) — pass it materialized (a
+    * parquet read, or `.persist()` at the call site) or its upstream
+    * plan re-executes 3×. Persisting HERE would leak one cache entry
+    * per optimize-loop tick, so ownership stays with the caller. */
+  def updateState(state: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
     val base = state.agg(max(col("n_tot")).as("n0"), max(col("anchor")).as("anc"))
     val nNew = newObs.agg(count(lit(1)).as("n_new"))
     val posedNew = newObs

@@ -50,9 +50,9 @@ object MlQueries extends QueryModule {
         .persist()
       val init = posed.filter(col("pos") <= col("cut")).select("ts", "value")
       val tail = posed.filter(col("pos") > col("cut")).select("ts", "value")
-      ArEnsemble.forecastFromState(
-        ArEnsemble.updateState(ArEnsemble.fitState(init, MODELS), tail, MODELS),
-        HOR_UPD)
+      // updateState reads its state 3x: materialize the O(models)-row fit
+      val st = ArEnsemble.fitState(init, MODELS).persist()
+      ArEnsemble.forecastFromState(ArEnsemble.updateState(st, tail, MODELS), HOR_UPD)
     }),
 
     // A17+A10: the ensemble frame blended across the model axis with the
