@@ -161,6 +161,31 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: training documents sharing ≥ `minShared`
+    * distinct n-gram shingles with any eval/benchmark document are
+    * contamination suspects (the n-gram-overlap check used before
+    * training-set release). Same inverted-index equi-join as
+    * [[jaccardPairs]] — eval and train sides meet only on a shared
+    * shingle, never all-pairs — with the same df-cap on hot shingles. At
+    * scale the eval set is small: its inverted index ends up the
+    * broadcast side of the join automatically. Output: one row per
+    * suspect (train_id, eval_id, shared). */
+  def contamination(docs: DataFrame, evalPred: Column, minShared: Int = 3,
+                    maxPostingLen: Int = 100): DataFrame = {
+    val flagged = docs.withColumn("is_eval", evalPred)
+    val inv = shingleRows(flagged.select(col("doc_id"), col("text")))
+      .join(flagged.select(col("doc_id"), col("is_eval")), Seq("doc_id"))
+    val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostingLen).select(col("s"))
+    val idx = inv.join(broadcast(hot), Seq("s"), "left_anti")
+    idx.filter(!col("is_eval")).select(col("doc_id").as("train_id"), col("s"))
+      .join(idx.filter(col("is_eval")).select(col("doc_id").as("eval_id"), col("s")),
+        Seq("s"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 16-bit SimHash with token multiplicity: per bit j, sign of the sum of
     * ±1 votes from each token's 16-bit hash. Relational formulation
     * (explode → partial-agg groupBy) so the plan is a linear scan+shuffle,

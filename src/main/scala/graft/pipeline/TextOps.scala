@@ -41,6 +41,29 @@ object TextOps {
         size(ts) + lit(1e-9), 4).as("mean_tok_len"))
   }
 
+  /** SEQUENCE PACKING for LLM pretraining: concatenate documents in
+    * deterministic order and cut every `budget` tokens (GPT-style packing
+    * — a document may straddle a pack boundary; `straddles` flags it so a
+    * loader can mask or split). Docs are hashed into `groups` independent
+    * streams — the parallel unit: each group's running sum is one window
+    * partition, so parallelism (and the per-task row bound) scales by
+    * raising `groups` with the corpus, never a global window. Output one
+    * row per document: (grp, doc_id, n_tokens, pack_id, straddles). */
+  def packAssignments(docs: DataFrame, budget: Int = 2048,
+                      groups: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .withColumn("grp", pmod(col("doc_id"), lit(groups.toLong)))
+      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("grp"), col("doc_id"), col("n_tokens"),
+        expr(s"cum0 div $budget").as("pack_id"),
+        (expr(s"(cum0 + n_tokens - 1) div $budget") > expr(s"cum0 div $budget"))
+          .as("straddles"))
+  }
+
   /** Quality score: blend of length, stopword ratio, token length and
     * lexical diversity — the standard cheap pre-filter for web-scale corpus
     * cleaning (length/punct/stopword-ratio heuristics). */

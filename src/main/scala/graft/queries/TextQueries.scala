@@ -56,7 +56,15 @@ object TextQueries extends QueryModule {
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
     "dedup_jaccard_ngram" -> ((s, d) => DedupOps.jaccardPairs(docs(s, d))),
-    "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))))
+    "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))),
+    // eval set = source 'src0' (a stand-in benchmark); ≥3 shared 3-gram
+    // shingles with any eval doc flags a training doc as contaminated
+    "decontam_overlap" -> ((s, d) =>
+      DedupOps.contamination(docs(s, d), org.apache.spark.sql.functions.col("source") === "src0")),
+    // GPT-style packing: 8 parallel streams, 256-token packs (the
+    // synthetic docs average ~50 tokens → ~5 docs per pack)
+    "pack_sequences" -> ((s, d) =>
+      TextOps.packAssignments(docs(s, d), budget = 256, groups = 8)))
 
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
@@ -153,6 +161,32 @@ object TextQueries extends QueryModule {
          |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter) + 1e-9, 4) AS jaccard
          |FROM pairs
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, source = 'src0' AS is_eval, $shinglesSql AS sh
+         |  FROM documents),
+         |inv0 AS (SELECT doc_id, is_eval, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot))
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  COUNT(*) AS shared
+         |FROM inv a JOIN inv b ON a.s = b.s
+         |WHERE NOT a.is_eval AND b.is_eval
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS grp
+        |  FROM documents),
+        |c AS (SELECT grp, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM t)
+        |SELECT grp, doc_id, n_tokens, cum0 // 256 AS pack_id,
+        |  ((cum0 + n_tokens - 1) // 256) > (cum0 // 256) AS straddles
+        |FROM c""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (0 until 16)
