@@ -64,6 +64,49 @@ object TextOps {
           .as("straddles"))
   }
 
+  /** Deterministic uniform INTEGER draw in [0, 1e6) from md5(salt:doc_id)
+    * — the content-independent split/sampling primitive: stable under
+    * corpus growth and reshuffling, and compared against integer
+    * thresholds so no float-boundary value can diverge across engines. */
+  val DrawMod = 1000000L
+  def mdDraw6(salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % DrawMod
+
+  /** Probability → integer draw threshold. */
+  def drawThreshold(p: Double): Long = math.round(p * DrawMod)
+
+  /** Deterministic train/val/test split (fractions `valFrac`/`testFrac`):
+    * each document's fate depends only on (salt, doc_id), so the split is
+    * stable as the corpus grows — adding documents never moves an
+    * existing one across splits (the property a by-position random split
+    * lacks). Per-row map, no shuffle. */
+  def splitAssign(docs: DataFrame, valFrac: Double, testFrac: Double,
+                  salt: String = "split"): DataFrame = {
+    val u = mdDraw6(salt)
+    docs.select(col("doc_id"),
+      when(u < drawThreshold(valFrac), "val")
+        .when(u < drawThreshold(valFrac + testFrac), "test")
+        .otherwise("train").as("split"))
+  }
+
+  /** MIXTURE SAMPLING: down/down-weight corpus slices to target rates (the
+    * data-mixing step before pretraining). `rates` maps a slice key (the
+    * `source` column) to a keep probability in [0, 1]; each doc keeps iff
+    * its deterministic draw < its slice's threshold (unlisted slices keep
+    * everything). Per-row map against a broadcast rate table — no
+    * shuffle, linear at any corpus size. */
+  def sampleMixture(docs: DataFrame, rates: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.map { case (k, p) => (k, drawThreshold(p)) }
+      .toDF("source", "thr")
+    docs.join(broadcast(rateDf), Seq("source"), "left")
+      .filter(mdDraw6(salt) < coalesce(col("thr"), lit(DrawMod)))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Quality score: blend of length, stopword ratio, token length and
     * lexical diversity — the standard cheap pre-filter for web-scale corpus
     * cleaning (length/punct/stopword-ratio heuristics). */

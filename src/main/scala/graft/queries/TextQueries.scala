@@ -64,7 +64,12 @@ object TextQueries extends QueryModule {
     // GPT-style packing: 8 parallel streams, 256-token packs (the
     // synthetic docs average ~50 tokens → ~5 docs per pack)
     "pack_sequences" -> ((s, d) =>
-      TextOps.packAssignments(docs(s, d), budget = 256, groups = 8)))
+      TextOps.packAssignments(docs(s, d), budget = 256, groups = 8)),
+    "split_assign" -> ((s, d) =>
+      TextOps.splitAssign(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
+    // mixing weights: halve src0, keep 10% of src1, everything else full
+    "sample_mixture" -> ((s, d) =>
+      TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))))
 
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
@@ -174,6 +179,24 @@ object TextQueries extends QueryModule {
          |FROM inv a JOIN inv b ON a.s = b.s
          |WHERE NOT a.is_eval AND b.is_eval
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "split_assign" -> {
+      val draw = s"${hex60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""SELECT doc_id,
+         |  CASE WHEN $draw < ${TextOps.drawThreshold(0.1)} THEN 'val'
+         |       WHEN $draw < ${TextOps.drawThreshold(0.15)} THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "sample_mixture" -> {
+      val draw = s"${hex60Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $draw < CASE source
+         |  WHEN 'src0' THEN ${TextOps.drawThreshold(0.5)}
+         |  WHEN 'src1' THEN ${TextOps.drawThreshold(0.1)}
+         |  ELSE 1000000 END""".stripMargin
+    },
 
     "pack_sequences" ->
       """WITH t AS (
