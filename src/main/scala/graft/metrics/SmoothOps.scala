@@ -87,7 +87,10 @@ object SmoothOps {
     val wAll = Window.partitionBy(g: _*)
     // base feeds four consumers (interior/head/tail contributions + the
     // final join); without persist the whole upstream (typically dense
-    // grid → chunked interpolation) re-executes per consumer — 4× the work
+    // grid → chunked interpolation) re-executes per consumer — 4× the
+    // work (A/B-benched: 15.1s → 2.6s at sf0.1). The entry stays cached
+    // for the session (no safe unpersist point inside a lazy builder);
+    // it is one series-sized dataset, LRU-evictable under pressure
     val base = df
       .withColumn("pos", row_number().over(wOrd) - 1)
       .withColumn("n", count(lit(1)).over(wAll))
@@ -146,7 +149,8 @@ object SmoothOps {
     val g = groupCols.map(col)
     val wLit = typedlit(expWeights().map(scala.math.BigDecimal(_)))
     // dense feeds both the contribution explode and the grid join below;
-    // persist so its (interpolated) upstream executes once
+    // persist so its (interpolated) upstream executes once (same
+    // session-lifetime cache tradeoff as savgol's base above)
     val dense1 = dense.persist()
     val contribs = dense1.filter(col("value").isNotNull)
       .select(g :+ col("ts") :+ col("value") :+

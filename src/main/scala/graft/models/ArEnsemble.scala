@@ -156,7 +156,29 @@ object ArEnsemble {
     val lastVals = lagged.filter(col("rend") === 1)
       .select(col("model_id"), col("value").as("yl1"), col("y1").as("yl2"),
         col("ts").as("last_ts"), col("pos").as("anchor"), col("n").as("n_tot"))
-    moments.join(lastVals, "model_id").withColumn("n_upd", lit(0L))
+    // LEFT join from lastVals (every model has ≥1 grid point: pos = n-1
+    // always lands on each stride) so a model whose grid has <3 points —
+    // too few for any complete (y2,y1,y) row — keeps its state row with
+    // ZERO moments instead of vanishing: updateState can then fill it as
+    // observations arrive, and forecastFromState null-guards n3<3 via the
+    // singular determinant.
+    val zeroed = lastVals.join(moments, Seq("model_id"), "left")
+      .withColumn("n3", coalesce(col("n3"), lit(0L)))
+    val withZeroMoments = Seq("sy" -> decSumT, "s1" -> decSumT, "s2" -> decSumT,
+      "s11" -> decProdT, "s22" -> decProdT, "s12" -> decProdT,
+      "s1y" -> decProdT, "s2y" -> decProdT)
+      .foldLeft(zeroed) { case (df, (c, t)) =>
+        df.withColumn(c, coalesce(col(c), lit(0).cast(t))) }
+    withZeroMoments
+      .select(col("model_id"), col("n3"), col("sy"), col("s1"), col("s2"),
+        col("s11"), col("s22"), col("s12"), col("s1y"), col("s2y"),
+        col("yl1"), col("yl2"), col("last_ts"), col("anchor"), col("n_tot"))
+      .withColumn("n_upd", lit(0L))
+      // the global max ts ever consumed — the durable restart cursor for
+      // OptimizeLoop.attach (every observation advances it, grid-aligned
+      // or not). Stride-1's last_ts IS the series max; the non-foldable
+      // %-key bounds the window to the `models` state rows.
+      .withColumn("seen_ts", max(col("last_ts")).over(Window.partitionBy(col("model_id") % 1)))
   }
 
   /** Consume a batch of NEW observations (ts strictly after everything
@@ -171,7 +193,7 @@ object ArEnsemble {
     * per optimize-loop tick, so ownership stays with the caller. */
   def updateState(state: DataFrame, newObs: DataFrame, models: Int = 20): DataFrame = {
     val base = state.agg(max(col("n_tot")).as("n0"), max(col("anchor")).as("anc"))
-    val nNew = newObs.agg(count(lit(1)).as("n_new"))
+    val nNew = newObs.agg(count(lit(1)).as("n_new"), max(col("ts")).as("mx_new"))
     val posedNew = newObs
       .withColumn("k", row_number().over(Window.partitionBy(col("ts") % 1).orderBy("ts")))
       .crossJoin(broadcast(base))
@@ -196,18 +218,24 @@ object ArEnsemble {
       .withColumn("y2", lag(col("value"), 2).over(wS))
       .withColumn("rend", row_number().over(
         Window.partitionBy(col("model_id")).orderBy(col("sk").desc)))
-    val deltas = ext.filter(col("sk") >= 1)
+    // complete (y2,y1,y) rows only — same rule as fitState's
+    // y2.isNotNull filter: a model fitted from <2 grid points carries a
+    // null lag context, and its first new rows must not count into n3
+    // while contributing nothing to the (null-skipping) moment sums
+    val deltas = ext.filter(col("sk") >= 1 && col("y2").isNotNull)
       .groupBy(col("model_id"))
-      .agg((momentAggs(col("value"), col("y1"), col("y2")) :+
-        max(col("ts")).as("d_last_ts")).head,
-        (momentAggs(col("value"), col("y1"), col("y2")) :+
-          max(col("ts")).as("d_last_ts")).tail: _*)
-      .select(col("model_id") +: col("d_last_ts") +: (Seq("n3", "sy", "s1", "s2",
+      .agg(momentAggs(col("value"), col("y1"), col("y2")).head,
+        momentAggs(col("value"), col("y1"), col("y2")).tail: _*)
+      .select(col("model_id") +: (Seq("n3", "sy", "s1", "s2",
         "s11", "s22", "s12", "s1y", "s2y").map(c => col(c).as(s"d_$c"))): _*)
+    // latest-grid bookkeeping from the UNFILTERED tail (rend ≤ 2): an
+    // incomplete first row still advances the grid (ctx rows' null ts
+    // never wins the max)
     val newLast = ext.filter(col("rend") <= 2)
       .groupBy(col("model_id")).agg(
         max(when(col("rend") === 1, col("value"))).as("nyl1"),
-        max(when(col("rend") === 2, col("value"))).as("nyl2"))
+        max(when(col("rend") === 2, col("value"))).as("nyl2"),
+        max(col("ts")).as("d_last_ts"))
     def addDec(name: String, t: DecimalType) =
       (col(name) + coalesce(col(s"d_$name"), lit(0).cast(t))).cast(t).as(name)
     state.join(deltas, Seq("model_id"), "left")
@@ -222,7 +250,8 @@ object ArEnsemble {
         coalesce(col("nyl2"), col("yl2")).as("yl2"),
         coalesce(col("d_last_ts"), col("last_ts")).as("last_ts"),
         col("anchor"), (col("n_tot") + col("n_new")).as("n_tot"),
-        (col("n_upd") + coalesce(col("d_n3"), lit(0L))).as("n_upd"))
+        (col("n_upd") + coalesce(col("d_n3"), lit(0L))).as("n_upd"),
+        greatest(col("seen_ts"), coalesce(col("mx_new"), col("seen_ts"))).as("seen_ts"))
   }
 
   /** Closed-form refit + recursive forecast from the (decimal) state: the

@@ -81,24 +81,34 @@ object VectorOps {
     * assembles 4-bit band keys — whole-stage-codegen'd shuffles instead
     * of 32 interpreted zip_with folds per row (see the MinHash note in
     * [[DedupOps.minhashBandsRelational]]). */
-  def signBandsRelational(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
-      row.zipWithIndex.map { case (r, i) => (h, i, r.toLong) }
-    }.toDF("h", "i", "r")
-    val ex = emb.select(col("vec_id"), quant.as("q"))
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    ex.join(broadcast(planeDf), Seq("i"))
-      .groupBy(col("vec_id"), col("h"))
-      .agg(sum(col("x") * col("r")).as("p"))
-      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+  def signBandsRelational(emb: DataFrame): DataFrame =
+    signProjections(emb)
       .withColumn("b", (col("h") / 4).cast("int"))
       .groupBy(col("vec_id"), col("b"))
       .agg(md5(concat(col("b").cast("string"), lit("|"),
         concat_ws(",", transform(array_sort(collect_list(struct(col("h"), col("bit")))),
           x => x.getField("bit").cast("string"))))).as("bkey"))
       .select(col("vec_id"), col("bkey"))
+
+  /** Relational hyperplane sign projections: one (vec_id, h, bit) row per
+    * vector × plane, for the first `nPlanes` planes — the single source
+    * of truth for the md5-parity plane encoding and sign convention,
+    * shared by the LSH band keys ([[signBandsRelational]]) and the IVF
+    * cell ids ([[ivfTopK]]) so the two can never drift from each other or
+    * from the DuckDB sigSql spelling. */
+  def signProjections(emb: DataFrame, nPlanes: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
+      if (h < nPlanes) row.zipWithIndex.map { case (r, i) => (h, i, r.toLong) } else Nil
+    }.toDF("h", "i", "r")
+    emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .join(broadcast(planeDf), Seq("i"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("x") * col("r")).as("p"))
+      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+      .select(col("vec_id"), col("h"), col("bit"))
   }
 
   /** Brute-force exact cosine top-k: for each query vector (`vec_id` in
@@ -145,19 +155,14 @@ object VectorOps {
     * interpreted per-pair zip_with folds. */
   def ivfTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
     val bits = cellBits(emb.count(), targetCellSize)
-    // (vec_id, i, x): single exploded view reused by every downstream leg
+    // (vec_id, i, x): the exploded view each downstream leg re-derives.
+    // Deliberately NOT persisted: the explode is a cheap projection of
+    // one scan (A/B-benched within noise of the cached form), while a
+    // persist here would pin corpus×dim rows per call for the session
+    // lifetime (see the updateState caller-ownership note).
     val ex = emb.select(col("vec_id"), quant.as("q"))
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-      .persist()
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
-      if (h < bits) row.zipWithIndex.map { case (r, i) => (h, i, r.toLong) } else Nil
-    }.toDF("h", "i", "r")
-    val cells = ex.join(broadcast(planeDf), Seq("i"))
-      .groupBy(col("vec_id"), col("h"))
-      .agg(sum(col("x") * col("r")).as("p"))
-      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+    val cells = signProjections(emb, bits)
       .groupBy(col("vec_id"))
       .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("h"), col("bit")))),
         x => x.getField("bit").cast("string"))).as("cell"))

@@ -67,7 +67,7 @@ object MetricQueries extends QueryModule {
     // OptimizeLoop.attach does per tick), read the store back.
     "predictions_roundtrip" -> ((s, d) => {
       import org.apache.hadoop.fs.{FileSystem, Path}
-      val path = s"/root/repo/target/graft-tmp/decisions_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/decisions_${new java.io.File(d).getName}"
       FileSystem.get(s.sparkContext.hadoopConfiguration).delete(new Path(path), true)
       val ser = seriesDf(s, d)
       val b = ser.agg(min("ts"), max("ts")).head

@@ -95,7 +95,9 @@ object MlQueries extends QueryModule {
       // is single-node sklearn; the distributed piece is the grid scoring.
       val pool = Tables.profiles(s, d).filter(col("isbckpres") === 0)
       val mod = math.max(1L, pool.count() / LatencyGbt.TrainTarget)
-      val train = pool.filter(col("expid") % mod === 1)
+      // residue 1 % mod, NOT 1: when the pool is small enough that mod=1,
+      // `expid % 1 === 1` would match nothing and fit on an empty set
+      val train = pool.filter(col("expid") % mod === (1L % mod))
         .select(col("scaleout").cast("double"), col("avgthr"), col("avglat"))
         .coalesce(1).cache()
       val model = LatencyGbt.pipeline(train.count()).fit(train)
@@ -121,7 +123,7 @@ object MlQueries extends QueryModule {
     * mirroring [[ArEnsemble.fitForecast]] expression-for-expression. */
   private val arCtes = {
     val fChain = (1 to HORIZON)
-      .map(k => s"ar$k AS (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
+      .map(k => s"ar$k AS MATERIALIZED (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
       .mkString(",\n")
     s"""${Sql.clickWorkloadCtes},
        |posed AS (SELECT value, row_number() OVER (ORDER BY ts) - 1 AS pos,
@@ -168,7 +170,7 @@ object MlQueries extends QueryModule {
     // incremental Spark result, by moment additivity (see the query)
     "m1_update_forecast" -> {
       val fChain = (1 to HOR_UPD)
-        .map(k => s"ar$k AS (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
+        .map(k => s"ar$k AS MATERIALIZED (SELECT *, ${ArEnsemble.forecastSql(k)} AS f$k FROM ar${k - 1})")
         .mkString(",\n")
       s"""WITH series AS ($SER),
          |${Sql.clickWorkloadCtes},

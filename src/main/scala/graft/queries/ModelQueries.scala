@@ -42,7 +42,7 @@ object ModelQueries extends QueryModule {
     // LOAD it back, predict from the loaded state. Same oracle as
     // m2_capacity — the round-trip must be value-exact.
     "s11_model_persistence" -> ((s, d) => {
-      val path = s"/root/repo/target/graft-tmp/capmodel_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/capmodel_${new java.io.File(d).getName}"
       CapacityModel.fit(capacityTrain(s, d)).write.mode("overwrite").parquet(path)
       CapacityModel.predict(s, s.read.parquet(path), 2, 24)
         .select(col("scaleout"), round(col("capacity") + lit(1e-9), 4).as("capacity"),

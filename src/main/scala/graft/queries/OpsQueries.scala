@@ -125,7 +125,7 @@ object OpsQueries extends QueryModule {
     // test/profiles2.csv shape): write, read back with the explicit
     // schema (never inferred), values must survive exactly.
     "s4_profiles_csv" -> ((s, d) => {
-      val path = s"/root/repo/target/graft-tmp/profiles_csv_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/profiles_csv_${new java.io.File(d).getName}"
       profiles(s, d).write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")
         .schema("expid BIGINT, gentype STRING, jobname STRING, scaleout BIGINT, " +
@@ -136,7 +136,7 @@ object OpsQueries extends QueryModule {
     // S5/S6/S7 — store lifecycle: init with non-backpressure rows, append
     // the rest, delete a slice, read back.
     "s5_s7_store_roundtrip" -> ((s, d) => {
-      val path = s"/root/repo/target/graft-tmp/profiles_store_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/profiles_store_${new java.io.File(d).getName}"
       ProfilesStore.init(profiles(s, d).filter(col("isbckpres") === 0), path)
       ProfilesStore.append(profiles(s, d).filter(col("isbckpres") === 1), path)
       ProfilesStore.delete(s, path, col("gentype") === "CARS" && col("scaleout") > 20)

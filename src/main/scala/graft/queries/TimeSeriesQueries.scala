@@ -66,7 +66,7 @@ object TimeSeriesQueries extends QueryModule {
     "ts_csv_roundtrip" -> ((s, d) => {
       // Scratch path is per-scale-factor so interleaved runs at different
       // SFs can't read each other's round-trip data.
-      val path = s"/root/repo/target/graft-tmp/csv_click_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/csv_click_${new java.io.File(d).getName}"
       toCsv(denseDf(s, d).filter(col("sid") === "click").select("ts", "value"), path)
       fromCsv(s, path)
     }),
@@ -75,7 +75,7 @@ object TimeSeriesQueries extends QueryModule {
     // the generator count (reference analytics/app/prepare_model.py:50-63
     // `value *= 5`).
     "s3_csv_x5" -> ((s, d) => {
-      val path = s"/root/repo/target/graft-tmp/csv_click_s3_${new java.io.File(d).getName}"
+      val path = s"target/graft-tmp/csv_click_s3_${new java.io.File(d).getName}"
       toCsv(denseDf(s, d).filter(col("sid") === "click").select("ts", "value"), path)
       fromCsv(s, path).withColumn("value", round(col("value") * 5, 4))
     }))

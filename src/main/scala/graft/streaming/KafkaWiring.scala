@@ -42,7 +42,12 @@ object KafkaWiring {
       producerTopic: String = "output",
       startingOffsets: String = "latest",
       chkIntervalMs: Long = 10000L,
-      checkpointDir: String = "target/graft-tmp/kafka-chk")
+      checkpointBase: String = "target/graft-tmp/kafka-chk") {
+    /** Per-job checkpoint location: derived from the (consumer, producer)
+      * topic pair so two managed jobs sharing a default conf can never
+      * collide on (or silently resume) each other's checkpoint. */
+    def checkpointDir: String = s"$checkpointBase/${consumerTopic}__$producerTopic"
+  }
 
   /** CARS event payload (TopSpeedWindowing input,
     * phoebe.properties general.generatorType=CARS). */

@@ -58,14 +58,45 @@ object OptimizeLoop {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(s"$stateDir/m1_state")
     val nxt = new Path(s"$stateDir/m1_state_next")
+    // crash recovery: a death between delete(cur) and rename(nxt, cur)
+    // leaves only the fully-written next state — promote it instead of
+    // silently refitting from one batch and discarding all prior moments
+    if (!fs.exists(cur) && fs.exists(nxt) &&
+        require2(fs.rename(nxt, cur), s"promote $nxt")) ()
     val st =
       if (fs.exists(cur))
         ArEnsemble.updateState(spark.read.parquet(cur.toString), newObs, models)
       else ArEnsemble.fitState(newObs, models)
     st.write.mode("overwrite").parquet(nxt.toString)
     fs.delete(cur, true)
-    fs.rename(nxt, cur)
+    require2(fs.rename(nxt, cur), s"swap $nxt -> $cur")
     ArEnsemble.forecastFromState(spark.read.parquet(cur.toString), horizon)
+  }
+
+  private def require2(ok: Boolean, what: String): Boolean = {
+    require(ok, s"m1 state store: rename failed ($what)"); ok
+  }
+
+  /** Restart cursor: the max observation ts the durable M1 state has
+    * already consumed (Long.MinValue when no state exists yet). attach()
+    * seeds its in-memory cursor from this so a restarted loop never
+    * re-feeds consumed history into the additive state. */
+  def seedCursor(spark: SparkSession, stateDir: String): Long = {
+    val p = new Path(s"$stateDir/m1_state")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(p)) Some(p)
+      else if (fs.exists(new Path(s"$stateDir/m1_state_next")))
+        Some(new Path(s"$stateDir/m1_state_next"))
+      else None
+    existing.map { path =>
+      val df = spark.read.parquet(path.toString)
+      // states written before the cursor column existed fall back to the
+      // grid-only watermark (may re-feed a tail of non-grid points once)
+      val c = if (df.columns.contains("seen_ts")) "seen_ts" else "last_ts"
+      val r = df.agg(max(col(c))).head
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }.getOrElse(Long.MinValue)
   }
 
   /** Attach the loop to a metrics stream. Decisions are delivered to
@@ -83,8 +114,12 @@ object OptimizeLoop {
              forecastDir: Option[String] = None, forecastModels: Int = 20)(
       onDecision: (Long, Double, Double, Boolean, Long, Boolean) => Unit): DataStreamWriter[Row] = {
     // driver-side bookkeeping, like the reference's last_learned_timestamp:
-    // the forecaster must consume each observation exactly once
-    var lastSeenTs = Long.MinValue
+    // the forecaster must consume each observation exactly once — seeded
+    // from the DURABLE state so a restarted loop (new driver, same
+    // forecastDir) does not re-feed consumed history into the additive
+    // moments (which would silently double-count every sum)
+    var lastSeenTs = forecastDir.map(fd => seedCursor(metrics.sparkSession, fd))
+      .getOrElse(Long.MinValue)
     metrics.writeStream.trigger(trigger).foreachBatch {
       (batch: DataFrame, id: Long) =>
         ProfilesStore.append(batch, storePath)

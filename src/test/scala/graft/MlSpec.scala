@@ -93,6 +93,57 @@ class MlSpec extends SparkSpec {
     assert(one.forall(_.getAs[Long]("n_upd") > 0))
   }
 
+  test("M1 state: under-filled models keep their rows and fill incrementally") {
+    // 4 points, 8 models: strides >= 2 have < 3 grid points and would
+    // previously vanish from the state (inner join) — permanently
+    // %5 wiggle keeps the AR(2) design nonsingular (a perfectly linear
+    // series satisfies y = 2y1 - y2 exactly -> det 0 -> null forecasts)
+    val mk = (r: Range) => r.map(i => (1704067200L + i * 60L, 100.0 + i + (i % 5)))
+      .toDF("ts", "value")
+    val st0 = ArEnsemble.fitState(mk(0 until 4), models = 8)
+    val rows0 = st0.orderBy("model_id").collect()
+    assert(rows0.length == 8, "no model may be dropped at fit time")
+    assert(rows0.forall(_.getAs[Long]("seen_ts") == 1704067200L + 3 * 60L))
+    // consuming the tail in one update or two stays bit-identical even
+    // across the under-filled -> filled transition
+    def out(st: org.apache.spark.sql.DataFrame) =
+      ArEnsemble.forecastFromState(st, 4).orderBy("model_id").collect().toSeq
+    val one = out(ArEnsemble.updateState(st0, mk(4 until 40), 8))
+    val two = out(ArEnsemble.updateState(
+      ArEnsemble.updateState(st0, mk(4 until 11), 8), mk(11 until 40), 8))
+    assert(one == two)
+    assert(one.length == 8)
+    // stride-2's grid now has enough complete rows for a real fit
+    assert(one.filter(_.getAs[Int]("model_id") == 2)
+      .forall(!_.isNullAt(one.head.fieldIndex("f1"))))
+  }
+
+  test("M1 durable cursor + crash recovery: restart never double-counts") {
+    import graft.streaming.OptimizeLoop
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = "target/graft-tmp/m1_cursor_test"
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    assert(OptimizeLoop.seedCursor(spark, dir) == Long.MinValue)
+    val mk = (r: Range) => r.map(i => (1704067200L + i * 60L,
+      math.rint((100 + 10 * math.sin(i / 7.0)) * 10000) / 10000)).toDF("ts", "value")
+    OptimizeLoop.forecastTick(spark, dir, mk(0 until 60), models = 3)
+    // the cursor is the max CONSUMED ts — what a restarted attach() seeds
+    assert(OptimizeLoop.seedCursor(spark, dir) == 1704067200L + 59 * 60L)
+    OptimizeLoop.forecastTick(spark, dir, mk(60 until 90), models = 3)
+    assert(OptimizeLoop.seedCursor(spark, dir) == 1704067200L + 89 * 60L)
+    val nTot = spark.read.parquet(s"$dir/m1_state").agg(max("n_tot")).head.getLong(0)
+    assert(nTot == 90, s"each observation consumed exactly once, got $nTot")
+    // simulate a crash between delete(cur) and rename(nxt, cur): only the
+    // next-state dir survives; the following tick must promote it, not
+    // silently refit from one batch
+    fs.rename(new Path(s"$dir/m1_state"), new Path(s"$dir/m1_state_next"))
+    assert(OptimizeLoop.seedCursor(spark, dir) == 1704067200L + 89 * 60L)
+    OptimizeLoop.forecastTick(spark, dir, mk(90 until 100), models = 3)
+    val nTot2 = spark.read.parquet(s"$dir/m1_state").agg(max("n_tot")).head.getLong(0)
+    assert(nTot2 == 100, s"state recovered across the crash window, got $nTot2")
+  }
+
   test("M1 chunked (bucket-carry) ranking == single-partition ranking") {
     // a long series across many ts-buckets, deliberately NOT bucket-aligned
     val vals = (0 until 1200).map(i => (7L + i * 60L,
