@@ -273,4 +273,23 @@ object ArEnsemble {
     df.select(col("model_id") +: col("n3") +: col("n_upd") +: col("last_ts") +:
       (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)
   }
+
+  /** A17+A10 — blend a wide per-model forecast frame (model_id, f1..fH)
+    * across the model axis with the null-skipping EWM fold (span 5,
+    * adjust=False — reference wm.py:133): one (step, blend) row per
+    * forecast step. Shared by the a17 query and the REST façade. */
+  def blendForecast(wide: DataFrame, models: Int, horizon: Int): DataFrame = {
+    val long = wide.select(col("model_id"),
+      posexplode(array((1 to horizon).map(k => col(s"f$k")): _*)))
+      .select(col("model_id"), (col("pos") + 1).as("step"), col("col").as("f"))
+    var piv = long.groupBy(col("step")).agg(
+      (1 to models).map(k =>
+        max(when(col("model_id") === k, col("f"))).as(s"x$k")).head,
+      (1 to models).drop(1).map(k =>
+        max(when(col("model_id") === k, col("f"))).as(s"x$k")): _*)
+    piv = piv.withColumn("acc1", col("x1"))
+    (2 to models).foreach(k =>
+      piv = piv.withColumn(s"acc$k", expr(graft.metrics.SmoothOps.ewmLevelSql(k))))
+    piv.select(col("step"), round(col(s"acc$models") + lit(1e-9), 4).as("blend"))
+  }
 }

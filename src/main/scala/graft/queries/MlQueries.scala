@@ -57,21 +57,9 @@ object MlQueries extends QueryModule {
 
     // A17+A10: the ensemble frame blended across the model axis with the
     // EWM fold (span 5), per forecast step.
-    "a17_ensemble_blend" -> ((s, d) => {
-      val wide = ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)
-      // long: (step, model_id, f) → pivot models to x1..x20 → fold chain
-      val long = wide.select(col("model_id"),
-        posexplode(array((1 to HORIZON).map(k => col(s"f$k")): _*)))
-        .select(col("model_id"), (col("pos") + 1).as("step"), col("col").as("f"))
-      var piv = long.groupBy(col("step")).agg(
-        (1 to MODELS).map(k =>
-          max(when(col("model_id") === k, col("f"))).as(s"x$k")).head,
-        (1 to MODELS).drop(1).map(k =>
-          max(when(col("model_id") === k, col("f"))).as(s"x$k")): _*)
-      piv = piv.withColumn("acc1", col("x1"))
-      (2 to MODELS).foreach(k => piv = piv.withColumn(s"acc$k", expr(SmoothOps.ewmLevelSql(k))))
-      piv.select(col("step"), round(col(s"acc$MODELS") + lit(1e-9), 4).as("blend"))
-    }),
+    "a17_ensemble_blend" -> ((s, d) =>
+      ArEnsemble.blendForecast(
+        ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON), MODELS, HORIZON)),
 
     // M4 — reference-parity transform (RobustScaler(0,1) + log-clamp)
     // before the optimal 1-D split; stats reported on the raw latencies.
