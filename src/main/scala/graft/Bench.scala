@@ -35,8 +35,12 @@ object Bench {
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // total sums ONLY successful timings — summing the -1 sentinels would
+    // make a round with broken queries look FASTER than a clean one
+    val okTimes = results.values.filter(_ >= 0)
+    val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
+    val nFailed = results.values.count(_ < 0)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file so the bench stays machine-readable even if
     // stdout capture truncates.

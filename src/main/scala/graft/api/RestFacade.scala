@@ -33,9 +33,22 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object RestFacade {
 
+  /** JSON string escape (same treatment as graft.Verify's oracle dump):
+    * backslash, quote, and all control chars — error messages carry
+    * quotes and newlines and would otherwise emit malformed JSON. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** message+hash envelope (common/schemes.py ScheduledTaskResponse). */
   private def taskResponse(msg: String, hash: String): String =
-    s"""{"message": "$msg", "task_hash": "$hash"}"""
+    s"""{"message": ${jstr(msg)}, "task_hash": "$hash"}"""
 
   final case class Facade(server: HttpServer, port: Int) {
     def stop(): Unit = server.stop(0)
@@ -73,8 +86,10 @@ object RestFacade {
       server.createContext(path, (ex: HttpExchange) => {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val (code, resp) = try handle(body) catch {
-          case e: IllegalStateException => (412, s"""{"detail": "${e.getMessage}"}""")
-          case e: Throwable => (500, s"""{"detail": "${e.getMessage}"}""")
+          case e: IllegalStateException =>
+            (412, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
+          case e: Throwable =>
+            (500, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
         }
         val bytes = resp.getBytes(UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -87,8 +102,12 @@ object RestFacade {
       val req = parse(spark, body)
       val series = seriesOf(req, "workload")
       val bounds = series.agg(min("ts"), max("ts"), count(lit(1))).head
-      val (t0, t1, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-      val step = if (n <= 1) 1L else (t1 - t0) / (n - 1)
+      val n = bounds.getLong(2)
+      if (n == 0) throw new IllegalStateException("workload has no observations")
+      val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+      // duplicate/degenerate timestamps: fall back to step 1 like the
+      // reference's TimeSeries.step_size (never 0 — it divides below)
+      val step = math.max(1L, if (n <= 1) 1L else (t1 - t0) / (n - 1))
       val periodS = req.select(col("prediction_period_in_s").cast("long")).head.getLong(0)
       if (periodS > models * step)
         throw new IllegalStateException(
@@ -139,14 +158,19 @@ object RestFacade {
         col("max_scale_out").cast("int")).head
       val series = seriesOf(req, "workload")
       val bounds = series.agg(min("ts"), max("ts"), count(lit(1))).head
-      val step = if (bounds.getLong(2) <= 1) 1L
-        else (bounds.getLong(1) - bounds.getLong(0)) / (bounds.getLong(2) - 1)
+      if (bounds.getLong(2) == 0)
+        throw new IllegalStateException("workload has no observations")
+      val step = math.max(1L, if (bounds.getLong(2) <= 1) 1L
+        else (bounds.getLong(1) - bounds.getLong(0)) / (bounds.getLong(2) - 1))
       val horizon = math.max(1L, math.min(models.toLong,
         math.ceil(r.getDouble(3) / step).toLong)).toInt
       // predicted load = Σ of the blended forecast over the interval
       // (baselines/models.py:60-66)
-      val predLoad = blended(series, models, horizon)
-        .agg(sum(col("blend"))).head.getDouble(0)
+      val predRow = blended(series, models, horizon).agg(sum(col("blend"))).head
+      if (predRow.isNullAt(0))
+        throw new IllegalStateException(
+          "workload too short to forecast (every model's design is incomplete)")
+      val predLoad = predRow.getDouble(0)
       val newSo = TwresModel.decide(spark, coeffs,
           minSo = r.getInt(4), maxSo = r.getInt(5), interval = r.getDouble(3),
           predLoad = predLoad, currentScaleOut = r.getInt(2),

@@ -96,9 +96,12 @@ object ArEnsemble {
       .select(col("model_id"), col("value").as("yl1"), col("y1").as("yl2"))
     var df = moments.join(lastVals, "model_id")
       .withColumn("det", expr(detSql))
-      .withColumn("c", expr(det0Sql) / col("det"))
-      .withColumn("a1", expr(det1Sql) / col("det"))
-      .withColumn("a2", expr(det2Sql) / col("det"))
+      // det=0 (constant/collinear series) => null forecasts, the same
+      // guard forecastFromState carries; the oracle mirrors it with
+      // NULLIF(det, 0) so neither engine emits inf
+      .withColumn("c", when(col("det") =!= 0.0, expr(det0Sql) / col("det")))
+      .withColumn("a1", when(col("det") =!= 0.0, expr(det1Sql) / col("det")))
+      .withColumn("a2", when(col("det") =!= 0.0, expr(det2Sql) / col("det")))
     (1 to horizon).foreach(k => df = df.withColumn(s"f$k", expr(forecastSql(k))))
     df.select(col("model_id") +: col("n3") +:
       (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)

@@ -136,9 +136,9 @@ object MlQueries extends QueryModule {
        |lastv AS (SELECT model_id, value AS yl1, y1 AS yl2 FROM lagged WHERE rend = 1),
        |j0 AS (SELECT * FROM moments JOIN lastv USING (model_id)),
        |j1 AS (SELECT *, ${ArEnsemble.detSql} AS det FROM j0),
-       |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/det AS c,
-       |    (${ArEnsemble.det1Sql})/det AS a1,
-       |    (${ArEnsemble.det2Sql})/det AS a2 FROM j1),
+       |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/NULLIF(det, 0) AS c,
+       |    (${ArEnsemble.det1Sql})/NULLIF(det, 0) AS a1,
+       |    (${ArEnsemble.det2Sql})/NULLIF(det, 0) AS a2 FROM j1),
        |$fChain,
        |fc AS MATERIALIZED (SELECT model_id, n3,
        |    ${(1 to HORIZON).map(k => s"ROUND(f$k + 1e-9, 4) AS f$k").mkString(", ")}
@@ -187,9 +187,9 @@ object MlQueries extends QueryModule {
          |lts AS (SELECT model_id, MAX(ts) AS last_ts FROM strided GROUP BY model_id),
          |j0 AS (SELECT * FROM moments JOIN lastv USING (model_id) JOIN lts USING (model_id)),
          |j1 AS (SELECT *, ${ArEnsemble.detSql} AS det FROM j0),
-         |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/det AS c,
-         |    (${ArEnsemble.det1Sql})/det AS a1,
-         |    (${ArEnsemble.det2Sql})/det AS a2 FROM j1),
+         |ar0 AS (SELECT *, (${ArEnsemble.det0Sql})/NULLIF(det, 0) AS c,
+         |    (${ArEnsemble.det1Sql})/NULLIF(det, 0) AS a1,
+         |    (${ArEnsemble.det2Sql})/NULLIF(det, 0) AS a2 FROM j1),
          |$fChain
          |SELECT model_id, n3, n_upd, last_ts,
          |  ${(1 to HOR_UPD).map(k => s"ROUND(f$k + 1e-9, 4) AS f$k").mkString(", ")}

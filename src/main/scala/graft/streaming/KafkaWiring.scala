@@ -43,10 +43,12 @@ object KafkaWiring {
       startingOffsets: String = "latest",
       chkIntervalMs: Long = 10000L,
       checkpointBase: String = "target/graft-tmp/kafka-chk") {
-    /** Per-job checkpoint location: derived from the (consumer, producer)
-      * topic pair so two managed jobs sharing a default conf can never
-      * collide on (or silently resume) each other's checkpoint. */
-    def checkpointDir: String = s"$checkpointBase/${consumerTopic}__$producerTopic"
+    /** Per-job checkpoint location: keyed by JOB NAME and the topic pair
+      * — two different managed jobs (CARS vs ADS) sharing one default
+      * conf must never open (or silently resume) each other's
+      * checkpoint, even when their topics coincide. */
+    def checkpointDir(job: String): String =
+      s"$checkpointBase/${job}__${consumerTopic}__$producerTopic"
   }
 
   /** CARS event payload (TopSpeedWindowing input,
@@ -86,11 +88,12 @@ object KafkaWiring {
 
   /** writeStream wiring to the producer topic, checkpointed at the
     * reference's checkpoint interval. */
-  def kafkaSink(df: DataFrame, conf: KafkaConf, keyCol: String): DataStreamWriter[Row] =
+  def kafkaSink(df: DataFrame, conf: KafkaConf, keyCol: String,
+                job: String): DataStreamWriter[Row] =
     encode(df, keyCol).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", conf.brokerList)
       .option("topic", conf.producerTopic)
-      .option("checkpointLocation", conf.checkpointDir)
+      .option("checkpointLocation", conf.checkpointDir(job))
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(conf.chkIntervalMs))
 
@@ -102,7 +105,7 @@ object KafkaWiring {
     kafkaSink(
       StreamingJobs.topSpeedWindows(
         decode(kafkaRaw(spark, conf), carEventSchema), windowLen),
-      conf, keyCol = "car_id").start()
+      conf, keyCol = "car_id", job = "cars").start()
 
   /** ADS managed job end-to-end: kafka → decode → J7 broadcast enrich →
     * A19 campaign windows → kafka. */
@@ -111,5 +114,5 @@ object KafkaWiring {
     kafkaSink(
       StreamingJobs.campaignWindows(
         decode(kafkaRaw(spark, conf), adEventSchema), campaigns, windowLen),
-      conf, keyCol = "campaign").start()
+      conf, keyCol = "campaign", job = "ads").start()
 }

@@ -37,8 +37,16 @@ object OptimizeLoop {
     val avgThr = trail.getOrElse("throughput", Double.NaN)
     val bck = MetricOps.backpressureRule(
       series("latency"), series("conslag"), series("backpressure")).head
-    val isBck = bck.getBoolean(3)
-    val slopePositive = bck.getDouble(1) > 0
+    // slopes are null while a series has <2 points (undefined fit):
+    // treat as not-backpressured / flat rather than NPE-ing the stream
+    val isBck = !bck.isNullAt(3) && bck.getBoolean(3)
+    // M13's slope input is the WORKLOAD (throughput) forecast slope (the
+    // m13 query's semantics — M11 over the workload series), not the
+    // latency slope the backpressure rule computes
+    val wlRow = MetricOps.forecastSlope(
+      series("throughput").withColumn("sid", lit("throughput"))).head(1)
+    val slopePositive = wlRow.nonEmpty && !wlRow.head.isNullAt(2) &&
+      wlRow.head.getDouble(2) > 0
     val (best, rescale) = CandidateOps.rescaleDecision(
       bestRec = candidateBest, bestLat = candidateBest, isBestCandidate = None,
       slope = if (slopePositive) 1.0 else -1.0,
@@ -63,8 +71,18 @@ object OptimizeLoop {
     // silently refitting from one batch and discarding all prior moments
     if (!fs.exists(cur) && fs.exists(nxt) &&
         require2(fs.rename(nxt, cur), s"promote $nxt")) ()
+    // an empty (or missing-yet-empty) state must NEVER be written: a
+    // fitState over zero observations would persist an empty frame, and
+    // every later updateState over it stays empty — the store would be
+    // permanently bricked while the cursor advances past real data. An
+    // empty first tick simply waits for observations.
+    val haveState = fs.exists(cur) &&
+      spark.read.parquet(cur.toString).head(1).nonEmpty
+    if (!haveState && newObs.head(1).isEmpty)
+      return ArEnsemble.forecastFromState(
+        ArEnsemble.fitState(newObs, models).limit(0), horizon)
     val st =
-      if (fs.exists(cur))
+      if (haveState)
         ArEnsemble.updateState(spark.read.parquet(cur.toString), newObs, models)
       else ArEnsemble.fitState(newObs, models)
     st.write.mode("overwrite").parquet(nxt.toString)

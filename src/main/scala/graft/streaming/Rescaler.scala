@@ -48,7 +48,11 @@ object Rescaler {
               timeoutMs: Long = 120000L): (StreamingQuery, Long) = {
     val t0 = System.nanoTime()
     running.stop()
-    running.awaitTermination(timeoutMs)
+    // the old query MUST be fully terminated before a new one opens the
+    // same checkpoint — starting anyway would race two writers on one
+    // offset log (or fail with "checkpoint already in use")
+    require(running.awaitTermination(timeoutMs),
+      s"rescale: running query did not terminate within ${timeoutMs} ms")
     val restarted = start(toParallelism)
     // downtime ends at the first committed micro-batch of the restarted
     // query (the reference ends it at the job's RUNNING transition;
