@@ -167,6 +167,63 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("full loop: optimize decision triggers a real rescale of the managed job") {
+    // the reference's Graph.java OPTIMIZE stage end-to-end: metrics stream
+    // -> evaluation tick -> rescale decision -> restartJob on the managed
+    // query (savepoint/checkpoint restart with the new parallelism) ->
+    // measured downtime recorded for M5
+    import graft.streaming.{OptimizeLoop, Rescaler}
+    import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "target/graft-tmp/fullloop"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def startManaged(parallelism: Int): StreamingQuery =
+      spark.readStream.schema(schema).parquet(s"$base/src")
+        .repartition(parallelism)
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink").option("checkpointLocation", s"$base/ckpt")
+        .start()
+    (0L until 50L).map(Tuple1(_)).toDF("id").write.mode("append").parquet(s"$base/src")
+    var managed = startManaged(1)
+    managed.processAllAvailable()
+    var currentSo = 1
+    val in = MemoryStream[(String, Long, Double)]
+    val loop = OptimizeLoop.attach(
+      in.toDF.toDF("sid", "ts", "value"), s"$base/store", step = 1L,
+      avgWindowPoints = 5, evalEveryBatches = 1, currentScaleOut = currentSo,
+      candidateBest = 3, trigger = Trigger.ProcessingTime("0 seconds")) {
+        (_, _, _, _, best, resc) =>
+          if (resc && best.toInt != currentSo) {
+            val (q2, dt) = Rescaler.rescale(spark, s"$base/store",
+              tickTs = 0L, running = managed, fromParallelism = currentSo,
+              toParallelism = best.toInt, start = startManaged)
+            managed = q2; currentSo = best.toInt
+            assert(dt > 0)
+          }
+      }.start()
+    try {
+      // rising latency + lag, backpressure on => current scale-out invalid
+      // => decision rescales to candidateBest=3
+      val mk = (t: Long) => Seq(
+        ("latency", t, 100.0 + 10 * t), ("throughput", t, 5000.0 - 7 * t + (t % 3)),
+        ("conslag", t, 50.0 + 5 * t), ("backpressure", t, 1.0))
+      in.addData((0L to 6L).flatMap(mk))
+      loop.processAllAvailable()
+      assert(currentSo == 3, s"loop should have rescaled the managed job, so=$currentSo")
+      // the restarted managed job keeps processing exactly-once at the new
+      // parallelism
+      (50L until 120L).map(Tuple1(_)).toDF("id").write.mode("append").parquet(s"$base/src")
+      managed.processAllAvailable()
+      val out = spark.read.parquet(s"$base/sink").collect().map(_.getLong(0))
+      assert(out.sorted.toSeq == (0L until 120L).toSeq)
+      // M5's measured-downtime input now exists
+      assert(Rescaler.avgDowntimeSec(spark, s"$base/store").exists(_ > 0))
+    } finally { loop.stop(); managed.stop() }
+  }
+
   test("S12 sine workload is deterministic and strictly positive") {
     val a = StreamingJobs.sineWorkload(spark, 200, 360, 100.0, 120.0, 0L, 1L)
       .collect().map(_.getDouble(1)).toSeq
