@@ -75,4 +75,65 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  // ---------------------------------------- LLM-pipeline op invariants --
+
+  /** Random small corpora: doc_id → 1..40 single-char tokens. */
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.sequence[List[(Long, String)], (Long, String)]((0 until n).map { i =>
+        Gen.chooseNum(1, 40).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+            .map(ts => (i.toLong, ts.mkString(" "))))
+      }.toList))
+
+  private def docsDf(docs: List[(Long, String)]) = docs.toDF("doc_id", "text")
+
+  test("property: packing covers every doc once; packs respect the budget; " +
+       "assignments are stable under corpus growth") {
+    import graft.pipeline.TextOps
+    runProp(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val budget = 16
+        val asg = TextOps.packAssignments(docsDf(docs), budget, groups = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+        val byDoc = asg.map(a => a._2 -> a).toMap
+        // every doc exactly once
+        val coversAll = asg.length == docs.length &&
+          docs.forall(d => byDoc.contains(d._1))
+        // concatenate-and-cut semantics: within a (grp, pack), the
+        // non-straddling token mass fits the budget
+        val fits = asg.groupBy(a => (a._1, a._4)).forall { case (_, as) =>
+          as.filter(!_._5).map(_._3).sum <= budget }
+        // growth stability: appending higher-id docs never moves an
+        // existing assignment
+        val grown = docs ++ docs.map { case (id, t) => (id + docs.length, t) }
+        val asg2 = TextOps.packAssignments(docsDf(grown), budget, groups = 4)
+          .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(3))).toMap
+        val stable = asg.forall(a => asg2(a._2) == ((a._1, a._4)))
+        coversAll && fits && stable
+      }
+    }, cases = 6)
+  }
+
+  test("property: split assignment is growth-stable and content-independent") {
+    import graft.pipeline.TextOps
+    runProp(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val a = TextOps.splitAssign(docsDf(docs), 0.2, 0.1).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        // growing the corpus never reassigns an existing doc
+        val grown = docs ++ docs.map { case (id, t) => (id + docs.length, t) }
+        val b = TextOps.splitAssign(docsDf(grown), 0.2, 0.1).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        // editing content never changes the split (id-keyed draw)
+        val edited = docs.map { case (id, _) => (id, "x") }
+        val c = TextOps.splitAssign(docsDf(edited), 0.2, 0.1).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        a.forall { case (id, s) => b(id) == s && c(id) == s } &&
+          a.values.forall(Set("train", "val", "test"))
+      }
+    }, cases = 6)
+  }
 }
