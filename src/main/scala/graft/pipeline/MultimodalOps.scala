@@ -78,6 +78,23 @@ object MultimodalOps {
       .select(col("doc_id"), posexplode(col("hist")).as(Seq("bucket", "n")))
   }
 
+  /** Audio-style energy curve: mean-square byte amplitude per fixed-size
+    * window of the payload (a codec would PCM-decode first — the stub
+    * treats each byte, centered at 128, as a sample). One row per
+    * (doc, window): the per-frame feature sequence a downstream VAD /
+    * silence-trim / segment-dedup stage consumes. Integer arithmetic
+    * (sum of squares, window length) so the oracle is exact. */
+  def energyCurve(mm: Dataset[MMRecord], windowBytes: Int): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.mapPartitions(_.flatMap { r =>
+      r.payload.grouped(windowBytes).zipWithIndex.map { case (win, i) =>
+        val ss = win.map { b => val c = (b & 0xff) - 128L; c * c }.sum
+        (r.doc_id, i.toLong, win.length.toLong, ss)
+      }
+    }).toDF("doc_id", "win_idx", "n_bytes", "sum_sq")
+  }
+
   /** Resize stub: halve width/height until both fit `maxDim`, truncate the
     * payload to the implied byte budget (a codec would re-encode), emit
     * the new geometry + truncated-payload checksum. */

@@ -18,7 +18,8 @@ object MultimodalQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSample(mm(s, d), stride = 2)),
     "mm_byte_histogram" -> ((s, d) => MultimodalOps.byteHistogram(mm(s, d))),
-    "mm_resize" -> ((s, d) => MultimodalOps.resize(mm(s, d), maxDim = 16)))
+    "mm_resize" -> ((s, d) => MultimodalOps.resize(mm(s, d), maxDim = 16)),
+    "mm_energy_curve" -> ((s, d) => MultimodalOps.energyCurve(mm(s, d), windowBytes = 24)))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -53,6 +54,13 @@ object MultimodalQueries extends QueryModule {
          |FROM mm m
          |CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bucket) bk
          |LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.bucket = bk.bucket""".stripMargin,
+
+    "mm_energy_curve" ->
+      s"""$bytesCte
+         |SELECT doc_id, CAST(i // 24 AS BIGINT) AS win_idx,
+         |  COUNT(*) AS n_bytes,
+         |  CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS sum_sq
+         |FROM bytes GROUP BY doc_id, i // 24""".stripMargin,
 
     // NOTE: two unrolled halving layers suffice because the synthesis
     // bounds width at 39 (doc_id % 32 + 8) and maxDim is 16; widen the

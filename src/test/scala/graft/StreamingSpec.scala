@@ -224,6 +224,31 @@ class StreamingSpec extends SparkSpec {
     } finally { loop.stop(); managed.stop() }
   }
 
+  test("streaming exact dedup: state drops cross-batch duplicates") {
+    // the dedup family's streaming form: dropDuplicates keyed on content
+    // id with a watermark bounding state. The guarantee is one row per
+    // key with duplicates in LATER micro-batches dropped by the state
+    // store (within one batch the surviving row is arbitrary).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = in.toDF.toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(2), 1L, "a-dup")))
+      q.processAllAvailable()
+      in.addData(Seq((ts(3), 2L, "b-dup"), (ts(4), 3L, "c")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect()
+        .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(1L, 2L, 3L))           // one row per key
+      assert(Set("a", "a-dup")(got(0)._2))               // batch-1 survivor
+      assert(got(1)._2 == "b" && got(2)._2 == "c")       // b-dup (batch 2) dropped by state
+    } finally q.stop()
+  }
+
   test("S12 sine workload is deterministic and strictly positive") {
     val a = StreamingJobs.sineWorkload(spark, 200, 360, 100.0, 120.0, 0L, 1L)
       .collect().map(_.getDouble(1)).toSeq
