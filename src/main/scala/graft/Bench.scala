@@ -27,8 +27,13 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate queries: per-query persists otherwise accumulate across
+      // ~90 queries in one JVM, and the eventual full GC lands on an
+      // arbitrary later query (observed as random 5-10x per-query spikes)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       // -1 marks a failed query so consumers can't mistake it for a timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) t else -1.0)
     }
     // 3-decimal rounding keeps the single result line short enough for the
     // driver's tail capture to parse (r2's full-precision line was truncated).
