@@ -209,6 +209,26 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("c") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** ANN quality diagnostic: recall@k of the IVF cell-restricted search
+    * against the exact brute-force baseline, per query vector — the
+    * metric that tells you whether the cell size/count trade-off is
+    * losing neighbors before you ship it. Both sides are engine queries,
+    * so the whole evaluation (including the recall fraction) has an
+    * exact SQL oracle. */
+  def ivfRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, queryMaxId, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopK(emb, k)
+      .filter(col("q_id") < queryMaxId)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate verdicts: candidate pairs come from
     * the banded sign-LSH equi-join ([[lshPairs]] — never all-pairs),
     * scored with the exact quantized cosine; a vector is a DUPLICATE of

@@ -44,7 +44,14 @@ object VectorQueries extends QueryModule {
     // at cosine ~0.48; a production near-dup pass would use ~0.9 — the
     // plan is threshold-independent)
     "dedup_embedding_cosine" -> ((s, d) =>
-      VectorOps.embCosineDups(Tables.embeddings(s, d), threshold = 0.4)))
+      VectorOps.embCosineDups(Tables.embeddings(s, d), threshold = 0.4)),
+    // NOTE the measured recall on THIS corpus is low (~0.13 mean): the
+    // synthetic embeddings are unclustered noise (max pairwise cosine
+    // ~0.48), so single-cell search misses most "neighbors" — which is
+    // precisely what this diagnostic exists to reveal before deploying
+    // an IVF index; clustered production embeddings score far higher.
+    "ann_recall" -> ((s, d) =>
+      VectorOps.ivfRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -97,6 +104,35 @@ object VectorQueries extends QueryModule {
          |  JOIN q qb ON qb.vec_id = vec_b)
          |SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine
          |FROM scored WHERE c >= 0.4""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |        FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |isc AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |         ${cosSql("a.qv", "b.qv")} AS c
+         |       FROM cl a JOIN cl b ON a.cell = b.cell
+         |         AND a.vec_id <> b.vec_id),
+         |ir AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM isc),
+         |approx AS (SELECT q_id, vec_id FROM ir WHERE rk <= 3 AND q_id < 10),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
