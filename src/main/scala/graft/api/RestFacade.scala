@@ -130,6 +130,11 @@ object RestFacade {
         .map(r => r.getString(0) ->
           s""""${r.getString(0)}": {"slope": ${r.getDouble(1)}, "intercept": ${r.getDouble(2)}}""")
         .toMap
+      // a top-level field with no fit row (not a series, or <2 non-null
+      // points) is a client-data error, not an opaque 500
+      val unfit = names.filterNot(fits.contains)
+      if (unfit.nonEmpty) throw new IllegalStateException(
+        s"series not fittable (need >=2 non-null observations): ${unfit.mkString(", ")}")
       (200, names.map(fits).mkString("{", ", ", "}"))
     }
 

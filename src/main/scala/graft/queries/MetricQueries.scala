@@ -127,15 +127,16 @@ object MetricQueries extends QueryModule {
          |         value AS y FROM series
          |       WHERE value IS NOT NULL AND sid IN ('click', 'view')),
          |f AS (${fitSumsSql("lc", "sid")}),
-         |sl AS (SELECT sid, ROUND($slopeSql + 1e-9, 6) AS slope FROM f),
-         |j AS (SELECT bck_pres_per,
-         |        (SELECT slope FROM sl WHERE sid = 'click') AS latency_slope,
-         |        (SELECT slope FROM sl WHERE sid = 'view') AS conslag_slope
+         |sl AS (SELECT sid, $slopeSql AS slope FROM f),
+         |j AS (SELECT bck_pres_per AS per_raw,
+         |        (SELECT slope FROM sl WHERE sid = 'click') AS lat_raw,
+         |        (SELECT slope FROM sl WHERE sid = 'view') AS lag_raw
          |      FROM per)
-         |SELECT ROUND(bck_pres_per + 1e-9, 4) AS bck_pres_per,
-         |  latency_slope, conslag_slope,
-         |  (bck_pres_per = 1.0) OR (bck_pres_per > 0.0
-         |    AND latency_slope > 1.0 AND conslag_slope > 1.0) AS is_bck_pres
+         |SELECT ROUND(per_raw + 1e-9, 4) AS bck_pres_per,
+         |  ROUND(lat_raw + 1e-9, 6) AS latency_slope,
+         |  ROUND(lag_raw + 1e-9, 6) AS conslag_slope,
+         |  (per_raw = 1.0) OR (per_raw > 0.0
+         |    AND lat_raw > 1.0 AND lag_raw > 1.0) AS is_bck_pres
          |FROM j""".stripMargin,
 
     "m11_forecast_slope" ->
@@ -193,15 +194,16 @@ object MetricQueries extends QueryModule {
          |         value AS y FROM pre
          |       WHERE value IS NOT NULL AND sid IN ('click', 'view')),
          |f AS (${fitSumsSql("lc", "sid")}),
-         |sl AS (SELECT sid, ROUND($slopeSql + 1e-9, 6) AS slope FROM f),
-         |j AS (SELECT bck_pres_per,
-         |        (SELECT slope FROM sl WHERE sid = 'click') AS latency_slope,
-         |        (SELECT slope FROM sl WHERE sid = 'view') AS conslag_slope
+         |sl AS (SELECT sid, $slopeSql AS slope FROM f),
+         |j AS (SELECT bck_pres_per AS per_raw,
+         |        (SELECT slope FROM sl WHERE sid = 'click') AS lat_raw,
+         |        (SELECT slope FROM sl WHERE sid = 'view') AS lag_raw
          |      FROM per)
-         |SELECT ROUND(bck_pres_per + 1e-9, 4) AS bck_pres_per,
-         |  latency_slope, conslag_slope,
-         |  (bck_pres_per = 1.0) OR (bck_pres_per > 0.0
-         |    AND latency_slope > 1.0 AND conslag_slope > 1.0) AS is_bck_pres,
+         |SELECT ROUND(per_raw + 1e-9, 4) AS bck_pres_per,
+         |  ROUND(lat_raw + 1e-9, 6) AS latency_slope,
+         |  ROUND(lag_raw + 1e-9, 6) AS conslag_slope,
+         |  (per_raw = 1.0) OR (per_raw > 0.0
+         |    AND lat_raw > 1.0 AND lag_raw > 1.0) AS is_bck_pres,
          |  CAST($i AS BIGINT) AS tick,
          |  (SELECT cut FROM cutc) AS cut_ts
          |FROM j)""".stripMargin

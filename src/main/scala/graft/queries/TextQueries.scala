@@ -204,8 +204,9 @@ object TextQueries extends QueryModule {
         |    doc_id % 8 AS grp
         |  FROM documents),
         |c AS (SELECT grp, doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum0
         |  FROM t)
         |SELECT grp, doc_id, n_tokens, cum0 // 256 AS pack_id,
         |  ((cum0 + n_tokens - 1) // 256) > (cum0 // 256) AS straddles

@@ -151,17 +151,27 @@ object OptimizeLoop {
               col("ts") > lastSeenTs).select("ts", "value")
             val mx = newThr.agg(max("ts")).head
             if (!mx.isNullAt(0)) lastSeenTs = math.max(lastSeenTs, mx.getLong(0))
-            val fRow = forecastTick(spark, fd, newThr, forecastModels, horizon = 1)
-              .agg(avg(col("f1"))).head
-            if (fRow.isNullAt(0)) Double.NaN else fRow.getDouble(0)
+            // the stored value is the BLENDED next-step forecast (EWM
+            // span-5 over the ensemble — A10/A17, the value the reference's
+            // prediction row records), not a plain model mean
+            val wide = forecastTick(spark, fd, newThr, forecastModels, horizon = 1)
+            val bRow = ArEnsemble.blendForecast(wide, forecastModels, 1).head(1)
+            if (bRow.isEmpty || bRow.head.isNullAt(1)) Double.NaN
+            else bRow.head.getDouble(1)
           }
           import spark.implicits._
-          val tickTs = hist.agg(max("ts")).head.getLong(0)
-          ProfilesStore.append(
-            Seq((id, tickTs, lat, thr, bck, best, resc, fNext))
-              .toDF("batch_id", "ts", "avg_lat", "avg_thr", "is_bck_pres",
-                "best_scale_out", "rescale", "forecast_next"),
-            storePath + "_decisions")
+          // first tick may evaluate an empty history (e.g. an empty
+          // initial micro-batch): there is nothing to decide on — skip the
+          // decision row instead of NPE-ing the streaming query
+          val tickRow = hist.agg(max("ts")).head
+          if (!tickRow.isNullAt(0)) {
+            val tickTs = tickRow.getLong(0)
+            ProfilesStore.append(
+              Seq((id, tickTs, lat, thr, bck, best, resc, fNext))
+                .toDF("batch_id", "ts", "avg_lat", "avg_thr", "is_bck_pres",
+                  "best_scale_out", "rescale", "forecast_next"),
+              storePath + "_decisions")
+          }
           onDecision(id, lat, thr, bck, best, resc)
         }
     }

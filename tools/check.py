@@ -63,6 +63,15 @@ def main():
         diff = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # the driver's hash is TYPE-sensitive: DuckDB HUGEINT/DECIMAL
+            # landing in pandas as float64/object vs Spark's int64 hashes
+            # differently even when every value is equal (the r2 SUM(int)
+            # bug, and again pack_sequences in r3). int32-vs-int64 is the
+            # only width difference the driver tolerates.
+            gt, et = str(gv.dtype), str(ev.dtype)
+            if gt != et and not (gt.startswith("int") and et.startswith("int")):
+                diff.append(f"col {c}: DTYPE got={gt} exp={et} "
+                            f"(driver hash will mismatch; CAST the oracle)")
             try:
                 import pandas as pd
                 eq = (gv == ev) | (gv.isna() & ev.isna())
