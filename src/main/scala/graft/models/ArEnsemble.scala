@@ -37,6 +37,24 @@ object ArEnsemble {
     case n => s"c + a1*f${n - 1} + a2*f${n - 2}"
   }
 
+  /** All `horizon` forecast steps as ONE linear-size expression: a fold
+    * over 1..horizon carrying the running tail in an array accumulator
+    * (element_at -1/-2), seeded with [yl2, yl1] so element k+2 is f_k.
+    * A per-step `withColumn(f_k = c + a1*f_{k-1} + a2*f_{k-2})` chain
+    * inlines both predecessors after Catalyst's project collapse —
+    * Fibonacci tree growth, ~10 s of pure analyzer/codegen time at
+    * horizon 20 — while this fold is the identical arithmetic in the
+    * identical order (bit-equal to the chained form and the oracle's
+    * step-CTE chain). Null c/a1/a2 (singular fit) propagates null
+    * forecasts exactly as the chain did. */
+  private def forecastArray(horizon: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(horizon)),
+      array(col("yl2").cast("double"), col("yl1").cast("double")),
+      (acc, _) => concat(acc, array(
+        col("c") + col("a1") * element_at(acc, -1) +
+          col("a2") * element_at(acc, -2))))
+
   /** (pos, n)-posed single series. With `bucketSpan` set the ranking is
     * DISTRIBUTED: rank within ts-buckets plus carried bucket offsets (the
     * TimeSeriesOps.interpolate chunking pattern) — only the per-bucket
@@ -94,7 +112,7 @@ object ArEnsemble {
         sum(dec(col("y2")) * dec(col("value"))).cast("double").as("s2y"))
     val lastVals = lagged.filter(col("rend") === 1)
       .select(col("model_id"), col("value").as("yl1"), col("y1").as("yl2"))
-    var df = moments.join(lastVals, "model_id")
+    val df = moments.join(lastVals, "model_id")
       .withColumn("det", expr(detSql))
       // det=0 (constant/collinear series) => null forecasts, the same
       // guard forecastFromState carries; the oracle mirrors it with
@@ -102,9 +120,10 @@ object ArEnsemble {
       .withColumn("c", when(col("det") =!= 0.0, expr(det0Sql) / col("det")))
       .withColumn("a1", when(col("det") =!= 0.0, expr(det1Sql) / col("det")))
       .withColumn("a2", when(col("det") =!= 0.0, expr(det2Sql) / col("det")))
-    (1 to horizon).foreach(k => df = df.withColumn(s"f$k", expr(forecastSql(k))))
+      .withColumn("fs", forecastArray(horizon))
     df.select(col("model_id") +: col("n3") +:
-      (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)
+      (1 to horizon).map(k =>
+        round(element_at(col("fs"), k + 2) + lit(1e-9), 4).as(s"f$k")): _*)
   }
 
   // ------------------------------------------------------- M1 incremental --
@@ -261,7 +280,7 @@ object ArEnsemble {
     * reference's 600 s horizon is `models` steps of the base step size
     * (models.py:97 `prediction_horizon = len(models) * step_size`). */
   def forecastFromState(state: DataFrame, horizon: Int = 20): DataFrame = {
-    var df = state.select(Seq(col("model_id"), col("n3"), col("n_upd"),
+    val df = state.select(Seq(col("model_id"), col("n3"), col("n_upd"),
       col("last_ts"), col("yl1"), col("yl2")) ++
       Seq("sy", "s1", "s2", "s11", "s22", "s12", "s1y", "s2y")
         .map(c => col(c).cast("double").as(c)): _*)
@@ -272,9 +291,10 @@ object ArEnsemble {
       .withColumn("c", when(col("det") =!= 0.0, expr(det0Sql) / col("det")))
       .withColumn("a1", when(col("det") =!= 0.0, expr(det1Sql) / col("det")))
       .withColumn("a2", when(col("det") =!= 0.0, expr(det2Sql) / col("det")))
-    (1 to horizon).foreach(k => df = df.withColumn(s"f$k", expr(forecastSql(k))))
+      .withColumn("fs", forecastArray(horizon))
     df.select(col("model_id") +: col("n3") +: col("n_upd") +: col("last_ts") +:
-      (1 to horizon).map(k => round(col(s"f$k") + lit(1e-9), 4).as(s"f$k")): _*)
+      (1 to horizon).map(k =>
+        round(element_at(col("fs"), k + 2) + lit(1e-9), 4).as(s"f$k")): _*)
   }
 
   /** A17+A10 — blend a wide per-model forecast frame (model_id, f1..fH)

@@ -32,6 +32,9 @@ object Cluster1D {
     val wOrd = Window.partitionBy(g: _*).orderBy(col("y"))
     val wAll = Window.partitionBy(g: _*)
     val dec = (c: Column) => c.cast(DecimalType(18, 4))
+    // both the sse argmin branch and the final label join read `base`:
+    // persist so the sort+window pipeline runs once (same session-lifetime
+    // cache tradeoff as SmoothOps.savgol's base)
     val base = df
       .withColumn("pos", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
@@ -39,6 +42,7 @@ object Cluster1D {
       .withColumn("s2", sum(dec(col("y")) * dec(col("y"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("t1", sum(dec(col("y"))).over(wAll) - col("s1"))
       .withColumn("t2", sum(dec(col("y")) * dec(col("y"))).over(wAll) - col("s2"))
+      .persist()
     val sse = base.filter(col("pos") < col("n"))
       .withColumn("sse",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("pos")) +
@@ -102,6 +106,8 @@ object Cluster1D {
     val wOrd = Window.partitionBy(g: _*).orderBy(col("t"), col("y"))
     val wAll = Window.partitionBy(g: _*)
     val dec = (c: Column) => c.cast(DecimalType(18, 6))
+    // persist: the sse branch and the label join both read `base`, and its
+    // upstream (robustLogTransform's quantile join) is itself multi-stage
     val base = df
       .withColumn("pos", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
@@ -109,6 +115,7 @@ object Cluster1D {
       .withColumn("s2", sum(dec(col("t")) * dec(col("t"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("t1", sum(dec(col("t"))).over(wAll) - col("s1"))
       .withColumn("t2", sum(dec(col("t")) * dec(col("t"))).over(wAll) - col("s2"))
+      .persist()
     val sse = base.filter(col("pos") < col("n"))
       .withColumn("sse",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("pos")) +

@@ -48,6 +48,7 @@ object VectorOps {
     // silently; DuckDB promotes to HUGEINT, so the engines would diverge)
     dot(a, b).cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -192,7 +193,15 @@ object VectorOps {
 
   /** LSH near-pair mining: bucket by banded sign keys, equi-join on the
     * key, verify candidates with the exact quantized cosine at `threshold`.
-    */
+    *
+    * Scoring is a per-pair zip_with fold after two equi-joins on the pair
+    * ids. Profiled alternatives at sf0.1 (2000 vectors, 812k candidates —
+    * the noise corpus makes 4-bit bands pass 40% of all pairs): the
+    * signature pipeline + candidate distinct is ~3 s of the ~4.5 s total,
+    * scoring only ~1.3 s; a posexplode relational dot (52M rows) and a
+    * flat 64-term element_at unroll (generated method too big to JIT)
+    * both measured SLOWER end-to-end (8.7 s / 18.5 s), so the simple
+    * fold stays. */
   def lshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
