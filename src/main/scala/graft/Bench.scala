@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,7 +23,11 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // noop sink forces full evaluation of every column (count() would let
     // Catalyst prune unused projections, under-measuring the query).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional trailing args: bench only these queries (local iteration)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -35,23 +40,25 @@ object Bench {
       // -1 marks a failed query so consumers can't mistake it for a timing
       name -> (if (ok) t else -1.0)
     }
-    // 3-decimal rounding keeps the single result line short enough for the
-    // driver's tail capture to parse (r2's full-precision line was truncated).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // total sums ONLY successful timings — summing the -1 sentinels would
     // make a round with broken queries look FASTER than a clean one
     val okTimes = results.values.filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFailed = results.values.count(_ < 0)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets a COMPACT line: the driver captures only the last
+    // ~2000 bytes of output (r2's and r3's full per-query maps were
+    // front-truncated there and parsed as null), so print the total plus
+    // the slowest 12 queries and point at bench.json for the full map.
+    val slowest = results.toSeq.sortBy(-_._2).take(12)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"n":${results.size},"slowest":${qmap(slowest)},"full":"bench.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"queries":${qmap(results)},"sf":"$sfDir"}"""
     println(line)
-    // Also persist to a file so the bench stays machine-readable even if
-    // stdout capture truncates.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.ShingleMinHash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering the library's native Catalyst
+  * expressions (the brief's tier (b): a codegen'd Expression where the
+  * built-in functions can't express the operator efficiently).
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * on the session builder (done by graft.Verify, graft.Bench and the test
+  * session); call via `functions.call_function("shingle_min_hash", col)`
+  * or SQL. Queries outside this registry never require the extension —
+  * every operator keeps a portable Column-DSL formulation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("shingle_min_hash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, null,
+        "shingle_min_hash",
+        "shingle_min_hash(str) - min Rabin-Karp hash over 8-codepoint windows",
+        ""),
+      (exprs: Seq[Expression]) => ShingleMinHash(exprs.head)))
+  }
+}

@@ -30,10 +30,12 @@ object DedupOps {
   def hex60(h: Column): Column = conv(substring(h, 1, 15), 16, 10).cast("long")
 
   /** Distinct `n`-token shingles joined by single spaces. Documents shorter
-    * than `n` tokens yield one partial shingle (null-free by concat_ws). */
+    * than `n` tokens yield one partial shingle: the out-of-range tail is
+    * try_element_at → null, skipped by concat_ws (plain element_at throws
+    * under ANSI mode for sub-`n`-token documents). */
   def shingles(ts: Column, n: Int = 3): Column = array_distinct(
     transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+      i => concat_ws(" ", (0 until n).map(k => try_element_at(ts, i + lit(k))): _*)))
 
   /** Relational distinct shingles: one (doc_id, shingle) row each — the
     * inverted-index representation. element_at/concat_ws run in
@@ -45,7 +47,7 @@ object DedupOps {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1)))).as("i"))
       .select(col("doc_id"), concat_ws(" ",
-        (0 until n).map(k => element_at(col("toks"), col("i") + lit(k))): _*).as("s"))
+        (0 until n).map(k => try_element_at(col("toks"), col("i") + lit(k))): _*).as("s"))
       .distinct()
 
   /** Base shingle hashes: ONE md5 per shingle, reduced mod p. The k

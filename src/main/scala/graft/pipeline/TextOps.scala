@@ -145,12 +145,27 @@ object TextOps {
       :+ pred.as("pred_lang"): _*)
   }
 
+  /** Shingle-window width and the polynomial-hash constants of
+    * `fp_shingle_min` (Rabin–Karp base 131 mod 1e9+7). The per-window
+    * weights are pre-reduced mod P so every term fits a long:
+    * code (< 2^16 BMP codepoint) × weight (< P ≈ 2^30) < 2^46, and the
+    * 8-term sum stays far under 2^63. */
+  val ShingleW = 8
+  val HashP = 1000000007L
+  val ShinglePows: IndexedSeq[Long] =
+    (0 until ShingleW).scanLeft(1L)((a, _) => a * 131L % HashP)
+      .take(ShingleW).reverse.toIndexedSeq
+
   /** Document fingerprints:
     *  - `fp64`: 60-bit content hash from md5 (engine-portable exact);
     *  - `fp_roll`: position-weighted rolling token hash mod 1e9+7 — tokens
     *    hashed by (first char, length, last char), weighted by position;
-    *  - `fp_shingle_min`: lexicographic min md5 over 8-char shingles — a
-    *    winnowing-style robust content fingerprint.
+    *  - `fp_shingle_min`: min over all 8-char windows of a Rabin–Karp
+    *    polynomial hash of the window's codepoints — the winnowing-style
+    *    robust content fingerprint. Integer arithmetic only (a per-window
+    *    md5 costs a digest per character position — ~10× the wall time of
+    *    this whole query — and buys nothing over a polynomial hash for
+    *    fingerprint purposes).
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val ts = tokens
@@ -160,13 +175,86 @@ object TextOps {
     val rolled = aggregate(
       zip_with(ts, sequence(lit(1), size(ts)),
         (t, i) => (tokVal(t) * ((i % 1000) + 1)).cast("long")),
-      lit(0L), _ + _) % 1000000007L
+      lit(0L), _ + _) % HashP
+    // codepoint array once per doc; windows index into it (no per-window
+    // string allocation). Out-of-range → null → 0: short docs zero-pad
+    // (try_element_at, NOT element_at — under ANSI mode the latter throws
+    // on the out-of-bounds tail instead of yielding null).
+    val shingleMin = {
+      val h = (i: Column) => (0 until ShingleW).map(j =>
+        coalesce(try_element_at(col("cs"), i + lit(j)), lit(0L)) * lit(ShinglePows(j)))
+        .reduce(_ + _) % HashP
+      array_min(transform(
+        sequence(lit(1), greatest(size(col("cs")) - (ShingleW - 1), lit(1))), h))
+    }
     docs.select(
       col("doc_id"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp64"),
-      rolled.as("fp_roll"),
-      array_min(expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> md5(substring(text, i, 8)))")).as("fp_shingle_min"))
+      col("text"),
+      transform(split(col("text"), ""), c => ascii(c).cast("long")).as("cs"))
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp64"),
+        rolled.as("fp_roll"),
+        shingleMin.as("fp_shingle_min"))
+  }
+
+  /** [[fingerprints]]' shingle-min column via the NATIVE
+    * [[graft.functions.ShingleMinHash]] expression (O(n) rolling update,
+    * codegen'd static call) instead of the portable Column-DSL window
+    * re-sum. Requires the session to carry
+    * `spark.sql.extensions=graft.GraftExtensions`; bit-equal to the DSL
+    * form by construction (pinned by a property test and the shared
+    * DuckDB oracle). */
+  def fingerprintsNative(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("shingle_min_hash", col("text")).as("fp_shingle_min"))
+
+  /** REPETITION SIGNALS (the Gopher-style repetitiousness filters used in
+    * web-corpus cleaning): per document,
+    *  - `dup_token_frac`: fraction of token occurrences that are repeats
+    *    of an earlier token (1 − distinct/total);
+    *  - `top_bigram_frac`: occurrences of the most frequent token bigram
+    *    over all n−1 bigrams (0 for single-token docs; ties by count are
+    *    frequency-only so the fraction is well-defined);
+    *  - `max_run`: longest run of one repeated token.
+    * Explode → per-(doc, bigram) count → per-doc max: linear work, one
+    * shuffle keyed by doc_id with map-side combine — no collect, scales
+    * with corpus size. The run length uses a token-change cumulative sum
+    * inside a per-doc window (bounded by document length). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val base = docs.select(col("doc_id"), ts.as("ts"),
+      size(ts).cast("long").as("n"))
+    // (doc, position, token) rows; runs found by counting token changes
+    val toks = base.select(col("doc_id"), col("n"),
+      posexplode(col("ts")).as(Seq("i", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = toks
+      .withColumn("chg",
+        when(lag(col("t"), 1).over(w).isNull ||
+          lag(col("t"), 1).over(w) =!= col("t"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_run"))
+    val bigrams = base
+      .select(col("doc_id"), col("n"), posexplode(col("ts")).as(Seq("i", "t")))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("doc_id"), col("n"), col("t"), col("t2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("top_bg"))
+      .select(col("doc_id"),
+        round(col("top_bg").cast("double") / (col("n") - 1) + lit(1e-9), 4)
+          .as("top_bigram_frac"))
+    base.select(col("doc_id"), col("n"),
+      round(lit(1.0) - size(array_distinct(col("ts"))).cast("double") / col("n")
+        + lit(1e-9), 4).as("dup_token_frac"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 }

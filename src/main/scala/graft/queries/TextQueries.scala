@@ -67,6 +67,11 @@ object TextQueries extends QueryModule {
       TextOps.packAssignments(docs(s, d), budget = 256, groups = 8)),
     "split_assign" -> ((s, d) =>
       TextOps.splitAssign(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
+    // Gopher-style repetitiousness filters over the documents table
+    "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+    // the native ShingleMinHash expression against the same oracle as the
+    // DSL fp_shingle_min (session carries graft.GraftExtensions)
+    "text_fp_native" -> ((s, d) => TextOps.fingerprintsNative(docs(s, d))),
     // mixing weights: halve src0, keep 10% of src1, everything else full
     "sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))))
@@ -118,8 +123,12 @@ object TextQueries extends QueryModule {
          |FROM mm""".stripMargin
     },
 
-    "text_fingerprints" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+    "text_fingerprints" -> {
+      // the same pre-reduced Rabin–Karp weights the Spark side uses
+      val terms = TextOps.ShinglePows.zipWithIndex.map { case (p, j) =>
+        s"COALESCE(cs[i + $j], 0) * CAST($p AS BIGINT)" }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts,
+         |             list_transform(string_split(text, ''), c -> ascii(c)) AS cs
          |           FROM documents)
          |SELECT doc_id,
          |  ${hex60Sql("md5(text)")} AS fp64,
@@ -127,9 +136,11 @@ object TextQueries extends QueryModule {
          |      (ascii(substr(ts[i], 1, 1)) * 131 + length(ts[i]) * 31
          |       + ascii(right(ts[i], 1))) * ((i % 1000) + 1)))
          |    % 1000000007 AS BIGINT) AS fp_roll,
-         |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-         |    i -> md5(substr(text, i, 8)))) AS fp_shingle_min
-         |FROM t""".stripMargin,
+         |  CAST(list_min(list_transform(
+         |      range(1, greatest(len(cs) - ${TextOps.ShingleW - 1}, 1) + 1),
+         |      i -> ($terms) % ${TextOps.HashP})) AS BIGINT) AS fp_shingle_min
+         |FROM t""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -211,6 +222,49 @@ object TextQueries extends QueryModule {
         |SELECT grp, doc_id, n_tokens, cum0 // 256 AS pack_id,
         |  ((cum0 + n_tokens - 1) // 256) > (cum0 // 256) AS straddles
         |FROM c""".stripMargin,
+
+    // same shingle-min spelling as text_fingerprints — the native
+    // expression must land on the identical value
+    "text_fp_native" -> {
+      val terms = TextOps.ShinglePows.zipWithIndex.map { case (p, j) =>
+        s"COALESCE(cs[i + $j], 0) * CAST($p AS BIGINT)" }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |             list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_min(list_transform(
+         |      range(1, greatest(len(cs) - ${TextOps.ShingleW - 1}, 1) + 1),
+         |      i -> ($terms) % ${TextOps.HashP})) AS BIGINT) AS fp_shingle_min
+         |FROM t""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |toks0 AS (SELECT doc_id, n, ts, UNNEST(range(1, n + 1)) AS i FROM t),
+        |toks AS (SELECT doc_id, n, i, ts[i] AS tk FROM toks0),
+        |chg AS (SELECT doc_id, i,
+        |          CASE WHEN lag(tk) OVER w IS NULL OR lag(tk) OVER w <> tk
+        |               THEN 1 ELSE 0 END AS c
+        |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |rid AS (SELECT doc_id, i, SUM(c) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |        FROM chg),
+        |runs AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run FROM (
+        |           SELECT doc_id, run_id, COUNT(*) AS cnt FROM rid
+        |           GROUP BY 1, 2) GROUP BY doc_id),
+        |bgc AS (SELECT doc_id, n, ts[i] || ' ' || ts[i + 1] AS b, COUNT(*) AS c
+        |        FROM toks0 WHERE i < n GROUP BY 1, 2, 3),
+        |bgt AS (SELECT doc_id,
+        |          ROUND(CAST(MAX(c) AS DOUBLE) / (MAX(n) - 1) + 1e-9, 4)
+        |            AS top_bigram_frac
+        |        FROM bgc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  ROUND(1e0 - CAST(len(list_distinct(ts)) AS DOUBLE) / n + 1e-9, 4)
+        |    AS dup_token_frac,
+        |  COALESCE(bgt.top_bigram_frac, 0e0) AS top_bigram_frac,
+        |  CAST(COALESCE(runs.max_run, 0) AS BIGINT) AS max_run
+        |FROM t LEFT JOIN bgt USING (doc_id) LEFT JOIN runs USING (doc_id)""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (0 until 16)

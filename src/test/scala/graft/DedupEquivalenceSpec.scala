@@ -15,7 +15,11 @@ class DedupEquivalenceSpec extends SparkSpec {
     (1L, "a b c d e f g"),
     (2L, "a b c d e f g h i"),
     (3L, "x y z a b c"),
-    (4L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    (4L, "q w e r t y u i o p"),
+    // sub-shingle-width documents: the out-of-range tail must yield a
+    // partial shingle, not an ANSI element_at error
+    (5L, "solo"),
+    (6L, "two tokens")).toDF("doc_id", "text")
 
   test("relational MinHash band keys equal the lambda formulation") {
     val viaLambda = DedupOps.shingleSets(docs)

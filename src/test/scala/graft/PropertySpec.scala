@@ -136,4 +136,32 @@ class PropertySpec extends SparkSpec {
       }
     }, cases = 6)
   }
+
+  test("property: native shingle_min_hash == Column-DSL fingerprint " +
+    "(unicode, short and empty strings; interpreted and codegen paths)") {
+    import graft.pipeline.TextOps
+    val genText: Gen[String] = Gen.frequency(
+      1 -> Gen.const(""),
+      2 -> Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)),
+      4 -> Gen.choose(7, 60).flatMap(n => Gen.stringOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))),
+      2 -> Gen.choose(1, 30).flatMap(n => Gen.stringOfN(n,
+        Gen.frequency(3 -> Gen.alphaNumChar,
+          2 -> Gen.oneOf('的', 'é', 'は', 'ß', '中')))))
+    runProp(Prop.forAll(Gen.listOfN(40, genText)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val dsl = TextOps.fingerprints(docs)
+        .select(col("doc_id"), col("fp_shingle_min")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = TextOps.fingerprintsNative(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // and the interpreted (non-codegen) eval path of the expression
+      val interp = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> graft.functions.ShingleMinHash.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      }.toMap
+      dsl == native && dsl == interp
+    }, cases = 8)
+  }
 }
