@@ -38,13 +38,20 @@ object MetricOps {
 
   /** Closed-form slope/intercept from [[fitStats]] sums (intercept at x=0,
     * i.e. at the centering origin — matching SimpleRegression fed with
-    * ts − firstTs, reference Evaluate.java:50-53). */
-  def withLine(stats: DataFrame): DataFrame =
+    * ts − firstTs, reference Evaluate.java:50-53). A singular design
+    * (n < 2, or all x equal — e.g. a one-point series at an optimize
+    * tick) yields NULL slope/intercept, not an ANSI divide-by-zero that
+    * would kill the caller's stream; the oracles' shared slope SQL
+    * mirrors this with NULLIF on the denominator. */
+  def withLine(stats: DataFrame): DataFrame = {
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
     stats
       .withColumn("slope",
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+        when(den =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / den))
+      .withColumn("intercept",
+        when(col("n") > 0, (col("sy") - col("slope") * col("sx")) / col("n")))
+  }
 
   /** M7 — per-series slope/intercept with x = ts − min(ts) per group.
     * Empty groupCols = one global series: the `ts % 1` partition key
@@ -97,8 +104,10 @@ object MetricOps {
     withLine(fitStats(train, groupCols))
       .join(lastRow, groupCols)
       .withColumn("pred", col("intercept") + col("slope") * col("x_last"))
+      // try_divide: a pred of exactly 0 yields NULL validity (oracle:
+      // NULLIF denominator) instead of an ANSI divide-by-zero error
       .withColumn("valid",
-        abs((col("last_value") - col("pred")) / col("pred")) < distance)
+        abs(try_divide(col("last_value") - col("pred"), col("pred"))) < distance)
       .select(g :+ col("n").as("n_train") :+ col("last_value") :+
         round(col("pred") + lit(1e-9), 4).as("pred") :+ col("valid"): _*)
   }

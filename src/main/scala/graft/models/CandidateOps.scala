@@ -21,7 +21,10 @@ object CandidateOps {
     val votes = a.crossJoin(b)
       .filter(col("so_a") =!= col("so_b"))
       .groupBy(col("so_a"), col("v_a"))
-      .agg(sum(when(abs((col("v_a") - col("v_b")) / col("v_b")) < distance, 1)
+      // try_divide: a zero reference value must score a no-vote (null →
+      // otherwise-0, same as the oracle's inf → false), not raise an
+      // ANSI divide-by-zero
+      .agg(sum(when(abs(try_divide(col("v_a") - col("v_b"), col("v_b"))) < distance, 1)
         .otherwise(0)).as("votes"))
     val wAll = Window.partitionBy(col("so_a") % 1)
     votes

@@ -30,7 +30,10 @@ object MetricQueries extends QueryModule {
        |  CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
        |FROM $from GROUP BY $g""".stripMargin
 
-  private val slopeSql = "(n*sxy - sx*sy) / (n*sxx - sx*sx)"
+  // NULLIF denominator: singular designs (n < 2) are NULL, matching
+  // MetricOps.withLine — no data group in the corpora hits it, but the
+  // predicate semantics must agree between the engines
+  private val slopeSql = "(n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_slope_intercept" -> ((s, d) => MetricOps.slopeIntercept(seriesDf(s, d))),
@@ -115,7 +118,7 @@ object MetricQueries extends QueryModule {
          |      FROM l JOIN lastr ON l.scaleout = lastr.scaleout)
          |SELECT scaleout, n_train, last_value,
          |  ROUND(pred + 1e-9, 4) AS pred,
-         |  abs((last_value - pred) / pred) < 2.0 AS valid
+         |  abs((last_value - pred) / NULLIF(pred, 0e0)) < 2.0 AS valid
          |FROM p""".stripMargin,
 
     "m10_backpressure_rule" ->

@@ -309,4 +309,38 @@ class StreamingSpec extends SparkSpec {
       assert(fc > 4800 && fc < 5000, s"forecast_next $fc")
     } finally q.stop()
   }
+
+  test("optimize loop: an empty first tick skips the decision row " +
+    "instead of killing the stream") {
+    import graft.streaming.OptimizeLoop
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val store = "/root/repo/target/graft-tmp/optloop_empty"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("", "_decisions", "_m1").foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(store + sfx), true))
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = OptimizeLoop.attach(
+      in.toDF.toDF("sid", "ts", "value"), store, step = 1L,
+      avgWindowPoints = 5, evalEveryBatches = 1, currentScaleOut = 8,
+      candidateBest = 4, trigger = Trigger.ProcessingTime("0 seconds"),
+      forecastDir = Some(store + "_m1"), forecastModels = 2) {
+        (id, _, _, _, _, _) => ticks += id
+      }.start()
+    try {
+      // batch 0 carries no observations: the eval tick has an empty
+      // history — it must not append a decision row and must not fail
+      in.addData(Seq.empty[(String, Long, Double)])
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(ticks.nonEmpty, "empty micro-batch did not trigger a tick")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(store + "_decisions")))
+      // observations arriving later produce decision rows as usual
+      in.addData(Seq(("latency", 0L, 100.0), ("latency", 1L, 110.0),
+        ("throughput", 0L, 5000.0), ("throughput", 1L, 4990.0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store + "_decisions").count() >= 1)
+    } finally q.stop()
+  }
 }
