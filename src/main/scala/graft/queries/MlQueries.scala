@@ -73,29 +73,35 @@ object MlQueries extends QueryModule {
           Seq("gentype")),
         Seq("gentype"))),
 
-    // M3 — MLlib GBT latency regressor (driver-fit, rows-only check;
-    // config + sanity pinned in MlSpec via LatencyGbt).
+    // M3 — GBT latency regressor (driver-fit, rows-only check; config +
+    // sanity pinned in MlSpec). The fit runs in the driver (GbtLocal: the
+    // reference's own fit is in-process sklearn over a dozens-of-rows
+    // profiles table), the grid scoring is distributed with the broadcast
+    // model — the split that survives a 1000-executor deployment.
     "m3_latency_gbt" -> ((s, d) => {
-      import graft.models.LatencyGbt
+      import graft.models.{GbtLocal, LatencyGbt}
       // deterministic subsample to the reference's dozens-of-rows regime
-      // (LatencyGbt.TrainTarget) at any SF: adaptive expid modulus. The
-      // tiny train set is single-partition + cached — the reference's fit
-      // is single-node sklearn; the distributed piece is the grid scoring.
+      // (LatencyGbt.TrainTarget) at any SF: adaptive expid modulus
       val pool = Tables.profiles(s, d).filter(col("isbckpres") === 0)
       val mod = math.max(1L, pool.count() / LatencyGbt.TrainTarget)
       // residue 1 % mod, NOT 1: when the pool is small enough that mod=1,
       // `expid % 1 === 1` would match nothing and fit on an empty set
       val train = pool.filter(col("expid") % mod === (1L % mod))
         .select(col("scaleout").cast("double"), col("avgthr"), col("avglat"))
-        .coalesce(1).cache()
-      val model = LatencyGbt.pipeline(train.count()).fit(train)
-      val grid = train.groupBy(col("scaleout"))
+        .orderBy(col("scaleout"), col("avgthr"), col("avglat"))
+        .collect()
+      val xs = train.map(r => Array(r.getDouble(0), r.getDouble(1)))
+      val ys = train.map(_.getDouble(2))
+      val model = GbtLocal.fit(xs, ys, LatencyGbt.numTrees(train.length))
+      val bc = s.sparkContext.broadcast(model)
+      val score = udf((so: Double, thr: Double) => bc.value.predict(Array(so, thr)))
+      val grid = pool.filter(col("expid") % mod === (1L % mod))
+        .groupBy(col("scaleout").cast("double").as("scaleout"))
         .agg(min(col("avgthr")).as("lo"), max(col("avgthr")).as("hi"))
         .select(col("scaleout"), explode(array(col("lo"), (col("lo") + col("hi")) / 2,
           col("hi"))).as("avgthr"))
-      model.transform(grid)
-        .select(col("scaleout"), round(col("avgthr"), 4).as("avgthr"),
-          round(col("prediction"), 4).as("pred_latency"))
+      grid.select(col("scaleout"), round(col("avgthr"), 4).as("avgthr"),
+        round(score(col("scaleout"), col("avgthr")), 4).as("pred_latency"))
     }),
 
     // M6 — TWRES NNLS baseline, fully relational (subset-enumeration NNLS

@@ -167,6 +167,26 @@ class MlSpec extends SparkSpec {
     assert(gbt.getMaxDepth == 10 && gbt.getMaxIter == 45)
   }
 
+  test("GbtLocal: boosted squared-loss fit drives train residuals to ~0") {
+    import graft.models.GbtLocal
+    // y = a non-linear surface over 2 features, 60 points
+    val xs = (0 until 60).map(i =>
+      Array((i % 6).toDouble, (i / 6).toDouble)).toArray
+    val ys = xs.map(x => x(0) * x(0) - 3 * x(1) + (if (x(0) > 2) 5.0 else 0.0))
+    val m = GbtLocal.fit(xs, ys, nTrees = 60)
+    // depth-10 trees on 60 points isolate every residual: lr 0.1 over 60
+    // stages contracts the train error geometrically (0.9^60 ≈ 0.002)
+    val maxErr = xs.zip(ys).map { case (x, y) => math.abs(m.predict(x) - y) }.max
+    val span = ys.max - ys.min
+    assert(maxErr < 0.01 * span, s"maxErr $maxErr vs span $span")
+    // deterministic refit
+    val m2 = GbtLocal.fit(xs, ys, nTrees = 60)
+    assert(xs.forall(x => m.predict(x) == m2.predict(x)))
+    // single-leaf degenerate case: constant prediction = mean
+    val flat = GbtLocal.fit(Array(Array(1.0), Array(1.0)), Array(2.0, 4.0), 5)
+    assert(math.abs(flat.predict(Array(9.0)) - 3.0) < 1e-12)
+  }
+
   test("M3 prediction grid: deterministic, finite, inside the training span") {
     // the rows-only driver check can't see values; pin what a GBT latency
     // surface must satisfy regardless of the fitted trees
