@@ -21,7 +21,8 @@ object SparkEntry {
     ModelQueries,
     MlQueries,
     OpsQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

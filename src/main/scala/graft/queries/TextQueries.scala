@@ -57,6 +57,15 @@ object TextQueries extends QueryModule {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
     "dedup_jaccard_ngram" -> ((s, d) => DedupOps.jaccardPairs(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))),
+    // near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    // graph (min-label propagation, see GraphOps) — the step that picks
+    // one representative per duplicate cluster at corpus scale
+    "dedup_components" -> ((s, d) =>
+      graft.pipeline.GraphOps.connectedComponents(
+        DedupOps.minhashPairs(docs(s, d))
+          .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
+            org.apache.spark.sql.functions.col("doc_b").as("dst")))
+        .withColumnRenamed("id", "doc_id")),
     // eval set = source 'src0' (a stand-in benchmark); ≥3 shared 3-gram
     // shingles with any eval doc flags a training doc as contaminated
     "decontam_overlap" -> ((s, d) =>
@@ -161,6 +170,29 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // transitive closure of the same >=0.5 pair graph; component label =
+    // min reachable doc_id (recursive CTE's UNION dedup bounds the work)
+    "dedup_components" ->
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a""".stripMargin,
 
     "dedup_jaccard_ngram" ->
       s"""WITH sets AS (

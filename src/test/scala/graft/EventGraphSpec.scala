@@ -1,0 +1,66 @@
+package graft
+
+import graft.pipeline.{EventOps, GraphOps}
+import org.apache.spark.sql.functions._
+
+/** Golden-value tests for the event-shaping operators (sessionize, as-of
+  * join) and the connected-components label propagation. */
+class EventGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap splits, tie never splits, exact value totals") {
+    val gap = 100L
+    val e = Seq(
+      // user 1: [0, 50, 150] one session (gaps 50, 100 <= gap), then 251
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 150L, 3.0), (1L, 251L, 4.0),
+      // user 2: tied timestamps stay together
+      (2L, 10L, 1.5), (2L, 10L, 2.5), (2L, 10L, 3.5)
+    ).toDF("user_id", "ts", "value")
+    val got = EventOps.sessionize(e, gap)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 150L, 3L, 6.0),
+      (1L, 251L, 251L, 1L, 4.0),
+      (2L, 10L, 10L, 3L, 7.5)))
+  }
+
+  test("asofJoin: <= semantics, per-key isolation, null before first obs") {
+    val left = Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 14L), (4L, "b", 10L), (5L, "a", 2L))
+      .toDF("event_id", "sid", "ts")
+    val right = Seq(("a", 5L, 1.0), ("a", 12L, 2.0), ("b", 3L, 9.0))
+      .toDF("sid", "ts", "value")
+    val got = EventOps.asofJoin(left, right, "sid")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("event_id")),
+        Option(r.get(r.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("asof_value"))).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, Some(5L), Some(1.0)),   // exact match: <= picks it
+      (2L, Some(5L), Some(1.0)),   // between obs: earlier one
+      (3L, Some(12L), Some(2.0)),
+      (4L, Some(3L), Some(9.0)),   // key isolation
+      (5L, None, None)))           // before first obs
+  }
+
+  test("connectedComponents: chain + clique + singleton-free output") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L)))
+  }
+
+  test("connectedComponents: long chain converges within the iteration cap") {
+    val n = 24
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges, maxIter = 30)
+    assert(got.agg(countDistinct(col("comp_id"))).head.getLong(0) == 1L)
+    assert(got.count() == n.toLong)
+  }
+}
