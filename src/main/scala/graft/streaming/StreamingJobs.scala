@@ -49,6 +49,28 @@ object StreamingJobs {
       .select(col("campaign"), unix_timestamp(col("w.start")).as("win_start"),
         col("n_views"))
 
+  /** Gap sessionization as a stream: Spark's native `session_window`
+    * (event-time windows that merge while consecutive events fall within
+    * `gap`) with a watermark bounding state — the streaming twin of
+    * [[graft.pipeline.EventOps.sessionize]]. Two documented deviations
+    * from the batch operator: the merge test is strict-< of the gap
+    * (an event exactly `gap` after its predecessor starts a NEW session),
+    * and `session_end` is the window end = last event + gap, not the last
+    * event itself. State is per (user, open session) and is evicted as
+    * the watermark passes a session's end — bounded regardless of stream
+    * length. Applying the same plan to a batch frame yields the same
+    * sessions, which is how the spec pins the semantics. */
+  def sessionWindows(events: DataFrame, gap: String,
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.queries.Sql.decSum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** S12 — synthetic sine workload source
     * (reference analytics/app/prepare_model.py:24-47):
     * value = |x + x·noise| with x = sin(2π·i/period)·amplitude + vphase.

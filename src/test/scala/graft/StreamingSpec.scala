@@ -343,4 +343,46 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(store + "_decisions").count() >= 1)
     } finally q.stop()
   }
+
+  test("session windows close, emit once in append mode, and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val streamed = StreamingJobs.sessionWindows(
+      in.toDF.toDF("ts", "user_id", "value"), gap = "100 seconds",
+      watermark = "10 seconds")
+    val q = streamed.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (ts(0), 1L, 1.0), (ts(50), 1L, 2.0), (ts(149), 1L, 3.0), // one session
+        (ts(260), 1L, 4.0),                                      // second session
+        (ts(5), 2L, 9.0))
+      in.addData(rows)
+      q.processAllAvailable()
+      // advance the watermark past every open session's end so append
+      // mode finalizes and emits them exactly once
+      in.addData(Seq((ts(1000), 99L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter(col("user_id") < 99)
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      // session_end = last event + gap (window end), merge test strict-<
+      assert(got == Seq(
+        (1L, 0L, 249L, 3L, 6.0),
+        (1L, 260L, 360L, 1L, 4.0),
+        (2L, 5L, 105L, 1L, 9.0)))
+      // the identical plan over a batch frame agrees on closed sessions
+      val batch = StreamingJobs.sessionWindows(
+        (rows :+ ((ts(1000), 99L, 0.0))).toDF("ts", "user_id", "value"),
+        "100 seconds", "10 seconds")
+        .filter(col("user_id") < 99)
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
