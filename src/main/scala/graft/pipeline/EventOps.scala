@@ -49,36 +49,37 @@ object EventOps {
     * `ASOF JOIN` semantics, `<=` variant). Left rows before the first
     * right observation keep nulls.
     *
-    * Implemented as the union-merge: tag right rows 0 and left rows 1,
+    * Implemented as the union-merge: tag right rows 0 and left rows 1
+    * (left's remaining columns ride along, null-padded on right rows),
     * sort by (ts, tag) inside each key partition, and carry the last
-    * non-null right value forward. One shuffle on the key, one linear
-    * scan — per-key equi-join + max-filter would shuffle the same data
-    * but build a quadratic candidate set on hot keys, and a broadcast
-    * range join caps at small right sides; this form does neither.
+    * non-null right value forward. ONE shuffle on the key, one linear
+    * scan, no second join — per-key equi-join + max-filter would shuffle
+    * the same data but build a quadratic candidate set on hot keys, and
+    * a broadcast range join caps at small right sides; this form does
+    * neither.
     *
-    * `left` must have unique row identity (its columns are passed
-    * through); `right` is (key, ts, value) with unique ts per key.
+    * `left` needs (key, ts) plus any pass-through columns; `right` is
+    * (key, ts, value).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String): DataFrame = {
-    val lCols = left.columns
-    val tagged = right
-      .select(col(key), col("ts"), lit(0).as("__src"),
-        col("ts").as("__rts"), col("value").as("__rval"))
-      .unionByName(
-        left.select(col(key), col("ts"), lit(1).as("__src"),
-          lit(null).cast("long").as("__rts"),
-          lit(null).cast("double").as("__rval")),
-        allowMissingColumns = false)
+    val extra = left.columns.filterNot(c => c == key || c == "ts")
+    val rightTagged = right.select(
+      col(key) +: col("ts") +: lit(0).as("__src") +:
+        col("ts").as("__rts") +: col("value").as("__rval") +:
+        extra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftTagged = left.select(
+      col(key) +: col("ts") +: lit(1).as("__src") +:
+        lit(null).cast("long").as("__rts") +:
+        lit(null).cast("double").as("__rval") +:
+        extra.map(col(_)): _*)
     // right row sorts before a left row at the same ts -> <= semantics
     val w = Window.partitionBy(key).orderBy(col("ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = tagged
+    rightTagged.unionByName(leftTagged)
       .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
       .withColumn("asof_value", last(col("__rval"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select(col(key), col("ts"), col("asof_ts"), col("asof_value"))
-    // re-attach the remaining left columns by (key, ts): window carry only
-    // transported the join columns, not the full left row
-    left.join(carried.dropDuplicates(key, "ts"), Seq(key, "ts"))
+      .select(col(key) +: col("ts") +: extra.map(col(_)) :+
+        col("asof_ts") :+ col("asof_value"): _*)
   }
 }
