@@ -56,6 +56,15 @@ class EventGraphSpec extends SparkSpec {
       (20L, 20L), (21L, 20L)))
   }
 
+  test("asofJoin plans with ZERO join operators (union-merge, one exchange)") {
+    val left = Seq((1L, "a", 5L, "x")).toDF("event_id", "sid", "ts", "tag")
+    val right = Seq(("a", 5L, 1.0)).toDF("sid", "ts", "value")
+    val plan = EventOps.asofJoin(left, right, "sid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("connectedComponents: long chain converges within the iteration cap") {
     val n = 24
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
