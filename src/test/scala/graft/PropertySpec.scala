@@ -164,4 +164,86 @@ class PropertySpec extends SparkSpec {
       dsl == native && dsl == interp
     }, cases = 8)
   }
+
+  test("property: asofJoin == per-row brute-force scan (random keys/ts, ties)") {
+    import graft.pipeline.EventOps
+    val genLeft = Gen.listOfN(30, for {
+      k <- Gen.oneOf("a", "b", "c"); t <- Gen.choose(0L, 40L)
+    } yield (k, t))
+    val genRight = Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b", "c"); t <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0, 999)
+    } yield (k, t, v / 10.0))
+    runProp(Prop.forAll(genLeft, genRight) { (l, r0) =>
+      // unique ts per key on the right (the operator's contract)
+      val r = r0.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "sid", "ts")
+      val right = r.toDF("sid", "ts", "value")
+      val got = EventOps.asofJoin(left, right, "sid").collect().map(x =>
+        (x.getLong(x.fieldIndex("event_id")),
+          Option(x.get(x.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long]),
+          Option(x.get(x.fieldIndex("asof_value"))).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+      val want = l.zipWithIndex.map { case ((k, t), i) =>
+        val cand = r.filter(x => x._1 == k && x._2 <= t)
+        if (cand.isEmpty) (i.toLong, None, None)
+        else { val m = cand.maxBy(_._2); (i.toLong, Some(m._2), Some(m._3)) }
+      }.sortBy(_._1).toSeq
+      got == want
+    }, cases = 8)
+  }
+
+  test("property: connectedComponents == driver union-find on random graphs") {
+    import graft.pipeline.GraphOps
+    val genEdges = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b)))
+    runProp(Prop.forAll(genEdges) { es =>
+      es.nonEmpty ==> {
+        val got = GraphOps.connectedComponents(es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min node id of the component
+        val want = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+        got == want
+      }
+    }, cases = 8)
+  }
+
+  test("property: sessionize partitions events; splits exactly at gaps > g") {
+    import graft.pipeline.EventOps
+    val genEv = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 300L)
+    } yield (u, t, 1.0)))
+    runProp(Prop.forAll(genEv, Gen.oneOf(10L, 50L)) { (ev, gap) =>
+      ev.nonEmpty ==> {
+        val sessions = EventOps.sessionize(ev.toDF("user_id", "ts", "value"), gap)
+          .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("session_start")),
+            r.getLong(r.fieldIndex("session_end")), r.getLong(r.fieldIndex("n_events"))))
+        // per user: sessions tile the sorted distinct gap-split segments
+        ev.groupBy(_._1).forall { case (u, rows) =>
+          val ts = rows.map(_._2).sorted
+          val splits = ts.zip(ts.drop(1)).count { case (a, b) => b - a > gap }
+          val mine = sessions.filter(_._1 == u)
+          mine.length == splits + 1 &&
+            mine.map(_._4).sum == rows.length && // every event in exactly one session
+            mine.sortBy(_._2).sliding(2).forall { // consecutive sessions > gap apart
+              case Array(x, y) => y._2 - x._3 > gap
+              case _ => true
+            }
+        }
+      }
+    }, cases = 8)
+  }
 }
