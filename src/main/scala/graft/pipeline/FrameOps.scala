@@ -24,6 +24,29 @@ object FrameOps {
     else df
   }
 
+  /** Skew-safe inner equi-join for big×big joins with hot keys: scatter
+    * each left row into one of `salt` sub-keys with a deterministic
+    * row hash, replicate every right row across all `salt` sub-keys, and
+    * equi-join on (key, salt) — a hot key's rows now land on `salt`
+    * reducers instead of one. Replication multiplies the right side, so
+    * pick the SMALLER side as `right` and keep `salt` modest (8-32).
+    *
+    * Spark's AQE skew-join (spark.sql.adaptive.skewJoin) already splits
+    * oversized sort-merge partitions at runtime — prefer it when it
+    * applies; this explicit form covers the cases it does not (skew
+    * landing in one task via a hash-partitioned cache, deterministic
+    * pre-partitioned layouts) and documents the engine's skew strategy.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** P4 — drop columns whose values are ALL null (pandas
     * `dropna(axis='columns', how='all')`, reference wm.py:132). One
     * aggregate pass decides; the projection itself is metadata-only. */

@@ -65,6 +65,24 @@ class EventGraphSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("saltedJoin == plain inner join, and scatters a hot key") {
+    import graft.pipeline.FrameOps
+    val left = (1 to 200).map(i => (if (i <= 190) 7L else i.toLong, i.toLong))
+      .toDF("k", "lv") // 95% of rows on key 7
+    val right = Seq((7L, "hot"), (195L, "cold"), (999L, "unmatched"))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = FrameOps.saltedJoin(left, right, "k", salt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key's rows really spread across sub-keys
+    val spread = left.filter(col("k") === 7L)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("lv")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 4, s"expected >4 of 8 salt buckets used, got $spread")
+  }
+
   test("connectedComponents: long chain converges within the iteration cap") {
     val n = 24
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
