@@ -36,6 +36,9 @@ object GraphOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp_id", col("id"))
       .localCheckpoint(true)
+    // an empty edge set has an empty (already-converged) labeling; the
+    // loop's null label-sum would otherwise NPE
+    if (labels.head(1).isEmpty) { sym.unpersist(); return labels }
     var lastSum = labels.agg(sum(col("comp_id").cast("decimal(30,0)"))).head.getDecimal(0)
     var iter = 0
     var converged = false

@@ -81,6 +81,47 @@ object TextQueries extends QueryModule {
     // the native ShingleMinHash expression against the same oracle as the
     // DSL fp_shingle_min (session carries graft.GraftExtensions)
     "text_fp_native" -> ((s, d) => TextOps.fingerprintsNative(docs(s, d))),
+    // FLAGSHIP COMPOSITION — the full corpus-cleaning pipeline a 100 TB
+    // pretraining run executes, as ONE verified query. Stage order is the
+    // production order (cheap row-local gates first, pair-generating
+    // stages on the shrunken survivor set):
+    //   1. language gate (pred_lang = en) + quality gate (>= 0.6)
+    //   2. exact dedup (keep min doc_id per md5)
+    //   3. near-dup clusters (MinHash-LSH pairs -> connected components),
+    //      keep only each cluster's representative
+    //   4. benchmark decontamination (drop the src0 eval set and every
+    //      train doc sharing >= 3 shingles with it)
+    //   5. deterministic split + GPT-style packing of the train split
+    // Output: (doc_id, source, split, pack_id?null for val/test).
+    "corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val lang = TextOps.langId(all).filter(col("pred_lang") === "en")
+        .select("doc_id")
+      val qual = TextOps.quality(all).filter(col("quality") >= 0.6)
+        .select("doc_id")
+      val gated = all.join(lang, "doc_id").join(qual, "doc_id")
+      val keep1 = gated.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val d1 = gated.join(keep1, "doc_id")
+      val nonRep = graft.pipeline.GraphOps.connectedComponents(
+        DedupOps.minhashPairs(d1)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .filter(col("comp_id") =!= col("id")).select(col("id").as("doc_id"))
+      val d2 = d1.join(nonRep, Seq("doc_id"), "left_anti")
+      val contam = DedupOps.contamination(all, col("source") === "src0")
+        .select(col("train_id").as("doc_id")).distinct()
+      val d3 = d2.filter(col("source") =!= "src0")
+        .join(contam, Seq("doc_id"), "left_anti")
+      val withSplit = d3.join(
+        TextOps.splitAssign(d3, valFrac = 0.1, testFrac = 0.05), "doc_id")
+      val packed = TextOps.packAssignments(
+        withSplit.filter(col("split") === "train"), budget = 256, groups = 8)
+        .select(col("doc_id"), col("pack_id"))
+      withSplit.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("split"), col("pack_id"))
+    }),
+
     // mixing weights: halve src0, keep 10% of src1, everything else full
     "sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))))
@@ -170,6 +211,106 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // the five pipeline stages restated as one CTE chain, each stage
+    // reusing the per-stage oracles' exact spellings over the previous
+    // stage's survivor set
+    "corpus_pipeline" -> {
+      val en = TextOps.langMarkers.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      val draw = s"${hex60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""WITH RECURSIVE
+         |sc AS (SELECT doc_id, $scores FROM documents),
+         |mmx AS (SELECT *, $mx AS mx FROM sc),
+         |lng AS (SELECT doc_id FROM mmx WHERE CASE $pred END = 'en'),
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |mq AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> list_contains($en, t))) AS DOUBLE)
+         |    / len(ts) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |    / len(ts) AS mean_len,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+         |  CAST(len(ts) AS DOUBLE) AS n FROM tq),
+         |qual AS (SELECT doc_id FROM mq
+         |  WHERE ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
+         |    + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
+         |    + 1e-9, 4) >= 0.6),
+         |gated AS (SELECT d.* FROM documents d
+         |  JOIN lng USING (doc_id) JOIN qual USING (doc_id)),
+         |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |d1 AS (SELECT g.* FROM gated g JOIN keep1 USING (doc_id)),
+         |sets AS (SELECT doc_id, $shinglesSql AS sh FROM d1),
+         |hashes AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${hex60Sql("md5(s)")} % 1000000007) AS hs
+         |  FROM sets),
+         |sigs AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 16), j ->
+         |    list_min(list_transform(hs, h ->
+         |      (h * (j * 2 + 1) + j * 7919) % 1000000007))) AS sig
+         |  FROM hashes),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4),
+         |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
+         |  FROM sigs),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comps AS (SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a),
+         |nonrep AS (SELECT doc_id FROM comps WHERE comp_id <> doc_id),
+         |d2 AS (SELECT * FROM d1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)),
+         |csets AS (SELECT doc_id, source = 'src0' AS is_eval, $shinglesSql AS sh
+         |  FROM documents),
+         |cinv0 AS (SELECT doc_id, is_eval, unnest(sh) AS s FROM csets),
+         |chot AS (SELECT s FROM cinv0 GROUP BY s HAVING COUNT(*) > 100),
+         |cinv AS (SELECT * FROM cinv0 WHERE s NOT IN (SELECT s FROM chot)),
+         |contam AS (SELECT DISTINCT train_id AS doc_id FROM (
+         |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+         |  FROM cinv a JOIN cinv b ON a.s = b.s
+         |  WHERE NOT a.is_eval AND b.is_eval
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)),
+         |d3 AS (SELECT * FROM d2 WHERE source <> 'src0'
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN $draw < ${TextOps.drawThreshold(0.1)} THEN 'val'
+         |       WHEN $draw < ${TextOps.drawThreshold(0.15)} THEN 'test'
+         |       ELSE 'train' END AS split FROM d3),
+         |tr AS (SELECT d3.doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    d3.doc_id % 8 AS grp
+         |  FROM d3 JOIN spl USING (doc_id) WHERE split = 'train'),
+         |cpack AS (SELECT doc_id,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      // 256 AS pack_id
+         |  FROM tr)
+         |SELECT d3.doc_id, d3.source, spl.split, cpack.pack_id
+         |FROM d3 JOIN spl USING (doc_id) LEFT JOIN cpack USING (doc_id)""".stripMargin
+    },
 
     // transitive closure of the same >=0.5 pair graph; component label =
     // min reachable doc_id (recursive CTE's UNION dedup bounds the work)
