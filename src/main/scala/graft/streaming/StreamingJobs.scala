@@ -113,4 +113,43 @@ object StreamingJobs {
       (lit(startTs) + col("i") * step).as("ts"),
       (conv(substring(md5(concat(lit("r"), col("i").cast("string"))), 1, 15), 16, 10)
         .cast("long") % 10000).cast("double").divide(10000).as("value"))
+
+  /** One fired alarm: the key, its count at the crossing, and the
+    * epoch-second event time of the event that crossed the threshold. */
+  final case class Alarm(key: Long, n: Long, ts: Long)
+
+  /** Stateful threshold alarm via `flatMapGroupsWithState` — the custom
+    * keyed-state surface (SURVEY §2.7): emit EXACTLY ONE row per key, at
+    * the moment its cumulative event count crosses `threshold`. A
+    * windowed aggregation cannot express this in append mode (it either
+    * re-emits the running count every trigger or waits for a watermark
+    * to close a window); here the state is two scalars per key — running
+    * count + fired flag — and emission happens mid-stream the instant
+    * the crossing event is processed. State per key is O(1) and keys
+    * whose alarm has fired keep a tombstone flag only.
+    *
+    * Within a batch, events are processed in event-time order so the
+    * reported crossing ts is deterministic under shuffle (ties broken by
+    * the smaller makes-no-difference rule: equal-ts events reach the
+    * same cumulative count regardless of order).
+    */
+  def thresholdAlarms(events: org.apache.spark.sql.Dataset[(Long, Long)],
+                      threshold: Long): org.apache.spark.sql.Dataset[Alarm] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Boolean)]) =>
+        val (n0, fired0) = state.getOption.getOrElse((0L, false))
+        var n = n0
+        var fired = fired0
+        val out = scala.collection.mutable.ArrayBuffer.empty[Alarm]
+        it.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+          n += 1
+          if (!fired && n >= threshold) { fired = true; out += Alarm(key, n, ts) }
+        }
+        state.update((n, fired))
+        out.iterator
+    }
+  }
 }

@@ -344,6 +344,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("threshold alarms: custom keyed state fires exactly once per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (key, ts)
+    val q = StreamingJobs.thresholdAlarms(in.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("alarms")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+      q.processAllAvailable()
+      assert(spark.table("alarms").count() == 0) // nobody crossed yet
+      // key 1 crosses at its 3rd event (ts 12); key 2 stays below
+      in.addData(Seq((1L, 12L), (2L, 11L)))
+      q.processAllAvailable()
+      // key 1 must NOT fire again; key 2 crosses at ts 20
+      in.addData(Seq((1L, 13L), (1L, 14L), (2L, 20L)))
+      q.processAllAvailable()
+      val got = spark.table("alarms").orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 3L, 12L), (2L, 3L, 20L)))
+    } finally q.stop()
+  }
+
   test("session windows close, emit once in append mode, and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
