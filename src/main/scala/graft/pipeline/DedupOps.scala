@@ -80,8 +80,14 @@ object DedupOps {
     * re-evaluated per outer element after projection collapse: measured
     * 15× slower). Key values are identical to [[bandKeys]]∘[[minhashSig]].
     */
-  def minhashBandsRelational(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs)
+  def minhashBandsRelational(docs: DataFrame): DataFrame =
+    minhashBandsFromInv(shingleRows(docs))
+
+  /** [[minhashBandsRelational]] over a caller-supplied (doc_id, s)
+    * inverted index — lets a pipeline materialize the shingle index ONCE
+    * and feed both the banding and the verification legs from it. */
+  def minhashBandsFromInv(inv: DataFrame): DataFrame = {
+    val ex = inv
       .withColumn("h", hex60(md5(col("s"))) % MOD)
     val mins = ex
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
@@ -110,15 +116,17 @@ object DedupOps {
   /** MinHash-LSH near-dup pairs: banded candidate generation (equi-join on
     * band key — NO all-pairs) + exact shingle-Jaccard verification at
     * `threshold`. Pairs are emitted once with doc_a < doc_b. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val bands = minhashBandsRelational(docs)
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+                   sharedInv: Option[DataFrame] = None): DataFrame = {
+    // exact verification below reuses the same (doc_id, s) inverted index
+    // the banding consumes; callers composing several dedup stages pass a
+    // persisted one so the shingle explode+distinct runs once, not per leg
+    val inv = sharedInv.getOrElse(shingleRows(docs))
+    val bands = minhashBandsFromInv(inv)
     val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the (tiny) candidate set via the inverted
-    // index: |∩| from a shingle join, |∪| = na + nb − |∩|
-    val inv = shingleRows(docs)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
       .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))

@@ -27,12 +27,47 @@ object GraphOps {
   /** Components of the undirected graph given as (src, dst) long pairs.
     * Returns (id, comp_id): every node that appears in an edge, labeled
     * with the smallest node id reachable from it.
+    *
+    * Two regimes, same labeling: at or below `driverMaxEdges` edges the
+    * component structure is solved with union-find ON THE DRIVER (a
+    * near-dup graph is a vanishing fraction of its corpus — 10^2 edges
+    * from 10^4 docs here; even a 100 TB corpus's dup graph usually fits —
+    * and a driver pass replaces ~4 shuffle rounds of per-iteration
+    * scheduling with one collect of O(edges) longs). Above it, the
+    * distributed min-label propagation below takes over — the path that
+    * never holds the graph in one heap.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize the edge list ONCE before symmetrizing: the two union
+    // branches are otherwise independent copies of the (often expensive —
+    // LSH pair mining) edge plan, and Spark does no cross-branch subtree
+    // elimination (measured 2x the full pair-mining cost without this)
+    val e = edges.select(col("src"), col("dst")).persist()
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    val nEdges = sym.count()
+    e.unpersist()
+    if (nEdges <= driverMaxEdges) {
+      import spark.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      sym.unpersist()
+      // union-find, smaller root wins: every root is its component's min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      return labels.toDF("id", "comp_id")
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp_id", col("id"))
       .localCheckpoint(true)

@@ -44,16 +44,22 @@ class EventGraphSpec extends SparkSpec {
       (5L, None, None)))           // before first obs
   }
 
-  test("connectedComponents: chain + clique + singleton-free output") {
+  test("connectedComponents: chain + clique, driver and distributed paths agree") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(edges)
-      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.toSeq == Seq(
+    val want = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L), (12L, 10L),
-      (20L, 20L), (21L, 20L)))
+      (20L, 20L), (21L, 20L))
+    // small graph -> union-find on the driver
+    val viaDriver = GraphOps.connectedComponents(edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaDriver.toSeq == want)
+    // driverMaxEdges = 0 forces the distributed label-propagation path
+    val viaLoop = GraphOps.connectedComponents(edges, driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.toSeq == want)
   }
 
   test("asofJoin plans with ZERO join operators (union-merge, one exchange)") {
@@ -86,7 +92,7 @@ class EventGraphSpec extends SparkSpec {
   test("connectedComponents: long chain converges within the iteration cap") {
     val n = 24
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(edges, maxIter = 30)
+    val got = GraphOps.connectedComponents(edges, maxIter = 30, driverMaxEdges = 0L)
     assert(got.agg(countDistinct(col("comp_id"))).head.getLong(0) == 1L)
     assert(got.count() == n.toLong)
   }

@@ -201,7 +201,11 @@ class PropertySpec extends SparkSpec {
     } yield (a, b)))
     runProp(Prop.forAll(genEdges) { es =>
       es.nonEmpty ==> {
-        val got = GraphOps.connectedComponents(es.toDF("src", "dst"))
+        // driverMaxEdges = 0: exercise the DISTRIBUTED propagation path
+        // against the driver-side union-find reference below (the driver
+        // path IS that union-find, so testing it here would be circular)
+        val got = GraphOps.connectedComponents(es.toDF("src", "dst"),
+          driverMaxEdges = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // driver-side union-find with path compression
         val parent = scala.collection.mutable.Map[Long, Long]()
