@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist internal frames (corpus_pipeline, m1_update)
+      // must not accumulate cache across the 90+ query sweep (same
+      // hygiene as Bench)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
