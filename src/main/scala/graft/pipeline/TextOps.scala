@@ -257,4 +257,23 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
+
+  /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
+    * statistics over the whole corpus): explode each document's adjacent
+    * token pairs, count per bigram, keep the k most frequent (ties by
+    * bigram text, fully deterministic). The groupBy's map-side partial
+    * aggregation collapses the exploded rows before the single shuffle,
+    * and the final top-k is a TakeOrdered over the (distinct-bigram-sized)
+    * aggregate — no global sort materializes. */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame = {
+    val ts = tokens
+    docs
+      .select(posexplode(zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as(Seq("i", "bigram")))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -78,6 +78,24 @@ object TextQueries extends QueryModule {
       TextOps.splitAssign(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
     // Gopher-style repetitiousness filters over the documents table
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+    // best-docs-per-domain selection: top 3 by quality score per source,
+    // ties by doc_id — rank inside a (small-keyed) window after the
+    // row-local quality projection; one shuffle on source
+    "text_topk_per_source" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextOps.quality(docs(s, d)).select("doc_id", "quality")
+      val w = Window.partitionBy("source")
+        .orderBy(org.apache.spark.sql.functions.col("quality").desc,
+          org.apache.spark.sql.functions.col("doc_id"))
+      docs(s, d).select("doc_id", "source").join(q, "doc_id")
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w)
+          .cast("long")) // DuckDB row_number() is BIGINT
+        .filter(org.apache.spark.sql.functions.col("rk") <= 3)
+    }),
+    // corpus vocabulary statistics: the 20 most frequent token bigrams
+    // (explode -> count -> top-k; ties by bigram text). Map-side partial
+    // aggregation absorbs the heavy explode before the single shuffle.
+    "corpus_top_bigrams" -> ((s, d) => TextOps.topBigrams(docs(s, d), 20)),
     // the native ShingleMinHash expression against the same oracle as the
     // DSL fp_shingle_min (session carries graft.GraftExtensions)
     "text_fp_native" -> ((s, d) => TextOps.fingerprintsNative(docs(s, d))),
@@ -217,6 +235,36 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "text_topk_per_source" -> {
+      val en = TextOps.langMarkers.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> list_contains($en, t))) AS DOUBLE)
+         |    / len(ts) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |    / len(ts) AS mean_len,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+         |  CAST(len(ts) AS DOUBLE) AS n FROM t),
+         |q AS (SELECT doc_id,
+         |  ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
+         |    + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
+         |    + 1e-9, 4) AS quality FROM m),
+         |r AS (SELECT d.doc_id, d.source, q.quality,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 3""".stripMargin
+    },
+
+    "corpus_top_bigrams" ->
+      """WITH s AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |b AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(ts) - 1, 0) + 1),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS bigram FROM s)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     // the five pipeline stages restated as one CTE chain, each stage
     // reusing the per-stage oracles' exact spellings over the previous
