@@ -191,6 +191,68 @@ object VectorOps {
     out
   }
 
+  /** Multi-probe IVF top-k: each query searches its OWN cell plus every
+    * cell at hamming distance 1 from it (flip each of the b sign bits) —
+    * the standard recall lever for sign-partitioned indexes: near
+    * neighbors that land just across one hyperplane are recovered at the
+    * cost of a bounded (b+1)× candidate fanout, still O(n · (b+1) ·
+    * targetCellSize) total work, never all-pairs. Scoring is the same
+    * relational exploded-dot path as [[ivfTopK]]. */
+  def ivfMultiprobeTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
+    val bits = cellBits(emb.count(), targetCellSize)
+    val ex = emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val bitArr = signProjections(emb, bits)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("h"), col("bit")))),
+        x => x.getField("bit")).as("ba"))
+    val cells = bitArr.select(col("vec_id"),
+      concat_ws(",", transform(col("ba"), v => v.cast("string"))).as("cell"))
+    // probe p = -1 keeps the own cell; p in [0, b) flips bit p
+    val probes = bitArr.select(col("vec_id").as("q_id"),
+        explode(sequence(lit(-1), lit(bits - 1))).as("p"), col("ba"))
+      .select(col("q_id"), concat_ws(",", transform(col("ba"),
+        (v, i) => when(i === col("p"), lit(1) - v).otherwise(v).cast("string")))
+        .as("cell"))
+    val cands = probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val norms = ex.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("n2"))
+    val dots = cands
+      .join(ex.select(col("vec_id").as("q_id"), col("i"), col("x").as("xq")), Seq("q_id"))
+      .join(ex.select(col("vec_id"), col("i"), col("x").as("xv")), Seq("vec_id", "i"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("xq") * col("xv")).as("dp"))
+    import org.apache.spark.sql.expressions.Window
+    dots
+      .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), Seq("q_id"))
+      .join(norms, Seq("vec_id"))
+      .withColumn("c", col("dp").cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** recall@k of the multi-probe search vs the exact baseline — the
+    * companion diagnostic to [[ivfRecall]] quantifying what the (b+1)×
+    * probe fanout buys back. */
+  def multiprobeRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, queryMaxId, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfMultiprobeTopK(emb, k)
+      .filter(col("q_id") < queryMaxId)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** LSH near-pair mining: bucket by banded sign keys, equi-join on the
     * key, verify candidates with the exact quantized cosine at `threshold`.
     *

@@ -51,7 +51,13 @@ object VectorQueries extends QueryModule {
     // precisely what this diagnostic exists to reveal before deploying
     // an IVF index; clustered production embeddings score far higher.
     "ann_recall" -> ((s, d) =>
-      VectorOps.ivfRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
+      VectorOps.ivfRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // multi-probe: own cell + every hamming-1 cell — (b+1)x bounded
+    // fanout buying back the neighbors single-cell search loses
+    "ann_ivf_multiprobe" -> ((s, d) =>
+      VectorOps.ivfMultiprobeTopK(Tables.embeddings(s, d), k = 3)),
+    "ann_multiprobe_recall" -> ((s, d) =>
+      VectorOps.multiprobeRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -128,6 +134,62 @@ object VectorQueries extends QueryModule {
          |ir AS (SELECT *, row_number() OVER (
          |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM isc),
          |approx AS (SELECT q_id, vec_id FROM ir WHERE rk <= 3 AND q_id < 10),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    // own cell (p = -1) plus each bit-p-flipped cell, joined against the
+    // single-cell assignment — hamming-1 multi-probe
+    "ann_ivf_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |pr AS (SELECT vec_id AS q_id, qv AS qqv,
+         |         unnest(list_transform(range(-1, bits), p ->
+         |           array_to_string(list_transform(range(1, bits + 1),
+         |             h -> CASE WHEN h - 1 = p THEN 1 - sig[h] ELSE sig[h] END), ','))) AS cell
+         |       FROM sg CROSS JOIN par),
+         |msc AS (SELECT a.q_id, b.vec_id, ${cosSql("a.qqv", "b.qv")} AS c
+         |        FROM pr a JOIN cl b ON a.cell = b.cell AND a.q_id <> b.vec_id),
+         |mr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc)
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM mr WHERE rk <= 3""".stripMargin,
+
+    "ann_multiprobe_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |        FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |pr AS (SELECT vec_id AS q_id, qv AS qqv,
+         |         unnest(list_transform(range(-1, bits), p ->
+         |           array_to_string(list_transform(range(1, bits + 1),
+         |             h -> CASE WHEN h - 1 = p THEN 1 - sig[h] ELSE sig[h] END), ','))) AS cell
+         |       FROM sg CROSS JOIN par),
+         |msc AS (SELECT a.q_id, b.vec_id, ${cosSql("a.qqv", "b.qv")} AS c
+         |        FROM pr a JOIN cl b ON a.cell = b.cell AND a.q_id <> b.vec_id),
+         |mr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc),
+         |approx AS (SELECT q_id, vec_id FROM mr WHERE rk <= 3 AND q_id < 10),
          |hits AS (SELECT exact.q_id, COUNT(*) AS h
          |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
          |SELECT e.q_id, COALESCE(h, 0) AS hits,
