@@ -57,7 +57,19 @@ object VectorQueries extends QueryModule {
     "ann_ivf_multiprobe" -> ((s, d) =>
       VectorOps.ivfMultiprobeTopK(Tables.embeddings(s, d), k = 3)),
     "ann_multiprobe_recall" -> ((s, d) =>
-      VectorOps.multiprobeRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
+      VectorOps.multiprobeRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // vector-side composition: drop cosine near-duplicates (keep each
+    // cluster's min-id representative), then serve multi-probe top-3 over
+    // the deduplicated index — the build-then-search path a production
+    // embedding store runs. Cell width re-derives from the SURVIVOR count.
+    "embedding_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dups = VectorOps.embCosineDups(emb, threshold = 0.4)
+        .select(col("vec_id"))
+      VectorOps.ivfMultiprobeTopK(
+        emb.join(dups, Seq("vec_id"), "left_anti").persist(), k = 3)
+    }))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -216,5 +228,46 @@ object VectorQueries extends QueryModule {
          |  WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4)
          |SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
          |  min_by(cosine, vec_a) AS cosine
-         |FROM pairs GROUP BY vec_b""".stripMargin)
+         |FROM pairs GROUP BY vec_b""".stripMargin,
+
+    // LSH-candidate cosine dedup (as dedup_embedding_cosine) -> survivor
+    // set -> multi-probe top-3 with cell width from the survivor count
+    "embedding_pipeline" ->
+      s"""WITH q0 AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |sg0 AS (SELECT vec_id, qv, $sigSql AS sig FROM q0),
+         |bands0 AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |  FROM sg0),
+         |cands0 AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands0 a JOIN bands0 b
+         |    ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |dups AS (
+         |  SELECT DISTINCT vec_b AS vec_id
+         |  FROM cands0
+         |  JOIN q0 qa ON qa.vec_id = vec_a
+         |  JOIN q0 qb ON qb.vec_id = vec_b
+         |  WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4),
+         |sg AS (SELECT * FROM sg0
+         |       WHERE vec_id NOT IN (SELECT vec_id FROM dups)),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM sg) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |pr AS (SELECT vec_id AS q_id, qv AS qqv,
+         |         unnest(list_transform(range(-1, bits), p ->
+         |           array_to_string(list_transform(range(1, bits + 1),
+         |             h -> CASE WHEN h - 1 = p THEN 1 - sig[h] ELSE sig[h] END), ','))) AS cell
+         |       FROM sg CROSS JOIN par),
+         |msc AS (SELECT a.q_id, b.vec_id, ${cosSql("a.qqv", "b.qv")} AS c
+         |        FROM pr a JOIN cl b ON a.cell = b.cell AND a.q_id <> b.vec_id),
+         |mr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc)
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM mr WHERE rk <= 3""".stripMargin)
 }
