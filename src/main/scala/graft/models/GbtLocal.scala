@@ -79,7 +79,14 @@ object GbtLocal {
         if (a < b) {
           val nl = k + 1
           val gain = sl * sl / nl + (s - sl) * (s - sl) / (n - nl) - s * s / n
-          if (gain > bestGain) { bestGain = gain; bestFeat = f; bestThr = a / 2 + b / 2 }
+          if (gain > bestGain) {
+            // a/2 + b/2 can round UP to exactly b for adjacent doubles,
+            // which would empty the right side (x > thr) and mean-of-zero
+            // NaN-poison the tree; splitting at a keeps both sides
+            // non-empty (x <= a vs x > a) with identical membership.
+            val mid = a / 2 + b / 2
+            bestGain = gain; bestFeat = f; bestThr = if (mid < b) mid else a
+          }
         }
         k += 1
       }

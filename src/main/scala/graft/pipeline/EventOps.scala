@@ -59,7 +59,11 @@ object EventOps {
     * neither.
     *
     * `left` needs (key, ts) plus any pass-through columns; `right` is
-    * (key, ts, value).
+    * (key, ts, value) of any orderable types — the null pads below take
+    * their types from `right`'s actual schema, so a right frame with e.g.
+    * timestamp ts or decimal value unions cleanly. Right rows sharing a
+    * (key, ts) are resolved deterministically: the window ordering
+    * tie-breaks on `value`, so the GREATEST value at the tied ts wins.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String): DataFrame = {
     val extra = left.columns.filterNot(c => c == key || c == "ts")
@@ -69,11 +73,13 @@ object EventOps {
         extra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftTagged = left.select(
       col(key) +: col("ts") +: lit(1).as("__src") +:
-        lit(null).cast("long").as("__rts") +:
-        lit(null).cast("double").as("__rval") +:
+        lit(null).cast(right.schema("ts").dataType).as("__rts") +:
+        lit(null).cast(right.schema("value").dataType).as("__rval") +:
         extra.map(col(_)): _*)
-    // right row sorts before a left row at the same ts -> <= semantics
-    val w = Window.partitionBy(key).orderBy(col("ts"), col("__src"))
+    // right row sorts before a left row at the same ts -> <= semantics;
+    // __rval (asc, nulls first — left rows carry null) makes duplicate
+    // right ts deterministic: last() sees the greatest tied value last
+    val w = Window.partitionBy(key).orderBy(col("ts"), col("__src"), col("__rval").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     rightTagged.unionByName(leftTagged)
       .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))

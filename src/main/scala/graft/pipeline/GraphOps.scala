@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * CLUSTERS (pick one representative per component) at corpus scale.
   *
   * Each round every node takes the minimum label among itself and its
-  * neighbors; a fixpoint is reached after `diameter` rounds. Duplicate
-  * graphs are dense clumps with tiny diameters (docs in a near-dup
-  * cluster are mostly pairwise-similar), so the loop terminates in a
-  * handful of rounds; `maxIter` bounds adversarial chains, and hitting
-  * it raises rather than returning a half-merged labeling. Per round:
+  * neighbors, then additionally the label OF that label (pointer
+  * doubling) — label chains halve per round, so the fixpoint arrives in
+  * O(log diameter) rounds rather than diameter. Duplicate graphs are
+  * dense clumps with tiny diameters anyway (docs in a near-dup cluster
+  * are mostly pairwise-similar); `maxIter` bounds adversarial chains
+  * (now needing diameter > 2^30 to hit), and hitting it raises rather
+  * than returning a half-merged labeling. Per round:
   * one equi-join of labels onto the symmetrized edge list + one
   * min-aggregate — both shuffle on node id, no quadratic blowup on hot
   * nodes. Lineage is truncated every round with an eager
@@ -55,11 +57,20 @@ object GraphOps {
       import spark.implicits._
       val es = sym.as[(Long, Long)].collect()
       sym.unpersist()
-      // union-find, smaller root wins: every root is its component's min
+      // union-find, smaller root wins: every root is its component's min.
+      // find is ITERATIVE (walk to root, second pass compresses) — the
+      // smaller-root union rule can build O(n)-deep chains under
+      // adversarial edge order, and a recursive find would overflow the
+      // driver stack at the 2M-edge bound; compression keeps amortized
+      // depth near-constant without giving up the root-is-min invariant
+      // that union-by-rank would break.
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -82,10 +93,21 @@ object GraphOps {
         .join(labels.select(col("id").as("dst"), col("comp_id").as("ncomp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neigh, Seq("id"), "left")
         .select(col("id"),
           least(col("comp_id"), coalesce(col("nmin"), col("comp_id"))).as("comp_id"))
+        .localCheckpoint(true) // feeds BOTH sides of the doubling self-join
+      // pointer doubling: also take the label OF my label (every comp_id
+      // is itself a node id, so the lookup is total). Neighbor-min alone
+      // needs diameter rounds; label-of-label halves every label chain
+      // per round, so convergence is O(log diameter) and maxIter=30 is
+      // unreachable for any real graph (2^30-diameter chains).
+      val next = stepped
+        .join(stepped.select(col("id").as("comp_id"), col("comp_id").as("gcomp")),
+          Seq("comp_id"), "left")
+        .select(col("id"),
+          least(col("comp_id"), coalesce(col("gcomp"), col("comp_id"))).as("comp_id"))
         .localCheckpoint(true)
       val s = next.agg(sum(col("comp_id").cast("decimal(30,0)"))).head.getDecimal(0)
       converged = s.compareTo(lastSum) == 0

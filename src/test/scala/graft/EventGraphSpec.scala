@@ -89,10 +89,23 @@ class EventGraphSpec extends SparkSpec {
     assert(spread > 4, s"expected >4 of 8 salt buckets used, got $spread")
   }
 
-  test("connectedComponents: long chain converges within the iteration cap") {
-    val n = 24
+  test("connectedComponents: 2000-chain converges in O(log d) rounds (pointer doubling)") {
+    // neighbor-min alone needs ~diameter rounds, so a 2000-node chain
+    // under maxIter=15 passes ONLY with the label-of-label doubling step
+    val n = 2000
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(edges, maxIter = 30, driverMaxEdges = 0L)
+    val got = GraphOps.connectedComponents(edges, maxIter = 15, driverMaxEdges = 0L)
+    assert(got.agg(countDistinct(col("comp_id"))).head.getLong(0) == 1L)
+    assert(got.count() == n.toLong)
+    assert(got.agg(min(col("comp_id"))).head.getLong(0) == 1L)
+  }
+
+  test("connectedComponents: driver union-find survives a 100k-deep chain") {
+    // adversarial collect order can chain parents O(n) deep; the iterative
+    // find must label the whole chain without blowing the driver stack
+    val n = 100000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges) // <= driverMaxEdges path
     assert(got.agg(countDistinct(col("comp_id"))).head.getLong(0) == 1L)
     assert(got.count() == n.toLong)
   }
