@@ -231,6 +231,16 @@ object VectorOps {
     val cands = probes.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
+    scoreCandidates(emb, cands, k)
+  }
+
+  /** Shared tail of every cell-restricted search: exact quantized cosine
+    * over the candidate (q_id, vec_id) pairs via the relational exploded
+    * dot (explode → equi-join on (pair, component) → groupBy-sum — stays
+    * in whole-stage codegen), then per-query top-k. */
+  private def scoreCandidates(emb: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    val ex = emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
     val norms = ex.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("n2"))
     val dots = cands
       .join(ex.select(col("vec_id").as("q_id"), col("i"), col("x").as("xq")), Seq("q_id"))
@@ -250,22 +260,135 @@ object VectorOps {
         round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
   }
 
-  /** recall@k of the multi-probe search vs the exact baseline — the
-    * companion diagnostic to [[ivfRecall]] quantifying what the (b+1)×
-    * probe fanout buys back. */
-  def multiprobeRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
-    val exact = bruteForceTopK(emb, queryMaxId, k)
+  /** Integer-exact Lloyd fit on a deterministic sample — the k-means
+    * coarse quantizer for [[ivfKmeansTopK]].
+    *
+    * Everything is chosen to be exactly replayable in SQL (the DuckDB
+    * oracle re-runs the identical fit as unrolled CTEs):
+    *  - sample = the `sampleSize` lowest vec_ids (one TakeOrdered pass —
+    *    at 100 TB you'd swap in a hash-sample; the bound keeps the fit
+    *    O(sample · k · dim · iters) on the driver, the [[graft.models
+    *    .GbtLocal]] fit-small/score-distributed split);
+    *  - k = min(ceil(n / targetCellSize), sampleSize), so cell count
+    *    grows linearly with the corpus exactly like [[cellBits]];
+    *  - init = the k lowest-vec_id sample vectors; `iters` FIXED Lloyd
+    *    rounds (no data-dependent convergence test to diverge on);
+    *  - centroids stay INTEGER: component mean rounded half-away-from-
+    *    zero with pure Long arithmetic ((2s+m)/(2m), sign-split so
+    *    truncating division agrees between Scala and DuckDB `//`), so
+    *    every distance comparison is exact BIGINT on both engines;
+    *  - assignment ties break to the lowest cid; empty clusters keep
+    *    their previous centroid.
+    */
+  def kmeansCentroids(emb: DataFrame, targetCellSize: Int = 50,
+                      sampleSize: Int = 512, iters: Int = 4): Array[Array[Long]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val samp: Array[Array[Long]] = emb.select(col("vec_id"), quant.as("q"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("q")).as[Seq[Long]].collect().map(_.toArray)
+    require(samp.nonEmpty, "kmeansCentroids needs a non-empty corpus")
+    val n = emb.count()
+    val k = math.max(1L,
+      math.min((n + targetCellSize - 1) / targetCellSize, samp.length.toLong)).toInt
+    val dim = samp.head.length
+    var cents = samp.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnts = new Array[Long](k)
+      samp.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0L; var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < -> lowest-cid tie
+          c += 1
+        }
+        cnts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else Array.tabulate(dim) { j =>
+          val s = sums(c)(j); val m = cnts(c)
+          if (s >= 0) (2 * s + m) / (2 * m) else -((-2 * s + m) / (2 * m))
+        }
+      }
+    }
+    cents
+  }
+
+  /** Distance-ranked centroid assignments: one (vec_id, cid, dist, rn)
+    * row per vector × centroid, rn = rank by (dist, cid) within the
+    * vector. rn = 1 is the cell assignment; rn <= nprobe is the probe
+    * set. The centroid matrix ships as a literal inside the transform
+    * expression (plan-embedded broadcast), so ranking is one map-side
+    * O(k·dim) pass per row plus a single window shuffle on vec_id —
+    * no join against a centroid table. */
+  private def kmeansRanked(emb: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    import org.apache.spark.sql.expressions.Window
+    emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("dists", transform(centsLit, cv =>
+        aggregate(zip_with(col("q"), cv, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)))
+      .select(col("vec_id"), posexplode(col("dists")).as(Seq("cid", "dist")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+  }
+
+  /** IVF top-k with a k-means coarse quantizer: corpus vectors live in
+    * their nearest-centroid cell; each query probes its `nprobe` nearest
+    * cells (the standard IVF recall lever — sign-cells lose recall on
+    * CLUSTERED data that k-means cells keep, because cell boundaries
+    * follow the data instead of fixed hyperplanes). Candidate work is
+    * O(n · nprobe · targetCellSize): linear in the corpus, bounded
+    * fanout, never all-pairs. nprobe defaults to ceil(k/5) — probe ~20%
+    * of cells. */
+  def ivfKmeansTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
+                    nprobeOverride: Int = -1): DataFrame = {
+    val cents = kmeansCentroids(emb, targetCellSize)
+    val nprobe = if (nprobeOverride > 0) nprobeOverride
+                 else math.max(1, (cents.length + 4) / 5)
+    val ranked = kmeansRanked(emb, cents)
+    val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    // each corpus vector lives in exactly one cell and probe cids are
+    // distinct per query, so (q_id, vec_id) pairs are already unique
+    val cands = probes.join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    val approx = ivfMultiprobeTopK(emb, k)
-      .filter(col("q_id") < queryMaxId)
-      .select(col("q_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+    scoreCandidates(emb, cands, k)
+  }
+
+  /** recall@k of an approximate search vs the exact baseline: hits per
+    * query and the hit fraction — the shared scaffold for every ANN
+    * quality diagnostic below. */
+  private def recallVs(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val hits = e.join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-    exact.select(col("q_id")).distinct()
+    e.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
   }
+
+  /** recall@k of the multi-probe search vs the exact baseline — the
+    * companion diagnostic to [[ivfRecall]] quantifying what the (b+1)×
+    * probe fanout buys back. */
+  def multiprobeRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      ivfMultiprobeTopK(emb, k).filter(col("q_id") < queryMaxId), k)
+
+  /** recall@k of the k-means-quantized nprobe search vs the exact
+    * baseline — the diagnostic that shows what data-following cells buy
+    * over fixed sign-hyperplane cells on clustered corpora. */
+  def kmeansRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      ivfKmeansTopK(emb, k).filter(col("q_id") < queryMaxId), k)
 
   /** LSH near-pair mining: bucket by banded sign keys, equi-join on the
     * key, verify candidates with the exact quantized cosine at `threshold`.
@@ -301,19 +424,9 @@ object VectorOps {
     * losing neighbors before you ship it. Both sides are engine queries,
     * so the whole evaluation (including the recall fraction) has an
     * exact SQL oracle. */
-  def ivfRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
-    val exact = bruteForceTopK(emb, queryMaxId, k)
-      .select(col("q_id"), col("vec_id"))
-    val approx = ivfTopK(emb, k)
-      .filter(col("q_id") < queryMaxId)
-      .select(col("q_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-    exact.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
-  }
+  def ivfRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      ivfTopK(emb, k).filter(col("q_id") < queryMaxId), k)
 
   /** Embedding-cosine near-duplicate verdicts: candidate pairs come from
     * the banded sign-LSH equi-join ([[lshPairs]] — never all-pairs),

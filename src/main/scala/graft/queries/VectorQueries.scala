@@ -33,6 +33,53 @@ object VectorQueries extends QueryModule {
       |        CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1)))
       |  >= 0 THEN 1 ELSE 0 END)""".stripMargin
 
+  /** DuckDB replay of [[VectorOps.kmeansCentroids]] + the nprobe search
+    * candidates, as a chain of CTEs generated per Lloyd iteration
+    * (iterations are FIXED, so unrolling sidesteps recursive-CTE
+    * aggregation limits). Expects a `q(vec_id, qv)` CTE in scope;
+    * produces `kcand(q_id, qqv, vec_id, qv)`.
+    *
+    * Exactness contract (mirrors the Scala fit): integer centroids via
+    * sign-split half-away-from-zero rounding in pure BIGINT arithmetic,
+    * squared-distance comparisons all BIGINT, ties to the lowest cid,
+    * empty clusters carry the previous centroid forward. */
+  private def kmeansCtes(iters: Int = 4): String = {
+    def dist(qv: String, c: String) =
+      s"list_sum(list_transform(range(1, len($qv) + 1), j -> ($qv[j] - $c[j]) * ($qv[j] - $c[j])))"
+    val head =
+      s"""par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k FROM embeddings),
+         |samp AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 512),
+         |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |            qv AS cent
+         |          FROM samp QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM par)),""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""asg$i AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT s.vec_id, s.qv, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dist("s.qv", "c.cent")}, c.cid) AS rn
+         |  FROM samp s CROSS JOIN cent$i c) WHERE rn = 1),
+         |cmp$i AS (SELECT cid, j,
+         |    CASE WHEN SUM(qv[j + 1]) >= 0
+         |      THEN (2 * SUM(qv[j + 1]) + COUNT(*)) // (2 * COUNT(*))
+         |      ELSE -((-2 * SUM(qv[j + 1]) + COUNT(*)) // (2 * COUNT(*))) END AS r
+         |  FROM asg$i CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) jj
+         |  GROUP BY cid, j),
+         |cent${i + 1} AS (SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+         |  FROM cent$i c LEFT JOIN (SELECT cid, list(CAST(r AS BIGINT) ORDER BY j) AS cent
+         |                           FROM cmp$i GROUP BY cid) n ON c.cid = n.cid),""".stripMargin
+    }.mkString("\n")
+    val tail =
+      s"""ranked AS (SELECT q.vec_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
+         |  FROM q CROSS JOIN cent$iters c),
+         |np AS (SELECT GREATEST(1, (k + 4) // 5) AS nprobe FROM par),
+         |kcells AS (SELECT vec_id, qv, cid FROM ranked WHERE rn = 1),
+         |kprobes AS (SELECT vec_id AS q_id, qv AS qqv, cid FROM ranked
+         |            WHERE rn <= (SELECT nprobe FROM np)),
+         |kcand AS (SELECT p.q_id, p.qqv, c.vec_id, c.qv
+         |          FROM kprobes p JOIN kcells c ON p.cid = c.cid AND c.vec_id <> p.q_id)""".stripMargin
+    head + "\n" + steps + "\n" + tail
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) =>
       VectorOps.bruteForceTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 5)),
@@ -58,6 +105,14 @@ object VectorQueries extends QueryModule {
       VectorOps.ivfMultiprobeTopK(Tables.embeddings(s, d), k = 3)),
     "ann_multiprobe_recall" -> ((s, d) =>
       VectorOps.multiprobeRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // k-means coarse quantizer: driver Lloyd fit on a deterministic
+    // sample (integer-exact, replayed by the oracle CTE-for-CTE),
+    // nprobe nearest cells per query — the cell strategy that follows
+    // the data where sign-hyperplanes can't
+    "ann_ivf_kmeans" -> ((s, d) =>
+      VectorOps.ivfKmeansTopK(Tables.embeddings(s, d), k = 3)),
+    "ann_kmeans_recall" -> ((s, d) =>
+      VectorOps.kmeansRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -202,6 +257,34 @@ object VectorQueries extends QueryModule {
          |mr AS (SELECT *, row_number() OVER (
          |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc),
          |approx AS (SELECT q_id, vec_id FROM mr WHERE rk <= 3 AND q_id < 10),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    "ann_ivf_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes()},
+         |sc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM r WHERE rk <= 3""".stripMargin,
+
+    "ann_kmeans_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |        FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |${kmeansCtes()},
+         |ksc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
+         |kr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM ksc),
+         |approx AS (SELECT q_id, vec_id FROM kr WHERE rk <= 3 AND q_id < 10),
          |hits AS (SELECT exact.q_id, COUNT(*) AS h
          |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
          |SELECT e.q_id, COALESCE(h, 0) AS hits,

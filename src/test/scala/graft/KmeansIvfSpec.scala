@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.VectorOps
+import org.apache.spark.sql.functions._
+
+/** k-means coarse-quantizer IVF: the property that justifies its
+  * existence next to the sign-hyperplane index — on CLUSTERED data,
+  * cells that follow the data keep the neighbors that fixed hyperplane
+  * cells split apart.
+  */
+class KmeansIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8 well-separated direction clusters × 30 members, dim 64: member =
+    * cluster center (±1 per component, seeded) + small per-member jitter,
+    * so true nearest neighbors are overwhelmingly same-cluster. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 30
+    } yield {
+      val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f)
+      ((c * 30 + m).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k-means cells beat sign-hyperplane multi-probe on clustered data") {
+    val km = VectorOps.kmeansRecall(clustered, queryMaxId = 10, k = 3)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    val mp = VectorOps.multiprobeRecall(clustered, queryMaxId = 10, k = 3)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(km >= mp, s"kmeans recall $km should be >= multiprobe recall $mp")
+    assert(km >= 0.8, s"kmeans recall on well-clustered data should be high, got $km")
+  }
+
+  test("Lloyd fit is deterministic and assignment covers every vector exactly once") {
+    val c1 = VectorOps.kmeansCentroids(clustered)
+    val c2 = VectorOps.kmeansCentroids(clustered)
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // ceil(240 / 50) = 5 cells
+    assert(c1.length == 5)
+    val topk = VectorOps.ivfKmeansTopK(clustered, k = 3)
+    // every query with >= 1 candidate returns <= 3 ranked rows
+    val bad = topk.groupBy(col("q_id")).agg(count(lit(1)).as("n"), max(col("rk")).as("m"))
+      .filter(col("n") > 3 || col("m") > 3).count()
+    assert(bad == 0L)
+  }
+}
