@@ -76,4 +76,101 @@ class RestFacadeSpec extends SparkSpec {
       assert(so >= 2 && so <= 12, b5)
     } finally f.stop()
   }
+
+  test("latency routes: 412 before fit, clustered classes + GBT latencies after") {
+    val f = RestFacade.start(spark, models = 4)
+    try {
+      val predBody =
+        """{"job": "L", "min_scale_out": 2, "max_scale_out": 6,
+          | "scale_out": 4, "throughput_rate": 300.0}""".stripMargin
+      assert(post(f.url("/latency/prediction"), predBody)._1 == 412)
+      // two clear latency regimes: low (~10) at high scale-out, high
+      // (~900) at low scale-out
+      val (ct, bt) = post(f.url("/latency/training"),
+        """{"job": "L",
+          | "scale_outs": [2, 2, 3, 3, 5, 5, 6, 6],
+          | "throughput_rates": [300, 320, 300, 320, 300, 320, 300, 320],
+          | "latencies": [900.0, 880.0, 910.0, 905.0, 11.0, 10.0, 9.5, 10.5]}""".stripMargin)
+      assert(ct == 200 && bt.contains("task_hash"), bt)
+      val hash = "\"task_hash\": \"([0-9a-f]+)\"".r.findFirstMatchIn(bt).get.group(1)
+      assert(get(f.url(s"/common/tasks/$hash")) == ((200, "false")))
+      val (cp, bp) = post(f.url("/latency/prediction"), predBody)
+      assert(cp == 200, bp)
+      // high scale-outs predict low latency -> valid (low cluster); low
+      // scale-outs predict high latency -> invalid; best = first valid
+      val lats = "\\{\"scale_out\": ([0-9]+), \"latency\": ([-0-9.eE]+), \"is_best\": (\\w+), \"is_valid\": (\\w+)\\}".r
+        .findAllMatchIn(bp).map(m =>
+          (m.group(1).toInt, m.group(2).toDouble, m.group(3).toBoolean, m.group(4).toBoolean)).toSeq
+      val cands = lats.drop(1) // first match is "current"
+      assert(cands.map(_._1) == Seq(2, 3, 4, 5, 6), bp)
+      assert(!cands.find(_._1 == 2).get._4 && cands.find(_._1 == 6).get._4, bp)
+      assert(cands.count(_._3) == 1 && cands.find(_._3).get._4, bp)
+      assert(cands.find(_._1 == 2).get._2 > 500 && cands.find(_._1 == 6).get._2 < 100, bp)
+      // evaluation over an explicit candidate set: only is_valid=true
+      // candidates can stay valid
+      val (ce, be) = post(f.url("/latency/evaluation"),
+        """{"job": "L",
+          | "current": {"scale_out": 5, "is_best": false, "is_valid": true},
+          | "candidates": [
+          |   {"scale_out": 2, "is_best": false, "is_valid": true},
+          |   {"scale_out": 5, "is_best": false, "is_valid": true},
+          |   {"scale_out": 6, "is_best": false, "is_valid": false}],
+          | "predicted_throughput_rate": 310.0}""".stripMargin)
+      assert(ce == 200, be)
+      val ev = "\\{\"scale_out\": ([0-9]+), \"latency\": [-0-9.eE]+, \"is_best\": \\w+, \"is_valid\": (\\w+)\\}".r
+        .findAllMatchIn(be).map(m => (m.group(1).toInt, m.group(2).toBoolean)).toSeq.drop(1)
+      assert(ev.map(_._1) == Seq(2, 5, 6), be)
+      // 6 was previously invalid -> stays invalid even though its
+      // predicted latency is in the low cluster
+      assert(!ev.find(_._1 == 6).get._2 && ev.find(_._1 == 5).get._2, be)
+    } finally f.stop()
+  }
+
+  test("recoverytime routes: 412 before fit, catch-up + forecast stats after") {
+    val f = RestFacade.start(spark, models = 4)
+    try {
+      val predBody =
+        s"""{"job": "R", "min_scale_out": 2, "max_scale_out": 6, "scale_out": 4,
+           | "workload": ${ts(60, i => 100.0 + (i % 5))},
+           | "prediction_period_in_s": 120, "downtime": 10.0,
+           | "last_checkpoint": 90.0, "max_recovery_time": 600.0}""".stripMargin
+      assert(post(f.url("/recoverytime/prediction"), predBody)._1 == 412)
+      val (ct, bt) = post(f.url("/recoverytime/training"),
+        """{"job": "R", "scale_outs": [2, 4, 8],
+          | "max_throughput_rates": [124.2, 248.4, 496.8]}""".stripMargin)
+      assert(ct == 200 && bt.contains("task_hash"), bt)
+      val (cp, bp) = post(f.url("/recoverytime/prediction"), predBody)
+      assert(cp == 200, bp)
+      assert(bp.contains("\"predicted_throughput_rate\": ") && bp.contains("\"slope\": "), bp)
+      val rts = "\\{\"scale_out\": ([0-9]+), \"recovery_time\": ([-0-9.eE]+)".r
+        .findAllMatchIn(bp).map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq.drop(1)
+      assert(rts.map(_._1) == Seq(2, 3, 4, 5, 6), bp)
+      // every recovery time includes the 10 s downtime, and higher
+      // scale-outs (more capacity) never recover slower
+      assert(rts.forall(_._2 >= 10.0), bp)
+      assert(rts.sliding(2).forall(p => p.head._2 >= p.last._2 - 1e-9), bp)
+      // forecast peak of a ~100-104 workload lands in that band
+      val ptr = "\"predicted_throughput_rate\": ([-0-9.eE]+)".r
+        .findFirstMatchIn(bp).get.group(1).toDouble
+      assert(ptr > 90 && ptr < 115, bp)
+      // horizon above models*step refused
+      val (ch, _) = post(f.url("/recoverytime/prediction"),
+        predBody.replace("\"prediction_period_in_s\": 120", "\"prediction_period_in_s\": 100000"))
+      assert(ch == 412)
+      // evaluation path: explicit candidates, current among them
+      val (ce, be) = post(f.url("/recoverytime/evaluation"),
+        s"""{"job": "R",
+           | "current": {"scale_out": 4, "is_best": false, "is_valid": true},
+           | "candidates": [
+           |   {"scale_out": 2, "is_best": false, "is_valid": true},
+           |   {"scale_out": 4, "is_best": false, "is_valid": true}],
+           | "workload": ${ts(60, i => 100.0 + (i % 5))},
+           | "prediction_period_in_s": 120, "downtime": 10.0,
+           | "last_checkpoint": 90.0, "max_recovery_time": 600.0}""".stripMargin)
+      assert(ce == 200, be)
+      val ev = "\\{\"scale_out\": ([0-9]+), \"recovery_time\":".r
+        .findAllMatchIn(be).map(_.group(1).toInt).toSeq.drop(1)
+      assert(ev == Seq(2, 4), be)
+    } finally f.stop()
+  }
 }
