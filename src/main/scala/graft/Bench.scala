@@ -30,7 +30,11 @@ object Bench {
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          CacheScope.scoped {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          true
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val t = (System.nanoTime() - t0) / 1e9
       // isolate queries: per-query persists otherwise accumulate across

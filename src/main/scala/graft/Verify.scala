@@ -22,14 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // the scope releases every builder-internal persist right after the
+      // query's terminal action; clearCache stays as the backstop for
+      // anything persisted outside CacheScope
+      try CacheScope.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries that persist internal frames (corpus_pipeline, m1_update)
-      // must not accumulate cache across the 90+ query sweep (same
-      // hygiene as Bench)
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -88,13 +88,13 @@ object SmoothOps {
     // base feeds four consumers (interior/head/tail contributions + the
     // final join); without persist the whole upstream (typically dense
     // grid → chunked interpolation) re-executes per consumer — 4× the
-    // work (A/B-benched: 15.1s → 2.6s at sf0.1). The entry stays cached
-    // for the session (no safe unpersist point inside a lazy builder);
-    // it is one series-sized dataset, LRU-evictable under pressure
-    val base = df
+    // work (A/B-benched: 15.1s → 2.6s at sf0.1). No safe unpersist point
+    // exists inside this lazy builder, so the cache is scope-registered:
+    // a CacheScope.scoped caller releases it after its terminal action;
+    // without a scope it stays for the session (LRU-evictable)
+    val base = graft.CacheScope.persist(df
       .withColumn("pos", row_number().over(wOrd) - 1)
-      .withColumn("n", count(lit(1)).over(wAll))
-      .persist()
+      .withColumn("n", count(lit(1)).over(wAll)))
     val cInt = decArr(sgInterior)
     val cHead = decArr(sgHead)
     val cTail = decArr(sgTail)
@@ -149,9 +149,9 @@ object SmoothOps {
     val g = groupCols.map(col)
     val wLit = typedlit(expWeights().map(scala.math.BigDecimal(_)))
     // dense feeds both the contribution explode and the grid join below;
-    // persist so its (interpolated) upstream executes once (same
-    // session-lifetime cache tradeoff as savgol's base above)
-    val dense1 = dense.persist()
+    // persist so its (interpolated) upstream executes once (scope-
+    // registered, same ownership story as savgol's base above)
+    val dense1 = graft.CacheScope.persist(dense)
     val contribs = dense1.filter(col("value").isNotNull)
       .select(g :+ col("ts") :+ col("value") :+
         explode(sequence(lit(-30), lit(29))).as("d"): _*)

@@ -33,16 +33,15 @@ object Cluster1D {
     val wAll = Window.partitionBy(g: _*)
     val dec = (c: Column) => c.cast(DecimalType(18, 4))
     // both the sse argmin branch and the final label join read `base`:
-    // persist so the sort+window pipeline runs once (same session-lifetime
-    // cache tradeoff as SmoothOps.savgol's base)
-    val base = df
+    // persist so the sort+window pipeline runs once (scope-registered,
+    // same ownership story as SmoothOps.savgol's base)
+    val base = graft.CacheScope.persist(df
       .withColumn("pos", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("s1", sum(dec(col("y"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("s2", sum(dec(col("y")) * dec(col("y"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("t1", sum(dec(col("y"))).over(wAll) - col("s1"))
-      .withColumn("t2", sum(dec(col("y")) * dec(col("y"))).over(wAll) - col("s2"))
-      .persist()
+      .withColumn("t2", sum(dec(col("y")) * dec(col("y"))).over(wAll) - col("s2")))
     val sse = base.filter(col("pos") < col("n"))
       .withColumn("sse",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("pos")) +
@@ -108,14 +107,14 @@ object Cluster1D {
     val dec = (c: Column) => c.cast(DecimalType(18, 6))
     // persist: the sse branch and the label join both read `base`, and its
     // upstream (robustLogTransform's quantile join) is itself multi-stage
-    val base = df
+    // (scope-registered, same ownership story as twoMeans above)
+    val base = graft.CacheScope.persist(df
       .withColumn("pos", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("s1", sum(dec(col("t"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("s2", sum(dec(col("t")) * dec(col("t"))).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("t1", sum(dec(col("t"))).over(wAll) - col("s1"))
-      .withColumn("t2", sum(dec(col("t")) * dec(col("t"))).over(wAll) - col("s2"))
-      .persist()
+      .withColumn("t2", sum(dec(col("t")) * dec(col("t"))).over(wAll) - col("s2")))
     val sse = base.filter(col("pos") < col("n"))
       .withColumn("sse",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("pos")) +

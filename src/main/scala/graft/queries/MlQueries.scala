@@ -43,15 +43,14 @@ object MlQueries extends QueryModule {
       val wOrd = Window.partitionBy(col("ts") % 1).orderBy("ts")
       // both the init and tail segments (and the tail twice, via
       // updateState's count + alignment legs) read this subplan: cache it
-      val posed = clickDf(s, d)
+      val posed = graft.CacheScope.persist(clickDf(s, d)
         .withColumn("pos", row_number().over(wOrd) - 1)
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ts") % 1)))
-        .withColumn("cut", col("n") - 1 - expr("(n - 1) div 6"))
-        .persist()
+        .withColumn("cut", col("n") - 1 - expr("(n - 1) div 6")))
       val init = posed.filter(col("pos") <= col("cut")).select("ts", "value")
       val tail = posed.filter(col("pos") > col("cut")).select("ts", "value")
       // updateState reads its state 3x: materialize the O(models)-row fit
-      val st = ArEnsemble.fitState(init, MODELS).persist()
+      val st = graft.CacheScope.persist(ArEnsemble.fitState(init, MODELS))
       ArEnsemble.forecastFromState(ArEnsemble.updateState(st, tail, MODELS), HOR_UPD)
     }),
 

@@ -124,19 +124,23 @@ object TextQueries extends QueryModule {
       // d1 feeds BOTH the pair-graph materialization (inside the CC
       // loop's first checkpoint) and the final survivor anti-join — cache
       // it so the lang/quality/dedup subtree runs once, not per consumer
-      val d1 = gated.join(keep1, "doc_id").persist()
+      val d1 = graft.CacheScope.persist(gated.join(keep1, "doc_id"))
       // one materialized shingle index feeds banding AND verification
-      val inv = DedupOps.shingleRows(d1).persist()
+      val inv = graft.CacheScope.persist(DedupOps.shingleRows(d1))
       val nonRep = graft.pipeline.GraphOps.connectedComponents(
         DedupOps.minhashPairs(d1, sharedInv = Some(inv))
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .filter(col("comp_id") =!= col("id")).select(col("id").as("doc_id"))
+      // connectedComponents is EAGER (driver collect / per-round
+      // checkpoints), so inv's only consumer has already run: release it
+      // now instead of waiting for the enclosing scope
+      inv.unpersist()
       val d2 = d1.join(nonRep, Seq("doc_id"), "left_anti")
       val contam = DedupOps.contamination(all, col("source") === "src0")
         .select(col("train_id").as("doc_id")).distinct()
       // the final select reads withSplit twice (pack input + output join)
-      val d3 = d2.filter(col("source") =!= "src0")
-        .join(contam, Seq("doc_id"), "left_anti").persist()
+      val d3 = graft.CacheScope.persist(d2.filter(col("source") =!= "src0")
+        .join(contam, Seq("doc_id"), "left_anti"))
       val withSplit = d3.join(
         TextOps.splitAssign(d3, valFrac = 0.1, testFrac = 0.05), "doc_id")
       val packed = TextOps.packAssignments(

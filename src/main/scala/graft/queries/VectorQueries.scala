@@ -123,7 +123,7 @@ object VectorQueries extends QueryModule {
       val dups = VectorOps.embCosineDups(emb, threshold = 0.4)
         .select(col("vec_id"))
       VectorOps.ivfMultiprobeTopK(
-        emb.join(dups, Seq("vec_id"), "left_anti").persist(), k = 3)
+        graft.CacheScope.persist(emb.join(dups, Seq("vec_id"), "left_anti")), k = 3)
     }))
 
   def oracles: Map[String, String] = Map(
