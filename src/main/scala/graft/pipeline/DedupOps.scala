@@ -179,11 +179,26 @@ object DedupOps {
     * shingle, never all-pairs — with the same df-cap on hot shingles. At
     * scale the eval set is small: its inverted index ends up the
     * broadcast side of the join automatically. Output: one row per
-    * suspect (train_id, eval_id, shared). */
+    * suspect (train_id, eval_id, shared).
+    *
+    * `sharedShingles`: an already-materialized (doc_id, s) index covering
+    * a SUBSET of `docs` — only the docs missing from it are re-shingled
+    * (a pipeline that has just mined near-dup pairs hands its persisted
+    * index over instead of re-scanning the corpus). Results are identical
+    * either way: shingling is per-document. */
   def contamination(docs: DataFrame, evalPred: Column, minShared: Int = 3,
-                    maxPostingLen: Int = 100): DataFrame = {
+                    maxPostingLen: Int = 100,
+                    sharedShingles: Option[DataFrame] = None): DataFrame = {
     val flagged = docs.withColumn("is_eval", evalPred)
-    val inv = shingleRows(flagged.select(col("doc_id"), col("text")))
+    val shingles = sharedShingles match {
+      case None => shingleRows(flagged.select(col("doc_id"), col("text")))
+      case Some(pre) =>
+        val covered = pre.select(col("doc_id")).distinct()
+        pre.select(col("doc_id"), col("s")).unionByName(shingleRows(
+          flagged.join(covered, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("text"))))
+    }
+    val inv = shingles
       .join(flagged.select(col("doc_id"), col("is_eval")), Seq("doc_id"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxPostingLen).select(col("s"))

@@ -214,12 +214,12 @@ object VectorOps {
     * relational exploded-dot path as [[ivfTopK]]. */
   def ivfMultiprobeTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
     val bits = cellBits(emb.count(), targetCellSize)
-    val ex = emb.select(col("vec_id"), quant.as("q"))
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val bitArr = signProjections(emb, bits)
+    // both the cell assignment and the probe expansion read bitArr, and
+    // its upstream is the full projection shuffle: scope-persisted
+    val bitArr = graft.CacheScope.persist(signProjections(emb, bits)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("h"), col("bit")))),
-        x => x.getField("bit")).as("ba"))
+        x => x.getField("bit")).as("ba")))
     val cells = bitArr.select(col("vec_id"),
       concat_ws(",", transform(col("ba"), v => v.cast("string"))).as("cell"))
     // probe p = -1 keeps the own cell; p in [0, b) flips bit p
@@ -234,25 +234,23 @@ object VectorOps {
     scoreCandidates(emb, cands, k)
   }
 
-  /** Shared tail of every cell-restricted search: exact quantized cosine
-    * over the candidate (q_id, vec_id) pairs via the relational exploded
-    * dot (explode → equi-join on (pair, component) → groupBy-sum — stays
-    * in whole-stage codegen), then per-query top-k. */
+  /** Shared tail of every probed search: exact quantized cosine over the
+    * candidate (q_id, vec_id) pairs — two equi-joins on the pair ids,
+    * then one zip_with fold per pair (the [[lshPairs]] profiling holds
+    * here too: at the multi-probe candidate volumes — hundreds of
+    * thousands of pairs — the per-pair fold beats the posexplode
+    * relational dot, whose (pairs × dim) join rows dominate; switching
+    * this path from exploded dots measured 19.1 s → 6.7 s for
+    * ann_ivf_kmeans and 7.5 s → 2.0 s for ann_ivf_multiprobe at
+    * sf0.1), then per-query top-k. */
   private def scoreCandidates(emb: DataFrame, cands: DataFrame, k: Int): DataFrame = {
-    val ex = emb.select(col("vec_id"), quant.as("q"))
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val norms = ex.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("n2"))
-    val dots = cands
-      .join(ex.select(col("vec_id").as("q_id"), col("i"), col("x").as("xq")), Seq("q_id"))
-      .join(ex.select(col("vec_id"), col("i"), col("x").as("xv")), Seq("vec_id", "i"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("xq") * col("xv")).as("dp"))
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
     import org.apache.spark.sql.expressions.Window
-    dots
-      .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), Seq("q_id"))
-      .join(norms, Seq("vec_id"))
-      .withColumn("c", col("dp").cast("double") /
-        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+    cands
+      .join(e.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -351,7 +349,10 @@ object VectorOps {
     val cents = kmeansCentroids(emb, targetCellSize)
     val nprobe = if (nprobeOverride > 0) nprobeOverride
                  else math.max(1, (cents.length + 4) / 5)
-    val ranked = kmeansRanked(emb, cents)
+    // cells (rn = 1) and probes (rn <= nprobe) both read the ranked
+    // frame; without a cache the per-row k x dim distance transform and
+    // its window run twice — scope-persisted
+    val ranked = graft.CacheScope.persist(kmeansRanked(emb, cents))
     val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))

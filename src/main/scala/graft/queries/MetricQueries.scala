@@ -72,7 +72,10 @@ object MetricQueries extends QueryModule {
       import org.apache.hadoop.fs.{FileSystem, Path}
       val path = s"target/graft-tmp/decisions_${new java.io.File(d).getName}"
       FileSystem.get(s.sparkContext.hadoopConfiguration).delete(new Path(path), true)
-      val ser = seriesDf(s, d)
+      // the bounds probe + 3 ticks x 3 per-sid legs all re-derive the
+      // series subplan (9+ executions without a cache — measured 5.7 s vs
+      // 2.9 s at sf0.1); scope-registered so the caller releases it
+      val ser = graft.CacheScope.persist(seriesDf(s, d))
       val b = ser.agg(min("ts"), max("ts")).head
       val (t0, t1) = (b.getLong(0), b.getLong(1))
       (1 to 3).foreach { i =>

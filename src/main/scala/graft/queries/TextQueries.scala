@@ -131,12 +131,14 @@ object TextQueries extends QueryModule {
         DedupOps.minhashPairs(d1, sharedInv = Some(inv))
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .filter(col("comp_id") =!= col("id")).select(col("id").as("doc_id"))
-      // connectedComponents is EAGER (driver collect / per-round
-      // checkpoints), so inv's only consumer has already run: release it
-      // now instead of waiting for the enclosing scope
-      inv.unpersist()
       val d2 = d1.join(nonRep, Seq("doc_id"), "left_anti")
-      val contam = DedupOps.contamination(all, col("source") === "src0")
+      // decontam extends the SAME persisted shingle index instead of
+      // re-scanning the corpus: only docs the lang/quality/exact gates
+      // rejected (all \ d1) are re-shingled; identical results, one
+      // corpus-wide shingle pass saved. inv stays cached until the
+      // enclosing scope releases it (decontam consumes it lazily).
+      val contam = DedupOps.contamination(all, col("source") === "src0",
+          sharedShingles = Some(inv))
         .select(col("train_id").as("doc_id")).distinct()
       // the final select reads withSplit twice (pack input + output join)
       val d3 = graft.CacheScope.persist(d2.filter(col("source") =!= "src0")
