@@ -65,6 +65,12 @@ object KafkaWiring {
     StructField("user_id", LongType),
     StructField("event_type", StringType)))
 
+  /** Session event payload (the sessionization job's input shape). */
+  val sessionEventSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
   /** Raw Kafka wire stream (key/value binary + topic/partition/offset). */
   def kafkaRaw(spark: SparkSession, conf: KafkaConf): DataFrame =
     spark.readStream.format("kafka")
@@ -87,14 +93,16 @@ object KafkaWiring {
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
   /** writeStream wiring to the producer topic, checkpointed at the
-    * reference's checkpoint interval. */
+    * reference's checkpoint interval. `mode` defaults to update (the
+    * windowed-agg jobs emit refinements); finalized-only emissions
+    * (session windows) pass append. */
   def kafkaSink(df: DataFrame, conf: KafkaConf, keyCol: String,
-                job: String): DataStreamWriter[Row] =
+                job: String, mode: String = "update"): DataStreamWriter[Row] =
     encode(df, keyCol).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", conf.brokerList)
       .option("topic", conf.producerTopic)
       .option("checkpointLocation", conf.checkpointDir(job))
-      .outputMode("update")
+      .outputMode(mode)
       .trigger(Trigger.ProcessingTime(conf.chkIntervalMs))
 
   /** CARS managed job end-to-end: kafka → decode → A18 top-speed windows
@@ -115,4 +123,17 @@ object KafkaWiring {
       StreamingJobs.campaignWindows(
         decode(kafkaRaw(spark, conf), adEventSchema), campaigns, windowLen),
       conf, keyCol = "campaign", job = "ads").start()
+
+  /** Sessionization end-to-end: kafka → decode → native `session_window`
+    * gap sessions → kafka, in APPEND mode — each session is produced
+    * exactly once, after the watermark closes it (the emission contract
+    * a downstream consumer of finalized sessions needs; the update-mode
+    * jobs above instead refine open windows in place). */
+  def sessionizeKafka(spark: SparkSession, conf: KafkaConf,
+                      gap: String = "30 minutes",
+                      watermark: String = "30 minutes"): StreamingQuery =
+    kafkaSink(
+      StreamingJobs.sessionWindows(
+        decode(kafkaRaw(spark, conf), sessionEventSchema), gap, watermark),
+      conf, keyCol = "user_id", job = "sessions", mode = "append").start()
 }

@@ -107,6 +107,43 @@ class StreamingSpec extends SparkSpec {
         producerTopic = "output"))
     }
     assert(e.getMessage.toLowerCase.contains("kafka"))
+    val e2 = intercept[Exception] {
+      KafkaWiring.sessionizeKafka(spark, KafkaWiring.KafkaConf(
+        brokerList = "localhost:9092", consumerTopic = "events",
+        producerTopic = "sessions"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("kafka"))
+  }
+
+  test("kafka-shaped stream: decode -> session windows -> encode, append-once") {
+    import graft.streaming.KafkaWiring
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Array[Byte]]
+    val raw = in.toDF.toDF("value")
+    val streamed = KafkaWiring.encode(
+      StreamingJobs.sessionWindows(
+        KafkaWiring.decode(raw, KafkaWiring.sessionEventSchema),
+        gap = "100 seconds", watermark = "10 seconds"),
+      keyCol = "user_id")
+    val q = streamed.writeStream.format("memory").queryName("kafka_sess")
+      .outputMode("append").start()
+    try {
+      def ev(t: Long, user: Long, v: Double): Array[Byte] =
+        s"""{"ts":"${ts(t)}","user_id":$user,"value":$v}""".getBytes("UTF-8")
+      in.addData(Seq(ev(0, 1, 1.0), ev(50, 1, 2.0), ev(149, 1, 3.0),
+        ev(260, 1, 4.0), ev(5, 2, 9.0)))
+      q.processAllAvailable()
+      // close every open session so append emits it exactly once
+      in.addData(Seq(ev(1000, 99, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("kafka_sess").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        .filter(_._1 != "99")
+      assert(got == Seq(
+        ("1", """{"user_id":1,"session_start":0,"session_end":249,"n_events":3,"total_value":6.0}"""),
+        ("1", """{"user_id":1,"session_start":260,"session_end":360,"n_events":1,"total_value":4.0}"""),
+        ("2", """{"user_id":2,"session_start":5,"session_end":105,"n_events":1,"total_value":9.0}""")))
+    } finally q.stop()
   }
 
   test("rescale execution: stop -> restart from checkpoint with new parallelism, " +
