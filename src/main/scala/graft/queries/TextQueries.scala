@@ -116,8 +116,11 @@ object TextQueries extends QueryModule {
       val all = docs(s, d)
       val lang = TextOps.langId(all).filter(col("pred_lang") === "en")
         .select("doc_id")
+      // the quality score rides along to the OUTPUT (a training-data
+      // pipeline keeps its cleaning signals for downstream curriculum /
+      // mixing decisions), so the gate projects it instead of dropping it
       val qual = TextOps.quality(all).filter(col("quality") >= 0.6)
-        .select("doc_id")
+        .select(col("doc_id"), col("quality"))
       val gated = all.join(lang, "doc_id").join(qual, "doc_id")
       val keep1 = gated.groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -149,7 +152,8 @@ object TextQueries extends QueryModule {
         withSplit.filter(col("split") === "train"), budget = 256, groups = 8)
         .select(col("doc_id"), col("pack_id"))
       withSplit.join(packed, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("split"), col("pack_id"))
+        .select(col("doc_id"), col("source"), col("split"), col("pack_id"),
+          col("quality"))
     }),
 
     // mixing weights: halve src0, keep 10% of src1, everything else full
@@ -298,11 +302,12 @@ object TextQueries extends QueryModule {
          |    / len(ts) AS mean_len,
          |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
          |  CAST(len(ts) AS DOUBLE) AS n FROM tq),
-         |qual AS (SELECT doc_id FROM mq
-         |  WHERE ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
-         |    + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
-         |    + 1e-9, 4) >= 0.6),
-         |gated AS (SELECT d.* FROM documents d
+         |qual AS (SELECT doc_id, q AS quality FROM (
+         |  SELECT doc_id, ROUND(0.3 * least(1.0, n / 100)
+         |    + 0.3 * (1.0 - stop_ratio) + 0.2 * least(1.0, mean_len / 8)
+         |    + 0.2 * distinct_ratio + 1e-9, 4) AS q FROM mq)
+         |  WHERE q >= 0.6),
+         |gated AS (SELECT d.*, qual.quality FROM documents d
          |  JOIN lng USING (doc_id) JOIN qual USING (doc_id)),
          |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
          |d1 AS (SELECT g.* FROM gated g JOIN keep1 USING (doc_id)),
@@ -368,7 +373,7 @@ object TextQueries extends QueryModule {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |      // 256 AS pack_id
          |  FROM tr)
-         |SELECT d3.doc_id, d3.source, spl.split, cpack.pack_id
+         |SELECT d3.doc_id, d3.source, spl.split, cpack.pack_id, d3.quality
          |FROM d3 JOIN spl USING (doc_id) LEFT JOIN cpack USING (doc_id)""".stripMargin
     },
 
