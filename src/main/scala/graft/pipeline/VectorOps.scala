@@ -429,6 +429,55 @@ object VectorOps {
     recallVs(bruteForceTopK(emb, queryMaxId, k),
       ivfTopK(emb, k).filter(col("q_id") < queryMaxId), k)
 
+  /** Mean-pooled centroid per label: component-wise mean of the
+    * quantized embeddings, long format (label, i, n_vecs, mean_c) — the
+    * "average embedding per class/source" every curation pipeline
+    * computes. One explode + one partial-aggregated groupBy shuffle;
+    * exact BIGINT sums so the single double division is bit-identical
+    * across engines. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), quant.as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      // i cast long: DuckDB's range indexes are BIGINT and the driver's
+      // hash compare is type-sensitive
+      .groupBy(col("label"), col("i").cast("long").as("i"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("x")).cast("double") / count(lit(1)) + lit(1e-9), 4)
+          .as("mean_c"))
+
+  /** Build the k-means IVF index ONCE and persist it (centroid matrix +
+    * cell assignments as parquet), then reload and serve top-k from the
+    * stored index — the build/serve split a production vector store
+    * runs (index build is the expensive pass; serving recomputes only
+    * the query-side probe ranking). Results are identical to
+    * [[ivfKmeansTopK]] by construction, which is what the oracle checks. */
+  def ivfKmeansServe(emb: DataFrame, k: Int, indexDir: String,
+                     targetCellSize: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // build + persist
+    val cents = kmeansCentroids(emb, targetCellSize)
+    cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
+      .toDF("cid", "cent")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    kmeansRanked(emb, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$indexDir/cells")
+    // reload + serve: probe ranking recomputes against the RELOADED
+    // centroid matrix (collected back to a literal — k x dim longs)
+    val reloaded = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cid").select(col("cent"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    val nprobe = math.max(1, (reloaded.length + 4) / 5)
+    val probes = kmeansRanked(emb, reloaded).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cands = probes.join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    scoreCandidates(emb, cands, k)
+  }
+
   /** Embedding-cosine near-duplicate verdicts: candidate pairs come from
     * the banded sign-LSH equi-join ([[lshPairs]] — never all-pairs),
     * scored with the exact quantized cosine; a vector is a DUPLICATE of

@@ -80,6 +80,17 @@ object VectorQueries extends QueryModule {
     head + "\n" + steps + "\n" + tail
   }
 
+  /** DuckDB k-means nprobe top-3 (shared by the direct search and the
+    * persisted-index round-trip, which must serve identical results). */
+  private lazy val kmeansTopkSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |${kmeansCtes()},
+       |sc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
+       |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) =>
       VectorOps.bruteForceTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 5)),
@@ -113,6 +124,14 @@ object VectorQueries extends QueryModule {
       VectorOps.ivfKmeansTopK(Tables.embeddings(s, d), k = 3)),
     "ann_kmeans_recall" -> ((s, d) =>
       VectorOps.kmeansRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // build -> persist -> reload -> serve; equals ann_ivf_kmeans exactly,
+    // and the oracle states that equality
+    "ann_index_roundtrip" -> ((s, d) =>
+      VectorOps.ivfKmeansServe(Tables.embeddings(s, d), k = 3,
+        indexDir = s"target/graft-tmp/ivf_index_${new java.io.File(d).getName}")),
+    // component-wise mean embedding per label (mean pooling)
+    "emb_label_centroids" -> ((s, d) =>
+      VectorOps.labelCentroids(Tables.embeddings(s, d))),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -263,14 +282,19 @@ object VectorQueries extends QueryModule {
          |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
-    "ann_ivf_kmeans" ->
-      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-         |${kmeansCtes()},
-         |sc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
-         |r AS (SELECT *, row_number() OVER (
-         |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
-         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
-         |FROM r WHERE rk <= 3""".stripMargin,
+    "ann_ivf_kmeans" -> kmeansTopkSql,
+
+    // the persisted-index serve path is pinned EQUAL to the direct
+    // k-means search, so it shares the oracle verbatim
+    "ann_index_roundtrip" -> kmeansTopkSql,
+
+    "emb_label_centroids" ->
+      s"""WITH q AS (SELECT label, $qvSql AS qv FROM embeddings),
+         |e AS (SELECT label, unnest(list_transform(range(1, len(qv) + 1),
+         |        j -> {'i': j - 1, 'x': qv[j]})) AS u FROM q)
+         |SELECT label, u.i AS i, COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS mean_c
+         |FROM e GROUP BY label, u.i""".stripMargin,
 
     "ann_kmeans_recall" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
