@@ -211,6 +211,25 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Candidate recall of the banded MinHash-LSH pass against the exact
+    * inverted-index Jaccard pairs at the same threshold — the text-side
+    * twin of the ANN recall diagnostics: it quantifies what the banding
+    * S-curve gives up before anyone ships the dedup config. One summary
+    * row (n_exact, n_caught, recall); empty exact set reads as vacuous
+    * recall 1.0. */
+  def lshRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val approx = minhashPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_caught"))
+      .select(col("n_exact"), col("n_caught"),
+        when(col("n_exact") === 0, lit(1.0)).otherwise(
+          round(col("n_caught").cast("double") / col("n_exact") + lit(1e-9), 4))
+          .as("recall"))
+  }
+
   /** 16-bit SimHash with token multiplicity: per bit j, sign of the sum of
     * ±1 votes from each token's 16-bit hash. Relational formulation
     * (explode → partial-agg groupBy) so the plan is a linear scan+shuffle,

@@ -56,6 +56,9 @@ object TextQueries extends QueryModule {
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
     "dedup_jaccard_ngram" -> ((s, d) => DedupOps.jaccardPairs(docs(s, d))),
+    // candidate recall of the banding vs the exact pairs — the dedup
+    // config's honesty metric (text twin of ann_recall)
+    "dedup_lsh_recall"  -> ((s, d) => DedupOps.lshRecall(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))),
     // near-dup CLUSTERS: connected components over the MinHash-LSH pair
     // graph (min-label propagation, see GraphOps) — the step that picks
@@ -399,6 +402,39 @@ object TextQueries extends QueryModule {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a""".stripMargin,
+
+    "dedup_lsh_recall" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |lsh AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |inv0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+         |expairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         MIN(a.n) AS na, MIN(b.n) AS nb
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b FROM expairs
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |hits AS (SELECT e.doc_a, e.doc_b,
+         |    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex e LEFT JOIN lsh l USING (doc_a, doc_b))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught,
+         |  CASE WHEN COUNT(*) = 0 THEN 1.0
+         |       ELSE ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*) + 1e-9, 4) END AS recall
+         |FROM hits""".stripMargin,
 
     "dedup_jaccard_ngram" ->
       s"""WITH sets AS (
