@@ -59,6 +59,20 @@ object TextQueries extends QueryModule {
     // candidate recall of the banding vs the exact pairs — the dedup
     // config's honesty metric (text twin of ann_recall)
     "dedup_lsh_recall"  -> ((s, d) => DedupOps.lshRecall(docs(s, d))),
+    // the per-source dashboard every dataset build starts from: doc and
+    // token volume plus mean quality, one partial-aggregated shuffle
+    "corpus_source_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val q = TextOps.quality(all).select(col("doc_id"), col("quality"))
+      val t = TextOps.tokenStats(all).select(col("doc_id"), col("n_tokens"))
+      all.select(col("doc_id"), col("source"))
+        .join(q, "doc_id").join(t, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(Sql.decAvg(col("quality")) + lit(1e-9), 4).as("mean_quality"))
+    }),
     "dedup_simhash"     -> ((s, d) => DedupOps.simhash(docs(s, d))),
     // near-dup CLUSTERS: connected components over the MinHash-LSH pair
     // graph (min-label propagation, see GraphOps) — the step that picks
@@ -193,6 +207,27 @@ object TextQueries extends QueryModule {
          |      + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
          |      + 1e-9, 4) AS quality
          |FROM m""".stripMargin
+    },
+
+    "corpus_source_stats" -> {
+      val en = TextOps.langMarkers.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+         |m AS (SELECT doc_id, source, len(ts) AS n_tokens,
+         |  CAST(len(list_filter(ts, t -> list_contains($en, t))) AS DOUBLE)
+         |    / len(ts) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+         |    / len(ts) AS mean_len,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+         |  CAST(len(ts) AS DOUBLE) AS n FROM t),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |  ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
+         |      + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
+         |      + 1e-9, 4) AS quality FROM m)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  ROUND(${graft.queries.Sql.decAvgSql("quality")} + 1e-9, 4) AS mean_quality
+         |FROM q GROUP BY source""".stripMargin
     },
 
     "text_lang_id" -> {
