@@ -110,7 +110,12 @@ object RestFacade {
       clusters: Seq[(Int, Long, Double, Double)])
 
   /** One finalized (scale_out, value, is_best, is_valid) row — the
-    * ResponseFinalizer output shape (common/schemes.py:30-68). */
+    * ResponseFinalizer output shape (common/schemes.py:30-68). The
+    * DataFrame twin of this contract is [[RecoveryOps.finalize]] (used
+    * by the recovery routes, whose candidates come out of a distributed
+    * catch-up); keep the two in sync if the finalization contract ever
+    * changes. This driver form serves the latency routes, whose
+    * candidate set is a ≤ max-scale-out driver Seq to begin with. */
   private def finalizeCandidates(
       tuples: Seq[(Int, Double, Double)], // (scale_out, validation value, reported value)
       currentScaleOut: Int, restriction: Double,
@@ -143,7 +148,11 @@ object RestFacade {
     def route(path: String)(handle: String => (Int, String)): Unit =
       server.createContext(path, (ex: HttpExchange) => {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        val (code, resp) = try handle(body) catch {
+        // every handler materializes its response before returning, so a
+        // per-request CacheScope releases any engine-internal persist
+        // (e.g. twoMeansOn's window base inside /latency/training) —
+        // without it a long-lived facade pins one RDD per training call
+        val (code, resp) = try graft.CacheScope.scoped { handle(body) } catch {
           case e: IllegalStateException =>
             (412, s"""{"detail": ${jstr(String.valueOf(e.getMessage))}}""")
           case e: Throwable =>
@@ -156,20 +165,31 @@ object RestFacade {
         ex.close()
       })
 
-    route("/workload/prediction") { body =>
-      val req = parse(spark, body)
+    /** Bounds/step of the request's workload TimeSeries — the preamble
+      * every forecasting route shares: (series, last ts, n, step), with
+      * the reference's degenerate-timestamp fallback (TimeSeries
+      * .step_size is never 0 — it divides below). */
+    def workloadSeries(req: DataFrame): (DataFrame, Long, Long, Long) = {
       val series = seriesOf(req, "workload")
       val bounds = series.agg(min("ts"), max("ts"), count(lit(1))).head
       val n = bounds.getLong(2)
       if (n == 0) throw new IllegalStateException("workload has no observations")
       val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
-      // duplicate/degenerate timestamps: fall back to step 1 like the
-      // reference's TimeSeries.step_size (never 0 — it divides below)
       val step = math.max(1L, if (n <= 1) 1L else (t1 - t0) / (n - 1))
-      val periodS = req.select(col("prediction_period_in_s").cast("long")).head.getLong(0)
+      (series, t1, n, step)
+    }
+
+    /** The reference's 412 guard on the forecasting horizon. */
+    def requirePeriod(periodS: Long, step: Long): Unit =
       if (periodS > models * step)
         throw new IllegalStateException(
           s"${periodS}s exceeds maximum forecasting period (${models * step}s)")
+
+    route("/workload/prediction") { body =>
+      val req = parse(spark, body)
+      val (series, t1, _, step) = workloadSeries(req)
+      val periodS = req.select(col("prediction_period_in_s").cast("long")).head.getLong(0)
+      requirePeriod(periodS, step)
       val horizon = math.max(1L, periodS / step).toInt
       val obs = blended(series, models, horizon)
         .select(col("step").cast("long"), col("blend")).orderBy("step").collect()
@@ -219,12 +239,9 @@ object RestFacade {
         col("max_latency_constraint").cast("double"), col("scale_out").cast("int"),
         col("time_window_interval").cast("double"), col("min_scale_out").cast("int"),
         col("max_scale_out").cast("int")).head
-      val series = seriesOf(req, "workload")
-      val bounds = series.agg(min("ts"), max("ts"), count(lit(1))).head
-      if (bounds.getLong(2) == 0)
-        throw new IllegalStateException("workload has no observations")
-      val step = math.max(1L, if (bounds.getLong(2) <= 1) 1L
-        else (bounds.getLong(1) - bounds.getLong(0)) / (bounds.getLong(2) - 1))
+      val (series, _, _, step) = workloadSeries(req)
+      // no period 412 here: the reference's baseline route instead caps
+      // the horizon at the model count (baselines/models.py:57-66)
       val horizon = math.max(1L, math.min(models.toLong,
         math.ceil(r.getDouble(3) / step).toLong)).toInt
       // predicted load = Σ of the blended forecast over the interval
@@ -322,10 +339,12 @@ object RestFacade {
         .as[(Int, Boolean)].collect().toSeq
       val thr = req.select(col("predicted_throughput_rate").cast("double")).head.getDouble(0)
       val currentSo = req.select(col("current.scale_out").cast("int")).head.getInt(0)
-      // drop duplicate scale-outs, first occurrence wins (models.py:131)
-      val dedup = cands.map(_._1).distinct
-      latencyRespond(st, dedup.map(so => so -> thr), currentSo,
-        cands.filter(_._2).map(_._1).toSet)
+      // drop duplicate scale-outs, first occurrence wins for BOTH the
+      // candidate row and its is_valid flag (models.py:131 semantics —
+      // a later duplicate must not resurrect validity)
+      val firstOcc = cands.distinctBy(_._1)
+      latencyRespond(st, firstOcc.map { case (so, _) => so -> thr }, currentSo,
+        firstOcc.filter(_._2).map(_._1).toSet)
     }
 
     route("/recoverytime/training") { body =>
@@ -349,18 +368,11 @@ object RestFacade {
       val fit = capacityFit.get()
       if (fit == null)
         throw new IllegalStateException("RecoveryTimeModel has not been fitted!")
-      val series = seriesOf(req, "workload")
-      val bounds = series.agg(min("ts"), max("ts"), count(lit(1))).head
-      val n = bounds.getLong(2)
-      if (n == 0) throw new IllegalStateException("workload has no observations")
-      val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
-      val step = math.max(1L, if (n <= 1) 1L else (t1 - t0) / (n - 1))
+      val (series, t1, _, step) = workloadSeries(req)
       val p = req.select(col("prediction_period_in_s").cast("long"),
         col("downtime").cast("double"), col("last_checkpoint").cast("double"),
         col("max_recovery_time").cast("double")).head
-      if (p.getLong(0) > models * step)
-        throw new IllegalStateException(
-          s"${p.getLong(0)}s exceeds maximum forecasting period (${models * step}s)")
+      requirePeriod(p.getLong(0), step)
       val horizon = math.max(1L, p.getLong(0) / step).toInt
       val binCount =
         if (req.schema.fieldNames.contains("bin_count"))
@@ -393,8 +405,11 @@ object RestFacade {
         val sid = fut.withColumn("sid", lit("forecast"))
         val ptr = AggOps.binnedMeans(sid, binCount)
           .agg(max(col("mean_value"))).head.getDouble(0)
+        // a 1-point forecast (horizon 1) is a singular design: the M7 fit
+        // null-guards its slope — report 0 instead of 500ing on the null
         val slope = MetricOps.slopeIntercept(sid)
-          .select(col("slope").cast("double")).head.getDouble(0)
+          .select(col("slope").cast("double")).collect()
+          .headOption.filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
         (200, s"""{"current": ${js(curIdx)}, "candidates": [${js.mkString(", ")}], """ +
           s""""predicted_throughput_rate": $ptr, "slope": $slope}""")
       } finally fut.unpersist()
@@ -415,8 +430,10 @@ object RestFacade {
         .select(col("c.scale_out").cast("int"), col("c.is_valid").cast("boolean"))
         .as[(Int, Boolean)].collect().toSeq
       val currentSo = req.select(col("current.scale_out").cast("int")).head.getInt(0)
-      recoveryRespond(req, cands.map(_._1).distinct.sorted, currentSo,
-        cands.filter(_._2).map(_._1).toSet)
+      // first occurrence of a duplicate scale-out owns its is_valid flag
+      val firstOcc = cands.distinctBy(_._1)
+      recoveryRespond(req, firstOcc.map(_._1).sorted, currentSo,
+        firstOcc.filter(_._2).map(_._1).toSet)
     }
 
     server.createContext("/common/tasks", (ex: HttpExchange) => {

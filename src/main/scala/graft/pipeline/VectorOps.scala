@@ -210,8 +210,8 @@ object VectorOps {
     * the standard recall lever for sign-partitioned indexes: near
     * neighbors that land just across one hyperplane are recovered at the
     * cost of a bounded (b+1)× candidate fanout, still O(n · (b+1) ·
-    * targetCellSize) total work, never all-pairs. Scoring is the same
-    * relational exploded-dot path as [[ivfTopK]]. */
+    * targetCellSize) total work, never all-pairs. Scoring is the shared
+    * per-pair fold ([[scoreCandidates]] — see its crossover note). */
   def ivfMultiprobeTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
     val bits = cellBits(emb.count(), targetCellSize)
     // both the cell assignment and the probe expansion read bitArr, and

@@ -123,6 +123,20 @@ class RestFacadeSpec extends SparkSpec {
       // 6 was previously invalid -> stays invalid even though its
       // predicted latency is in the low cluster
       assert(!ev.find(_._1 == 6).get._2 && ev.find(_._1 == 5).get._2, be)
+      // duplicate scale-out: the FIRST occurrence owns is_valid — a later
+      // valid duplicate must not resurrect it
+      val (cd, bd) = post(f.url("/latency/evaluation"),
+        """{"job": "L",
+          | "current": {"scale_out": 5, "is_best": false, "is_valid": true},
+          | "candidates": [
+          |   {"scale_out": 5, "is_best": false, "is_valid": false},
+          |   {"scale_out": 5, "is_best": false, "is_valid": true}],
+          | "predicted_throughput_rate": 310.0}""".stripMargin)
+      assert(cd == 200, bd)
+      assert(!bd.contains("\"is_valid\": true"), bd)
+      // the facade holds no pinned RDDs across requests (per-request scope)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "facade requests must not leak session-lifetime caches")
     } finally f.stop()
   }
 
@@ -171,6 +185,12 @@ class RestFacadeSpec extends SparkSpec {
       val ev = "\\{\"scale_out\": ([0-9]+), \"recovery_time\":".r
         .findAllMatchIn(be).map(_.group(1).toInt).toSeq.drop(1)
       assert(ev == Seq(2, 4), be)
+      // horizon 1 (period == one step): a single-point forecast has no
+      // fittable slope — the route reports slope 0 instead of a 500
+      val (c1, b1) = post(f.url("/recoverytime/prediction"),
+        predBody.replace("\"prediction_period_in_s\": 120", "\"prediction_period_in_s\": 60"))
+      assert(c1 == 200, b1)
+      assert("\"slope\": ([-0-9.eE]+)".r.findFirstMatchIn(b1).get.group(1).toDouble == 0.0, b1)
     } finally f.stop()
   }
 }
