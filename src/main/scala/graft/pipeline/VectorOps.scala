@@ -319,21 +319,38 @@ object VectorOps {
   }
 
   /** Distance-ranked centroid assignments: one (vec_id, cid, dist, rn)
-    * row per vector × centroid, rn = rank by (dist, cid) within the
-    * vector. rn = 1 is the cell assignment; rn <= nprobe is the probe
-    * set. The centroid matrix ships as a literal inside the transform
-    * expression (plan-embedded broadcast), so ranking is one map-side
-    * O(k·dim) pass per row plus a single window shuffle on vec_id —
-    * no join against a centroid table. */
-  private def kmeansRanked(emb: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    * row per vector × centroid rank, rn = rank by (dist, cid) within
+    * the vector, capped at `maxRank`. rn = 1 is the cell assignment;
+    * rn <= nprobe is the probe set.
+    *
+    * Fully MAP-SIDE: the centroid matrix ships as a literal inside the
+    * transform expression (plan-embedded broadcast), and the per-vector
+    * ranking is an in-row array_sort over (dist, cid) structs — struct
+    * ordering is field-by-field, exactly the (dist asc, cid asc)
+    * tie-break — sliced to `maxRank` before exploding. ZERO shuffles:
+    * the earlier formulation exploded all n·k rows through a window
+    * exchange on vec_id just to rank them, an exchange this in-row sort
+    * makes unnecessary at any corpus size.
+    *
+    * The (dist, cid) structs are built by ONE index-aware transform over
+    * the centroid literal, so each distance fold evaluates exactly once
+    * per row. (A first cut staged a separate `dists` column and indexed
+    * it k times from a second transform — project collapse inlined the
+    * whole k×dim fold into every element_at, k× the arithmetic: 7.5 s →
+    * 140 s at sf0.1. Same cliff as the README's linear-size-expression
+    * invariant; keep repeated references OUT of collapsible projects.) */
+  private def kmeansRanked(emb: DataFrame, cents: Array[Array[Long]],
+                           maxRank: Int): DataFrame = {
+    val k = cents.length
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    import org.apache.spark.sql.expressions.Window
     emb.select(col("vec_id"), quant.as("q"))
-      .withColumn("dists", transform(centsLit, cv =>
-        aggregate(zip_with(col("q"), cv, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)))
-      .select(col("vec_id"), posexplode(col("dists")).as(Seq("cid", "dist")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .withColumn("rc", slice(array_sort(transform(centsLit, (cv, i) =>
+        struct(aggregate(zip_with(col("q"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("d"), i.as("c")))),
+        1, math.min(maxRank, k)))
+      .select(col("vec_id"), posexplode(col("rc")).as(Seq("rn0", "dc")))
+      .select(col("vec_id"), col("dc.c").as("cid"), col("dc.d").as("dist"),
+        (col("rn0") + 1).as("rn"))
   }
 
   /** IVF top-k with a k-means coarse quantizer: corpus vectors live in
@@ -350,9 +367,9 @@ object VectorOps {
     val nprobe = if (nprobeOverride > 0) nprobeOverride
                  else math.max(1, (cents.length + 4) / 5)
     // cells (rn = 1) and probes (rn <= nprobe) both read the ranked
-    // frame; without a cache the per-row k x dim distance transform and
-    // its window run twice — scope-persisted
-    val ranked = graft.CacheScope.persist(kmeansRanked(emb, cents))
+    // frame; without a cache the per-row k x dim distance transform
+    // runs twice — scope-persisted
+    val ranked = graft.CacheScope.persist(kmeansRanked(emb, cents, nprobe))
     val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
@@ -460,7 +477,7 @@ object VectorOps {
     cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
       .toDF("cid", "cent")
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    kmeansRanked(emb, cents).filter(col("rn") === 1)
+    kmeansRanked(emb, cents, maxRank = 1)
       .select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$indexDir/cells")
     // reload + serve: probe ranking recomputes against the RELOADED
@@ -469,7 +486,7 @@ object VectorOps {
       .orderBy("cid").select(col("cent"))
       .as[Seq[Long]].collect().map(_.toArray)
     val nprobe = math.max(1, (reloaded.length + 4) / 5)
-    val probes = kmeansRanked(emb, reloaded).filter(col("rn") <= nprobe)
+    val probes = kmeansRanked(emb, reloaded, maxRank = nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val cells = spark.read.parquet(s"$indexDir/cells")
     val cands = probes.join(cells, Seq("cid"))
