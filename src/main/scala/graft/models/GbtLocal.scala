@@ -100,6 +100,28 @@ object GbtLocal {
       fitTree(xs, target, rIdx, depth + 1, maxDepth))
   }
 
+  /** Double literal that stays a DOUBLE in any ANSI engine: bare decimal
+    * literals parse as DECIMAL in both Spark and DuckDB (poisoning the
+    * whole expression into decimal arithmetic), so literals go through a
+    * string cast — Java's shortest round-trip `Double.toString` plus a
+    * correctly-rounding parse reproduces the identical bits. */
+  private def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
+
+  /** Render one tree as a nested ANSI `CASE WHEN` scalar expression over
+    * the given feature column expressions. */
+  def treeSql(n: Node, feat: Seq[String]): String =
+    if (n.isLeaf) dlit(n.value)
+    else s"(CASE WHEN ${feat(n.feat)} <= ${dlit(n.thr)} " +
+      s"THEN ${treeSql(n.left, feat)} ELSE ${treeSql(n.right, feat)} END)"
+
+  /** The whole ensemble as one scalar SQL expression. Terms are summed
+    * left-to-right in stage order — the same association order as
+    * [[Model.predict]]'s loop — so double arithmetic matches exactly. */
+  def modelSql(m: Model, feat: Seq[String]): String =
+    (dlit(m.init) +:
+      m.trees.map(t => s"${dlit(m.lr)} * ${treeSql(t, feat)}").toSeq)
+      .mkString(" + ")
+
   /** Boosted fit: F0 = mean(y); each stage fits a tree to the current
     * residuals and advances F by lr·tree (squared loss ⇒ the gradient IS
     * the residual, and leaf means are the exact line-search optimum). */

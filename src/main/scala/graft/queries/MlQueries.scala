@@ -28,6 +28,28 @@ object MlQueries extends QueryModule {
     * prediction_horizon = len(models) · step_size → 20 × step). */
   private val HOR_UPD = 20
 
+  /** Frozen GBT training fixture: a latency-vs-(scaleout, throughput)
+    * surface in the reference's dozens-of-rows profiling regime
+    * (reference analytics/app/latency/models.py:28-54). The fit is fully
+    * deterministic, so rendering the fitted trees into SQL (the
+    * NNLS/TwresRelational pattern) yields a DuckDB oracle that re-scores
+    * every row independently — the distributed SCORING path gets a
+    * cell-by-cell oracle while the data-dependent fit of
+    * `m3_latency_gbt` proper stays rows-only by documented
+    * infeasibility. */
+  private val gbtFixtureXs: Array[Array[Double]] = Array(
+    Array(2, 50), Array(2, 100), Array(2, 200), Array(2, 400),
+    Array(4, 50), Array(4, 100), Array(4, 200), Array(4, 400),
+    Array(8, 50), Array(8, 100), Array(8, 200), Array(8, 400),
+    Array(16, 50), Array(16, 100), Array(16, 200), Array(16, 400))
+  private val gbtFixtureYs: Array[Double] = Array(
+    1041.3, 1087.9, 1190.2, 1421.7,
+    543.8, 571.4, 639.1, 788.5,
+    297.2, 311.6, 352.4, 447.9,
+    171.0, 182.3, 207.8, 266.2)
+  private[graft] lazy val gbtFixtureModel: graft.models.GbtLocal.Model =
+    graft.models.GbtLocal.fit(gbtFixtureXs, gbtFixtureYs, nTrees = 12, maxDepth = 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_ar_forecast" -> ((s, d) =>
       ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)),
@@ -103,6 +125,20 @@ object MlQueries extends QueryModule {
         round(score(col("scaleout"), col("avgthr")), 4).as("pred_latency"))
     }),
 
+    // M3 scoring-path oracle: the frozen-fixture ensemble (see
+    // gbtFixtureModel) scored over every non-backpressure profile row
+    // through the SAME broadcast + Model.predict traversal the
+    // data-dependent fit uses. DuckDB re-scores each row from the
+    // rendered CASE trees, so traversal, broadcast plumbing and double
+    // arithmetic are hash-checked end to end.
+    "m3_gbt_fixture_score" -> ((s, d) => {
+      val bc = s.sparkContext.broadcast(gbtFixtureModel)
+      val score = udf((so: Double, thr: Double) => bc.value.predict(Array(so, thr)))
+      Tables.profiles(s, d).filter(col("isbckpres") === 0)
+        .select(col("expid"), col("scaleout").cast("double").as("scaleout"), col("avgthr"))
+        .withColumn("pred_latency", round(score(col("scaleout"), col("avgthr")), 4))
+    }),
+
     // M6 — TWRES NNLS baseline, fully relational (subset-enumeration NNLS
     // over exact moments; bit-exact DuckDB oracle — see TwresRelational).
     "m6_twres_decision" -> ((s, d) =>
@@ -151,6 +187,15 @@ object MlQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "m3_gbt_fixture_score" ->
+      s"""WITH pro AS ($PRO),
+         |p AS (SELECT expid, CAST(scaleout AS DOUBLE) AS scaleout, avgthr
+         |      FROM pro WHERE isbckpres = 0)
+         |SELECT expid, scaleout, avgthr,
+         |       ROUND(${graft.models.GbtLocal.modelSql(gbtFixtureModel, Seq("scaleout", "avgthr"))}, 4)
+         |         AS pred_latency
+         |FROM p""".stripMargin,
+
     "m6_twres_decision" -> TwresRelational.oracleSql(
       s"SELECT scaleout, avgthr AS y FROM ($PRO) p WHERE isbckpres = 1"),
 

@@ -187,6 +187,34 @@ class MlSpec extends SparkSpec {
     assert(math.abs(flat.predict(Array(9.0)) - 3.0) < 1e-12)
   }
 
+  test("GbtLocal.modelSql: rendered CASE trees == Model.predict, bit-exact") {
+    import graft.models.GbtLocal
+    val m = graft.queries.MlQueries.gbtFixtureModel
+    // evaluate the EXACT SQL text the DuckDB oracle uses through Spark's
+    // own ANSI parser over an adversarial grid (training points, split
+    // boundaries, far extrapolations) and pin it to the Scala traversal
+    val sql = GbtLocal.modelSql(m, Seq("so", "thr"))
+    val pts = for {
+      so <- Seq(1.0, 2.0, 3.0, 4.0, 7.99999, 8.0, 16.0, 64.0)
+      thr <- Seq(0.0, 50.0, 75.0, 100.0, 300.0, 400.0, 1e4)
+    } yield (so, thr)
+    val got = pts.toDF("so", "thr")
+      .select(col("so"), col("thr"), expr(sql).as("p"))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    pts.foreach { case (so, thr) =>
+      assert(got((so, thr)) == m.predict(Array(so, thr)),
+        s"SQL/Scala mismatch at ($so, $thr)")
+    }
+    // negative-leaf literals parenthesize: a fit on descending targets
+    // (all-negative second-stage residual leaves) still parses and agrees
+    val neg = GbtLocal.fit(Array(Array(1.0), Array(2.0), Array(3.0)),
+      Array(0.0, -5.0, -50.0), nTrees = 4, maxDepth = 2)
+    val negSql = GbtLocal.modelSql(neg, Seq("so"))
+    val negGot = Seq(1.0, 2.5, 9.0).toDF("so").select(expr(negSql)).collect()
+    Seq(1.0, 2.5, 9.0).zip(negGot).foreach { case (x, r) =>
+      assert(r.getDouble(0) == neg.predict(Array(x))) }
+  }
+
   test("M3 prediction grid: deterministic, finite, inside the training span") {
     // the rows-only driver check can't see values; pin what a GBT latency
     // surface must satisfy regardless of the fitted trees
