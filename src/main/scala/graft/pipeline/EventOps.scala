@@ -44,6 +44,98 @@ object EventOps {
         round(graft.queries.Sql.decSum(col("value")), 4).as("total_value"))
   }
 
+  /** Ordered funnel: per user, the earliest time each step of `steps`
+    * completes, where step k counts only at-or-after step k-1's
+    * completion (the classic product-analytics funnel — a purchase
+    * BEFORE the first view does not complete a view→purchase funnel).
+    *
+    * ONE shuffle total: a single groupBy(user) collects each step's
+    * sorted timestamp array (bounded by that user's event count), and
+    * the sequential chaining — t_k = min of step k's timestamps ≥
+    * t_{k-1} — is a row-local array filter + min afterwards. A
+    * join-per-step formulation would shuffle k times and quadratically
+    * amplify hot users; this never does. Null t_k (step unreached, or a
+    * prior step unreached — a null threshold filters to an empty array)
+    * propagates through the chain exactly like the SQL mirror.
+    *
+    * Expects (user_id, ts: epoch-second long, event_type). Output:
+    * (user_id, t_<step> per step, reached = number of completed steps).
+    */
+  def funnelStages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size == steps.distinct.size, "distinct steps")
+    // collect_list skips nulls, so each array holds exactly that step's ts
+    val perUser = events
+      .filter(col("event_type").isInCollection(steps))
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_list(when(col("event_type") === steps.head, col("ts"))))
+          .as(s"a_0"),
+        steps.tail.zipWithIndex.map { case (st, i) =>
+          sort_array(collect_list(when(col("event_type") === st, col("ts"))))
+            .as(s"a_${i + 1}") }: _*)
+    val chained = steps.indices.foldLeft(perUser) { (df, k) =>
+      val t =
+        if (k == 0) array_min(col("a_0"))
+        else array_min(filter(col(s"a_$k"), x => x >= col(s"t_${k - 1}")))
+      df.withColumn(s"t_$k", t)
+    }
+    chained.select(
+      col("user_id") +:
+        steps.indices.map(k => col(s"t_$k").as(s"t_${steps(k)}")) :+
+        steps.indices.map(k => when(col(s"t_$k").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("reached"): _*)
+  }
+
+  /** Funnel report: one row per step with the user count that reached it
+    * and the conversion rate vs step 1 — the aggregate every funnel
+    * dashboard shows. Builds on [[funnelStages]] (still one wide
+    * shuffle); the per-step unpivot explodes a constant-size array on a
+    * ONE-ROW aggregate, so the tail is driver-trivial at any scale. */
+  def funnelReport(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stages = funnelStages(events, steps)
+    // coalesce: sum over ZERO users (empty event log) is null, and the
+    // report should still show 0-count rows
+    val counts = stages.agg(
+      coalesce(sum(when(col(s"t_${steps.head}").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("c_0"),
+      steps.tail.zipWithIndex.map { case (st, i) =>
+        coalesce(sum(when(col(s"t_$st").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"c_${i + 1}") }: _*)
+    counts.select(posexplode(array(
+        steps.indices.map(k => struct(lit(steps(k)).as("step_name"),
+          col(s"c_$k").as("n_users"),
+          when(col("c_0") > 0,
+            round(col(s"c_$k").cast("double") / col("c_0") + lit(1e-9), 4))
+            .as("conversion"))): _*)).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("step"), col("s.step_name"),
+        col("s.n_users"), col("s.conversion"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the calendar week
+    * (epoch-week, `ts div 604800`) of their FIRST event; cell
+    * (cohort_wk, offset_wk) counts the cohort's users active offset
+    * weeks later, with the rate against the cohort's size.
+    *
+    * Shuffle plan: distinct (user, week) pairs → per-user min week (the
+    * second aggregation reuses the first's hash partitioning on
+    * user_id, so no extra exchange) → one final groupBy on the (tiny)
+    * cohort×offset key. Nothing holds per-user history in memory. */
+  def retention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr("ts div 604800").as("wk"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = active.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("offset_wk") === 0)
+      .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("offset_wk"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size") + lit(1e-9), 4)
+          .as("retention"))
+  }
+
   /** Per-key as-of join: each left row picks the right row with the
     * greatest `ts` ≤ its own `ts` within the same key (DuckDB/pandas
     * `ASOF JOIN` semantics, `<=` variant). Left rows before the first

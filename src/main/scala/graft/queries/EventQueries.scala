@@ -20,7 +20,38 @@ object EventQueries extends QueryModule {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
 
+  /** The canonical acquisition funnel over the synthetic event log. */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  private def evTs(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("ts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-user ordered funnel times: signup -> view -> click -> purchase,
+    // each step counting only at-or-after the previous one (one shuffle)
+    "events_funnel_users" -> ((s, d) =>
+      EventOps.funnelStages(evTs(s, d), FunnelSteps)),
+
+    // the aggregate funnel dashboard: per step, users reaching it and
+    // conversion vs step 1
+    "events_funnel" -> ((s, d) =>
+      EventOps.funnelReport(evTs(s, d), FunnelSteps)),
+
+    // weekly cohort retention matrix with rates vs cohort size
+    "events_retention" -> ((s, d) => EventOps.retention(evTs(s, d))),
+
+    // semi-structured payloads: JSON prop extraction + per-type stats —
+    // the "parse the event envelope" step every log pipeline runs
+    "events_props_stats" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          round(Sql.decAvg(col("k")) + lit(1e-9), 4).as("avg_k"))),
+
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionize(
         ev(s, d).select(col("user_id"),
@@ -37,7 +68,76 @@ object EventQueries extends QueryModule {
         "sid")
         .select("event_id", "sid", "ts", "asof_ts", "asof_value")))
 
+  /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same
+    * sequential min-at-or-after chaining as [[EventOps.funnelStages]]
+    * (a null threshold filters to an empty list → null, like Spark). */
+  private val funnelCte = {
+    val in = FunnelSteps.map(st => s"'$st'").mkString(", ")
+    val arrays = FunnelSteps.zipWithIndex.map { case (st, k) =>
+      s"list_sort(list(ts) FILTER (WHERE event_type = '$st')) AS a$k"
+    }.mkString(",\n    ")
+    val chain = FunnelSteps.indices.map { k =>
+      if (k == 0) s"c0 AS (SELECT *, list_min(a0) AS t0 FROM u)"
+      else s"c$k AS (SELECT *, list_min(list_filter(a$k, x -> x >= t${k - 1})) AS t$k FROM c${k - 1})"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts
+       |  FROM events WHERE event_type IN ($in)),
+       |u AS (SELECT user_id,
+       |    $arrays
+       |  FROM e GROUP BY user_id),
+       |$chain""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "events_funnel_users" -> {
+      val last = s"c${FunnelSteps.size - 1}"
+      val cols = FunnelSteps.zipWithIndex
+        .map { case (st, k) => s"t$k AS t_$st" }.mkString(", ")
+      val reached = FunnelSteps.indices
+        .map(k => s"(CASE WHEN t$k IS NULL THEN 0 ELSE 1 END)").mkString(" + ")
+      s"""$funnelCte
+         |SELECT user_id, $cols, CAST($reached AS BIGINT) AS reached
+         |FROM $last""".stripMargin
+    },
+
+    "events_funnel" -> {
+      val last = s"c${FunnelSteps.size - 1}"
+      val counts = FunnelSteps.indices.map(k => s"COUNT(t$k) AS c$k").mkString(", ")
+      val rows = FunnelSteps.zipWithIndex.map { case (st, k) =>
+        s"""SELECT CAST(${k + 1} AS BIGINT) AS step, '$st' AS step_name,
+           |  c$k AS n_users,
+           |  CASE WHEN c0 > 0
+           |       THEN ROUND(CAST(c$k AS DOUBLE) / c0 + 1e-9, 4) END AS conversion
+           |FROM f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$funnelCte,
+         |f AS (SELECT $counts FROM $last)
+         |$rows""".stripMargin
+    },
+
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id),
+        |cells AS (SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |    COUNT(*) AS n_users
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_wk, n_users AS cohort_size FROM cells
+        |      WHERE offset_wk = 0)
+        |SELECT cohort_wk, offset_wk, n_users,
+        |  ROUND(CAST(n_users AS DOUBLE) / cohort_size + 1e-9, 4) AS retention
+        |FROM cells JOIN s USING (cohort_wk)""".stripMargin,
+
+    "events_props_stats" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  MIN(k) AS min_k, MAX(k) AS max_k,
+         |  ROUND(${Sql.decAvgSql("k")} + 1e-9, 4) AS avg_k
+         |FROM e GROUP BY event_type""".stripMargin,
+
     // SUM(int) in DuckDB is HUGEINT -> cast session_seq back to BIGINT
     "events_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts, value

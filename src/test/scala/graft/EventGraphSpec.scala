@@ -44,6 +44,53 @@ class EventGraphSpec extends SparkSpec {
       (5L, None, None)))           // before first obs
   }
 
+  test("funnelStages: order matters, per-step chaining, reached count") {
+    val steps = Seq("signup", "view", "buy")
+    val e = Seq(
+      // user 1 completes in order
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "buy"),
+      // user 2: buy BEFORE view -> funnel stops at view
+      (2L, 10L, "signup"), (2L, 30L, "view"), (2L, 20L, "buy"),
+      // user 3: view before signup doesn't count, later view does
+      (3L, 20L, "signup"), (3L, 10L, "view"), (3L, 40L, "view"),
+      // user 4: no signup -> nothing counts
+      (4L, 10L, "view"), (4L, 20L, "buy"),
+      // user 5: same-second signup+view (ties chain inclusively)
+      (5L, 10L, "signup"), (5L, 10L, "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelStages(e, steps).orderBy("user_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(20L), Some(30L), 3L),
+      (2L, Some(10L), Some(30L), None, 2L),
+      (3L, Some(20L), Some(40L), None, 2L),
+      (4L, None, None, None, 0L),
+      (5L, Some(10L), Some(10L), None, 2L)))
+    val rep = EventOps.funnelReport(e, steps).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.toSeq == Seq(
+      (1L, "signup", 4L, 1.0), (2L, "view", 4L, 1.0), (3L, "buy", 1L, 0.25)))
+  }
+
+  test("retention: cohorts by first week, offsets, rates") {
+    val wk = 604800L
+    val e = Seq(
+      // users 1,2 start week 0; user 1 active weeks 0,1,2; user 2 weeks 0,2
+      (1L, 0L), (1L, wk), (1L, 2 * wk), (2L, 5L), (2L, 2 * wk + 5),
+      // user 3 starts week 1, never returns
+      (3L, wk + 10L)
+    ).toDF("user_id", "ts").withColumn("event_type", lit("x"))
+    val got = EventOps.retention(e).orderBy("cohort_wk", "offset_wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 2L, 2L, 1.0),
+      (1L, 0L, 1L, 1.0)))
+  }
+
   test("connectedComponents: chain + clique, driver and distributed paths agree") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
