@@ -258,6 +258,174 @@ object TextOps {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** DOCUMENT CHUNKING for embedding/retrieval pipelines: split each
+    * document into overlapping token windows of `window` tokens every
+    * `stride` tokens (stride < window ⇒ overlap). A document of n ≤
+    * window tokens yields exactly one chunk; otherwise
+    * ceil((n − window) / stride) + 1 chunks, the last one truncated —
+    * every token is covered and chunk boundaries depend only on (n,
+    * window, stride), never on content. Output one row per chunk:
+    * (doc_id, chunk_id 0-based, start_tok 1-based, n_tokens,
+    * chunk_text). Pure per-row array arithmetic — no shuffle at all;
+    * the explode multiplies rows by ~n/stride, linear in corpus size. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "positive window/stride")
+    val ts = tokens
+    docs.select(col("doc_id"), ts.as("ts"), size(ts).cast("long").as("n"))
+      .withColumn("nc",
+        when(col("n") <= window, lit(1L))
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride") + 1L))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0L), col("nc") - 1)).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("c") * stride + 1).as("start_tok"),
+        size(slice(col("ts"), (col("c") * stride + 1).cast("int"), lit(window)))
+          .cast("long").as("n_tokens"),
+        array_join(
+          slice(col("ts"), (col("c") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** PII pattern table: (name, Java+RE2-portable regex, replacement tag).
+    * Patterns deliberately avoid constructs the two engines treat
+    * differently (backreferences, lookaround, lazy quantifiers) — plain
+    * character classes and counted repeats only. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII SCRUBBING: per document, count and redact e-mail addresses,
+    * IPv4 literals and international phone numbers (the standard
+    * pre-release pass over a web corpus). Counts come from
+    * `regexp_count`; redaction applies the patterns in [[piiPatterns]]
+    * order (email first, so its host part can't be half-eaten by the IP
+    * rule). Pure per-row regex work — embarrassingly parallel, no
+    * shuffle, and the patterns are portable so the DuckDB oracle
+    * replays them with `regexp_extract_all`/`regexp_replace(…,'g')`. */
+  def piiScrub(docs: DataFrame, textCol: Column): DataFrame = {
+    val counts = piiPatterns.map { case (n, p, _) =>
+      regexp_count(textCol, lit(p)).cast("long").as(s"n_$n") }
+    val clean = piiPatterns.foldLeft(textCol) { case (c, (_, p, tag)) =>
+      regexp_replace(c, lit(p), lit(tag)) }
+    docs.select(col("doc_id") +: counts :+ clean.as("clean_text"): _*)
+  }
+
+  /** BM25 ranked retrieval over the corpus for a fixed query term set —
+    * the lexical-search leg every retrieval pipeline keeps next to its
+    * ANN index. One aggregation pass computes corpus stats (N, Σdl, per-
+    * term document frequencies) in a single 1-row frame broadcast back
+    * over the docs (the m2/m10 bounded nested-loop pattern); scoring is
+    * then a per-row expression — no per-term join, no shuffle beyond
+    * the stats aggregate, top-k via TakeOrdered.
+    *
+    * DEVIATION from textbook BM25, by design: the idf factor is the RAW
+    * Robertson ratio (N − df + 0.5)/(df + 0.5), not its logarithm —
+    * every other factor is rational, and keeping the score free of
+    * transcendentals makes it bit-reproducible in any ANSI engine
+    * (ln() is correctly-rounded in neither Java nor most libms, so a
+    * log-based score could flake the oracle at rounding boundaries).
+    * Ranking monotonicity per term is unaffected. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs.select(col("doc_id"), tokens.as("ts"),
+      size(tokens).cast("long").as("dl"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("ts"), t), 1L).otherwise(0L)).as(s"df_$i") }: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("ts"), x => x === t)).cast("double")
+      val w = (col("n_docs").cast("double") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5))
+      w * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), col("dl"),
+        round(score + lit(1e-9), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+  }
+
+  /** KMV (k-minimum-values) DISTINCT SKETCH per source: the
+    * bounded-memory approximate-distinct estimator a 100 TB pipeline
+    * uses where exact `COUNT(DISTINCT token)` would shuffle the full
+    * vocabulary. Each distinct token hashes to a 60-bit md5 value; with
+    * the k smallest hashes per source retained, the k-th smallest h_k
+    * estimates D ≈ (k−1) · 2^60 / h_k (uniform order statistics).
+    * Sources with fewer than k distinct tokens report exactly.
+    *
+    * Everything is integer/md5 arithmetic plus one exactly-rounded
+    * int→double conversion and one IEEE division, so the DuckDB oracle
+    * lands on the identical estimate bit-for-bit. The output keeps the
+    * EXACT distinct count next to the estimate as the honesty
+    * diagnostic (at production scale you'd drop that column and with it
+    * the only expensive aggregation; the sketch itself needs just the
+    * distinct-pair shuffle and a per-source sort for the k minima). */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col("source"), explode(array_distinct(tokens)).as("t"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val kth = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k).select(col("source"), col("h").as("hk"))
+    // 63 · 2^60: a 6-bit mantissa times a power of two — exact in double
+    val scale = lit((k - 1).toDouble) * lit(math.pow(2, 60))
+    hashed.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      .join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        when(col("hk").isNotNull,
+          round(scale / col("hk").cast("double") + lit(1e-9), 2))
+          .otherwise(col("n_exact").cast("double")).as("est_distinct"))
+  }
+
+  /** Characters of `text` paired with their successors: one
+    * (doc_id, a, b) row per adjacent character transition. */
+  private def charTransitions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "").as("cs"))
+      .select(col("doc_id"), posexplode(zip_with(
+        slice(col("cs"), lit(1), greatest(size(col("cs")) - 1, lit(0))),
+        slice(col("cs"), lit(2), greatest(size(col("cs")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("i", "p")))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Corpus-trained character-bigram LM scoring — the CCNet-style
+    * "perplexity" filter: fit transition probabilities p(b|a) =
+    * count(a→b) / count(a→·) on the WHOLE corpus, then score every
+    * document by its mean transition probability (low = character
+    * patterns the corpus finds unusual — mojibake, binary spill,
+    * boilerplate) and its single most surprising transition.
+    *
+    * The "model" is the (alphabet², ≲ a few thousand rows) probability
+    * table, broadcast back onto the transition stream — fit-small,
+    * score-distributed, the [[graft.models.GbtLocal]] split. Mean uses
+    * the exact-decimal sum so the per-doc average is bit-identical
+    * across engines; p itself is one exact BIGINT→DOUBLE division.
+    * Scoring by arithmetic-mean probability rather than mean LOG
+    * probability is deliberate: it keeps the score free of
+    * transcendentals (bit-reproducible anywhere) at the cost of
+    * weighting surprisal linearly — the ranking it induces serves the
+    * same filtering purpose. */
+  def charLmScore(docs: DataFrame): DataFrame = {
+    val trans = charTransitions(docs)
+    val c2 = trans.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = trans.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val probs = c2.join(c1, "a")
+      .select(col("a"), col("b"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+    trans.join(broadcast(probs), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        round(graft.queries.Sql.decAvg(col("p")) + lit(1e-9), 4).as("avg_p"),
+        round(min(col("p")) + lit(1e-9), 6).as("min_p"))
+  }
+
   /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
     * statistics over the whole corpus): explode each document's adjacent
     * token pairs, count per bigram, keep the k most frequent (ties by

@@ -175,9 +175,97 @@ object TextQueries extends QueryModule {
 
     // mixing weights: halve src0, keep 10% of src1, everything else full
     "sample_mixture" -> ((s, d) =>
-      TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))))
+      TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))),
+
+    // BM25 lexical retrieval (rational-idf variant, see TextOps.bm25)
+    // for a fixed 3-term query; top 20 docs
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25(docs(s, d), Bm25Terms)),
+
+    // per-source approximate-distinct vocabulary via the KMV sketch,
+    // with the exact count kept as the honesty diagnostic
+    "corpus_kmv_distinct" -> ((s, d) =>
+      TextOps.kmvDistinct(docs(s, d), k = 64)),
+
+    // corpus-trained char-bigram LM quality scoring (CCNet-style
+    // perplexity filter; arithmetic-mean-probability variant)
+    "text_charlm_score" -> ((s, d) => TextOps.charLmScore(docs(s, d))),
+
+    // overlapping token-window chunks (32-token windows every 24) — the
+    // retrieval/embedding prep step; chunk boundaries are pure (n,
+    // window, stride) arithmetic so the oracle replays them exactly
+    "text_chunking" -> ((s, d) =>
+      TextOps.chunkDocs(docs(s, d), window = 32, stride = 24)),
+
+    // PII scrub over text with deterministic synthetic contact info
+    // appended (the corpus itself is PII-free): counts + redacted text.
+    // Injection is doc_id arithmetic so both engines build the same
+    // string, and redaction order (email before IP) is part of the op.
+    "text_pii_scrub" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val withPii = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com via 10."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".0.7 or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+          .as("ptext"))
+      TextOps.piiScrub(withPii, col("ptext"))
+    }))
+
+  /** Fixed lexical query for the BM25 demo (terms from the synthetic
+    * vocabulary with distinct frequencies). */
+  private val Bm25Terms = Seq("query", "join", "window")
+
+  /** Exact double literal in SQL: same contract as GbtLocal.dlit — the
+    * shortest-round-trip decimal string parsed back as DOUBLE
+    * reproduces the identical bits in Spark and DuckDB, and the cast
+    * keeps DuckDB from treating it as DECIMAL. */
+  private def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
 
   def oracles: Map[String, String] = Map(
+    "text_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+      }.mkString(",\n    ")
+      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+        s"""(CAST(n_docs AS DOUBLE) - df_$i + ${dlit(0.5)}) / (df_$i + ${dlit(0.5)})
+           | * ($tf * ${dlit(k1 + 1)})
+           | / ($tf + ${dlit(k1)} * (${dlit(1.0 - b)}
+           |      + ${dlit(b)} * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
+      }.mkString("\n + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         |    $dfs
+         |  FROM t),
+         |sc AS (SELECT doc_id, dl, ts, n_docs, df_0, df_1, df_2,
+         |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+         |  FROM t CROSS JOIN st)
+         |SELECT doc_id, dl, ROUND($terms
+         |  + 1e-9, 4) AS bm25
+         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "corpus_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT source, t FROM (
+         |    SELECT source, unnest(list_distinct(string_split(text, ' '))) AS t
+         |    FROM documents)),
+         |h AS (SELECT source, ${hex60Sql("md5(t)")} AS h FROM d),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         |kth AS (SELECT source, h AS hk FROM r WHERE rn = 64),
+         |n AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source)
+         |SELECT n.source, n.n_exact,
+         |  CASE WHEN hk IS NOT NULL
+         |       THEN ROUND(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |                  / CAST(hk AS DOUBLE) + 1e-9, 2)
+         |       ELSE CAST(n_exact AS DOUBLE) END AS est_distinct
+         |FROM n LEFT JOIN kth USING (source)""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
@@ -574,6 +662,53 @@ object TextQueries extends QueryModule {
         |  COALESCE(bgt.top_bigram_frac, 0e0) AS top_bigram_frac,
         |  CAST(COALESCE(runs.max_run, 0) AS BIGINT) AS max_run
         |FROM t LEFT JOIN bgt USING (doc_id) LEFT JOIN runs USING (doc_id)""".stripMargin,
+
+    "text_charlm_score" ->
+      s"""WITH cc AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         |tr AS (SELECT doc_id, cs[i] AS a, cs[i + 1] AS b
+         |  FROM (SELECT doc_id, cs,
+         |        UNNEST(range(1, greatest(len(cs) - 1, 0) + 1)) AS i FROM cc)),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM tr GROUP BY a, b),
+         |c1 AS (SELECT a, COUNT(*) AS c1 FROM tr GROUP BY a),
+         |p AS (SELECT a, b, CAST(c2 AS DOUBLE) / c1 AS p
+         |      FROM c2 JOIN c1 USING (a))
+         |SELECT doc_id, COUNT(*) AS n_trans,
+         |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
+         |  ROUND(MIN(p) + 1e-9, 6) AS min_p
+         |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "text_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |cc AS (SELECT doc_id, ts,
+        |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 24 - 1) // 24 + 1 END AS nc
+        |  FROM t),
+        |u AS (SELECT doc_id, ts, UNNEST(range(0, nc)) AS c FROM cc)
+        |SELECT doc_id, c AS chunk_id, c * 24 + 1 AS start_tok,
+        |  CAST(len(list_slice(ts, c * 24 + 1, c * 24 + 32)) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(ts, c * 24 + 1, c * 24 + 32), ' ')
+        |    AS chunk_text
+        |FROM u""".stripMargin,
+
+    "text_pii_scrub" -> {
+      // concat() instead of ||: stripMargin would eat a line-leading ||
+      val inject =
+        """concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+          |  '@mail.example.com via 10.', CAST(doc_id % 256 AS VARCHAR),
+          |  '.0.7 or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"""
+          .stripMargin
+      val counts = TextOps.piiPatterns.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(ptext, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n  ")
+      val clean = TextOps.piiPatterns.foldLeft("ptext") { case (e, (_, p, tag)) =>
+        s"regexp_replace($e, '$p', '$tag', 'g')" }
+      s"""WITH t AS (SELECT doc_id, $inject AS ptext FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  $clean AS clean_text
+         |FROM t""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val bitSums = (0 until 16)

@@ -117,6 +117,100 @@ class PropertySpec extends SparkSpec {
     }, cases = 6)
   }
 
+  test("property: chunking covers every token; boundaries are pure arithmetic") {
+    import graft.pipeline.TextOps
+    val (window, stride) = (8, 6)
+    runProp(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val chunks = TextOps.chunkDocs(docsDf(docs), window, stride)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getString(4)))
+        docs.forall { case (id, text) =>
+          val toks = text.split(" ")
+          val mine = chunks.filter(_._1 == id).sortBy(_._2)
+          val nc = if (toks.length <= window) 1
+                   else (toks.length - window + stride - 1) / stride + 1
+          mine.length == nc &&
+            mine.zipWithIndex.forall { case ((_, cid, start, n, txt), i) =>
+              cid == i && start == i.toLong * stride + 1 &&
+                txt == toks.slice(i * stride, i * stride + window).mkString(" ") &&
+                n == toks.slice(i * stride, i * stride + window).length
+            } &&
+            // coverage: the union of [start, start+n) is [1, len]
+            mine.flatMap { case (_, _, s, n, _) => s until (s + n) }
+              .toSet == (1L to toks.length).toSet
+        }
+      }
+    }, cases = 6)
+  }
+
+  test("piiScrub: counts and redaction order on crafted text") {
+    import graft.pipeline.TextOps
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org ip 192.168.0.1 tel +1-555-1234 end"),
+      (2L, "plain text, no pii at all"),
+      (3L, "versions 1.2.3.4 and 10.0.0.255")).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(df, col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end")))
+    assert(got(1) == ((2L, 0L, 0L, 0L, "plain text, no pii at all")))
+    // dotted version quads match the IP pattern by design (documented:
+    // the pattern is purely syntactic, 0-255 range checks are a later
+    // semantic pass)
+    assert(got(2) == ((3L, 0L, 2L, 0L, "versions <IP> and <IP>")))
+  }
+
+  test("kmvDistinct: exact below k, sane estimate above k") {
+    import graft.pipeline.TextOps
+    // small: 3 distinct tokens -> exact path
+    val small = Seq((1L, "small", "x y z"), (2L, "small", "x y"))
+      .map { case (id, src, t) => (id, src, t) }
+      .toDF("doc_id", "source", "text")
+    // big: 500 distinct tokens across docs -> sketch path (k = 64)
+    val big = (0 until 50).map(i =>
+      (100L + i, "big", (0 until 10).map(j => s"tok_${i * 10 + j}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.kmvDistinct(small.unionByName(big), k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("small") == ((3L, 3.0)))
+    val (nBig, estBig) = got("big")
+    assert(nBig == 500L)
+    // KMV with k=64 has ~12% std error; 2x is a generous sanity band
+    assert(estBig > 250.0 && estBig < 1000.0, s"estimate $estBig off for 500")
+  }
+
+  test("bm25: term-bearing docs outrank term-free docs; tf monotonicity") {
+    import graft.pipeline.TextOps
+    val df = Seq(
+      (1L, "query query query pad pad pad"),
+      (2L, "query pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"),
+      (4L, "join pad pad pad pad pad")).toDF("doc_id", "text")
+    val got = TextOps.bm25(df, Seq("query", "join"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1) > got(2), "higher tf must score higher")
+    assert(got(2) > got(3) && got(4) > got(3), "any hit beats no hit")
+    assert(got(3) == 0.0, "no query term -> zero score")
+  }
+
+  test("charLmScore: repetitive docs score high, anomalous chars score low") {
+    import graft.pipeline.TextOps
+    val df = Seq(
+      (1L, "abababababababab"),   // transitions the corpus knows well
+      (2L, "abababab"),
+      (3L, "abq")                  // 'bq'/'q?' transitions are rare
+    ).toDF("doc_id", "text")
+    val rows = TextOps.charLmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows(1)._1 == 15L && rows(3)._1 == 2L)
+    assert(rows(1)._2 > rows(3)._2, "anomalous doc must score lower")
+    // p(b|a) for the dominant a->b transition is near 1; min_p for doc 3
+    // reflects the rare bq transition
+    assert(rows(3)._3 < rows(1)._3)
+  }
+
   test("property: split assignment is growth-stable and content-independent") {
     import graft.pipeline.TextOps
     runProp(Prop.forAll(genDocs) { docs =>
