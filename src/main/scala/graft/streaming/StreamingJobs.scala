@@ -114,6 +114,52 @@ object StreamingJobs {
       (conv(substring(md5(concat(lit("r"), col("i").cast("string"))), 1, 15), 16, 10)
         .cast("long") % 10000).cast("double").divide(10000).as("value"))
 
+  /** One streaming near-dup candidate: `doc_id` collided with the band
+    * representative `first_doc` on band key `bkey`. */
+  final case class NearDupCandidate(bkey: String, doc_id: Long, first_doc: Long)
+
+  /** STREAMING near-duplicate candidate detection — the online twin of
+    * [[graft.pipeline.DedupOps.minhashPairs]]'s banding stage: each
+    * document's MinHash band keys are computed statelessly per row (the
+    * same md5/affine arithmetic as the batch DSL, so stream and batch
+    * can never disagree on a key), and a `flatMapGroupsWithState` keyed
+    * by band key emits a candidate the moment a document lands in a
+    * band that already has a representative. State is ONE long per
+    * distinct band key (the first-seen doc id) — the bounded-state
+    * design that survives an unbounded stream; production deployments
+    * add a state TTL (`GroupStateTimeout`) to age out cold bands.
+    * Exact-Jaccard verification of the emitted candidates stays an
+    * offline batch pass (it needs both documents' shingle sets), the
+    * standard split for streaming dedup.
+    *
+    * Within a batch the group's documents are processed in doc_id order,
+    * so the representative and the emitted set are deterministic under
+    * shuffle; a document matching several bands of the same earlier doc
+    * emits one candidate per band (downstream verification dedups
+    * pairs). Input: (doc_id, text). */
+  def nearDupCandidates(docs: DataFrame): org.apache.spark.sql.Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.pipeline.DedupOps
+    val bands = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(DedupOps.bandKeys(DedupOps.minhashSig(DedupOps.shingleHashes(
+          DedupOps.shingles(split(col("text"), " ")))))).as("bkey"))
+      .as[(Long, String)]
+    bands.groupByKey(_._2).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+        var rep = state.getOption.getOrElse(Long.MaxValue)
+        val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+        it.map(_._1).toSeq.sorted.foreach { id =>
+          if (rep == Long.MaxValue) rep = id
+          else if (id != rep) out += NearDupCandidate(key, id, rep)
+        }
+        state.update(rep)
+        out.iterator
+    }
+  }
+
   /** One fired alarm: the key, its count at the crossing, and the
     * epoch-second event time of the event that crossed the threshold. */
   final case class Alarm(key: Long, n: Long, ts: Long)

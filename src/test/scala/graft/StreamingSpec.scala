@@ -286,6 +286,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: band-key keyed state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val q = StreamingJobs.nearDupCandidates(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 1 and 2 share ALL 4 band keys (identical text);
+      // doc 5 is unrelated
+      in.addData(Seq((1L, textA), (2L, textA), (5L, textB)))
+      q.processAllAvailable()
+      // batch 2: doc 3 matches the batch-1 representative ACROSS batches
+      // (state carries the band reps); re-arrival of doc 1 emits nothing
+      in.addData(Seq((3L, textA), (1L, textA), (6L, "totally different words here")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      // one candidate per shared band: 4 bands x (2->1) then 4 x (3->1);
+      // re-arrived rep and unrelated docs emit nothing
+      assert(got.count(_ == ((2L, 1L))) == 4)
+      assert(got.count(_ == ((3L, 1L))) == 4)
+      assert(got.toSet == Set((2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   test("S12 sine workload is deterministic and strictly positive") {
     val a = StreamingJobs.sineWorkload(spark, 200, 360, 100.0, 120.0, 0L, 1L)
       .collect().map(_.getDouble(1)).toSeq
