@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ShingleMinHash
+import graft.functions.{ShingleMinHash, VecDot, VecSqDist}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,5 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_min_hash(str) - min Rabin-Karp hash over 8-codepoint windows",
         ""),
       (exprs: Seq[Expression]) => ShingleMinHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot",
+        "vec_dot(a, b) - exact integer dot product of two array<bigint>", ""),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VecSqDist].getName, null, "vec_sqdist",
+        "vec_sqdist(a, b) - exact integer squared distance of two array<bigint>", ""),
+      (exprs: Seq[Expression]) => VecSqDist(exprs.head, exprs(1))))
   }
 }

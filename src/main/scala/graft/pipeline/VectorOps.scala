@@ -41,9 +41,32 @@ object VectorOps {
   val quant: Column =
     transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen kernel ([[graft.functions.VecDot]]); [[dotDsl]] is the
+    * portable Column-DSL twin, pinned bit-equal by NativeVecSpec. The
+    * native form matters because every probed ANN search evaluates the
+    * dot inside joins or higher-order lambdas, where the DSL's
+    * zip_with/aggregate walk is interpreted per element (measured 5-10×
+    * end-to-end on the ANN bench queries at sf0.1). */
   def dot(a: Column, b: Column): Column =
+    ncol(graft.functions.VecDot(nexpr(a), nexpr(b)))
+
+  /** Portable Column-DSL dot product (higher-order fold) — semantics
+    * reference for [[dot]]. */
+  def dotDsl(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Exact integer squared distance (native kernel; [[sqdistDsl]] is the
+    * DSL twin). */
+  def sqdist(a: Column, b: Column): Column =
+    ncol(graft.functions.VecSqDist(nexpr(a), nexpr(b)))
+
+  /** Portable Column-DSL squared distance — semantics reference for
+    * [[sqdist]]. */
+  def sqdistDsl(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** Cosine similarity of two quantized vectors (double; bit-identical
     * across engines because all inputs to /, * and sqrt are exact). */
@@ -278,6 +301,13 @@ object VectorOps {
     *  - assignment ties break to the lowest cid; empty clusters keep
     *    their previous centroid.
     */
+  /** Default probe count for the k-means IVF: ceil(k/5) bounded at 16.
+    * The bound is the scale invariant — cell count k grows linearly
+    * with the corpus, so any nprobe proportional to k makes total
+    * candidate work quadratic; a constant cap keeps it O(n). Mirrored
+    * verbatim by the oracle's `np` CTE. */
+  def defaultNprobe(k: Int): Int = math.min(16, math.max(1, (k + 4) / 5))
+
   def kmeansCentroids(emb: DataFrame, targetCellSize: Int = 50,
                       sampleSize: Int = 512, iters: Int = 4): Array[Array[Long]] = {
     val spark = emb.sparkSession
@@ -339,14 +369,24 @@ object VectorOps {
     * whole k×dim fold into every element_at, k× the arithmetic: 7.5 s →
     * 140 s at sf0.1. Same cliff as the README's linear-size-expression
     * invariant; keep repeated references OUT of collapsible projects.) */
-  private def kmeansRanked(emb: DataFrame, cents: Array[Array[Long]],
-                           maxRank: Int): DataFrame = {
+  private[graft] def kmeansRanked(emb: DataFrame, cents: Array[Array[Long]],
+                                  maxRank: Int): DataFrame =
+    emb.select(col("vec_id"),
+        ncol(graft.functions.KmeansRank(nexpr(quant), cents, maxRank)).as("rc"))
+      .select(col("vec_id"), posexplode(col("rc")).as(Seq("rn0", "dc")))
+      .select(col("vec_id"), col("dc.c").as("cid"), col("dc.d").as("dist"),
+        (col("rn0") + 1).as("rn"))
+
+  /** Portable Column-DSL twin of [[kmeansRanked]] — semantics reference,
+    * pinned bit-equal by NativeVecSpec. Rides two interpreted cliffs the
+    * native [[graft.functions.KmeansRank]] avoids (see its scaladoc). */
+  private[graft] def kmeansRankedDsl(emb: DataFrame, cents: Array[Array[Long]],
+                                     maxRank: Int): DataFrame = {
     val k = cents.length
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     emb.select(col("vec_id"), quant.as("q"))
       .withColumn("rc", slice(array_sort(transform(centsLit, (cv, i) =>
-        struct(aggregate(zip_with(col("q"), cv, (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("d"), i.as("c")))),
+        struct(sqdistDsl(col("q"), cv).as("d"), i.cast("int").as("c")))),
         1, math.min(maxRank, k)))
       .select(col("vec_id"), posexplode(col("rc")).as(Seq("rn0", "dc")))
       .select(col("vec_id"), col("dc.c").as("cid"), col("dc.d").as("dist"),
@@ -359,13 +399,17 @@ object VectorOps {
     * CLUSTERED data that k-means cells keep, because cell boundaries
     * follow the data instead of fixed hyperplanes). Candidate work is
     * O(n · nprobe · targetCellSize): linear in the corpus, bounded
-    * fanout, never all-pairs. nprobe defaults to ceil(k/5) — probe ~20%
-    * of cells. */
+    * fanout, never all-pairs. nprobe defaults to ceil(k/5) CAPPED at 16:
+    * the uncapped ratio probes 20% of a cell count that itself grows
+    * linearly with the corpus, making total candidate work O(n²/5) — at
+    * sf0.1 that was 80M scored pairs (10.4 s); the cap keeps per-query
+    * work constant (nprobe × targetCellSize candidates) so total work
+    * stays linear, the standard fixed-nprobe IVF serving contract. */
   def ivfKmeansTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
                     nprobeOverride: Int = -1): DataFrame = {
     val cents = kmeansCentroids(emb, targetCellSize)
     val nprobe = if (nprobeOverride > 0) nprobeOverride
-                 else math.max(1, (cents.length + 4) / 5)
+                 else defaultNprobe(cents.length)
     // cells (rn = 1) and probes (rn <= nprobe) both read the ranked
     // frame; without a cache the per-row k x dim distance transform
     // runs twice — scope-persisted
@@ -485,7 +529,7 @@ object VectorOps {
     val reloaded = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cid").select(col("cent"))
       .as[Seq[Long]].collect().map(_.toArray)
-    val nprobe = math.max(1, (reloaded.length + 4) / 5)
+    val nprobe = defaultNprobe(reloaded.length)
     val probes = kmeansRanked(emb, reloaded, maxRank = nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val cells = spark.read.parquet(s"$indexDir/cells")

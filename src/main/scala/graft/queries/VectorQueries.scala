@@ -71,7 +71,7 @@ object VectorQueries extends QueryModule {
       s"""ranked AS (SELECT q.vec_id, q.qv, c.cid,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
          |  FROM q CROSS JOIN cent$iters c),
-         |np AS (SELECT GREATEST(1, (k + 4) // 5) AS nprobe FROM par),
+         |np AS (SELECT LEAST(16, GREATEST(1, (k + 4) // 5)) AS nprobe FROM par),
          |kcells AS (SELECT vec_id, qv, cid FROM ranked WHERE rn = 1),
          |kprobes AS (SELECT vec_id AS q_id, qv AS qqv, cid FROM ranked
          |            WHERE rn <= (SELECT nprobe FROM np)),
