@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE sizes post-shuffle partitions by data volume instead of core
+      // count (production guidance for busy clusters; at toy SF it
+      // collapses ~KB shuffles to one task instead of 32), and cached
+      // plans are allowed to re-partition so persisted pipeline stages
+      // get the same treatment.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
