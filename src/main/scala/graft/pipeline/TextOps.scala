@@ -444,4 +444,184 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
   }
+
+  /** LINE-LEVEL DEDUP (CCNet-style boilerplate removal): split every
+    * document into non-overlapping `window`-token "lines" (the synthetic
+    * corpus has no newlines, so fixed token windows stand in for the
+    * newline split a web corpus would use — boundary math shared with
+    * [[chunkDocs]] at stride = window), keep only each line's globally
+    * FIRST occurrence (lowest (doc_id, line index)), and report per
+    * document how much survived. The dedup is aggregation-based — one
+    * groupBy(line hash) with map-side partial aggregation taking
+    * min(struct(doc_id, pos)) — NOT a row_number window over the hash:
+    * a boilerplate line repeated 10M times would funnel one window
+    * partition through one task, while min() stays mergeable at any
+    * multiplicity. Output: (doc_id, n_lines, n_dup_lines, kept_tokens,
+    * dup_line_frac). */
+  def lineDedup(docs: DataFrame, window: Int = 10): DataFrame = {
+    require(window > 0, "positive line window")
+    val ts = tokens
+    val lines = docs
+      .select(col("doc_id"), ts.as("ts"), size(ts).cast("long").as("n"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0L),
+          greatest(expr(s"(n + ${window - 1}) div $window"), lit(1L)) - 1))
+          .as(Seq("pos", "l")),
+        col("ts"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(array_join(slice(col("ts"), (col("l") * window + 1).cast("int"),
+          lit(window)), " ")).as("h"),
+        size(slice(col("ts"), (col("l") * window + 1).cast("int"), lit(window)))
+          .cast("long").as("line_toks"))
+    val firsts = lines.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    lines.join(firsts, Seq("h"))
+      .withColumn("dup",
+        struct(col("doc_id"), col("pos")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("dup"), 0L).otherwise(col("line_toks"))).as("kept_tokens"))
+      .withColumn("dup_line_frac",
+        round(col("n_dup_lines").cast("double") / col("n_lines") + lit(1e-9), 4))
+  }
+
+  /** REPEATED-SUBSTRING SPANS (the token-level flavor of suffix-array
+    * substring dedup — Lee et al. 2021, arXiv 2107.06499): every sliding
+    * `k`-token gram that occurs more than once in the corpus marks its
+    * positions "repeated"; maximal runs of consecutive repeated positions
+    * merge into spans, the units a substring-dedup pass would trim. The
+    * gram index is the same explode → groupBy(hash) shape as the shingle
+    * inverted index (equi-joins only, never all-pairs); the run merge is
+    * a per-document window (bounded by document length) with the
+    * gaps-and-islands cumulative-break pattern shared with
+    * [[EventOps.sessionize]]. Output: one row per span — (doc_id,
+    * span_start 1-based gram pos, n_grams, span_tokens). */
+  def repeatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val ts = tokens
+    val grams = docs
+      .select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
+      .filter(col("n") >= k) // sub-k docs hold no full gram
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("p"),
+        col("ts"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(concat_ws(" ",
+          (0 until k).map(i => element_at(col("ts"), col("p").cast("int") + i)): _*))
+          .as("h"))
+    val rep = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    grams.join(rep, Seq("h"))
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) === 1L, 0L).otherwise(1L))
+      .withColumn("span", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("p")).as("span_start"), count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("n_grams"),
+        (col("n_grams") + (k - 1)).as("span_tokens"))
+  }
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, arXiv 2302.03169):
+    * score each document by how much its hashed-unigram profile looks
+    * like a target slice (here the `lang = 'en'` documents) relative to
+    * the raw corpus. Features are `buckets` hash buckets of token md5s;
+    * both distributions are Laplace-smoothed counts.
+    *
+    * DEVIATION from the paper, by design: the per-feature log-ratio sum
+    * becomes a count-weighted sum of RAW smoothed ratios (each ratio one
+    * IEEE division of exact integers, each term one multiplication,
+    * decimal-summed order-independently) — the same
+    * transcendental-free trade [[bm25]] and [[charLmScore]] make so the
+    * oracle lands bit-identically; ranking direction is preserved.
+    * Shape: one token explode feeding two partial-aggregated groupBys
+    * (the 64-row ratio table broadcasts back), linear at any corpus
+    * size. Output: (doc_id, n_feat, dsir_weight). */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 64): DataFrame = {
+    val feat = docs
+      .select(col("doc_id"), targetPred.as("is_t"), explode(tokens).as("t"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % buckets).as("b"))
+    val table = feat.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tots = table.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    // ratio(b) = ((ct+1)·(tr+B)) / ((cr+1)·(tt+B)), each factor cast to
+    // double BEFORE multiplying: int→double conversion and IEEE multiply
+    // round identically in any engine, and unlike the BIGINT product
+    // this form cannot overflow at web-corpus token counts (the m9/J6
+    // overflow lesson applied proactively)
+    val ratios = table.crossJoin(broadcast(tots))
+      .select(col("b"),
+        ((col("ct") + 1).cast("double") * (col("tr") + buckets).cast("double") /
+          ((col("cr") + 1).cast("double") * (col("tt") + buckets).cast("double"))).as("r"))
+    // weight = token-count-weighted MEAN ratio (not the raw sum, which
+    // scales with document length and would rank long documents over
+    // on-distribution ones)
+    feat.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(graft.queries.Sql.decSum(round(col("cnt") * col("r"), 6)) /
+          sum(col("cnt")) + lit(1e-9), 4).as("dsir_weight"))
+  }
+
+  /** PER-SOURCE LENGTH QUANTILE SKETCH: approximate p50/p90/p99 of
+    * document token counts from a fixed-width histogram (`binWidth`
+    * tokens per bin) — the mergeable bounded-memory form percentile
+    * monitoring takes at 100 TB, where an exact per-source sort is a
+    * full shuffle of every row. Bin counts are additive (combine across
+    * partitions/days for free); the reported quantile is the LOWER EDGE
+    * of the first bin whose cumulative count reaches ceil(q·n) — error
+    * bounded by binWidth, all integer arithmetic. The exact p50 stays
+    * next to the estimate as the honesty column (same contract as
+    * [[kmvDistinct]]). */
+  def lenQuantiles(docs: DataFrame, binWidth: Int = 16): DataFrame = {
+    val base = docs.select(col("source"), size(tokens).cast("long").as("n"))
+    val binned = base
+      .groupBy(col("source"), expr(s"n div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binned
+      .withColumn("cumc", sum(col("c")).over(w))
+      .withColumn("ntot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    def qEdge(q: Double, name: String) =
+      min(when(col("cumc") * 100 >= col("ntot") * math.round(q * 100),
+        col("bin") * binWidth)).as(name)
+    val est = cum.groupBy(col("source")).agg(
+      count(lit(1)).as("n_bins"),
+      max(col("ntot")).as("n_docs"),
+      qEdge(0.5, "p50_lo"), qEdge(0.9, "p90_lo"), qEdge(0.99, "p99_lo"))
+    val exact = base.groupBy(col("source"))
+      .agg(expr("percentile(n, 0.5)").as("p50_exact"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_bins"),
+        col("p50_lo"), col("p90_lo"), col("p99_lo"),
+        round(col("p50_exact") + lit(1e-9), 1).as("p50_exact"))
+  }
+
+  /** DETERMINISTIC SHARD + ORDER ASSIGNMENT (the "global shuffle" a
+    * pretraining dataloader consumes): every document draws a 60-bit
+    * md5 value; shard = draw mod `nShards`, position = rank of the draw
+    * within the shard (ties by doc_id). Content-independent and stable
+    * under reruns; the within-shard rank is the one genuine sort —
+    * exactly the work a dataset shuffle IS — and its task size is
+    * corpus/nShards rows: at production scale `nShards` rises with the
+    * corpus (thousands), keeping every sort partition bounded. Output:
+    * (doc_id, shard, pos). */
+  def shuffleShards(docs: DataFrame, nShards: Int = 16,
+                    salt: String = "shard"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
+    docs.select(col("doc_id"), mdDraw6(salt).as("draw"))
+      .withColumn("shard", pmod(col("draw"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

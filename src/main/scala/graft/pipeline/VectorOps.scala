@@ -551,4 +551,35 @@ object VectorOps {
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"),
         min_by(col("cosine"), col("vec_a")).as("cosine"))
+
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv 2303.09540):
+    * cluster the corpus with the k-means coarse quantizer, then compare
+    * pairs ONLY within each cluster and drop every vector whose cosine
+    * to a lower-id cluster-mate reaches `threshold` — the
+    * embedding-space analogue of near-dup pruning, catching semantic
+    * duplicates that share no n-grams. Same keep-min-id verdict shape
+    * as [[embCosineDups]]; the candidate set differs (k-means cells
+    * follow the data where LSH sign-bands are fixed hyperplanes).
+    * Pair work is Σ_cells |cell|² ≈ n · targetCellSize — linear in the
+    * corpus with bounded cell width, never all-pairs. */
+  def semDedup(emb: DataFrame, threshold: Double,
+               targetCellSize: Int = 50): DataFrame = {
+    val cents = kmeansCentroids(emb, targetCellSize)
+    val cells = kmeansRanked(emb, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val pairs = cells.as("a").join(cells.as("b"), Seq("cid"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b")), Seq("vec_b"))
+      .withColumn("c", cosinePre(col("qa"), col("qb"), col("n2a"), col("n2b")))
+      .filter(col("c") >= threshold)
+      .withColumn("cosine", round(col("c") + lit(1e-9), 6))
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"),
+        min_by(col("cosine"), col("vec_a")).as("cosine"))
+  }
 }

@@ -212,7 +212,30 @@ object TextQueries extends QueryModule {
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
           .as("ptext"))
       TextOps.piiScrub(withPii, col("ptext"))
-    }))
+    }),
+
+    // CCNet-style line-level boilerplate dedup: 10-token "lines", keep
+    // each line's globally first occurrence, per-doc survival stats
+    "line_dedup" -> ((s, d) => TextOps.lineDedup(docs(s, d), window = 10)),
+
+    // repeated-substring spans (token-level substring-dedup units):
+    // 5-gram grams occurring >= 2x corpus-wide, merged into maximal runs
+    "dedup_spans" -> ((s, d) => TextOps.repeatedSpans(docs(s, d), k = 5)),
+
+    // DSIR-style importance weights against the lang='en' target slice
+    // (hashed-unigram features, rational-ratio variant)
+    "dsir_weights" -> ((s, d) =>
+      TextOps.dsirWeights(docs(s, d),
+        org.apache.spark.sql.functions.col("lang") === "en")),
+
+    // per-source token-length quantile sketch (16-token histogram bins,
+    // additive/mergeable; exact p50 kept as the honesty column)
+    "corpus_len_quantiles" -> ((s, d) =>
+      TextOps.lenQuantiles(docs(s, d), binWidth = 16)),
+
+    // deterministic shard + within-shard order for the dataloader
+    "corpus_shuffle_shards" -> ((s, d) =>
+      TextOps.shuffleShards(docs(s, d), nShards = 16)))
 
   /** Fixed lexical query for the BM25 demo (terms from the synthetic
     * vocabulary with distinct frequencies). */
@@ -723,5 +746,96 @@ object TextQueries extends QueryModule {
          |        FROM documents)),
          |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM bits""".stripMargin
-    })
+    },
+
+    // first-occurrence line dedup: the oracle ranks occurrences with a
+    // window (fine for an oracle; the engine uses the skew-safe
+    // min(struct) aggregation — dup iff rn > 1 <=> (doc_id,pos) > min)
+    "line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |ln AS (SELECT doc_id, CAST(unnest(range(0,
+        |    greatest((n + 9) // 10, 1))) AS BIGINT) AS pos, ts FROM t),
+        |lh AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_slice(ts, pos * 10 + 1, pos * 10 + 10), ' ')) AS h,
+        |    CAST(len(list_slice(ts, pos * 10 + 1, pos * 10 + 10)) AS BIGINT) AS line_toks
+        |  FROM ln),
+        |mk AS (SELECT doc_id, pos, line_toks,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM lh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 0 ELSE line_toks END) AS BIGINT) AS kept_tokens,
+        |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 4) AS dup_line_frac
+        |FROM mk GROUP BY doc_id""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id, CAST(unnest(range(1, n - 4 + 1)) AS BIGINT) AS p, ts
+        |  FROM t WHERE n >= 5),
+        |gh AS (SELECT doc_id, p,
+        |    md5(concat_ws(' ', ts[p], ts[p+1], ts[p+2], ts[p+3], ts[p+4])) AS h
+        |  FROM g),
+        |rep AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+        |rg AS (SELECT doc_id, p FROM gh JOIN rep USING (h)),
+        |mk AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+        |         THEN 0 ELSE 1 END AS brk FROM rg),
+        |sp AS (SELECT doc_id, p, SUM(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM mk)
+        |SELECT doc_id, MIN(p) AS span_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+        |FROM sp GROUP BY doc_id, span""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH f AS (SELECT doc_id, lang = 'en' AS is_t,
+         |    ${hex60Sql("md5(t)")} % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |tb AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    COUNT(*) AS cr FROM f GROUP BY b),
+         |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+         |    CAST(SUM(cr) AS BIGINT) AS tr FROM tb),
+         |ra AS (SELECT b,
+         |    CAST(ct + 1 AS DOUBLE) * CAST(tr + 64 AS DOUBLE)
+         |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 64 AS DOUBLE)) AS r
+         |  FROM tb CROSS JOIN tt),
+         |dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM f GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+         |  ROUND(CAST(SUM(CAST(round(cnt * r, 6) AS DECIMAL(30,6))) AS DOUBLE)
+         |    / SUM(cnt) + 1e-9, 4) AS dsir_weight
+         |FROM dc JOIN ra USING (b) GROUP BY doc_id""".stripMargin,
+
+    "corpus_len_quantiles" ->
+      """WITH base AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |bi AS (SELECT source, n // 16 AS bin, COUNT(*) AS c
+        |  FROM base GROUP BY source, bin),
+        |cu AS (SELECT source, bin, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cumc,
+        |    SUM(c) OVER (PARTITION BY source) AS ntot
+        |  FROM bi),
+        |est AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    CAST(MAX(ntot) AS BIGINT) AS n_docs,
+        |    MIN(CASE WHEN cumc * 100 >= ntot * 50 THEN bin * 16 END) AS p50_lo,
+        |    MIN(CASE WHEN cumc * 100 >= ntot * 90 THEN bin * 16 END) AS p90_lo,
+        |    MIN(CASE WHEN cumc * 100 >= ntot * 99 THEN bin * 16 END) AS p99_lo
+        |  FROM cu GROUP BY source),
+        |ex AS (SELECT source, quantile_cont(n, 0.5) AS p50 FROM base GROUP BY source)
+        |SELECT est.source, n_docs, n_bins, p50_lo, p90_lo, p99_lo,
+        |  ROUND(p50 + 1e-9, 1) AS p50_exact
+        |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
+
+    "corpus_shuffle_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${hex60Sql("md5('shard:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS draw
+         |  FROM documents)
+         |SELECT doc_id, draw % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY draw % 16
+         |    ORDER BY draw, doc_id) AS BIGINT) AS pos
+         |FROM d""".stripMargin)
 }

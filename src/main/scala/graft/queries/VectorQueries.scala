@@ -132,6 +132,10 @@ object VectorQueries extends QueryModule {
     // component-wise mean embedding per label (mean pooling)
     "emb_label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(Tables.embeddings(s, d))),
+    // SemDeDup: k-means-cell-restricted cosine dedup — semantic
+    // duplicates that share no n-grams, candidates bounded by cell width
+    "semdedup" -> ((s, d) =>
+      VectorOps.semDedup(Tables.embeddings(s, d), threshold = 0.4)),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -283,6 +287,21 @@ object VectorQueries extends QueryModule {
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "ann_ivf_kmeans" -> kmeansTopkSql,
+
+    // SemDeDup: same Lloyd-fit replay, pairs restricted to shared
+    // kcells cid, keep-min-id verdicts like dedup_embedding_cosine
+    "semdedup" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes()},
+         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("a.qv", "b.qv")} AS c
+         |  FROM kcells a JOIN kcells b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |flt AS (SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine
+         |  FROM pr WHERE c >= 0.4)
+         |SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+         |  min_by(cosine, vec_a) AS cosine
+         |FROM flt GROUP BY vec_b""".stripMargin,
 
     // the persisted-index serve path is pinned EQUAL to the direct
     // k-means search, so it shares the oracle verbatim

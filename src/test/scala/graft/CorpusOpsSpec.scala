@@ -1,0 +1,107 @@
+package graft
+
+import graft.pipeline.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-6 corpus operators: line-level dedup,
+  * repeated-substring spans, DSIR importance weights, the length-quantile
+  * sketch, shard assignment, and SemDeDup — each checked against
+  * from-first-principles recomputations on the sf0.001 fixtures.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("lineDedup: line accounting is exact and exactly one occurrence per hash survives") {
+    val out = TextOps.lineDedup(docs, window = 10)
+    val base = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val joined = out.join(base, "doc_id")
+    // ceil(n/10) lines per doc, none lost
+    assert(joined.filter(col("n_lines") =!= expr("greatest((n + 9) div 10, 1)")).count() === 0L)
+    // kept fraction consistent: dup lines counted once in the fraction
+    assert(out.filter(col("dup_line_frac") =!=
+      round(col("n_dup_lines").cast("double") / col("n_lines") + lit(1e-9), 4)).count() === 0L)
+    // global invariant: total kept lines == distinct line hashes
+    val totKept = out.agg(sum(col("n_lines") - col("n_dup_lines"))).head.getLong(0)
+    val distinctHashes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .select(posexplode(sequence(lit(0L),
+        greatest(expr("(n + 9) div 10"), lit(1L)) - 1)).as(Seq("pos", "l")), col("ts"))
+      .select(md5(array_join(slice(col("ts"), (col("l") * 10 + 1).cast("int"), lit(10)), " ")).as("h"))
+      .distinct().count()
+    assert(totKept === distinctHashes)
+  }
+
+  test("repeatedSpans: spans are in-bounds, disjoint, and genuinely repeated") {
+    val spans = TextOps.repeatedSpans(docs, k = 5).collect()
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans.nonEmpty, "synthetic corpus should contain repeated 5-grams")
+    spans.groupBy(_.getLong(0)).foreach { case (doc, ss) =>
+      val ranges = ss.map(r => (r.getLong(1), r.getLong(1) + r.getLong(2) - 1)).sortBy(_._1)
+      // gram-position ranges disjoint with at least one gap between spans
+      ranges.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 > e1 + 1, s"adjacent spans not merged in doc $doc")
+        case _ =>
+      }
+      ranges.foreach { case (s, e) =>
+        assert(s >= 1 && e <= lens(doc) - 4, s"span out of gram range in doc $doc") }
+      ss.foreach(r => assert(r.getLong(3) === r.getLong(2) + 4)) // span_tokens = n_grams + k - 1
+    }
+  }
+
+  test("dsirWeights: weights are positive and rank the target slice above the rest") {
+    val w = TextOps.dsirWeights(docs, col("lang") === "en")
+    assert(w.count() === docs.count())
+    assert(w.filter(col("dsir_weight") <= 0).count() === 0L)
+    val means = w.join(docs.select(col("doc_id"), (col("lang") === "en").as("t")), "doc_id")
+      .groupBy(col("t")).agg(org.apache.spark.sql.functions.avg(col("dsir_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en docs should score higher: en=${means(true)} other=${means(false)}")
+  }
+
+  test("lenQuantiles: ordered estimates that bracket the exact median") {
+    val q = TextOps.lenQuantiles(docs, binWidth = 16).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val exact = r.getDouble(6)
+      assert(p50 <= p90 && p90 <= p99)
+      assert(p50 <= exact + 1e-9 && exact < p50 + 16,
+        s"exact median $exact outside [$p50, ${p50 + 16}) for ${r.getString(0)}")
+    }
+  }
+
+  test("shuffleShards: a permutation with contiguous per-shard positions") {
+    val s = TextOps.shuffleShards(docs, nShards = 16)
+    assert(s.select("doc_id").distinct().count() === docs.count())
+    val bad = s.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"), min(col("pos")).as("mn"),
+        countDistinct(col("pos")).as("dp"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1L || col("dp") =!= col("c"))
+    assert(bad.count() === 0L, "positions must be a contiguous 1..c per shard")
+  }
+
+  test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
+    val thr = 0.4
+    val d = VectorOps.semDedup(emb, threshold = thr)
+    val rows = d.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "dup_of must be a lower id")
+      assert(r.getDouble(2) >= thr - 1e-6)
+    }
+    // verdict vec_ids unique (one row per duplicate)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // every (vec_id, dup_of) pair shares a k-means cell
+    val cents = VectorOps.kmeansCentroids(emb)
+    val cells = VectorOps.kmeansRanked(emb, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+    val mism = d.join(cells, Seq("vec_id"))
+      .join(cells.select(col("vec_id").as("dup_of"), col("cid").as("cid2")), Seq("dup_of"))
+      .filter(col("cid") =!= col("cid2")).count()
+    assert(mism === 0L)
+  }
+}
