@@ -606,6 +606,39 @@ object TextOps {
         round(col("p50_exact") + lit(1e-9), 1).as("p50_exact"))
   }
 
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION: fuse the lexical
+    * ([[bm25]]) and semantic ([[VectorOps.bruteForceTopK]]) top-k lists
+    * with the standard RRF score Σ 1/(rrfK + rank) — the fusion every
+    * modern retrieval stack runs over its BM25 and ANN legs. A document
+    * missing from one leg contributes only the other leg's term
+    * (full-outer semantics). Each term is ONE IEEE division of exact
+    * integers and the score is their sum — transcendental-free, so the
+    * oracle reproduces it bit-for-bit. Both legs are top-k bounded, so
+    * every join and the final rank window touch ≤ 2·topK rows — driver-
+    * side-tiny by construction at any corpus size (the heavy lifting is
+    * inside the legs, which carry their own scale designs).
+    * `emb.vec_id` is the embedding id of document `doc_id` (the corpus
+    * convention; rows without an embedding simply can't appear in the
+    * semantic leg). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                qId: Long, topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25(docs, terms, topK = topK)
+      .select(col("doc_id"), row_number().over(wLex).cast("long").as("r_lex"))
+    val sem = graft.pipeline.VectorOps.bruteForceTopK(emb, queryMaxId = qId + 1, k = topK)
+      .filter(col("q_id") === qId)
+      .select(col("vec_id").as("doc_id"), col("rk").cast("long").as("r_sem"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)) + lit(1e-12), 6))
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf_score"),
+        row_number().over(wOut).cast("long").as("fused_rank"))
+  }
+
   /** DETERMINISTIC SHARD + ORDER ASSIGNMENT (the "global shuffle" a
     * pretraining dataloader consumes): every document draws a 60-bit
     * md5 value; shard = draw mod `nShards`, position = rank of the draw

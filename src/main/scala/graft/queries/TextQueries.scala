@@ -235,7 +235,13 @@ object TextQueries extends QueryModule {
 
     // deterministic shard + within-shard order for the dataloader
     "corpus_shuffle_shards" -> ((s, d) =>
-      TextOps.shuffleShards(docs(s, d), nShards = 16)))
+      TextOps.shuffleShards(docs(s, d), nShards = 16)),
+
+    // hybrid retrieval: BM25 top-20 + cosine top-20 for query vector 0,
+    // fused with reciprocal-rank fusion (k = 60)
+    "hybrid_rrf" -> ((s, d) =>
+      TextOps.hybridRrf(docs(s, d), Tables.embeddings(s, d),
+        Bm25Terms, qId = 0)))
 
   /** Fixed lexical query for the BM25 demo (terms from the synthetic
     * vocabulary with distinct frequencies). */
@@ -247,30 +253,63 @@ object TextQueries extends QueryModule {
     * keeps DuckDB from treating it as DECIMAL. */
   private def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
 
+  /** DuckDB spelling of the full [[TextOps.bm25]] top-20 query — shared
+    * by the text_bm25 oracle and the hybrid_rrf lexical leg. */
+  private lazy val bm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n    ")
+    val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+      s"""(CAST(n_docs AS DOUBLE) - df_$i + ${dlit(0.5)}) / (df_$i + ${dlit(0.5)})
+         | * ($tf * ${dlit(k1 + 1)})
+         | / ($tf + ${dlit(k1)} * (${dlit(1.0 - b)}
+         |      + ${dlit(b)} * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfs
+       |  FROM t),
+       |sc AS (SELECT doc_id, dl, ts, n_docs, df_0, df_1, df_2,
+       |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+       |  FROM t CROSS JOIN st)
+       |SELECT doc_id, dl, ROUND($terms
+       |  + 1e-9, 4) AS bm25
+       |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "text_bm25" -> {
-      val (k1, b) = (1.2, 0.75)
-      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
-      }.mkString(",\n    ")
-      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
-        s"""(CAST(n_docs AS DOUBLE) - df_$i + ${dlit(0.5)}) / (df_$i + ${dlit(0.5)})
-           | * ($tf * ${dlit(k1 + 1)})
-           | / ($tf + ${dlit(k1)} * (${dlit(1.0 - b)}
-           |      + ${dlit(b)} * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
-      }.mkString("\n + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
-         |    $dfs
-         |  FROM t),
-         |sc AS (SELECT doc_id, dl, ts, n_docs, df_0, df_1, df_2,
-         |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
-         |  FROM t CROSS JOIN st)
-         |SELECT doc_id, dl, ROUND($terms
-         |  + 1e-9, 4) AS bm25
-         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    "text_bm25" -> bm25Sql,
+
+    // lexical + semantic legs ranked, full-outer fused with RRF; the
+    // fused rank orders by the ROUNDED score (both engines identical)
+    "hybrid_rrf" -> {
+      val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+      val cos =
+        """CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS DOUBLE)
+          | / sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE)
+          |        * CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))""".stripMargin
+      s"""WITH lex0 AS ($bm25Sql),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex FROM lex0),
+         |q AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 1),
+         |sc2 AS (SELECT q_id, vec_id, $cos AS c
+         |  FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |r2 AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc2),
+         |sem AS (SELECT vec_id AS doc_id, CAST(rk AS BIGINT) AS r_sem
+         |  FROM r2 WHERE rk <= 20),
+         |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+         |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + r_sem), 0) + 1e-12, 6) AS rrf_score
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, r_lex, r_sem, rrf_score,
+         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         |    AS fused_rank
+         |FROM f""".stripMargin
     },
 
     "corpus_kmv_distinct" ->
