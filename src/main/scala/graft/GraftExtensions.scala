@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ShingleMinHash, VecDot, VecSqDist}
+import graft.functions.{MinhashSig, ShingleMinHash, VecDot, VecSqDist}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSqDist].getName, null, "vec_sqdist",
         "vec_sqdist(a, b) - exact integer squared distance of two array<bigint>", ""),
       (exprs: Seq[Expression]) => VecSqDist(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, null, "minhash_sig",
+        "minhash_sig(hashes) - 16 affine-permutation MinHash minima of an array<bigint>", ""),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head)))
   }
 }

@@ -85,8 +85,33 @@ object DedupOps {
 
   /** [[minhashBandsRelational]] over a caller-supplied (doc_id, s)
     * inverted index — lets a pipeline materialize the shingle index ONCE
-    * and feed both the banding and the verification legs from it. */
+    * and feed both the banding and the verification legs from it.
+    *
+    * Shape: md5 each shingle in codegen, collect the per-document hash
+    * set (ONE aggregation — min is order-independent, so collect_list
+    * order doesn't matter), then the native [[graft.functions
+    * .MinhashSig]] kernel computes all 16 permutation minima map-side
+    * and the 4 band keys explode from it. Replaces the previous
+    * explode-16-rows-per-shingle form, which shuffled 16× the shingle
+    * rows (4M at sf0.1) through two aggregations to get codegen the
+    * kernel now provides directly; [[minhashBandsExploded]] keeps that
+    * form as the kernel's semantics pin. */
   def minhashBandsFromInv(inv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    inv
+      .withColumn("h", hex60(md5(col("s"))) % MOD)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        bandKeys(ncol(graft.functions.MinhashSig(nexpr(col("hs"))))).as("bks"))
+      .select(col("doc_id"), explode(col("bks")).as("bkey"))
+  }
+
+  /** The pre-kernel explode/groupBy banding (16 rows per shingle,
+    * whole-stage-codegen'd aggregations) — retained as the
+    * DedupEquivalenceSpec pin for [[minhashBandsFromInv]] and as the
+    * fallback spelling should the native kernel ever be unavailable. */
+  private[graft] def minhashBandsExploded(inv: DataFrame): DataFrame = {
     val ex = inv
       .withColumn("h", hex60(md5(col("s"))) % MOD)
     val mins = ex

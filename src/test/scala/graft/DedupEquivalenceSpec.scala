@@ -31,6 +31,15 @@ class DedupEquivalenceSpec extends SparkSpec {
     assert(viaLambda == viaRelational)
   }
 
+  test("native MinhashSig banding equals the exploded relational formulation") {
+    val inv = DedupOps.shingleRows(docs)
+    val viaKernel = DedupOps.minhashBandsFromInv(inv)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaExploded = DedupOps.minhashBandsExploded(inv)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaKernel == viaExploded)
+  }
+
   test("relational shingle rows equal the lambda shingle sets") {
     val viaLambda = DedupOps.shingleSets(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
