@@ -143,6 +143,12 @@ object DedupOps {
     * `threshold`. Pairs are emitted once with doc_a < doc_b. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
                    sharedInv: Option[DataFrame] = None): DataFrame = {
+    // a candidate pair sharing ZERO shingles has jaccard 0 and can never
+    // reach a positive threshold, so the verification can stay an inner
+    // join on the intersection counts — re-joining the candidate set to
+    // resurrect zero-overlap pairs (the old left+fill(0) tail) only to
+    // filter them out again was a wasted shuffle join
+    require(threshold > 0, "minhashPairs verification assumes a positive threshold")
     // exact verification below reuses the same (doc_id, s) inverted index
     // the banding consumes; callers composing several dedup stages pass a
     // persisted one so the shingle explode+distinct runs once, not per leg
@@ -157,8 +163,7 @@ object DedupOps {
       .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
       .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
