@@ -552,6 +552,40 @@ object VectorOps {
       .agg(min(col("vec_a")).as("dup_of"),
         min_by(col("cosine"), col("vec_a")).as("cosine"))
 
+  /** INT8 VECTOR COMPRESSION diagnostics: per-vector min/max scalar
+    * quantization of the (already integer-quantized) embedding to 8-bit
+    * codes — the 4× storage compression a production vector store
+    * applies before serving — with exact reconstruction-error stats.
+    *
+    * All arithmetic stays INTEGER so the oracle replays it bit-for-bit:
+    * code_i = round((x_i − mn)·255 / (mx − mn)) computed as
+    * ((x−mn)·510 + (mx−mn)) div (2·(mx−mn)) (half-away-from-zero in
+    * pure BIGINT — the [[kmeansCentroids]] rounding trick; x−mn ≥ 0 so
+    * no sign split needed), and the reconstruction error is measured in
+    * the same integer domain as err_i = |(mn·255 + code_i·(mx−mn)) −
+    * x_i·255| — error×255, avoiding any division. Constant vectors
+    * (mx = mn) code to 0 with zero error. Output: (vec_id, mn, mx,
+    * max_err_x255, sum_err_x255). Pure per-row map — no shuffle. */
+  def int8QuantStats(emb: DataFrame): DataFrame = {
+    val q = quant
+    val mn = array_min(q)
+    val mx = array_max(q)
+    emb.select(col("vec_id"), q.as("q"), mn.as("mn"), mx.as("mx"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("errs", transform(col("q"), x => {
+        // floor(a/b) == a div b exactly for positive BIGINTs below 2^53
+        // (IEEE division is correctly rounded and 1/b > 2^-53·(a/b)
+        // there), so the double detour can't mis-round; DuckDB spells
+        // the same value with its integer `//`
+        val code = when(col("rng") === 0, lit(0L)).otherwise(
+          floor(((x - col("mn")) * 510 + col("rng")) / (col("rng") * 2)).cast("long"))
+        abs(col("mn") * 255 + code * col("rng") - x * 255)
+      }))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        array_max(col("errs")).as("max_err_x255"),
+        aggregate(col("errs"), lit(0L), _ + _).as("sum_err_x255"))
+  }
+
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv 2303.09540):
     * cluster the corpus with the k-means coarse quantizer, then compare
     * pairs ONLY within each cluster and drop every vector whose cosine

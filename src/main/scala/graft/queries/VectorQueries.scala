@@ -136,6 +136,10 @@ object VectorQueries extends QueryModule {
     // duplicates that share no n-grams, candidates bounded by cell width
     "semdedup" -> ((s, d) =>
       VectorOps.semDedup(Tables.embeddings(s, d), threshold = 0.4)),
+    // int8 compression diagnostics: per-vector min/max quantization with
+    // exact integer reconstruction-error stats (no shuffle)
+    "emb_int8_quant" -> ((s, d) =>
+      VectorOps.int8QuantStats(Tables.embeddings(s, d))),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -306,6 +310,21 @@ object VectorQueries extends QueryModule {
     // the persisted-index serve path is pinned EQUAL to the direct
     // k-means search, so it shares the oracle verbatim
     "ann_index_roundtrip" -> kmeansTopkSql,
+
+    "emb_int8_quant" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |m AS (SELECT vec_id, qv, list_min(qv) AS mn, list_max(qv) AS mx,
+         |    list_max(qv) - list_min(qv) AS rng FROM q),
+         |e AS (SELECT vec_id, mn, mx,
+         |    list_transform(qv, x -> abs(mn * 255 +
+         |      (CASE WHEN rng = 0 THEN 0
+         |            ELSE ((x - mn) * 510 + rng) // (rng * 2) END) * rng
+         |      - x * 255)) AS errs
+         |  FROM m)
+         |SELECT vec_id, mn, mx,
+         |  list_max(errs) AS max_err_x255,
+         |  CAST(list_sum(errs) AS BIGINT) AS sum_err_x255
+         |FROM e""".stripMargin,
 
     "emb_label_centroids" ->
       s"""WITH q AS (SELECT label, $qvSql AS qv FROM embeddings),

@@ -85,6 +85,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.count() === 0L, "positions must be a contiguous 1..c per shard")
   }
 
+  test("int8QuantStats: reconstruction error bounded by half a quantization step") {
+    val s = VectorOps.int8QuantStats(emb)
+    assert(s.count() === emb.count())
+    // per-component |err|·255 <= rng/2 (+1 for the integer rounding)
+    val bad = s.filter(col("max_err_x255") * 2 > (col("mx") - col("mn")) + 1).count()
+    assert(bad === 0L, "quantization error exceeded half a step")
+    // degenerate constant vector codes exactly
+    assert(s.filter(col("mx") === col("mn"))
+      .filter(col("max_err_x255") =!= 0L).count() === 0L)
+  }
+
   test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
     val thr = 0.4
     val d = VectorOps.semDedup(emb, threshold = thr)
