@@ -606,6 +606,25 @@ object TextOps {
         round(col("p50_exact") + lit(1e-9), 1).as("p50_exact"))
   }
 
+  /** EXACT-k STRATIFIED SAMPLE: the deterministic "exactly k documents
+    * per stratum" draw (the companion to the rate-based
+    * [[sampleMixture]] — evaluation sets and ablation slices need exact
+    * counts, not expected counts). Rank each stratum's documents by
+    * their content-independent md5 draw (ties by doc_id) and keep rank
+    * ≤ k: stable under reruns, and adding documents to a stratum
+    * changes at most which k survive, never another stratum. The
+    * per-stratum rank is one window whose partition is a stratum —
+    * the same bounded-key shape as [[kmvDistinct]]'s k-minima. */
+  def stratifiedSample(docs: DataFrame, k: Int,
+                       salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), mdDraw6(salt).as("draw"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION: fuse the lexical
     * ([[bm25]]) and semantic ([[VectorOps.bruteForceTopK]]) top-k lists
     * with the standard RRF score Σ 1/(rrfK + rank) — the fusion every

@@ -241,7 +241,11 @@ object TextQueries extends QueryModule {
     // fused with reciprocal-rank fusion (k = 60)
     "hybrid_rrf" -> ((s, d) =>
       TextOps.hybridRrf(docs(s, d), Tables.embeddings(s, d),
-        Bm25Terms, qId = 0)))
+        Bm25Terms, qId = 0)),
+
+    // exactly 10 docs per source, deterministic md5-draw ranking
+    "stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(docs(s, d), k = 10)))
 
   /** Fixed lexical query for the BM25 demo (terms from the synthetic
     * vocabulary with distinct frequencies). */
@@ -876,5 +880,14 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, draw % 16 AS shard,
          |  CAST(row_number() OVER (PARTITION BY draw % 16
          |    ORDER BY draw, doc_id) AS BIGINT) AS pos
-         |FROM d""".stripMargin)
+         |FROM d""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ${hex60Sql("md5('strat:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS draw
+         |  FROM documents)
+         |SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY draw, doc_id) AS BIGINT) AS rk
+         |  FROM d) WHERE rk <= 10""".stripMargin)
 }
