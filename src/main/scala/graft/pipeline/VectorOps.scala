@@ -552,6 +552,37 @@ object VectorOps {
       .agg(min(col("vec_a")).as("dup_of"),
         min_by(col("cosine"), col("vec_a")).as("cosine"))
 
+  /** SEMANTIC DECONTAMINATION: training vectors whose embedding lands
+    * within `threshold` cosine of ANY eval/benchmark vector — the
+    * embedding-space twin of the n-gram `DedupOps.contamination` pass
+    * (paraphrased benchmark leakage shares no shingles but keeps its
+    * meaning, so production release checks run BOTH). Candidates come
+    * from the banded sign-LSH equi-join with the eval side filtered
+    * BEFORE the join — at scale the eval index is tiny and broadcasts
+    * itself; never all-pairs. Output: one row per suspect pair
+    * (train_id, eval_id, cosine). */
+  def semanticContamination(emb: DataFrame, evalPred: Column,
+                            threshold: Double): DataFrame = {
+    val flagged = emb.withColumn("is_eval", evalPred)
+    val e = flagged.select(col("vec_id"), col("is_eval"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val bands = signBandsRelational(emb)
+      .join(flagged.select(col("vec_id"), col("is_eval")), Seq("vec_id"))
+    val cands = bands.filter(!col("is_eval"))
+      .select(col("vec_id").as("train_id"), col("bkey"))
+      .join(bands.filter(col("is_eval"))
+        .select(col("vec_id").as("eval_id"), col("bkey")), Seq("bkey"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("train_id"), col("q").as("qa"), col("n2").as("n2a")), Seq("train_id"))
+      .join(e.select(col("vec_id").as("eval_id"), col("q").as("qb"), col("n2").as("n2b")), Seq("eval_id"))
+      .withColumn("c", cosinePre(col("qa"), col("qb"), col("n2a"), col("n2b")))
+      .filter(col("c") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"))
+  }
+
   /** INT8 VECTOR COMPRESSION diagnostics: per-vector min/max scalar
     * quantization of the (already integer-quantized) embedding to 8-bit
     * codes — the 4× storage compression a production vector store

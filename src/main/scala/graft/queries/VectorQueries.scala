@@ -140,6 +140,12 @@ object VectorQueries extends QueryModule {
     // exact integer reconstruction-error stats (no shuffle)
     "emb_int8_quant" -> ((s, d) =>
       VectorOps.int8QuantStats(Tables.embeddings(s, d))),
+    // semantic decontamination: train vectors within cosine 0.4 of any
+    // label-0 ("benchmark") vector — the embedding twin of
+    // decontam_overlap, LSH-banded candidates, never all-pairs
+    "decontam_semantic" -> ((s, d) =>
+      VectorOps.semanticContamination(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("label") === 0, threshold = 0.4)),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -310,6 +316,26 @@ object VectorQueries extends QueryModule {
     // the persisted-index serve path is pinned EQUAL to the direct
     // k-means search, so it shares the oracle verbatim
     "ann_index_roundtrip" -> kmeansTopkSql,
+
+    "decontam_semantic" ->
+      s"""WITH q AS (SELECT vec_id, label = 0 AS is_eval, $qvSql AS qv
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, is_eval, qv, $sigSql AS sig FROM q),
+         |bands AS (
+         |  SELECT vec_id, is_eval, unnest(list_transform(range(0, 8), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
+         |  FROM sg),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey
+         |  WHERE NOT a.is_eval AND b.is_eval)
+         |SELECT train_id, eval_id,
+         |  ROUND(${cosSql("qa.qv", "qb.qv")} + 1e-9, 6) AS cosine
+         |FROM cands
+         |JOIN q qa ON qa.vec_id = train_id
+         |JOIN q qb ON qb.vec_id = eval_id
+         |WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4""".stripMargin,
 
     "emb_int8_quant" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
