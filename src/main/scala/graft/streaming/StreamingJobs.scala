@@ -141,10 +141,14 @@ object StreamingJobs {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.pipeline.DedupOps
+    // the signature runs through the native MinhashSig kernel (values
+    // pinned identical to the DSL chain by DedupEquivalenceSpec, so
+    // stream and batch still can't disagree on a key)
     val bands = docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        explode(DedupOps.bandKeys(DedupOps.minhashSig(DedupOps.shingleHashes(
-          DedupOps.shingles(split(col("text"), " ")))))).as("bkey"))
+        explode(DedupOps.bandKeys(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.MinhashSig(org.apache.spark.sql.GraftColumnBridge.expression(
+            DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))))))).as("bkey"))
       .as[(Long, String)]
     bands.groupByKey(_._2).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
