@@ -95,6 +95,29 @@ object MultimodalOps {
     }).toDF("doc_id", "win_idx", "n_bytes", "sum_sq")
   }
 
+  /** Perceptual difference-hash (dHash) over the stubbed decode: bit i =
+    * [byte_i < byte_{i+1}] over the first 61 payload bytes → a 60-bit
+    * signature (kept under the sign bit so both engines hold it in a
+    * plain BIGINT). On real images the bytes would be the resized
+    * grayscale row — the standard near-duplicate image fingerprint;
+    * grouping or hamming-banding the signatures is then ordinary
+    * relational work (the [[graft.pipeline.DedupOps.simhash]] shape).
+    * One row per doc: (doc_id, phash60). */
+  def perceptualHash(mm: Dataset[MMRecord]): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.mapPartitions(_.map { r =>
+      var h = 0L
+      var i = 0
+      val n = math.min(60, r.payload.length - 1)
+      while (i < n) {
+        if ((r.payload(i) & 0xff) < (r.payload(i + 1) & 0xff)) h |= (1L << i)
+        i += 1
+      }
+      (r.doc_id, h)
+    }).toDF("doc_id", "phash60")
+  }
+
   /** Resize stub: halve width/height until both fit `maxDim`, truncate the
     * payload to the implied byte budget (a codec would re-encode), emit
     * the new geometry + truncated-payload checksum. */

@@ -52,6 +52,21 @@ object EventQueries extends QueryModule {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           round(Sql.decAvg(col("k")) + lit(1e-9), 4).as("avg_k"))),
 
+    // next-event transition matrix: the Markov view of user journeys
+    // (which step follows which) — one per-user window bounded by the
+    // user's event count, then a partial-aggregated global count
+    "events_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionize(
         ev(s, d).select(col("user_id"),
@@ -137,6 +152,15 @@ object EventQueries extends QueryModule {
          |  MIN(k) AS min_k, MAX(k) AS max_k,
          |  ROUND(${Sql.decAvgSql("k")} + 1e-9, 4) AS avg_k
          |FROM e GROUP BY event_type""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |l AS (SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM e)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
 
     // SUM(int) in DuckDB is HUGEINT -> cast session_seq back to BIGINT
     "events_sessionize" ->

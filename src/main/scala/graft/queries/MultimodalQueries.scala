@@ -19,7 +19,10 @@ object MultimodalQueries extends QueryModule {
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSample(mm(s, d), stride = 2)),
     "mm_byte_histogram" -> ((s, d) => MultimodalOps.byteHistogram(mm(s, d))),
     "mm_resize" -> ((s, d) => MultimodalOps.resize(mm(s, d), maxDim = 16)),
-    "mm_energy_curve" -> ((s, d) => MultimodalOps.energyCurve(mm(s, d), windowBytes = 24)))
+    "mm_energy_curve" -> ((s, d) => MultimodalOps.energyCurve(mm(s, d), windowBytes = 24)),
+    // dHash perceptual fingerprint over the stubbed decode — the
+    // near-duplicate image signature (group/band downstream like simhash)
+    "mm_phash" -> ((s, d) => MultimodalOps.perceptualHash(mm(s, d))))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -84,5 +87,16 @@ object MultimodalQueries extends QueryModule {
          |SELECT geo.doc_id, new_width, new_height,
          |  CAST(budget AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS checksum
          |FROM geo JOIN bytes ON bytes.doc_id = geo.doc_id AND bytes.i < budget
-         |GROUP BY geo.doc_id, new_width, new_height, budget""".stripMargin)
+         |GROUP BY geo.doc_id, new_width, new_height, budget""".stripMargin,
+
+    // bit i = [byte_i < byte_{i+1}], i < 60 — joined as a self-pair on
+    // adjacent byte positions, summed as exact powers of two
+    "mm_phash" ->
+      s"""$bytesCte
+         |SELECT a.doc_id,
+         |  CAST(COALESCE(SUM(CASE WHEN a.b < c.b
+         |    THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT) AS phash60
+         |FROM bytes a JOIN bytes c
+         |  ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
+         |GROUP BY a.doc_id""".stripMargin)
 }
