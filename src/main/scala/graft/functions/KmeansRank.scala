@@ -32,6 +32,20 @@ import org.apache.spark.sql.types._
 case class KmeansRank(child: Expression, cents: Array[Array[Long]], maxRank: Int)
     extends UnaryExpression {
 
+  // Array params compare by reference under case-class equality, which
+  // would make two value-identical instances unequal during plan
+  // canonicalization (blocking exchange/subplan reuse, never wrong
+  // results) — compare the matrix by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case KmeansRank(c, ce, m) =>
+      c == child && m == maxRank && java.util.Arrays.deepEquals(
+        ce.asInstanceOf[Array[AnyRef]], cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.deepHashCode(
+      cents.asInstanceOf[Array[AnyRef]])) + maxRank
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
