@@ -84,10 +84,12 @@ object KmeansRank {
     var c = 0
     while (c < k) {
       val cv = cents(c)
-      val n = math.min(x.length, cv.length)
+      if (cv.length != x.length)
+        throw new IllegalArgumentException(
+          s"vec_kmeans_rank: vector dim ${x.length} != centroid dim ${cv.length}")
       var s = 0L
       var i = 0
-      while (i < n) { val t = x(i) - cv(i); s += t * t; i += 1 }
+      while (i < x.length) { val t = x(i) - cv(i); s += t * t; i += 1 }
       d(c) = s
       c += 1
     }

@@ -29,7 +29,10 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
       s"minhash_sig requires an array<bigint> argument, got $t")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an empty input yields 16 null minima (matching the
+  // DSL chain, whose array_min over no elements is null) — non-empty
+  // inputs never produce null elements
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any =
@@ -46,13 +49,16 @@ object MinhashSig {
   val K = 16
   val MOD = 1000000007L
 
-  /** All K affine-permutation minima in one pass; null for an empty
-    * array (the lambda form's array_min(empty) = null, though the
-    * shingle contract — every document yields at least one partial
-    * shingle — makes this unreachable in the pipelines). */
+  /** All K affine-permutation minima in one pass. An EMPTY array yields
+    * K null elements — exactly the lambda chain's array_min(empty) =
+    * null — never a null RESULT: nullSafeEval/defineCodeGen assume the
+    * value is non-null whenever the child is, so returning Java null
+    * here would escape with isNull = false and NPE downstream (found
+    * by review on the public SQL surface; the internal shingle contract
+    * guarantees at least one partial shingle). */
   def compute(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
-    if (n == 0) return null
+    if (n == 0) return new GenericArrayData(Array.fill[Any](K)(null))
     val h = hs.toLongArray()
     val mins = Array.fill(K)(Long.MaxValue)
     var i = 0

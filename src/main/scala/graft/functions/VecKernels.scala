@@ -61,25 +61,37 @@ case class VecSqDist(left: Expression, right: Expression) extends VecBinaryKerne
 }
 
 object VecKernels {
-  /** Tight-loop Σ a_i·b_i over min(|a|, |b|) components. */
+  /** Unequal-length inputs are a caller bug: the DSL twins return NULL
+    * there (zip_with pads with null), but nullSafeEval/defineCodeGen
+    * cannot emit a null result for non-null children — so rather than
+    * silently truncating to the shorter array (a plausible-looking
+    * WRONG number on the public SQL surface, found by review), fail
+    * loudly. The property pin against the DSL twins covers the
+    * equal-length domain both contracts share. */
+  private def checkLen(x: Array[Long], y: Array[Long], op: String): Unit =
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"$op requires equal-length vectors, got ${x.length} and ${y.length}")
+
+  /** Tight-loop Σ a_i·b_i; throws on unequal lengths. */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()
     val y = b.toLongArray()
-    val n = math.min(x.length, y.length)
+    checkLen(x, y, "vec_dot")
     var s = 0L
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
-  /** Tight-loop Σ (a_i−b_i)² over min(|a|, |b|) components. */
+  /** Tight-loop Σ (a_i−b_i)²; throws on unequal lengths. */
   def sqdist(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()
     val y = b.toLongArray()
-    val n = math.min(x.length, y.length)
+    checkLen(x, y, "vec_sqdist")
     var s = 0L
     var i = 0
-    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
     s
   }
 }

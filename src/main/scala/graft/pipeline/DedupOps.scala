@@ -97,13 +97,21 @@ object DedupOps {
     * kernel now provides directly; [[minhashBandsExploded]] keeps that
     * form as the kernel's semantics pin. */
   def minhashBandsFromInv(inv: DataFrame): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    // 16 min-aggregate COLUMNS (not 16 exploded rows, not a collected
+    // list): per-shingle permuted values feed ordinary min() aggregates,
+    // so state is O(16) per document, map-side combinable at any
+    // document size — a 25M-shingle crawl artifact costs 16 longs of
+    // buffer, where a collect_list would hold every hash (the unbounded
+    // aggregation state the round-6 review flagged) and the old
+    // explode-16× form shuffled 16× the rows
+    val mins = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 1) + j * 7919L) % MOD).as(s"m$j"))
     inv
-      .withColumn("h", hex60(md5(col("s"))) % MOD)
+      .select(col("doc_id"), (hex60(md5(col("s"))) % MOD).as("h")) // ONE md5/row
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
+      .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        bandKeys(ncol(graft.functions.MinhashSig(nexpr(col("hs"))))).as("bks"))
+        bandKeys(array((0 until 16).map(j => col(s"m$j")): _*)).as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bkey"))
   }
 

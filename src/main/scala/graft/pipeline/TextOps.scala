@@ -460,19 +460,15 @@ object TextOps {
     * dup_line_frac). */
   def lineDedup(docs: DataFrame, window: Int = 10): DataFrame = {
     require(window > 0, "positive line window")
-    val ts = tokens
-    val lines = docs
-      .select(col("doc_id"), ts.as("ts"), size(ts).cast("long").as("n"))
-      .select(col("doc_id"),
-        posexplode(sequence(lit(0L),
-          greatest(expr(s"(n + ${window - 1}) div $window"), lit(1L)) - 1))
-          .as(Seq("pos", "l")),
-        col("ts"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(array_join(slice(col("ts"), (col("l") * window + 1).cast("int"),
-          lit(window)), " ")).as("h"),
-        size(slice(col("ts"), (col("l") * window + 1).cast("int"), lit(window)))
-          .cast("long").as("line_toks"))
+    // lines = non-overlapping chunkDocs windows (stride = window): the
+    // boundary math lives in ONE place; the frame feeds both the
+    // firsts aggregation and the join, so it is scope-persisted rather
+    // than re-derived per consumer
+    val lines = graft.CacheScope.persist(
+      chunkDocs(docs, window, window)
+        .select(col("doc_id"), col("chunk_id").as("pos"),
+          md5(col("chunk_text")).as("h"),
+          col("n_tokens").as("line_toks")))
     val firsts = lines.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     lines.join(firsts, Seq("h"))
@@ -541,10 +537,14 @@ object TextOps {
     * size. Output: (doc_id, n_feat, dsir_weight). */
   def dsirWeights(docs: DataFrame, targetPred: Column,
                   buckets: Int = 64): DataFrame = {
-    val feat = docs
+    // the token explode + md5 bucketing feeds two groupBys with
+    // different keys (bucket table and per-doc counts) whose exchanges
+    // cannot be reused — scope-persist it so the dominant stage runs
+    // once, not twice
+    val feat = graft.CacheScope.persist(docs
       .select(col("doc_id"), targetPred.as("is_t"), explode(tokens).as("t"))
       .select(col("doc_id"), col("is_t"),
-        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % buckets).as("b"))
+        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % buckets).as("b")))
     val table = feat.groupBy(col("b")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))

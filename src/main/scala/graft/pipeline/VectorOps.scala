@@ -598,10 +598,13 @@ object VectorOps {
     * (mx = mn) code to 0 with zero error. Output: (vec_id, mn, mx,
     * max_err_x255, sum_err_x255). Pure per-row map — no shuffle. */
   def int8QuantStats(emb: DataFrame): DataFrame = {
-    val q = quant
-    val mn = array_min(q)
-    val mx = array_max(q)
-    emb.select(col("vec_id"), q.as("q"), mn.as("mn"), mx.as("mx"))
+    // quantize FIRST, derive min/max from the materialized column in a
+    // second projection: q is multi-referenced there, so CollapseProject
+    // keeps the projections separate and the interpreted quant transform
+    // evaluates once per row instead of three times (review finding)
+    emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), col("q"),
+        array_min(col("q")).as("mn"), array_max(col("q")).as("mx"))
       .withColumn("rng", col("mx") - col("mn"))
       .withColumn("errs", transform(col("q"), x => {
         // floor(a/b) == a div b exactly for positive BIGINTs below 2^53

@@ -31,13 +31,23 @@ class DedupEquivalenceSpec extends SparkSpec {
     assert(viaLambda == viaRelational)
   }
 
-  test("native MinhashSig banding equals the exploded relational formulation") {
+  test("min-column banding equals the exploded relational formulation") {
     val inv = DedupOps.shingleRows(docs)
-    val viaKernel = DedupOps.minhashBandsFromInv(inv)
+    val viaMinCols = DedupOps.minhashBandsFromInv(inv)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     val viaExploded = DedupOps.minhashBandsExploded(inv)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    assert(viaKernel == viaExploded)
+    assert(viaMinCols == viaExploded)
+  }
+
+  test("native MinhashSig kernel (the streaming path) equals the DSL signature") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    val hs = DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))
+    val diff = docs.select(
+      (ncol(graft.functions.MinhashSig(nexpr(hs))) =!=
+        DedupOps.minhashSig(hs)).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff === 0L)
   }
 
   test("relational shingle rows equal the lambda shingle sets") {
