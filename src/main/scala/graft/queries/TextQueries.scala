@@ -245,7 +245,42 @@ object TextQueries extends QueryModule {
 
     // exactly 10 docs per source, deterministic md5-draw ranking
     "stratified_sample" -> ((s, d) =>
-      TextOps.stratifiedSample(docs(s, d), k = 10)))
+      TextOps.stratifiedSample(docs(s, d), k = 10)),
+
+    // ROUND-6 COMPOSITION FLAGSHIP — the modern data-curation pass over
+    // a raw corpus, as ONE verified query:
+    //   1. DSIR gate: keep docs scoring >= 1.0 against the en target
+    //      distribution (importance-weighted selection)
+    //   2. line-dedup gate: drop docs that are > 20% boilerplate lines
+    //   3. repeated-span gate: drop docs with > 50% of tokens inside
+    //      corpus-repeated 5-gram spans
+    //   4. deterministic shard + order assignment of the survivors
+    // Output: (doc_id, source, dsir_weight, dup_line_frac, span_frac,
+    // shard, pos) — the curation signals ride along like
+    // corpus_pipeline's quality column.
+    "curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = docs(s, d)
+      val w = TextOps.dsirWeights(all, col("lang") === "en")
+        .select(col("doc_id"), col("dsir_weight"))
+      val ld = TextOps.lineDedup(all, window = 10)
+        .select(col("doc_id"), col("dup_line_frac"))
+      val rep = TextOps.repeatedSpans(all, k = 5)
+        .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("rep_toks"))
+      val toks = all.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val gated = graft.CacheScope.persist(
+        toks.join(w, "doc_id").join(ld, "doc_id")
+          .join(rep, Seq("doc_id"), "left")
+          .withColumn("span_frac", round(
+            coalesce(col("rep_toks"), lit(0L)).cast("double") / col("n_tokens")
+              + lit(1e-9), 4))
+          .filter(col("dsir_weight") >= 1.0 && col("dup_line_frac") <= 0.2 &&
+            col("span_frac") <= 0.5))
+      gated.join(TextOps.shuffleShards(gated, nShards = 8), "doc_id")
+        .select(col("doc_id"), col("source"), col("dsir_weight"),
+          col("dup_line_frac"), col("span_frac"), col("shard"), col("pos"))
+    }))
 
   /** Fixed lexical query for the BM25 demo (terms from the synthetic
     * vocabulary with distinct frequencies). */
@@ -889,5 +924,73 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, source, rk FROM (
          |  SELECT doc_id, source, CAST(row_number() OVER (
          |    PARTITION BY source ORDER BY draw, doc_id) AS BIGINT) AS rk
-         |  FROM d) WHERE rk <= 10""".stripMargin)
+         |  FROM d) WHERE rk <= 10""".stripMargin,
+
+    // the round-6 flagship restated as one CTE chain: dsir weights,
+    // line-dedup fractions, repeated-span token sums, three gates,
+    // then shard/rank of the survivors
+    "curation_pipeline" ->
+      s"""WITH f AS (SELECT doc_id, lang = 'en' AS is_t,
+         |    ${hex60Sql("md5(t)")} % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |tb AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    COUNT(*) AS cr FROM f GROUP BY b),
+         |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+         |    CAST(SUM(cr) AS BIGINT) AS tr FROM tb),
+         |ra AS (SELECT b,
+         |    CAST(ct + 1 AS DOUBLE) * CAST(tr + 64 AS DOUBLE)
+         |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 64 AS DOUBLE)) AS r
+         |  FROM tb CROSS JOIN tt),
+         |dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM f GROUP BY doc_id, b),
+         |dw AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(round(cnt * r, 6) AS DECIMAL(30,6))) AS DOUBLE)
+         |      / SUM(cnt) + 1e-9, 4) AS dsir_weight
+         |  FROM dc JOIN ra USING (b) GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |ln AS (SELECT doc_id, CAST(unnest(range(0,
+         |    greatest((n + 9) // 10, 1))) AS BIGINT) AS pos, ts FROM t2),
+         |lh AS (SELECT doc_id, pos,
+         |    md5(array_to_string(list_slice(ts, pos * 10 + 1, pos * 10 + 10), ' ')) AS h
+         |  FROM ln),
+         |mk AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM lh),
+         |ld AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / COUNT(*) + 1e-9, 4) AS dup_line_frac
+         |  FROM mk GROUP BY doc_id),
+         |g AS (SELECT doc_id, CAST(unnest(range(1, n - 4 + 1)) AS BIGINT) AS p, ts
+         |  FROM t2 WHERE n >= 5),
+         |gh AS (SELECT doc_id, p,
+         |    md5(concat_ws(' ', ts[p], ts[p+1], ts[p+2], ts[p+3], ts[p+4])) AS h
+         |  FROM g),
+         |rep AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         |rg AS (SELECT doc_id, p FROM gh JOIN rep USING (h)),
+         |mk2 AS (SELECT doc_id, p,
+         |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         |         THEN 0 ELSE 1 END AS brk FROM rg),
+         |sp2 AS (SELECT doc_id, p, SUM(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span
+         |  FROM mk2),
+         |rt AS (SELECT doc_id, CAST(SUM(cnt + 4) AS BIGINT) AS rep_toks FROM (
+         |    SELECT doc_id, span, COUNT(*) AS cnt FROM sp2
+         |    GROUP BY doc_id, span) GROUP BY doc_id),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |gated AS (SELECT * FROM (
+         |    SELECT tok.doc_id AS doc_id, source, dsir_weight, dup_line_frac,
+         |      ROUND(CAST(COALESCE(rep_toks, 0) AS DOUBLE) / n_tokens + 1e-9, 4)
+         |        AS span_frac
+         |    FROM tok JOIN dw USING (doc_id) JOIN ld USING (doc_id)
+         |    LEFT JOIN rt USING (doc_id))
+         |  WHERE dsir_weight >= 1.0 AND dup_line_frac <= 0.2 AND span_frac <= 0.5),
+         |sh AS (SELECT doc_id,
+         |    ${hex60Sql("md5('shard:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS draw
+         |  FROM gated)
+         |SELECT g2.doc_id, source, dsir_weight, dup_line_frac, span_frac,
+         |  draw % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY draw % 8
+         |    ORDER BY draw, g2.doc_id) AS BIGINT) AS pos
+         |FROM gated g2 JOIN sh ON g2.doc_id = sh.doc_id""".stripMargin)
 }

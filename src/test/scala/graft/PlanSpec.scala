@@ -29,7 +29,8 @@ class PlanSpec extends SparkSpec {
     "s11_model_persistence" -> "persists/reloads the <= 23-row model frame; broadcast side is that frame",
     "text_bm25" -> "broadcasts the 1-row corpus-stats aggregate (N, sum_dl, per-term dfs) over the docs",
     "dsir_weights" -> "broadcasts the 1-row (tt, tr) totals aggregate over the 64-row bucket table",
-    "hybrid_rrf" -> "contains the bm25 1-row stats broadcast and the brute-force fixed-query-set baseline; fusion itself joins two <= 20-row legs")
+    "hybrid_rrf" -> "contains the bm25 1-row stats broadcast and the brute-force fixed-query-set baseline; fusion itself joins two <= 20-row legs",
+    "curation_pipeline" -> "contains the dsir_weights 1-row totals broadcast over the 64-row bucket table")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
