@@ -310,24 +310,40 @@ object VectorOps {
 
   def kmeansCentroids(emb: DataFrame, targetCellSize: Int = 50,
                       sampleSize: Int = 512, iters: Int = 4): Array[Array[Long]] = {
+    val samp = quantSample(emb, sampleSize)
+    val n = emb.count()
+    val k = math.max(1L,
+      math.min((n + targetCellSize - 1) / targetCellSize, samp.length.toLong)).toInt
+    lloydFit(samp, k, iters)
+  }
+
+  /** The `sampleSize` lowest-vec_id quantized vectors (one TakeOrdered
+    * pass) — the shared deterministic fit sample. */
+  private[graft] def quantSample(emb: DataFrame, sampleSize: Int): Array[Array[Long]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val samp: Array[Array[Long]] = emb.select(col("vec_id"), quant.as("q"))
       .orderBy(col("vec_id")).limit(sampleSize)
       .select(col("q")).as[Seq[Long]].collect().map(_.toArray)
-    require(samp.nonEmpty, "kmeansCentroids needs a non-empty corpus")
-    val n = emb.count()
-    val k = math.max(1L,
-      math.min((n + targetCellSize - 1) / targetCellSize, samp.length.toLong)).toInt
+    require(samp.nonEmpty, "vector fit needs a non-empty corpus")
+    samp
+  }
+
+  /** The integer-exact Lloyd loop itself, over an in-memory sample —
+    * shared by the IVF coarse quantizer (full vectors) and the PQ
+    * sub-quantizers (per-subspace slices). Same exactness contract as
+    * documented on [[kmeansCentroids]]. */
+  private[graft] def lloydFit(samp: Array[Array[Long]], k: Int,
+                              iters: Int): Array[Array[Long]] = {
     val dim = samp.head.length
     var cents = samp.take(k).map(_.clone)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Long](dim))
-      val cnts = new Array[Long](k)
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val cnts = new Array[Long](cents.length)
       samp.foreach { v =>
         var best = 0; var bestD = Long.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < cents.length) {
           var d = 0L; var j = 0
           while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
           if (d < bestD) { bestD = d; best = c } // strict < -> lowest-cid tie
@@ -337,7 +353,7 @@ object VectorOps {
         var j = 0
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(cents.length) { c =>
         if (cnts(c) == 0L) cents(c)
         else Array.tabulate(dim) { j =>
           val s = sums(c)(j); val m = cnts(c)
@@ -551,6 +567,101 @@ object VectorOps {
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"),
         min_by(col("cosine"), col("vec_a")).as("cosine"))
+
+  /** PRODUCT-QUANTIZATION sub-quantizers: split the `dim`-dimensional
+    * quantized vectors into `m` contiguous subspaces and Lloyd-fit `k`
+    * centroids in EACH — the codebooks of the standard vector-store
+    * compression (Jégou et al. 2011): a vector becomes `m` small codes
+    * (here 4 × 4 bits ≈ 2 bytes vs 64 floats). Fit is the shared
+    * integer-exact [[lloydFit]] on the deterministic sample, so the
+    * DuckDB oracle replays all `m` codebooks CTE-for-CTE. */
+  def pqCentroids(emb: DataFrame, m: Int = 4, k: Int = 16,
+                  sampleSize: Int = 512, iters: Int = 2): Array[Array[Array[Long]]] = {
+    val samp = quantSample(emb, sampleSize)
+    val dim = samp.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(s => lloydFit(
+      samp.map(v => v.slice(s * sub, (s + 1) * sub)),
+      math.min(k, samp.length), iters))
+  }
+
+  /** PQ code assignment: one (vec_id, m, code) row per vector ×
+    * subspace — fully map-side: each subspace's nearest codeword comes
+    * from a [[graft.functions.KmeansRank]] call over the sliced
+    * quantized child (evaluated once per row; the codebook ships as a
+    * plan-embedded literal), then the m codes explode from an in-row
+    * array. ZERO shuffles at any corpus size. */
+  def pqCodes(emb: DataFrame, cents: Array[Array[Array[Long]]]): DataFrame = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      element_at(ncol(graft.functions.KmeansRank(
+        nexpr(slice(quant, s * sub + 1, sub)), cents(s), 1)), 1)
+        .getField("c")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+  }
+
+  /** Flat-PQ ADC search: each query's exact subvectors score every
+    * codeword once (an m × k lookup table, built relationally from the
+    * codebook literals), then every corpus vector's approximate
+    * distance is the SUM of its m table entries — one equi-join on
+    * (m, code) and one aggregation, never a per-pair distance loop.
+    * This is the asymmetric-distance computation (ADC) serving path;
+    * production indexes pair it with an IVF cell filter, which
+    * composes here exactly like [[ivfKmeansTopK]]'s probe set.
+    * Approximate distances are exact BIGINTs, so ties and ranks are
+    * engine-portable. Output: (q_id, vec_id, adist, rk). */
+  def pqTopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val cents = pqCentroids(emb)
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val codes = pqCodes(emb, cents)
+    val qs = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), quant.as("qq"))
+    // (q_id, m, code, d): distance from the query's m-th subvector to
+    // codeword `code` — one frame per subspace (each carries its own
+    // codebook literal), unioned; m·k rows per query
+    val dtab = (0 until m).map { s =>
+      val centsLit = typedlit(cents(s).map(_.toSeq).toSeq)
+      qs.select(col("q_id"), lit(s).as("m"),
+        posexplode(transform(centsLit, cv =>
+          sqdist(slice(col("qq"), s * sub + 1, sub), cv))).as(Seq("code", "d")))
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    codes.join(dtab, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact L2 top-k baseline (squared-distance order — the metric PQ
+    * approximates), query side broadcast like [[bruteForceTopK]]. */
+  def bruteForceL2TopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quant.as("q"))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", sqdist(col("qq"), col("q")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("d"), col("rk"))
+  }
+
+  /** recall@k of the flat-PQ ADC search against the exact L2 baseline —
+    * what the 2-byte codes give up on this corpus, measured before
+    * anyone serves from them. */
+  def pqRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceL2TopK(emb, queryMaxId, k),
+      pqTopK(emb, queryMaxId, k), k)
 
   /** SEMANTIC DECONTAMINATION: training vectors whose embedding lands
     * within `threshold` cosine of ANY eval/benchmark vector — the

@@ -80,6 +80,73 @@ object VectorQueries extends QueryModule {
     head + "\n" + steps + "\n" + tail
   }
 
+  /** DuckDB replay of the 4 product-quantizer codebooks
+    * ([[VectorOps.pqCentroids]]: 16-dim subspaces, k = 16, 2 Lloyd
+    * iterations on the 512-sample) + code assignment + the per-query
+    * ADC lookup tables. Expects `q(vec_id, qv)`; produces
+    * `codes(vec_id, m, code)` and `dt(q_id, m, code, d)`. */
+  private def pqCtes(mSub: Int = 4, sub: Int = 16, kC: Int = 16,
+                     iters: Int = 2, qMax: Int = 10): String = {
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    val subs = (0 until mSub).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      val head =
+        s"""s${s}samp AS (SELECT vec_id, list_slice(qv, $lo, $hi) AS sv
+           |  FROM q ORDER BY vec_id LIMIT 512),
+           |s${s}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+           |    sv AS cent FROM s${s}samp
+           |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $kC),""".stripMargin
+      val steps = (0 until iters).map { i =>
+        s"""s${s}asg$i AS (SELECT vec_id, sv, cid FROM (
+           |  SELECT t.vec_id, t.sv, c.cid,
+           |    row_number() OVER (PARTITION BY t.vec_id
+           |      ORDER BY ${dist("t.sv", "c.cent")}, c.cid) AS rn
+           |  FROM s${s}samp t CROSS JOIN s${s}c$i c) WHERE rn = 1),
+           |s${s}cmp$i AS (SELECT cid, j,
+           |    CASE WHEN SUM(sv[j + 1]) >= 0
+           |      THEN (2 * SUM(sv[j + 1]) + COUNT(*)) // (2 * COUNT(*))
+           |      ELSE -((-2 * SUM(sv[j + 1]) + COUNT(*)) // (2 * COUNT(*))) END AS r
+           |  FROM s${s}asg$i CROSS JOIN (SELECT UNNEST(range(0, $sub)) AS j) jj
+           |  GROUP BY cid, j),
+           |s${s}c${i + 1} AS (SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+           |  FROM s${s}c$i c LEFT JOIN (SELECT cid, list(CAST(r AS BIGINT) ORDER BY j) AS cent
+           |                             FROM s${s}cmp$i GROUP BY cid) n ON c.cid = n.cid),""".stripMargin
+      }.mkString("\n")
+      val tail =
+        s"""s${s}code AS (SELECT vec_id, $s AS m, cid AS code FROM (
+           |  SELECT t.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY t.vec_id
+           |      ORDER BY ${dist("t.sv", "c.cent")}, c.cid) AS rn
+           |  FROM (SELECT vec_id, list_slice(qv, $lo, $hi) AS sv FROM q) t
+           |  CROSS JOIN s${s}c$iters c) WHERE rn = 1),
+           |s${s}dt AS (SELECT t.vec_id AS q_id, $s AS m, c.cid AS code,
+           |    ${dist("t.sv", "c.cent")} AS d
+           |  FROM (SELECT vec_id, list_slice(qv, $lo, $hi) AS sv FROM q
+           |        WHERE vec_id < $qMax) t
+           |  CROSS JOIN s${s}c$iters c),""".stripMargin
+      head + "\n" + steps + "\n" + tail
+    }.mkString("\n")
+    val unions =
+      s"""codes AS (${(0 until mSub).map(s => s"SELECT * FROM s${s}code").mkString(" UNION ALL ")}),
+         |dt AS (${(0 until mSub).map(s => s"SELECT * FROM s${s}dt").mkString(" UNION ALL ")})""".stripMargin
+    subs + "\n" + unions
+  }
+
+  /** DuckDB flat-PQ ADC top-3 (shared tail for pq_topk and the recall
+    * diagnostic's approximate leg). */
+  private lazy val pqTopkSql: String =
+    s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |${pqCtes()},
+       |ad AS (SELECT dt.q_id, codes.vec_id, CAST(SUM(d) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+       |  WHERE codes.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, codes.vec_id)
+       |SELECT q_id, vec_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, vec_id) AS INT) AS rk
+       |FROM ad QUALIFY rk <= 3""".stripMargin
+
   /** DuckDB k-means nprobe top-3 (shared by the direct search and the
     * persisted-index round-trip, which must serve identical results). */
   private lazy val kmeansTopkSql: String =
@@ -146,6 +213,13 @@ object VectorQueries extends QueryModule {
     "decontam_semantic" -> ((s, d) =>
       VectorOps.semanticContamination(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("label") === 0, threshold = 0.4)),
+    // flat-PQ ADC search: 4×16-dim codebooks (driver Lloyd fit replayed
+    // by the oracle per subspace), codes map-side, approximate distance
+    // = sum of m table lookups via one (m, code) equi-join
+    "ann_pq_topk" -> ((s, d) =>
+      VectorOps.pqTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    "ann_pq_recall" -> ((s, d) =>
+      VectorOps.pqRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -316,6 +390,33 @@ object VectorQueries extends QueryModule {
     // the persisted-index serve path is pinned EQUAL to the direct
     // k-means search, so it shares the oracle verbatim
     "ann_index_roundtrip" -> kmeansTopkSql,
+
+    "ann_pq_topk" -> pqTopkSql,
+
+    "ann_pq_recall" -> {
+      def dist(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${dist("qq", "qv")} AS d
+         |  FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY d, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |${pqCtes()},
+         |ad AS (SELECT dt.q_id, codes.vec_id, CAST(SUM(d) AS BIGINT) AS adist
+         |  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+         |  WHERE codes.vec_id <> dt.q_id
+         |  GROUP BY dt.q_id, codes.vec_id),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, vec_id) AS rk FROM ad) WHERE rk <= 3),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin
+    },
 
     "decontam_semantic" ->
       s"""WITH q AS (SELECT vec_id, label = 0 AS is_eval, $qvSql AS qv
