@@ -640,6 +640,46 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** IVF+PQ — the PRODUCTION vector-serving composition: the k-means
+    * coarse quantizer restricts each query to its nprobe probed cells
+    * (bounded candidate set, [[ivfKmeansTopK]]'s shape), and the PQ
+    * codes score those candidates through the ADC lookup join instead
+    * of full-vector arithmetic ([[pqTopK]]'s shape). Candidate work is
+    * O(queries · nprobe · targetCellSize) and per-candidate cost is m
+    * table lookups — the memory/compute profile a 100 TB vector store
+    * actually serves with. Output: (q_id, vec_id, adist, rk). */
+  def ivfPqTopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val coarse = kmeansCentroids(emb)
+    val nprobe = defaultNprobe(coarse.length)
+    val ranked = graft.CacheScope.persist(kmeansRanked(emb, coarse, nprobe))
+    val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe && col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cands = probes.join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val pq = pqCentroids(emb)
+    val m = pq.length
+    val sub = pq(0)(0).length
+    val codes = pqCodes(emb, pq)
+    val qs = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), quant.as("qq"))
+    val dtab = (0 until m).map { s =>
+      val centsLit = typedlit(pq(s).map(_.toSeq).toSeq)
+      qs.select(col("q_id"), lit(s).as("m"),
+        posexplode(transform(centsLit, cv =>
+          sqdist(slice(col("qq"), s * sub + 1, sub), cv))).as(Seq("code", "d")))
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    cands.join(codes, Seq("vec_id"))
+      .join(dtab, Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Exact L2 top-k baseline (squared-distance order — the metric PQ
     * approximates), query side broadcast like [[bruteForceTopK]]. */
   def bruteForceL2TopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {

@@ -220,6 +220,9 @@ object VectorQueries extends QueryModule {
       VectorOps.pqTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
     "ann_pq_recall" -> ((s, d) =>
       VectorOps.pqRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // the production composition: coarse-cell probe filter + ADC codes
+    "ann_ivfpq_topk" -> ((s, d) =>
+      VectorOps.ivfPqTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
     // vector-side composition: drop cosine near-duplicates (keep each
     // cluster's min-id representative), then serve multi-probe top-3 over
     // the deduplicated index — the build-then-search path a production
@@ -392,6 +395,26 @@ object VectorQueries extends QueryModule {
     "ann_index_roundtrip" -> kmeansTopkSql,
 
     "ann_pq_topk" -> pqTopkSql,
+
+    // IVF probe candidates (kcand, restricted to the query set) scored
+    // through the PQ ADC tables — both CTE generators compose in one
+    // WITH chain with disjoint names
+    "ann_ivfpq_topk" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes()},
+         |${pqCtes()},
+         |cd AS (SELECT DISTINCT kcand.q_id, kcand.vec_id
+         |  FROM kcand WHERE kcand.q_id < 10),
+         |adi AS (SELECT cd.q_id, cd.vec_id, CAST(SUM(d) AS BIGINT) AS adist
+         |  FROM cd
+         |  JOIN codes ON codes.vec_id = cd.vec_id
+         |  JOIN dt ON dt.q_id = cd.q_id AND dt.m = codes.m
+         |    AND dt.code = codes.code
+         |  GROUP BY cd.q_id, cd.vec_id)
+         |SELECT q_id, vec_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, vec_id) AS INT) AS rk
+         |FROM adi QUALIFY rk <= 3""".stripMargin,
 
     "ann_pq_recall" -> {
       def dist(a: String, b: String) =
