@@ -102,7 +102,7 @@ object KmeansRank {
       var bestD = Long.MaxValue
       var j = 0
       while (j < k) {
-        if (!taken(j) && d(j) < bestD) { bestD = d(j); best = j }
+        if (!taken(j) && (best == -1 || d(j) < bestD)) { bestD = d(j); best = j }
         j += 1
       }
       taken(best) = true

@@ -641,15 +641,18 @@ object TextOps {
     * semantic leg). */
   def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
                 qId: Long, topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    // ≤ topK rows by construction: the single-partition window is the
+    // intended plan; `% 1` keeps a non-empty partition spec (repo
+    // convention) so WindowExec doesn't warn about it
     val wLex = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25").desc, col("doc_id"))
+      .partitionBy(col("doc_id") % 1).orderBy(col("bm25").desc, col("doc_id"))
     val lex = bm25(docs, terms, topK = topK)
       .select(col("doc_id"), row_number().over(wLex).cast("long").as("r_lex"))
     val sem = graft.pipeline.VectorOps.bruteForceTopK(emb, queryMaxId = qId + 1, k = topK)
       .filter(col("q_id") === qId)
       .select(col("vec_id").as("doc_id"), col("rk").cast("long").as("r_sem"))
     val wOut = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .partitionBy(col("doc_id") % 1).orderBy(col("rrf_score").desc, col("doc_id"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +

@@ -136,7 +136,7 @@ object MlQueries extends QueryModule {
       val score = udf((so: Double, thr: Double) => bc.value.predict(Array(so, thr)))
       Tables.profiles(s, d).filter(col("isbckpres") === 0)
         .select(col("expid"), col("scaleout").cast("double").as("scaleout"), col("avgthr"))
-        .withColumn("pred_latency", round(score(col("scaleout"), col("avgthr")), 4))
+        .withColumn("pred_latency", round(score(col("scaleout"), col("avgthr")) + lit(1e-9), 4))
     }),
 
     // M6 — TWRES NNLS baseline, fully relational (subset-enumeration NNLS
@@ -192,7 +192,7 @@ object MlQueries extends QueryModule {
          |p AS (SELECT expid, CAST(scaleout AS DOUBLE) AS scaleout, avgthr
          |      FROM pro WHERE isbckpres = 0)
          |SELECT expid, scaleout, avgthr,
-         |       ROUND(${graft.models.GbtLocal.modelSql(gbtFixtureModel, Seq("scaleout", "avgthr"))}, 4)
+         |       ROUND(${graft.models.GbtLocal.modelSql(gbtFixtureModel, Seq("scaleout", "avgthr"))} + 1e-9, 4)
          |         AS pred_latency
          |FROM p""".stripMargin,
 

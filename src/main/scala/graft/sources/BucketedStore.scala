@@ -24,11 +24,14 @@ object BucketedStore {
   /** Write `df` as an external bucketed table: `buckets` hash buckets on
     * `key`, each bucket file sorted by `key` (enables merge-join without
     * even a per-partition sort). Overwrites any existing table entry of
-    * the same name. */
+    * the same name. `mode(overwrite)` replaces the files at `path`; a
+    * caller reusing a path that previously backed a table with a
+    * DIFFERENT bucket spec must not read that path directly mid-write. */
   def write(df: DataFrame, table: String, path: String, key: String,
             buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    require(table.matches("[A-Za-z0-9_.]+"), s"invalid table identifier: $table")
+    spark.sql(s"DROP TABLE IF EXISTS `${table.replace(".", "`.`")}`")
     df.write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(buckets, key).sortBy(key)

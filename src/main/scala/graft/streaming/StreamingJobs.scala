@@ -125,9 +125,11 @@ object StreamingJobs {
     * can never disagree on a key), and a `flatMapGroupsWithState` keyed
     * by band key emits a candidate the moment a document lands in a
     * band that already has a representative. State is ONE long per
-    * distinct band key (the first-seen doc id) — the bounded-state
-    * design that survives an unbounded stream; production deployments
-    * add a state TTL (`GroupStateTimeout`) to age out cold bands.
+    * distinct band key (the first-seen doc id); `stateTtl` ages out
+    * cold bands (processing-time timeout, default 1 h) so TOTAL state
+    * stays bounded by the band keys touched inside one TTL window on
+    * an unbounded stream — pass `None` for the unbounded-retention
+    * batch-parity mode.
     * Exact-Jaccard verification of the emitted candidates stays an
     * offline batch pass (it needs both documents' shingle sets), the
     * standard split for streaming dedup.
@@ -137,7 +139,9 @@ object StreamingJobs {
     * shuffle; a document matching several bands of the same earlier doc
     * emits one candidate per band (downstream verification dedups
     * pairs). Input: (doc_id, text). */
-  def nearDupCandidates(docs: DataFrame): org.apache.spark.sql.Dataset[NearDupCandidate] = {
+  def nearDupCandidates(docs: DataFrame,
+      stateTtl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1)))
+      : org.apache.spark.sql.Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.pipeline.DedupOps
@@ -150,17 +154,22 @@ object StreamingJobs {
           graft.functions.MinhashSig(org.apache.spark.sql.GraftColumnBridge.expression(
             DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))))))).as("bkey"))
       .as[(Long, String)]
-    bands.groupByKey(_._2).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    bands.groupByKey(_._2).flatMapGroupsWithState(OutputMode.Append, timeout) {
       (key: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
-        var rep = state.getOption.getOrElse(Long.MaxValue)
-        val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
-        it.map(_._1).toSeq.sorted.foreach { id =>
-          if (rep == Long.MaxValue) rep = id
-          else if (id != rep) out += NearDupCandidate(key, id, rep)
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var rep = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+          it.map(_._1).toSeq.sorted.foreach { id =>
+            if (rep == Long.MaxValue) rep = id
+            else if (id != rep) out += NearDupCandidate(key, id, rep)
+          }
+          state.update(rep)
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          out.iterator
         }
-        state.update(rep)
-        out.iterator
     }
   }
 

@@ -291,7 +291,10 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val textA = "alpha beta gamma delta epsilon zeta eta theta"
     val textB = "one two three four five six seven eight nine"
-    val q = StreamingJobs.nearDupCandidates(in.toDF.toDF("doc_id", "text"))
+    // stateTtl=None (batch-parity mode): a processing-time TTL makes the
+    // engine run continuous timeout-check micro-batches, which busy-loops
+    // under the test's 0 ms trigger and starves processAllAvailable
+    val q = StreamingJobs.nearDupCandidates(in.toDF.toDF("doc_id", "text"), stateTtl = None)
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("append").start()
     try {
@@ -310,6 +313,45 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_ == ((2L, 1L))) == 4)
       assert(got.count(_ == ((3L, 1L))) == 4)
       assert(got.toSet == Set((2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup candidates: state TTL ages out cold band reps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    // 1 ms TTL + a real trigger interval (the production shape — a 0 ms
+    // trigger would busy-loop the timeout-check batches)
+    val q = StreamingJobs.nearDupCandidates(in.toDF.toDF("doc_id", "text"),
+        stateTtl = Some(java.time.Duration.ofMillis(1)))
+      .writeStream.format("memory").queryName("neardup_ttl_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // processAllAvailable can NEVER return here: with ProcessingTimeTimeout
+    // the engine always schedules another (timeout-check) batch, so
+    // noNewData is never signalled — poll the sink/progress instead
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, "timed out waiting for stream")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      in.addData(Seq((1L, textA), (2L, textA)))
+      await(spark.table("neardup_ttl_stream").count() == 4)
+      // let several empty timeout-check batches fire and remove the state
+      Thread.sleep(1000)
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      in.addData(Seq((3L, textA)))
+      await(q.recentProgress.exists(p => p.batchId > lastBatch && p.numInputRows >= 1))
+      Thread.sleep(500) // grace for any (unexpected) emission to land
+      val got = spark.table("neardup_ttl_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      // batch-1 pair emitted; doc 3 arrives AFTER expiry, becomes the new
+      // representative, and emits nothing — TTL really removed the state
+      assert(got == Set((2L, 1L)))
     } finally q.stop()
   }
 
