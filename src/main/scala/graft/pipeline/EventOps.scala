@@ -180,4 +180,35 @@ object EventOps {
       .select(col(key) +: col("ts") +: extra.map(col(_)) :+
         col("asof_ts") :+ col("asof_value"): _*)
   }
+
+  /** BUCKETIZED INTERVAL JOIN — the scale-correct form of the
+    * `ts BETWEEN lo AND hi` theta join. With no equality predicate Spark
+    * plans a raw interval join as BroadcastNestedLoopJoin (or a cartesian
+    * product), both fatal when neither side fits one machine. Covering
+    * buckets restore an equi-join: each interval explodes to the
+    * `bucket`-second buckets it overlaps (⌈span/bucket⌉+1 rows — bounded
+    * whenever interval spans are), each probe row maps to its ONE bucket,
+    * and the join key is the bucket id with the exact lo ≤ ts ≤ hi check
+    * as a residual filter. Candidate work is Σ_probe |intervals sharing
+    * the probe's bucket| — near-linear when `bucket` tracks the median
+    * interval span, and both sides shuffle-partition on the bucket key,
+    * so the plan scales out like any equi-join (AQE handles a hot
+    * bucket like any other skewed key).
+    *
+    * Counts probe rows per interval; intervals that match nothing are
+    * kept with n_events = 0 (left semantics). `intervals` carries
+    * (idCols..., lo, hi) in epoch seconds, `probe` carries (ts). */
+  def intervalCount(intervals: DataFrame, probe: DataFrame, bucket: Long,
+                    idCols: Seq[String]): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val iv = intervals.withColumn("__b",
+      explode(sequence(expr(s"lo div $bucket"), expr(s"hi div $bucket"))))
+    val ev = probe.select(col("ts").as("__ts"), expr(s"ts div $bucket").as("__b"))
+    val counts = iv.join(ev, "__b")
+      .filter(col("__ts") >= col("lo") && col("__ts") <= col("hi"))
+      .groupBy(idCols.map(col): _*).agg(count(lit(1)).as("n_events"))
+    intervals.join(counts, idCols, "left")
+      .select(idCols.map(col) :+ col("lo") :+ col("hi") :+
+        coalesce(col("n_events"), lit(0L)).as("n_events"): _*)
+  }
 }

@@ -679,4 +679,77 @@ object TextOps {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** GPT-2-style pretokenizer: segment text into maximal runs of a single
+    * character class — letters, digits, or other (punctuation/symbols).
+    * This is the category-split every byte-pair-encoding tokenizer runs
+    * BEFORE its merge table ("don't" → don, ', t; "x=3.14" → x, =, 3, .,
+    * 14), and the unit whose count budgets a pretraining token bill far
+    * better than whitespace words. The three alternatives are disjoint in
+    * their first character, so the segmentation is unambiguous under both
+    * leftmost-first (Java) and leftmost-longest (RE2) alternation —
+    * the property that lets one pattern drive both engines bit-equally.
+    * Pure per-row regexp (whole-stage codegen), no shuffle. */
+  val PretokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  /** Per-document pretokenizer statistics. The corpus text is lowercase
+    * words + single spaces only, so a deterministic tail of digits and
+    * punctuation (doc_id arithmetic — both engines build the identical
+    * string, the text_pii_scrub convention) is appended to exercise the
+    * digit/punct classes. Output: whitespace-token count vs pretoken
+    * count and the per-class breakdown. */
+  def pretokenStats(docs: DataFrame): DataFrame = {
+    val ptext = concat(col("text"),
+      lit(" v"), (col("doc_id") % 9 + 1).cast("string"), lit("."),
+      (col("doc_id") % 7).cast("string"),
+      lit(" don't x="), (col("doc_id") % 100).cast("string"),
+      lit("; #tag"), (col("doc_id") % 10).cast("string"), lit("!"))
+    def n(pat: String) =
+      size(expr(s"regexp_extract_all(ptext, '$pat', 0)")).cast("long")
+    docs.select(col("doc_id"), ptext.as("ptext"))
+      .select(col("doc_id"),
+        size(split(col("ptext"), " ")).cast("long").as("n_ws"),
+        n(PretokenPattern).as("n_pretok"),
+        n("[a-z]+").as("n_word"),
+        n("[0-9]+").as("n_num"),
+        n("[^a-z0-9 ]+").as("n_punct"),
+        size(array_distinct(expr(
+          s"regexp_extract_all(ptext, '$PretokenPattern', 0)")))
+          .cast("long").as("n_distinct_pretok"))
+  }
+
+  /** COUNT-MIN SKETCH token frequencies — the bounded-memory answer to
+    * "how often does token X appear in 100 TB": d hash rows × w counters
+    * (d·w cells TOTAL, vs a vocabulary-sized exact count), each token
+    * incrementing one cell per row, estimate = min over its d cells
+    * (Cormode–Muthukrishnan). Counters are sums → mergeable across
+    * partitions/days for free, and the single shuffle carries ≤ d·w rows
+    * per task after map-side partial aggregation — O(1) state no matter
+    * the corpus. Estimates only ever OVERcount (cell collisions add).
+    * Hashes are md5-derived (engine-portable exact). The exact counts of
+    * the top-`topK` tokens ride along as the honesty diagnostic (same
+    * contract as [[kmvDistinct]]): (t, exact_n, cms_n, overcount). */
+  def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 256,
+                     topK: Int = 20): DataFrame = {
+    require(d > 0 && w > 0 && topK > 0, "d, w, topK must be positive")
+    def cell(r: Int, t: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 15), 16, 10)
+        .cast("long") % w
+    val tok = docs.select(explode(tokens).as("t"))
+    // one pass: each token emits its d (row, cell) pairs; partial agg
+    // combines map-side so the exchange carries ≤ d·w rows per task
+    val counters = tok
+      .select(posexplode(array((0 until d).map(r => cell(r, col("t"))): _*))
+        .as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("t")).limit(topK)
+    val probes = top.select(col("t"), col("exact_n"),
+      posexplode(array((0 until d).map(r => cell(r, col("t"))): _*))
+        .as(Seq("r", "c")))
+    probes.join(counters, Seq("r", "c"))
+      .groupBy(col("t"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+      .withColumn("overcount", col("cms_n") - col("exact_n"))
+  }
 }

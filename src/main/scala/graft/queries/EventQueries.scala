@@ -81,7 +81,22 @@ object EventQueries extends QueryModule {
           unix_timestamp(col("ts")).as("ts")),
         Tables.series(s, d),
         "sid")
-        .select("event_id", "sid", "ts", "asof_ts", "asof_value")))
+        .select("event_id", "sid", "ts", "asof_ts", "asof_value")),
+
+    // interval join: per session, how many events (of ANY user) the
+    // platform saw inside the session's [start, end] — the cross-entity
+    // "what else happened while X was active" query. Bucketized equi-join
+    // (see EventOps.intervalCount): no BroadcastNestedLoop, no cartesian,
+    // scales out on the bucket key at any event volume.
+    "events_interval_count" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("ts"), col("value"))
+      val sess = EventOps.sessionize(e, Gap)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start").as("lo"), col("session_end").as("hi"))
+      EventOps.intervalCount(sess, e.select("ts"), bucket = 3600L,
+        idCols = Seq("user_id", "session_seq"))
+    }))
 
   /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same
     * sequential min-at-or-after chaining as [[EventOps.funnelStages]]
@@ -185,5 +200,24 @@ object EventQueries extends QueryModule {
          |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts FROM events)
          |SELECT e.event_id, e.sid, e.ts, m.ts AS asof_ts, m.value AS asof_value
          |FROM e ASOF LEFT JOIN series m
-         |  ON e.sid = m.sid AND e.ts >= m.ts""".stripMargin)
+         |  ON e.sid = m.sid AND e.ts >= m.ts""".stripMargin,
+
+    // the oracle states the SEMANTICS (a plain theta join) that the
+    // engine's bucketized equi-join must reproduce exactly
+    "events_interval_count" ->
+      s"""WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts
+         |           FROM events),
+         |b AS (SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $Gap
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_seq FROM b),
+         |iv AS (SELECT user_id, session_seq, MIN(ts) AS lo, MAX(ts) AS hi
+         |       FROM sess GROUP BY user_id, session_seq)
+         |SELECT iv.user_id, iv.session_seq, iv.lo, iv.hi,
+         |  CAST(COUNT(e.ts) AS BIGINT) AS n_events
+         |FROM iv LEFT JOIN e ON e.ts BETWEEN iv.lo AND iv.hi
+         |GROUP BY iv.user_id, iv.session_seq, iv.lo, iv.hi""".stripMargin)
 }

@@ -144,7 +144,20 @@ object MlQueries extends QueryModule {
     "m6_twres_decision" -> ((s, d) =>
       TwresRelational.fitDecide(
         Tables.profiles(s, d).filter(col("isbckpres") === 1)
-          .select(col("scaleout"), col("avgthr").as("y")))))
+          .select(col("scaleout"), col("avgthr").as("y")))),
+
+    // isotonic calibration of the language-ID marker score into
+    // P(lang = en): the closed-form minimax PAV, fully relational (one
+    // data-scale shuffle + a constant-size triangle) — see Isotonic
+    "isotonic_calibrate" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val scored = graft.pipeline.TextOps.langId(all)
+        .select(col("doc_id"), col("s_en").cast("long").as("score"))
+        .join(all.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+        .select("score", "y")
+      graft.models.Isotonic.calibrate(scored)
+    }))
 
   // ------------------------------------------------------------ oracles --
 
@@ -198,6 +211,17 @@ object MlQueries extends QueryModule {
 
     "m6_twres_decision" -> TwresRelational.oracleSql(
       s"SELECT scaleout, avgthr AS y FROM ($PRO) p WHERE isbckpres = 1"),
+
+    "isotonic_calibrate" -> {
+      val enMarkers = graft.pipeline.TextOps.langMarkers.toMap
+        .apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      graft.models.Isotonic.calibrateSql(
+        s"""WITH sc AS (SELECT
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains($enMarkers, t))) AS BIGINT) AS score,
+           |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+           |  FROM documents)""".stripMargin)
+    },
 
     "m1_ar_forecast" ->
       s"""WITH series AS ($SER),

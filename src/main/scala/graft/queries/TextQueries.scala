@@ -177,6 +177,14 @@ object TextQueries extends QueryModule {
     "sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))),
 
+    // GPT-2-style pretokenization (category-run segmentation): the token
+    // unit a BPE tokenizer budgets with, vs whitespace words
+    "text_pretokenize" -> ((s, d) => TextOps.pretokenStats(docs(s, d))),
+
+    // count-min sketch token frequencies (d=4 x w=256 mergeable
+    // counters) with exact top-20 counts as the honesty diagnostic
+    "corpus_cms_tokens" -> ((s, d) => TextOps.cmsTokenCounts(docs(s, d))),
+
     // BM25 lexical retrieval (rational-idf variant, see TextOps.bm25)
     // for a fixed 3-term query; top 20 docs
     "text_bm25" -> ((s, d) =>
@@ -350,6 +358,42 @@ object TextQueries extends QueryModule {
          |    AS fused_rank
          |FROM f""".stripMargin
     },
+
+    "text_pretokenize" -> {
+      val pat = TextOps.PretokenPattern
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' v' || CAST(doc_id % 9 + 1 AS VARCHAR) || '.' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || ' don''t x=' ||
+         |    CAST(doc_id % 100 AS VARCHAR) || '; #tag' ||
+         |    CAST(doc_id % 10 AS VARCHAR) || '!' AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(string_split(ptext, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(ptext, '$pat')) AS BIGINT) AS n_pretok,
+         |  CAST(len(regexp_extract_all(ptext, '[a-z]+')) AS BIGINT) AS n_word,
+         |  CAST(len(regexp_extract_all(ptext, '[0-9]+')) AS BIGINT) AS n_num,
+         |  CAST(len(regexp_extract_all(ptext, '[^a-z0-9 ]+')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_distinct(regexp_extract_all(ptext, '$pat'))) AS BIGINT)
+         |    AS n_distinct_pretok
+         |FROM p""".stripMargin
+    },
+
+    "corpus_cms_tokens" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (SELECT t, r,
+         |    ${hex60Sql("md5('cms' || CAST(r AS VARCHAR) || ':' || t)")} % 256 AS c
+         |  FROM tok CROSS JOIN rows_),
+         |counters AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+         |exact AS (SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t),
+         |top AS (SELECT t, exact_n FROM exact ORDER BY exact_n DESC, t LIMIT 20),
+         |probe AS (SELECT top.t, top.exact_n, rows_.r,
+         |    ${hex60Sql("md5('cms' || CAST(rows_.r AS VARCHAR) || ':' || top.t)")} % 256 AS c
+         |  FROM top CROSS JOIN rows_)
+         |SELECT p.t, p.exact_n, MIN(cnt) AS cms_n,
+         |  MIN(cnt) - p.exact_n AS overcount
+         |FROM probe p JOIN counters USING (r, c)
+         |GROUP BY p.t, p.exact_n""".stripMargin,
 
     "corpus_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT source, t FROM (
