@@ -181,6 +181,33 @@ object EventOps {
         col("asof_ts") :+ col("asof_value"): _*)
   }
 
+  /** SCD2 HISTORY BUILDER (slowly-changing-dimension type 2): turn a
+    * changelog — (key, ts, attr) rows, each "key's attribute became attr
+    * at ts" — into validity intervals: one row per RUN of consecutive
+    * equal values with [valid_from, valid_to) bounds and an is_current
+    * flag on each key's open run. This is the standard warehouse shape
+    * for as-of dimension lookups, and the compaction every CDC ingest
+    * needs before a merge.
+    *
+    * ONE shuffle on `key`, then linear window scans over the same sort:
+    * a lag() marks value changes — a change row IS an SCD2 row (no
+    * collapse aggregation needed) — and a lead() over the surviving
+    * change rows closes each interval with the next change's ts.
+    * Per-task work is bounded by one key's changelog. Events tied on ts
+    * are ordered by `tieCol` (both engines identically), so same-second
+    * flips resolve deterministically. */
+  def scd2History(changes: DataFrame, key: String, attr: String,
+                  tieCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts"), col(tieCol))
+    changes
+      .withColumn("chg", when(lag(col(attr), 1).over(w).isNull ||
+        col(attr) =!= lag(col(attr), 1).over(w), 1L).otherwise(0L))
+      .filter(col("chg") === 1)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col(key), col(attr), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   /** BUCKETIZED INTERVAL JOIN — the scale-correct form of the
     * `ts BETWEEN lo AND hi` theta join. With no equality predicate Spark
     * plans a raw interval join as BroadcastNestedLoopJoin (or a cartesian

@@ -119,4 +119,60 @@ object GraphOps {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Rank scale: one rank point = 10^9 nano-rank units. */
+  val RankUnit = 1000000000L
+
+  /** PAGERANK centrality over an undirected (src, dst) pair graph —
+    * which documents sit at the CENTER of a near-duplicate neighborhood
+    * (high-rank nodes are template hubs: boilerplate families, mirror
+    * clusters) vs merely touching one. The link-analysis companion to
+    * [[connectedComponents]]: CC says "same cluster", PageRank says "how
+    * central inside it".
+    *
+    * EXACT-INTEGER fixed-iteration variant: ranks live in nano-rank
+    * units (`RankUnit`), each round computes
+    *     r' = 0.15·U + (17 · Σ_in (r div deg)) div 20
+    * — damping 0.85 as the rational 17/20, every operation a long
+    * integer op, so the result is bit-identical in any engine and the
+    * DuckDB oracle replays all `iters` rounds CTE-for-CTE (no float
+    * drift to tolerate). The per-contribution floor loses < deg
+    * nano-units — immaterial for a centrality ORDERING and fully
+    * deterministic. Long overflow needs Σ ranks ≥ 2^63/17 ≈ 5·10^8 rank
+    * points, i.e. half a billion graph nodes — document far below the
+    * corpus bound (a dup graph is a vanishing fraction of its corpus).
+    *
+    * Per round: one equi-join of ranks onto the symmetrized edge list +
+    * one sum-aggregate, both shuffling on node id (the CC shape — no
+    * quadratic blowup on hot nodes), lineage truncated per round with an
+    * eager localCheckpoint. Symmetric graphs have no dangling nodes
+    * (every edge endpoint has out-degree ≥ 1), so no leaked-mass term.
+    * Output: (doc_id, rank_nano, rank) for every node in an edge. */
+  def pagerank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    sym.count() // materialize before unpersisting the un-symmetrized edges
+    e.unpersist()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.withColumn("r", lit(RankUnit)).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(ranks.select(col("id").as("src"), col("deg"), col("r")), Seq("src"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inr"))
+      ranks = ranks.select(col("id"), col("deg"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(RankUnit * 3 / 20) +
+            expr("(17 * coalesce(inr, CAST(0 AS BIGINT))) div 20")).as("r"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    ranks.select(col("id").as("doc_id"), col("r").as("rank_nano"),
+      round(col("r").cast("double") / RankUnit + lit(1e-9), 6).as("rank"))
+  }
 }

@@ -718,6 +718,40 @@ object TextOps {
           .cast("long").as("n_distinct_pretok"))
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, integer variant): a
+    * weight-proportional sample of k documents that supports UNBIASED
+    * subset-sum estimates — the principled way to answer "how many
+    * tokens does slice X hold" from a fixed-size sample of a 100 TB
+    * corpus. Each document draws u ∈ [1, M] (md5, content-independent)
+    * and gets priority q = (w·M) div u — the integer spelling of w/u,
+    * exact in both engines; the top-k priorities are the sample, the
+    * (k+1)-th is the threshold τ, and a sampled document's estimator is
+    * est = max(w, τ/M): Σ est over any sampled subset estimates that
+    * subset's true Σ w (exactly unbiased in the real-valued algorithm;
+    * the integer floor perturbs it by ≤ 1 part in u ≤ M — documented,
+    * deterministic). The top-(k+1) selection is Spark's TakeOrdered —
+    * per-partition heaps, no global sort. Output: one row per sampled
+    * doc (doc_id, source, w, priority, est). */
+  def prioritySample(docs: DataFrame, k: Int,
+                     salt: String = "prio"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // assumes corpus size > k (otherwise τ degenerates and every doc is
+    // kept with est possibly > w; a full census needs no estimator)
+    val w = size(tokens).cast("long")
+    val u = mdDraw6(salt) + lit(1L) // [1, M]
+    val scored = docs.select(col("doc_id"), col("source"), w.as("w"), u.as("u"))
+      .withColumn("priority", expr(s"(w * $DrawMod) div u"))
+    val top = graft.CacheScope.persist(
+      scored.orderBy(col("priority").desc, col("doc_id")).limit(k + 1))
+    val tau = top.agg(min(col("priority")).as("tau"))
+    val sample = top.orderBy(col("priority").desc, col("doc_id")).limit(k)
+    sample.crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("source"), col("w"), col("priority"),
+        round(greatest(col("w").cast("double"),
+          col("tau").cast("double") / lit(DrawMod.toDouble)) + lit(1e-9), 4)
+          .as("est"))
+  }
+
   /** COUNT-MIN SKETCH token frequencies — the bounded-memory answer to
     * "how often does token X appear in 100 TB": d hash rows × w counters
     * (d·w cells TOTAL, vs a vocabulary-sized exact count), each token

@@ -96,7 +96,16 @@ object EventQueries extends QueryModule {
           col("session_start").as("lo"), col("session_end").as("hi"))
       EventOps.intervalCount(sess, e.select("ts"), bucket = 3600L,
         idCols = Seq("user_id", "session_seq"))
-    }))
+    }),
+
+    // SCD2 dimension history from the event changelog: per user, the
+    // validity interval of each run of consecutive equal event types —
+    // the as-of-lookup shape every CDC ingest compacts to (one shuffle)
+    "events_scd2" -> ((s, d) =>
+      EventOps.scd2History(
+        ev(s, d).select(col("user_id"), unix_timestamp(col("ts")).as("ts"),
+          col("event_type"), col("event_id")),
+        key = "user_id", attr = "event_type", tieCol = "event_id")))
 
   /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same
     * sequential min-at-or-after chaining as [[EventOps.funnelStages]]
@@ -219,5 +228,21 @@ object EventQueries extends QueryModule {
          |SELECT iv.user_id, iv.session_seq, iv.lo, iv.hi,
          |  CAST(COUNT(e.ts) AS BIGINT) AS n_events
          |FROM iv LEFT JOIN e ON e.ts BETWEEN iv.lo AND iv.hi
-         |GROUP BY iv.user_id, iv.session_seq, iv.lo, iv.hi""".stripMargin)
+         |GROUP BY iv.user_id, iv.session_seq, iv.lo, iv.hi""".stripMargin,
+
+    // window functions evaluate after WHERE, so the lead() in r runs
+    // over the change rows only — same as the engine's filter-then-lead
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts,
+        |    event_type, event_id FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM c WHERE chg = 1)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM r""".stripMargin)
 }

@@ -83,6 +83,14 @@ object TextQueries extends QueryModule {
           .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
             org.apache.spark.sql.functions.col("doc_b").as("dst")))
         .withColumnRenamed("id", "doc_id")),
+    // PageRank centrality over the same verified near-dup pair graph:
+    // which documents are template HUBS of their duplicate neighborhood
+    // (exact-integer recurrence — the oracle replays all 10 rounds)
+    "dedup_pagerank" -> ((s, d) =>
+      graft.pipeline.GraphOps.pagerank(
+        DedupOps.minhashPairs(docs(s, d))
+          .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
+            org.apache.spark.sql.functions.col("doc_b").as("dst")))),
     // eval set = source 'src0' (a stand-in benchmark); ≥3 shared 3-gram
     // shingles with any eval doc flags a training doc as contaminated
     "decontam_overlap" -> ((s, d) =>
@@ -184,6 +192,10 @@ object TextQueries extends QueryModule {
     // count-min sketch token frequencies (d=4 x w=256 mergeable
     // counters) with exact top-20 counts as the honesty diagnostic
     "corpus_cms_tokens" -> ((s, d) => TextOps.cmsTokenCounts(docs(s, d))),
+
+    // weight-proportional priority sample (50 docs by token count) with
+    // the threshold-based unbiased subset-sum estimator
+    "priority_sample" -> ((s, d) => TextOps.prioritySample(docs(s, d), k = 50)),
 
     // BM25 lexical retrieval (rational-idf variant, see TextOps.bm25)
     // for a fixed 3-term query; top 20 docs
@@ -394,6 +406,23 @@ object TextQueries extends QueryModule {
          |  MIN(cnt) - p.exact_n AS overcount
          |FROM probe p JOIN counters USING (r, c)
          |GROUP BY p.t, p.exact_n""".stripMargin,
+
+    "priority_sample" -> {
+      val draw = s"${hex60Sql("md5('prio:' || CAST(doc_id AS VARCHAR))")} % ${TextOps.DrawMod}"
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |    $draw + 1 AS u
+         |  FROM documents),
+         |p AS (SELECT doc_id, source, w, (w * ${TextOps.DrawMod}) // u AS priority
+         |      FROM sc),
+         |top AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 51),
+         |tau AS (SELECT MIN(priority) AS tau FROM top),
+         |samp AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 50)
+         |SELECT doc_id, source, w, priority,
+         |  ROUND(GREATEST(CAST(w AS DOUBLE),
+         |    CAST(tau AS DOUBLE) / ${TextOps.DrawMod}e0) + 1e-9, 4) AS est
+         |FROM samp CROSS JOIN tau""".stripMargin
+    },
 
     "corpus_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT source, t FROM (
@@ -670,6 +699,39 @@ object TextQueries extends QueryModule {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a""".stripMargin,
+
+    // the engine's 10 integer PageRank rounds replayed CTE-for-CTE —
+    // bit-exact because every operation is a long integer op
+    "dedup_pagerank" -> {
+      val u = graft.pipeline.GraphOps.RankUnit
+      val chain = (1 to 10).map { i =>
+        s"""c$i AS (SELECT e.b AS id, SUM(r.r // r.deg) AS inr
+           |  FROM edges e JOIN r${i - 1} r ON e.a = r.id GROUP BY e.b),
+           |r$i AS (SELECT d.id, d.deg,
+           |    CAST(${u * 3 / 20} + (17 * COALESCE(c.inr, 0)) // 20 AS BIGINT) AS r
+           |  FROM deg d LEFT JOIN c$i c ON d.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |deg AS (SELECT a AS id, COUNT(*) AS deg FROM edges GROUP BY a),
+         |r0 AS (SELECT id, deg, CAST($u AS BIGINT) AS r FROM deg),
+         |$chain
+         |SELECT id AS doc_id, r AS rank_nano,
+         |  ROUND(CAST(r AS DOUBLE) / ${u}e0 + 1e-9, 6) AS rank
+         |FROM r10""".stripMargin
+    },
 
     "dedup_lsh_recall" ->
       s"""$lshCte,

@@ -156,4 +156,26 @@ class EventGraphSpec extends SparkSpec {
     assert(got.agg(countDistinct(col("comp_id"))).head.getLong(0) == 1L)
     assert(got.count() == n.toLong)
   }
+
+  test("pagerank: matches the driver-simulated integer recurrence; hub outranks leaves") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus a detached edge 5-6
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val got = GraphOps.pagerank(raw.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the exact integer recurrence on the driver
+    val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val u = GraphOps.RankUnit
+    var r = deg.keys.map(_ -> u).toMap
+    (1 to 10).foreach { _ =>
+      val in = sym.groupBy(_._2).map { case (n, es) =>
+        n -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+      r = deg.keys.map(n => n -> (u * 3 / 20 + 17 * in.getOrElse(n, 0L) / 20)).toMap
+    }
+    assert(got == r)
+    // the star hub is strictly the most central node
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(5L) == got(6L))
+  }
 }
