@@ -114,6 +114,18 @@ object RelationalQueries extends QueryModule {
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_sec"), col("value"))),
 
+    // Z-order layout assignment over orders on (custkey, order day):
+    // the multi-column clustering a 100 TB table needs for file-level
+    // min/max pruning on EITHER column (see sources.ZOrder). The layout
+    // itself (range-partition by zval) is plan-tested in ZOrderSpec;
+    // this query verifies the exact bit-interleave arithmetic.
+    "orders_zorder" -> ((s, d) =>
+      graft.sources.ZOrder.zAssign(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("o_day")),
+        "o_custkey", "o_day", bits = 16, nBuckets = 16)
+        .select("o_orderkey", "za", "zb", "zval", "zbucket")),
+
     // P1 — backpressure split of the profile store.
     "profiles_p1_split" -> ((s, d) =>
       Tables.profiles(s, d).filter(col("isbckpres") === 0)),
@@ -219,6 +231,30 @@ object RelationalQueries extends QueryModule {
          |  ${decSumSql("value")} AS total_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment""".stripMargin,
+
+    // the engine's bit-interleave replayed term-for-term (// = Spark div)
+    "orders_zorder" -> {
+      val bits = 16
+      val m = (1L << bits) - 1
+      val bucketWidth = (1L << (2 * bits)) / 16
+      val inter = (0 until bits).map(i =>
+        s"((((za >> $i) & 1) << ${2 * i}) | (((zb >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_day
+         |  FROM orders),
+         |st AS (SELECT MIN(o_custkey) AS loA, MAX(o_custkey) AS hiA,
+         |    MIN(o_day) AS loB, MAX(o_day) AS hiB FROM o),
+         |z AS (SELECT o_orderkey,
+         |    CASE WHEN hiA = loA THEN CAST(0 AS BIGINT)
+         |         ELSE ((o_custkey - loA) * $m) // (hiA - loA) END AS za,
+         |    CASE WHEN hiB = loB THEN CAST(0 AS BIGINT)
+         |         ELSE ((o_day - loB) * $m) // (hiB - loB) END AS zb
+         |  FROM o CROSS JOIN st),
+         |zz AS (SELECT o_orderkey, za, zb, $inter AS zval FROM z)
+         |SELECT o_orderkey, za, zb, zval, zval // $bucketWidth AS zbucket
+         |FROM zz""".stripMargin
+    },
 
     "p10_view_filter" ->
       """SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value
