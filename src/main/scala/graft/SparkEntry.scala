@@ -22,7 +22,8 @@ object SparkEntry {
     MlQueries,
     OpsQueries,
     MultimodalQueries,
-    EventQueries)
+    EventQueries,
+    SketchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -284,4 +284,33 @@ object DedupOps {
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash16"))
   }
+
+  /** Fuzzy near-duplicate pairs by EDIT DISTANCE, made tractable at scale
+    * the only way it can be: candidates come from the MinHash band
+    * equi-join (never all pairs), and the quadratic-per-pair Levenshtein
+    * DP runs only on each candidate's first `prefixLen` chars — the
+    * "title" prefix, where near-duplicate web docs differ by boilerplate
+    * edits that shingle-Jaccard under-weights. Output: (doc_a, doc_b,
+    * lev) for candidates with lev ≤ maxDist. Spark's `levenshtein` and
+    * DuckDB's agree exactly (both the standard unit-cost DP), so the
+    * oracle replays banding + distance verbatim. */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int = 80,
+                 maxDist: Int = 25): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0, "need a prefix and a tolerance")
+    val bands = minhashBandsRelational(docs)
+    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val titles = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("title"))
+    cands
+      .join(titles.select(col("doc_id").as("doc_a"), col("title").as("ta")),
+        Seq("doc_a"))
+      .join(titles.select(col("doc_id").as("doc_b"), col("title").as("tb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .filter(col("lev") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
+  }
 }

@@ -238,4 +238,33 @@ object EventOps {
       .select(idCols.map(col) :+ col("lo") :+ col("hi") :+
         coalesce(col("n_events"), lit(0L)).as("n_events"): _*)
   }
+
+  /** Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION —
+    * the screen that survives the contamination it is looking for (mean
+    * ± k·stddev moves with the outliers; the median does not). Medians
+    * are the exact LOWER median by deterministic rank (row_number over
+    * (value, event_id), picked at ⌈n/2⌉) — no interpolation, so the two
+    * engines agree bit-for-bit on doubles; dev = |value − median| and
+    * the k·MAD comparison are single IEEE ops, equally exact. Returns
+    * the outlier rows (event_type, event_id, value, dev). Each median is
+    * a per-group rank — per-key parallel windows; the tiny med/mad
+    * frames (one row per group) broadcast back onto the data. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    val base = events.select(col("event_type"), col("event_id"), col("value"))
+    val med = lowerMedian(base, "value", "med")
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("dev") + lit(1e-9), 4).as("dev"))
+  }
 }

@@ -786,4 +786,59 @@ object TextOps {
       .agg(min(col("cnt")).as("cms_n"))
       .withColumn("overcount", col("cms_n") - col("exact_n"))
   }
+
+  /** Per-source ROC-AUC of the [[quality]] score against the binary
+    * label `lang = 'en'` — the standard sanity check that a cheap
+    * quality heuristic actually separates the slice you train it to keep
+    * from the one it should drop, computed as the Mann–Whitney rank
+    * statistic: AUC = (Σ ranks of positives − P(P+1)/2) / (P·N) with
+    * AVERAGE ranks over score ties. All arithmetic stays integral until
+    * the final division by doubling the rank sum: a tie group of size g
+    * starting at min rank r contributes n_pos·(2r + g − 1) to 2·Σranks,
+    * so engines can never drift. Scale shape: one groupBy collapses the
+    * corpus to (source, score-bin) rows — the window then runs over
+    * ≤ |sources| × |distinct scores| rows, never the corpus. */
+  def qualityAuc(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val labeled = docs.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .join(quality(docs).select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val grouped = labeled.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("n_all"), sum(col("y")).as("n_pos"))
+    val cumW = w.partitionBy("source").orderBy("quality")
+    grouped
+      .withColumn("cum", sum(col("n_all")).over(cumW))
+      .withColumn("r2",
+        col("n_pos") * (lit(2L) * (col("cum") - col("n_all") + 1L)
+          + col("n_all") - 1L))
+      .groupBy(col("source"))
+      .agg(sum(col("r2")).as("sum2r"), sum(col("n_pos")).as("p"),
+        sum(col("n_all") - col("n_pos")).as("n"))
+      .filter(col("p") > 0 && col("n") > 0)
+      .select(col("source"), col("p").as("n_pos"), col("n").as("n_neg"),
+        round((col("sum2r") - col("p") * (col("p") + 1L)).cast("double")
+          / (lit(2.0) * (col("p") * col("n")).cast("double")) + lit(1e-9), 4)
+          .as("auc"))
+  }
+
+  /** Per-source adaptive quality cut: keep the top keepNum/keepDen
+    * fraction of each source by [[quality]] (ties broken by doc_id), the
+    * production alternative to one global threshold when sources have
+    * incomparable score distributions (a global cut empties clean
+    * sources and keeps noisy ones). Exact integer rank arithmetic:
+    * keep rank ≤ ⌈n·keepNum/keepDen⌉. The rank window partitions by
+    * source — per-source parallelism, with the usual salting escape if
+    * one source dominates the corpus. */
+  def adaptiveQualityFilter(docs: DataFrame, keepNum: Int = 1,
+                            keepDen: Int = 10): DataFrame = {
+    require(keepNum >= 1 && keepDen >= keepNum, "keep fraction in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), col("source"))
+      .join(quality(docs).select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("nn", count(lit(1)).over(w.partitionBy("source")))
+      .filter(col("rn") <= expr(s"(nn * $keepNum + ${keepDen - 1}) div $keepDen"))
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
 }

@@ -134,7 +134,20 @@ object VectorOps {
     * shared by the LSH band keys ([[signBandsRelational]]) and the IVF
     * cell ids ([[ivfTopK]]) so the two can never drift from each other or
     * from the DuckDB sigSql spelling. */
-  def signProjections(emb: DataFrame, nPlanes: Int = 64): DataFrame = {
+  def signProjections(emb: DataFrame, nPlanes: Int = 64): DataFrame =
+    rawProjections(emb, nPlanes)
+      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
+      .select(col("vec_id"), col("h"), col("bit"))
+
+  /** Raw ±1 RANDOM PROJECTIONS (vec_id, h, p): p = dot(q, plane_h) over
+    * the integer-quantized vector — exact integer sums, so the sketch is
+    * engine-exact, order-independent and mergeable. Un-thresholded this
+    * is the Johnson–Lindenstrauss / Achlioptas-sign dimensionality
+    * reduction: 16 planes shrink a d-dim vector to 16 longs (the
+    * coarse-search representation; distances on p approximate d·||·||²
+    * distortion-bounded), thresholded at 0 it is the LSH signature —
+    * one shared kernel, one oracle spelling, no drift. */
+  def rawProjections(emb: DataFrame, nPlanes: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planeDf = hyperplanes().zipWithIndex.flatMap { case (row, h) =>
@@ -145,8 +158,6 @@ object VectorOps {
       .join(broadcast(planeDf), Seq("i"))
       .groupBy(col("vec_id"), col("h"))
       .agg(sum(col("x") * col("r")).as("p"))
-      .withColumn("bit", when(col("p") >= 0, 1).otherwise(0))
-      .select(col("vec_id"), col("h"), col("bit"))
   }
 
   /** Brute-force exact cosine top-k: for each query vector (`vec_id` in
@@ -467,6 +478,38 @@ object VectorOps {
   def kmeansRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
     recallVs(bruteForceTopK(emb, queryMaxId, k),
       ivfKmeansTopK(emb, k).filter(col("q_id") < queryMaxId), k)
+
+  /** Top-k by L2 distance on the 16-long RANDOM-PROJECTION sketch
+    * ([[rawProjections]]) — the coarse first-pass scan of a compressed
+    * index: 16 longs per vector instead of d floats, exact integer
+    * distances, the corpus streamed once against the broadcast query
+    * sketches. At 100 TB this is the representation the full-scan
+    * fallback actually reads (16×8 bytes/vector ≈ 12 GB/billion). */
+  def rpTopK(emb: DataFrame, queryMaxId: Long, k: Int,
+             nPlanes: Int = 16): DataFrame = {
+    val proj = rawProjections(emb, nPlanes)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("h"), col("p")))).as("hp"))
+      .select(col("vec_id"), transform(col("hp"), x => x.getField("p")).as("rp"))
+    val qs = proj.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("rp").as("qrp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dst"), col("vec_id"))
+    proj.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("dst", aggregate(
+        zip_with(col("qrp"), col("rp"), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("dst"), col("rk"))
+  }
+
+  /** recall@k of the RP-sketch scan vs the exact cosine baseline — what
+    * 16 signed projections keep of the true neighborhood (JL distortion
+    * made measurable). */
+  def rpRecall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      rpTopK(emb, queryMaxId, k), k)
 
   /** LSH near-pair mining: bucket by banded sign keys, equi-join on the
     * key, verify candidates with the exact quantized cosine at `threshold`.

@@ -105,7 +105,12 @@ object EventQueries extends QueryModule {
       EventOps.scd2History(
         ev(s, d).select(col("user_id"), unix_timestamp(col("ts")).as("ts"),
           col("event_type"), col("event_id")),
-        key = "user_id", attr = "event_type", tieCol = "event_id")))
+        key = "user_id", attr = "event_type", tieCol = "event_id")),
+
+    // robust outlier screen: per event_type, rows whose |value − median|
+    // exceeds 3× the median absolute deviation (exact lower medians)
+    "events_mad_outliers" -> ((s, d) =>
+      EventOps.madOutliers(ev(s, d), k = 3.0)))
 
   /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same
     * sequential min-at-or-after chaining as [[EventOps.funnelStages]]
@@ -129,6 +134,28 @@ object EventQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "events_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |med AS (SELECT event_type, value AS med FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY value, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM e) WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_type, e.event_id, e.value,
+        |        abs(e.value - m.med) AS dev
+        |      FROM e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY dev, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM d) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  ROUND(d.dev + 1e-9, 4) AS dev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.dev > 3.0 * mad.mad""".stripMargin,
+
     "events_funnel_users" -> {
       val last = s"c${FunnelSteps.size - 1}"
       val cols = FunnelSteps.zipWithIndex

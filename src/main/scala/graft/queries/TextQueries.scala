@@ -59,6 +59,15 @@ object TextQueries extends QueryModule {
     // candidate recall of the banding vs the exact pairs — the dedup
     // config's honesty metric (text twin of ann_recall)
     "dedup_lsh_recall"  -> ((s, d) => DedupOps.lshRecall(docs(s, d))),
+    // edit-distance near-dups: MinHash-band candidates, Levenshtein on
+    // the 80-char title prefix (the DP runs per candidate, never all
+    // pairs — see DedupOps.fuzzyPairs)
+    "dedup_fuzzy_titles" -> ((s, d) => DedupOps.fuzzyPairs(docs(s, d))),
+    // does the quality heuristic separate en from non-en? per-source
+    // Mann-Whitney ROC-AUC, integer rank arithmetic end-to-end
+    "quality_auc" -> ((s, d) => TextOps.qualityAuc(docs(s, d))),
+    // per-source top-10% quality cut (rank-exact adaptive threshold)
+    "quality_adaptive" -> ((s, d) => TextOps.adaptiveQualityFilter(docs(s, d))),
     // the per-source dashboard every dataset build starts from: doc and
     // token volume plus mean quality, one partial-aggregated shuffle
     "corpus_source_stats" -> ((s, d) => {
@@ -311,6 +320,27 @@ object TextQueries extends QueryModule {
     * reproduces the identical bits in Spark and DuckDB, and the cast
     * keeps DuckDB from treating it as DECIMAL. */
   private def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
+
+  /** Shared oracle CTE chain `qq(doc_id, quality)` — the text_quality
+    * score spelling, factored for the AUC / adaptive-threshold oracles. */
+  private val qualityCte = {
+    val en = TextOps.langMarkers.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |qm AS (SELECT doc_id,
+       |  CAST(len(list_filter(ts, t -> list_contains($en, t))) AS DOUBLE)
+       |    / len(ts) AS stop_ratio,
+       |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+       |    / len(ts) AS mean_len,
+       |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+       |  CAST(len(ts) AS DOUBLE) AS n
+       |  FROM qt),
+       |qq AS (SELECT doc_id,
+       |  ROUND(0.3 * least(1.0, n / 100) + 0.3 * (1.0 - stop_ratio)
+       |      + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
+       |      + 1e-9, 4) AS quality
+       |  FROM qm)""".stripMargin
+  }
 
   /** DuckDB spelling of the full [[TextOps.bm25]] top-20 query — shared
     * by the text_bm25 oracle and the hybrid_rrf lexical leg. */
@@ -732,6 +762,47 @@ object TextQueries extends QueryModule {
          |  ROUND(CAST(r AS DOUBLE) / ${u}e0 + 1e-9, 6) AS rank
          |FROM r10""".stripMargin
     },
+
+    "dedup_fuzzy_titles" ->
+      s"""$lshCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, substr(text, 1, 80) AS title FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(ta.title, tb.title) AS BIGINT) AS lev
+         |FROM cand c
+         |JOIN t ta ON c.doc_a = ta.doc_id
+         |JOIN t tb ON c.doc_b = tb.doc_id
+         |WHERE levenshtein(ta.title, tb.title) <= 25""".stripMargin,
+
+    "quality_auc" ->
+      s"""WITH $qualityCte,
+         |l AS (SELECT d.source,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, q.quality
+         |      FROM documents d JOIN qq q ON d.doc_id = q.doc_id),
+         |g AS (SELECT source, quality, COUNT(*) AS n_all, SUM(y) AS n_pos
+         |      FROM l GROUP BY 1, 2),
+         |r AS (SELECT source, n_all, n_pos,
+         |        SUM(n_all) OVER (PARTITION BY source ORDER BY quality) AS cum
+         |      FROM g),
+         |s AS (SELECT source,
+         |        CAST(SUM(n_pos * (2 * (cum - n_all + 1) + n_all - 1)) AS BIGINT) AS sum2r,
+         |        CAST(SUM(n_pos) AS BIGINT) AS p,
+         |        CAST(SUM(n_all - n_pos) AS BIGINT) AS n
+         |      FROM r GROUP BY source)
+         |SELECT source, p AS n_pos, n AS n_neg,
+         |  ROUND(CAST(sum2r - p * (p + 1) AS DOUBLE)
+         |    / (2.0 * CAST(p * n AS DOUBLE)) + 1e-9, 4) AS auc
+         |FROM s WHERE p > 0 AND n > 0""".stripMargin,
+
+    "quality_adaptive" ->
+      s"""WITH $qualityCte
+         |SELECT d.doc_id, d.source, q.quality
+         |FROM documents d JOIN qq q ON d.doc_id = q.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality DESC, d.doc_id)
+         |  <= (COUNT(*) OVER (PARTITION BY d.source) * 1 + 9) // 10""".stripMargin,
 
     "dedup_lsh_recall" ->
       s"""$lshCte,

@@ -234,7 +234,21 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id"))
       VectorOps.ivfMultiprobeTopK(
         graft.CacheScope.persist(emb.join(dups, Seq("vec_id"), "left_anti")), k = 3)
-    }))
+    }),
+
+    // Johnson-Lindenstrauss ±1 random projection to 16 longs per vector
+    // (the un-thresholded LSH kernel): exact integer sums, the coarse
+    // representation a billion-vector first-pass search scans
+    "emb_rp16" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      VectorOps.rawProjections(Tables.embeddings(s, d), nPlanes = 16)
+        .select(col("vec_id"), col("h").cast("long").as("h"), col("p"))
+    }),
+
+    // recall@3 of the 16-long RP-sketch scan vs exact cosine — the JL
+    // distortion made measurable (companion to emb_rp16)
+    "ann_rp_recall" -> ((s, d) =>
+      VectorOps.rpRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -475,6 +489,44 @@ object VectorQueries extends QueryModule {
          |  list_max(errs) AS max_err_x255,
          |  CAST(list_sum(errs) AS BIGINT) AS sum_err_x255
          |FROM e""".stripMargin,
+
+    "emb_rp16" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |hh AS (SELECT unnest(range(0, 16)) AS h)
+         |SELECT q.vec_id, hh.h,
+         |  CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] *
+         |    ((CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ',' ||
+         |        CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1)))
+         |    AS BIGINT) AS p
+         |FROM q CROSS JOIN hh""".stripMargin,
+
+    "ann_rp_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs0 AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |        FROM qs0 CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |rp AS (SELECT vec_id, list_transform(range(0, 16), h ->
+         |    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] *
+         |      ((CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ',' ||
+         |          CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2) * 2 - 1)))
+         |      AS BIGINT)) AS rp
+         |  FROM q),
+         |qs AS (SELECT vec_id AS q_id, rp AS qrp FROM rp WHERE vec_id < 10),
+         |sc AS (SELECT q_id, rp.vec_id,
+         |         list_sum(list_transform(range(1, 17),
+         |           i -> (qrp[i] - rp.rp[i]) * (qrp[i] - rp.rp[i]))) AS dst
+         |       FROM qs CROSS JOIN rp WHERE rp.vec_id <> q_id),
+         |rr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY dst, vec_id) AS rk FROM sc),
+         |approx AS (SELECT q_id, vec_id FROM rr WHERE rk <= 3),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "emb_label_centroids" ->
       s"""WITH q AS (SELECT label, $qvSql AS qv FROM embeddings),

@@ -32,7 +32,11 @@ class PlanSpec extends SparkSpec {
     "hybrid_rrf" -> "contains the bm25 1-row stats broadcast and the brute-force fixed-query-set baseline; fusion itself joins two <= 20-row legs",
     "curation_pipeline" -> "contains the dsir_weights 1-row totals broadcast over the 64-row bucket table",
     "ann_pq_recall" -> "contains the exact-L2 brute-force baseline (fixed query set, broadcast side bounded)",
-    "isotonic_calibrate" -> "minimax triangle over the B distinct score bins (B = classifier score cardinality, tens): all non-equi joins are bin-frame self-joins, never data-scale")
+    "isotonic_calibrate" -> "minimax triangle over the B distinct score bins (B = classifier score cardinality, tens): all non-equi joins are bin-frame self-joins, never data-scale",
+    "orders_zorder" -> "broadcasts the 1-row min/max stats aggregate back over the rows (the scaling bounds)",
+    "priority_sample" -> "broadcasts the 1-row tau threshold aggregate over the <= k-row sample",
+    "bloom_prune" -> "broadcasts the 1-row collapsed bit-position array (<= m entries) over the probe scan — the whole point of the filter",
+    "ann_rp_recall" -> "contains the exact brute-force baseline AND the RP-sketch full scan, both over the broadcast fixed query set (<= 10 rows)")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
