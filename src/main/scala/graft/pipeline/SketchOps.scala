@@ -82,6 +82,22 @@ object SketchOps {
     * integer-rounded estimate. Registers compose by MAX, so this exact
     * plan is the mergeable 100 TB form: per-partition partial maxes,
     * m rows per group after the one shuffle. */
+  /** The HLL register frame (source, r, mr) of `docs` — the sketch
+    * STATE, separated so mergeability is a testable property: registers
+    * of a union are the per-register MAX of the parts' registers
+    * (SketchSpec pins shard-merge == whole-corpus). */
+  def hllRegisters(docs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
+      .distinct()
+      .withColumn("h", hex60(md5(concat(lit("hll:"), col("t")))))
+      .withColumn("r", expr(s"h div ${1L << 52}") % m)
+      .withColumn("w", expr(s"h % ${1L << 52}"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(expr("bin(w)"))))
+      .groupBy(col("source"), col("r")).agg(max(col("rho")).as("mr"))
+  }
+
   def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 10, "p in [4, 10]: estimate quality below, long overflow above")
     val m = 1 << p
@@ -90,13 +106,7 @@ object SketchOps {
     val num = alpha * m * m * math.pow(2.0, 53)
     val tok = docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
       .distinct()
-    val regs = tok
-      .withColumn("h", hex60(md5(concat(lit("hll:"), col("t")))))
-      .withColumn("r", expr(s"h div ${1L << 52}") % m)
-      .withColumn("w", expr(s"h % ${1L << 52}"))
-      .withColumn("rho", when(col("w") === 0, lit(53))
-        .otherwise(lit(53) - length(expr("bin(w)"))))
-      .groupBy(col("source"), col("r")).agg(max(col("rho")).as("mr"))
+    val regs = hllRegisters(docs, p)
     val exact = tok.groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
     val est = regs.groupBy(col("source"))
       .agg(sum(expr("shiftleft(cast(1 as bigint), cast(53 - mr as int))")).as("sp"),

@@ -829,6 +829,39 @@ object TextOps {
     * keep rank ≤ ⌈n·keepNum/keepDen⌉. The rank window partitions by
     * source — per-source parallelism, with the usual salting escape if
     * one source dominates the corpus. */
+  /** SAMPLE-BASED quantile estimation — how quantiles are actually
+    * computed at 100 TB: a deterministic md5 Bernoulli sample (rate
+    * sampleNum/DrawMod), exact lower-quantile ranks ⌈n·pct/100⌉ on the
+    * sample, and the same exact ranks on the full corpus kept alongside
+    * as the honesty diagnostic (sample_v, exact_v, err per source ×
+    * percentile). Rank arithmetic is pure integer ((n·pct + 99) div
+    * 100), so both engines agree bit-for-bit; at scale the exact leg is
+    * dropped and only the sample (DrawMod-th of the data) ever sorts.
+    * Percentiles are injected by explode — no join, no cross product. */
+  def sampledQuantiles(docs: DataFrame, sampleNum: Long = 100000L,
+                       pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(sampleNum > 0 && sampleNum <= DrawMod, "rate in (0, 1]")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in [1,100]")
+    val w = org.apache.spark.sql.expressions.Window
+    def rankPick(df: DataFrame, valCol: String): DataFrame = {
+      val ranked = df.withColumn("rn", row_number().over(
+        w.partitionBy("source").orderBy(col(valCol), col("doc_id"))))
+      // the picks frame is |sources| × |pcts| rows — broadcast equi-join,
+      // no row amplification of the ranked side
+      val picks = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+        .select(col("source"), col("pct"), expr("(n * pct + 99) div 100").as("rn"))
+      ranked.join(broadcast(picks), Seq("source", "rn"))
+        .select(col("source"), col("pct"), col(valCol))
+    }
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val samp = base.filter(mdDraw6("sq") < sampleNum)
+    rankPick(samp, "n_chars").withColumnRenamed("n_chars", "sample_v")
+      .join(rankPick(base, "n_chars").withColumnRenamed("n_chars", "exact_v"),
+        Seq("source", "pct"))
+      .withColumn("err", col("sample_v") - col("exact_v"))
+  }
+
   def adaptiveQualityFilter(docs: DataFrame, keepNum: Int = 1,
                             keepDen: Int = 10): DataFrame = {
     require(keepNum >= 1 && keepDen >= keepNum, "keep fraction in (0, 1]")

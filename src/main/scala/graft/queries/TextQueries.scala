@@ -68,6 +68,9 @@ object TextQueries extends QueryModule {
     "quality_auc" -> ((s, d) => TextOps.qualityAuc(docs(s, d))),
     // per-source top-10% quality cut (rank-exact adaptive threshold)
     "quality_adaptive" -> ((s, d) => TextOps.adaptiveQualityFilter(docs(s, d))),
+    // sample-based p50/p90/p99 of n_chars per source (10% md5 sample)
+    // with the exact-corpus quantiles as the honesty diagnostic
+    "corpus_sampled_quantiles" -> ((s, d) => TextOps.sampledQuantiles(docs(s, d))),
     // the per-source dashboard every dataset build starts from: doc and
     // token volume plus mean quality, one partial-aggregated shuffle
     "corpus_source_stats" -> ((s, d) => {
@@ -795,6 +798,32 @@ object TextQueries extends QueryModule {
          |  ROUND(CAST(sum2r - p * (p + 1) AS DOUBLE)
          |    / (2.0 * CAST(p * n AS DOUBLE)) + 1e-9, 4) AS auc
          |FROM s WHERE p > 0 AND n > 0""".stripMargin,
+
+    "corpus_sampled_quantiles" -> {
+      val draw = s"${hex60Sql("md5('sq:' || CAST(doc_id AS VARCHAR))")} % ${TextOps.DrawMod}"
+      s"""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+         |samp AS (SELECT * FROM base WHERE $draw < 100000),
+         |pct AS (SELECT unnest([CAST(50 AS BIGINT), 90, 99]) AS pct),
+         |rs AS (SELECT source, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars, doc_id) AS rn
+         |       FROM samp),
+         |ps AS (SELECT source, pct, (COUNT(*) * pct + 99) // 100 AS rn
+         |       FROM samp CROSS JOIN pct GROUP BY source, pct),
+         |sv AS (SELECT rs.source, ps.pct, rs.n_chars AS sample_v
+         |       FROM rs JOIN ps ON rs.source = ps.source AND rs.rn = ps.rn),
+         |re AS (SELECT source, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars, doc_id) AS rn
+         |       FROM base),
+         |pe AS (SELECT source, pct, (COUNT(*) * pct + 99) // 100 AS rn
+         |       FROM base CROSS JOIN pct GROUP BY source, pct),
+         |ev AS (SELECT re.source, pe.pct, re.n_chars AS exact_v
+         |       FROM re JOIN pe ON re.source = pe.source AND re.rn = pe.rn)
+         |SELECT sv.source, sv.pct, sv.sample_v, ev.exact_v,
+         |  sv.sample_v - ev.exact_v AS err
+         |FROM sv JOIN ev ON sv.source = ev.source AND sv.pct = ev.pct""".stripMargin
+    },
 
     "quality_adaptive" ->
       s"""WITH $qualityCte

@@ -46,6 +46,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("HLL registers merge by MAX: sharded maxes equal the whole-corpus registers") {
+    // the 100 TB contract: per-day/per-partition register frames compose
+    // into the global sketch with one MAX groupBy, no token re-scan
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val merged = SketchOps.hllRegisters(half1, 8)
+      .union(SketchOps.hllRegisters(half2, 8))
+      .groupBy(col("source"), col("r")).agg(max(col("mr")).as("mr"))
+    val whole = SketchOps.hllRegisters(docs, 8)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("qualityAuc is 1.0 for a perfectly separating score and ~0.5 for a constant one") {
     import spark.implicits._
     // perfectly separable: every en doc longer (higher quality) than non-en

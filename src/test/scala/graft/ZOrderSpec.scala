@@ -44,6 +44,35 @@ class ZOrderSpec extends SparkSpec {
     assert(zArea * 4 < nArea, s"z-order box $zArea vs row-order $nArea")
   }
 
+  test("z-order layout concentrates a narrow custkey predicate into few files") {
+    // the end-to-end payoff: write both layouts, run the same predicate,
+    // count files holding matches — with footer min/max stats those are
+    // the only files a pruning reader opens
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("o_day"))
+    val (lo, hi) = {
+      val r = orders.agg(min("o_custkey"), max("o_custkey")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // a 1/16-wide custkey slice
+    val width = math.max(1L, (hi - lo) / 16)
+    val zDir = "target/tmp/zorder_z"
+    val nDir = "target/tmp/zorder_naive"
+    ZOrder.layout(orders, "o_custkey", "o_day", bits = 16, nFiles = 16)
+      .write.mode("overwrite").parquet(zDir)
+    orders.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(nDir)
+    def filesWithMatches(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("o_custkey") >= lo + width && col("o_custkey") < lo + 2 * width)
+        .select(input_file_name()).distinct().count()
+    val (zf, nf) = (filesWithMatches(zDir), filesWithMatches(nDir))
+    // arrival-order files each span ~all custkeys; z-files cover boxes
+    assert(zf * 2 <= nf, s"z-order touches $zf files, row-order $nf")
+  }
+
   test("layout() range-partitions by zval (the one shuffle a rewrite IS)") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_custkey"),
