@@ -85,11 +85,17 @@ object SketchOps {
   /** The HLL register frame (source, r, mr) of `docs` — the sketch
     * STATE, separated so mergeability is a testable property: registers
     * of a union are the per-register MAX of the parts' registers
-    * (SketchSpec pins shard-merge == whole-corpus). */
-  def hllRegisters(docs: DataFrame, p: Int): DataFrame = {
+    * (SketchSpec pins shard-merge == whole-corpus). `dedupTokens=false`
+    * skips the token distinct — registers are IDENTICAL either way (MAX
+    * is idempotent over repeats), but a streaming caller needs the
+    * stateless form: the groupBy-MAX then runs as a plain update-mode
+    * streaming aggregation whose store state is the registers
+    * themselves (see [[graft.streaming.StreamingJobs.hllRegisterStream]]). */
+  def hllRegisters(docs: DataFrame, p: Int,
+                   dedupTokens: Boolean = true): DataFrame = {
     val m = 1 << p
-    docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
-      .distinct()
+    val base = docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
+    (if (dedupTokens) base.distinct() else base)
       .withColumn("h", hex60(md5(concat(lit("hll:"), col("t")))))
       .withColumn("r", expr(s"h div ${1L << 52}") % m)
       .withColumn("w", expr(s"h % ${1L << 52}"))

@@ -211,4 +211,16 @@ object StreamingJobs {
         out.iterator
     }
   }
+
+  /** STREAMING HyperLogLog: the per-(source, register) running MAX as a
+    * plain update-mode streaming aggregation — no custom state code at
+    * all, because HLL's register update IS max-merge (idempotent over
+    * re-observed tokens, so the batch path's token distinct is simply
+    * dropped). Store state is exactly the sketch: ≤ 2^p rows per source,
+    * constant forever on an unbounded stream — the register frame any
+    * tick can read off and feed to [[graft.pipeline.SketchOps]]'s
+    * estimator, and the streaming twin of the SketchSpec shard-merge
+    * property. */
+  def hllRegisterStream(docs: DataFrame, p: Int = 8): DataFrame =
+    graft.pipeline.SketchOps.hllRegisters(docs, p, dedupTokens = false)
 }

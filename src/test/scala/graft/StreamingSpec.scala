@@ -473,6 +473,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: update-mode max aggregation equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)] // (source, text)
+    val q = StreamingJobs.hllRegisterStream(in.toDF.toDF("source", "text"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq(("s1", "alpha beta gamma"), ("s2", "delta epsilon")),
+      Seq(("s1", "gamma zeta alpha eta"), ("s2", "alpha")),
+      Seq(("s1", "theta"), ("s2", "iota kappa delta")))
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.pipeline.SketchOps
+        .hllRegisters(batches.flatten.toDF("source", "text"), 8).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("session windows close, emit once in append mode, and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
