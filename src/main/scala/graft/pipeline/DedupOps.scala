@@ -180,6 +180,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup check — the steady-state ingest path: a batch
+    * of arriving documents (`doc_id >= splitId`) is screened against the
+    * already-indexed corpus (`doc_id < splitId`) WITHOUT re-pairing the
+    * existing corpus against itself. Band keys of the arrivals equi-join
+    * the existing band index (in production a persisted/bucketed table —
+    * see [[graft.sources.BucketedStore]] — so the join co-locates on
+    * bkey with no index-side shuffle); candidates verify by exact
+    * shingle-Jaccard exactly like [[minhashPairs]]. Work is
+    * O(|batch| · bands + candidates): independent of corpus self-pair
+    * count, which is what makes per-batch dedup affordable on a corpus
+    * that took a full [[minhashPairs]] pass once at bootstrap.
+    * Output: (new_id, old_id, jaccard) — arrivals with any row here are
+    * near-dups of the existing corpus and get dropped/linked. */
+  def incrementalPairs(docs: DataFrame, splitId: Long,
+                       threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "incrementalPairs verification assumes a positive threshold")
+    val inv = shingleRows(docs)
+    val bands = minhashBandsFromInv(inv)
+    val cands = bands.filter(col("doc_id") >= splitId)
+      .select(col("doc_id").as("new_id"), col("bkey"))
+      .join(bands.filter(col("doc_id") < splitId)
+        .select(col("doc_id").as("old_id"), col("bkey")), Seq("bkey"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cands
+      .join(inv.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
+      .join(inv.select(col("doc_id").as("old_id"), col("s")), Seq("old_id", "s"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index: explode
     * distinct shingles, self-equi-join on the shingle, count shared
     * shingles per pair, Jaccard = |∩| / (|A| + |B| − |∩|). Exact (no LSH

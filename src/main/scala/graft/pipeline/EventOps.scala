@@ -267,4 +267,29 @@ object EventOps {
       .select(col("event_type"), col("event_id"), col("value"),
         round(col("dev") + lit(1e-9), 4).as("dev"))
   }
+
+  /** HOT-KEY skew diagnostic — the measurement that decides whether a
+    * downstream join/groupBy on `keyCol` needs salting
+    * ([[FrameOps.saltedJoin]]) or AQE skew handling: the top `k` keys by
+    * row count with each key's share of all rows and the cumulative
+    * share (top-1 share ≈ 1/partitions is the classic straggler
+    * threshold). One corpus-sized shuffle (the groupBy on the key, with
+    * map-side partial agg); the ordered top-k is a TakeOrdered over the
+    * per-key counts — never a global sort of the data — and the final
+    * window runs over exactly `k` rows. Share arithmetic stays integral
+    * until one division, so engines can't drift. */
+  def hotKeys(events: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val top = counts.orderBy(col("n").desc, col(keyCol)).limit(k)
+    val w = Window.partitionBy(lit(1)).orderBy(col("n").desc, col(keyCol))
+    top.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("n"), col("rk"),
+        round(col("n").cast("double") / col("tot") + lit(1e-9), 6).as("share"),
+        round(col("cum_n").cast("double") / col("tot") + lit(1e-9), 6).as("cum_share"))
+  }
 }

@@ -770,12 +770,7 @@ object TextOps {
       conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 15), 16, 10)
         .cast("long") % w
     val tok = docs.select(explode(tokens).as("t"))
-    // one pass: each token emits its d (row, cell) pairs; partial agg
-    // combines map-side so the exchange carries ≤ d·w rows per task
-    val counters = tok
-      .select(posexplode(array((0 until d).map(r => cell(r, col("t"))): _*))
-        .as(Seq("r", "c")))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(docs, d, w)
     val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
     val top = exact.orderBy(col("exact_n").desc, col("t")).limit(topK)
     val probes = top.select(col("t"), col("exact_n"),
@@ -785,6 +780,50 @@ object TextOps {
       .groupBy(col("t"), col("exact_n"))
       .agg(min(col("cnt")).as("cms_n"))
       .withColumn("overcount", col("cms_n") - col("exact_n"))
+  }
+
+  /** The CMS counter frame (r, c, cnt) alone — the sketch STATE,
+    * factored out so the streaming twin is the same code: counter
+    * updates are SUMS, so on a stream this exact plan runs as a plain
+    * update-mode aggregation whose store state IS the d·w counters
+    * (see [[graft.streaming.StreamingJobs.cmsCounterStream]]). One
+    * pass: each token emits its d (row, cell) pairs; partial agg
+    * combines map-side so the exchange carries ≤ d·w rows per task. */
+  def cmsCounters(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d > 0 && w > 0, "d and w must be positive")
+    def cell(r: Int, t: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 15), 16, 10)
+        .cast("long") % w
+    docs.select(explode(tokens).as("t"))
+      .select(posexplode(array((0 until d).map(r => cell(r, col("t"))): _*))
+        .as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pairwise SOURCE-VOCABULARY Jaccard — the corpus-composition
+    * diagnostic run before choosing mixture weights: how much does each
+    * source's token vocabulary overlap every other's? (Near-identical
+    * vocabularies → the sources are redundant crawls; disjoint → each
+    * contributes distribution coverage.) Relational shape: distinct
+    * (source, token) rows self-join on the token, so per-token fan-out
+    * is bounded by |sources|² regardless of corpus size and the only
+    * corpus-sized shuffle is the distinct; the ≤ |sources|² result
+    * never leaves the executors until the final tiny collect-free
+    * output. Pairs sharing zero tokens are (correctly) absent. */
+  def sourceVocabJaccard(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(col("source"), explode(array_distinct(tokens)).as("t"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    vocab.as("a").join(vocab.as("b"), Seq("t"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("nv").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")) + lit(1e-9), 6).as("jaccard"))
   }
 
   /** Per-source ROC-AUC of the [[quality]] score against the binary

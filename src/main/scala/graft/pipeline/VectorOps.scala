@@ -844,4 +844,79 @@ object VectorOps {
       .agg(min(col("vec_a")).as("dup_of"),
         min_by(col("cosine"), col("vec_a")).as("cosine"))
   }
+
+  /** Contrastive HARD-NEGATIVE mining: for each anchor (`vec_id <
+    * queryMaxId`), the `k` most-similar vectors carrying a DIFFERENT
+    * label, with cosine below `ceil` — the pair-mining step of
+    * contrastive embedding training (high-similarity different-class
+    * examples are the gradient-rich negatives; `ceil` excludes
+    * mislabeled near-duplicates that would poison the batch). Same
+    * broadcast-anchors/stream-corpus shape as [[bruteForceTopK]]: the
+    * anchor set is the small side by construction, so the corpus scan
+    * never shuffles — at production scale the candidate generation
+    * would come from the IVF index ([[ivfKmeansTopK]]) with this exact
+    * rescore on top. */
+  def hardNegatives(emb: DataFrame, queryMaxId: Long, k: Int,
+                    ceil: Double = 0.95): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
+      .filter(col("c") < ceil)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** Label-conditioned OUTLIER detection — the mislabeled-example /
+    * noise-document screen run before contrastive training: distance of
+    * each vector to its label centroid, z-scored within the label; the
+    * top `perLabel` per label by z are the audit queue.
+    *
+    * Exactness: the centroid is never materialized as doubles. With
+    * S = Σ x (component-wise integer sum) and n the label count,
+    * n²·‖x − S/n‖² = n²‖x‖² − 2n(x·S) + ‖S‖² — all BIGINT, so
+    * dist = √num / n is one IEEE sqrt+division of identical integers on
+    * both engines. Mean/std over dist use the decimal-sum pattern
+    * ([[graft.queries.Sql.decSum]]) so partitioning can't reorder the
+    * float sums. Shape: one explode feeds both the per-label component
+    * sums (a ≤ labels×dim frame, broadcast back) and the per-vector
+    * moments — the corpus is scanned once and shuffled on vec_id only. */
+  def labelOutliers(emb: DataFrame, perLabel: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ex = emb.select(col("vec_id"), col("label"), quant.as("q"))
+      .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("i", "x")))
+    val sums = ex.groupBy(col("label"), col("i")).agg(sum(col("x")).as("s"))
+    val s2 = sums.groupBy(col("label")).agg(sum(col("s") * col("s")).as("s2"))
+    val nPer = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val dist = ex.join(broadcast(sums), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("x")).as("xx"), sum(col("x") * col("s")).as("xs"))
+      .join(broadcast(nPer), Seq("label"))
+      .join(broadcast(s2), Seq("label"))
+      .withColumn("num",
+        col("n") * col("n") * col("xx") - lit(2L) * col("n") * col("xs") + col("s2"))
+      .withColumn("dist", sqrt(col("num").cast("double")) / col("n"))
+    val stats = dist.groupBy(col("label")).agg(
+      (sum(col("dist").cast(DecimalType(30, 6))).cast("double") / count(lit(1))).as("mu"),
+      (sum((col("dist") * col("dist")).cast(DecimalType(30, 6))).cast("double")
+        / count(lit(1))).as("m2"))
+      .withColumn("sd", sqrt(col("m2") - col("mu") * col("mu")))
+    dist.join(broadcast(stats), Seq("label"))
+      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("z").desc, col("vec_id"))))
+      .filter(col("rk") <= perLabel)
+      .select(col("label"), col("vec_id"),
+        round(col("dist") + lit(1e-9), 4).as("dist"),
+        round(col("z") + lit(1e-9), 4).as("z"), col("rk"))
+  }
 }

@@ -41,6 +41,10 @@ object EventQueries extends QueryModule {
     // weekly cohort retention matrix with rates vs cohort size
     "events_retention" -> ((s, d) => EventOps.retention(evTs(s, d))),
 
+    // hot-key skew diagnostic: top-10 user_ids by event count with
+    // share / cumulative share — the pre-join salting decision input
+    "events_hotkeys" -> ((s, d) => EventOps.hotKeys(ev(s, d), "user_id")),
+
     // semi-structured payloads: JSON prop extraction + per-type stats —
     // the "parse the event envelope" step every log pipeline runs
     "events_props_stats" -> ((s, d) =>
@@ -203,6 +207,20 @@ object EventQueries extends QueryModule {
          |  MIN(k) AS min_k, MAX(k) AS max_k,
          |  ROUND(${Sql.decAvgSql("k")} + 1e-9, 4) AS avg_k
          |FROM e GROUP BY event_type""".stripMargin,
+
+    "events_hotkeys" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+        |           GROUP BY user_id),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |r AS (SELECT user_id, n,
+        |        row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+        |        SUM(n) OVER (ORDER BY n DESC, user_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |      FROM c)
+        |SELECT user_id, n, rk,
+        |  ROUND(CAST(n AS DOUBLE) / tot + 1e-9, 6) AS share,
+        |  ROUND(CAST(cum_n AS DOUBLE) / tot + 1e-9, 6) AS cum_share
+        |FROM r CROSS JOIN t WHERE rk <= 10""".stripMargin,
 
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -55,6 +55,16 @@ object TextQueries extends QueryModule {
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
+    // steady-state ingest dedup: the newest fifth of the corpus (by
+    // doc_id) screened against the older four-fifths' band index —
+    // O(|batch|) work, never a corpus self-pair pass. The one-row max
+    // collect is the batch-boundary lookup any ingest job does.
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = (dd.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head.getLong(0) * 4) / 5
+      DedupOps.incrementalPairs(dd, split)
+    }),
     "dedup_jaccard_ngram" -> ((s, d) => DedupOps.jaccardPairs(docs(s, d))),
     // candidate recall of the banding vs the exact pairs — the dedup
     // config's honesty metric (text twin of ann_recall)
@@ -133,6 +143,9 @@ object TextQueries extends QueryModule {
     // (explode -> count -> top-k; ties by bigram text). Map-side partial
     // aggregation absorbs the heavy explode before the single shuffle.
     "corpus_top_bigrams" -> ((s, d) => TextOps.topBigrams(docs(s, d), 20)),
+    // source-overlap diagnostic: pairwise vocabulary Jaccard between
+    // sources (per-token fan-out bounded by |sources|^2)
+    "corpus_source_jaccard" -> ((s, d) => TextOps.sourceVocabJaccard(docs(s, d))),
     // the native ShingleMinHash expression against the same oracle as the
     // DSL fp_shingle_min (session carries graft.GraftExtensions)
     "text_fp_native" -> ((s, d) => TextOps.fingerprintsNative(docs(s, d))),
@@ -578,6 +591,40 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""$lshCte,
+         |sp AS (SELECT (MAX(doc_id) * 4) // 5 AS split FROM documents),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey
+         |  WHERE a.doc_id >= (SELECT split FROM sp)
+         |    AND b.doc_id < (SELECT split FROM sp)),
+         |scored AS (
+         |  SELECT new_id, old_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = new_id
+         |  JOIN sets sb ON sb.doc_id = old_id)
+         |SELECT new_id, old_id, ROUND(jaccard + 1e-9, 4) AS jaccard
+         |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "corpus_source_jaccard" ->
+      """WITH v AS (SELECT DISTINCT source, t FROM (
+        |       SELECT source, UNNEST(string_split(text, ' ')) AS t
+        |       FROM documents)),
+        |sz AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY source),
+        |it AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         COUNT(*) AS inter
+        |       FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.nv + sb.nv - inter) + 1e-9, 6)
+        |    AS jaccard
+        |FROM it
+        |JOIN sz sa ON sa.source = it.src_a
+        |JOIN sz sb ON sb.source = it.src_b""".stripMargin,
 
     "text_topk_per_source" -> {
       val en = TextOps.langMarkers.toMap.apply("en")

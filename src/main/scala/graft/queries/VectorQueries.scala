@@ -248,7 +248,17 @@ object VectorQueries extends QueryModule {
     // recall@3 of the 16-long RP-sketch scan vs exact cosine — the JL
     // distortion made measurable (companion to emb_rp16)
     "ann_rp_recall" -> ((s, d) =>
-      VectorOps.rpRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)))
+      VectorOps.rpRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+
+    // contrastive hard-negative mining: per anchor, top-5 most-similar
+    // DIFFERENT-label vectors under a 0.95 near-dup ceiling
+    "emb_hard_negatives" -> ((s, d) =>
+      VectorOps.hardNegatives(Tables.embeddings(s, d), queryMaxId = 10, k = 5)),
+
+    // mislabeled-example screen: top-2 per label by z-scored distance to
+    // the label centroid (exact-integer centroid arithmetic)
+    "emb_label_outliers" -> ((s, d) =>
+      VectorOps.labelOutliers(Tables.embeddings(s, d), perLabel = 2)))
 
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -260,6 +270,51 @@ object VectorQueries extends QueryModule {
          |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
          |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM r WHERE rk <= 5""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS qq
+         |       FROM q WHERE vec_id < 10),
+         |sc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |       FROM qs CROSS JOIN q
+         |       WHERE vec_id <> q_id AND label <> q_label),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |      FROM sc WHERE c < 0.95)
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM r WHERE rk <= 5""".stripMargin,
+
+    // exact-integer centroid arithmetic: n^2*||x - S/n||^2 =
+    // n^2*||x||^2 - 2n(x.S) + ||S||^2, all BIGINT (bounds: |q_i|<=3e3,
+    // dim 64, n<=5e4 keeps every term < 2^62); decimal-cast sums make
+    // the per-label mean/std order-independent
+    "emb_label_outliers" ->
+      s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+         |ex0 AS (SELECT vec_id, label, qv,
+         |          UNNEST(range(1, len(qv) + 1)) AS i FROM q),
+         |ex AS (SELECT vec_id, label, i, qv[i] AS x FROM ex0),
+         |sums AS (SELECT label, i, SUM(x) AS s FROM ex GROUP BY label, i),
+         |s2 AS (SELECT label, SUM(s * s) AS s2 FROM sums GROUP BY label),
+         |np AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+         |mom AS (SELECT e.vec_id, e.label,
+         |          SUM(e.x * e.x) AS xx, SUM(e.x * m.s) AS xs
+         |        FROM ex e JOIN sums m ON e.label = m.label AND e.i = m.i
+         |        GROUP BY e.vec_id, e.label),
+         |dd AS (SELECT mom.vec_id, mom.label,
+         |         sqrt(CAST(n * n * xx - 2 * n * xs + s2 AS DOUBLE)) / n AS dist
+         |       FROM mom JOIN np USING (label) JOIN s2 USING (label)),
+         |st AS (SELECT label,
+         |         ${Sql.decAvgSql("dist")} AS mu,
+         |         ${Sql.decAvgSql("dist * dist")} AS m2
+         |       FROM dd GROUP BY label),
+         |zz AS (SELECT dd.label, vec_id, dist,
+         |         (dist - mu) / sqrt(m2 - mu * mu) AS z
+         |       FROM dd JOIN st USING (label)),
+         |r AS (SELECT label, vec_id, dist, z, row_number() OVER (
+         |        PARTITION BY label ORDER BY z DESC, vec_id) AS rk FROM zz)
+         |SELECT label, vec_id, ROUND(dist + 1e-9, 4) AS dist,
+         |  ROUND(z + 1e-9, 4) AS z, rk
+         |FROM r WHERE rk <= 2""".stripMargin,
 
     // Cells = first `bits` hyperplane-sign bits, bits = smallest b with
     // 2^b * 50 >= corpus size (integer search, same as VectorOps.cellBits)

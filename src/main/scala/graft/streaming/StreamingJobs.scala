@@ -223,4 +223,16 @@ object StreamingJobs {
     * property. */
   def hllRegisterStream(docs: DataFrame, p: Int = 8): DataFrame =
     graft.pipeline.SketchOps.hllRegisters(docs, p, dedupTokens = false)
+
+  /** STREAMING count-min sketch: the batch counter plan
+    * ([[graft.pipeline.TextOps.cmsCounters]]) run verbatim as an
+    * update-mode streaming aggregation — counter updates are SUMS, so
+    * no custom state code exists to drift from the batch form. Store
+    * state is exactly the sketch: d·w counter rows, constant forever on
+    * an unbounded stream; any tick can read the counters off and probe
+    * them with the batch estimator. Mergeability (sums) is what makes
+    * the same frame the day/shard rollup at rest and the live sketch in
+    * motion. */
+  def cmsCounterStream(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
+    graft.pipeline.TextOps.cmsCounters(docs, d, w)
 }

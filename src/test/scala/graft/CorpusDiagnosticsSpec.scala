@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.{DedupOps, EventOps, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-7 diagnostics/curation operators:
+  * contrastive hard-negative mining, label-centroid outliers, pairwise
+  * source-vocabulary Jaccard, hot-key skew stats, and incremental
+  * near-dup screening — each pinned against a from-first-principles
+  * driver recomputation on the sf0.001 fixtures.
+  */
+class CorpusDiagnosticsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private def round6(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val qrows: Array[(Long, Int, Array[Long])] =
+    emb.select(col("vec_id"), col("label"), VectorOps.quant.as("q")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+
+  private def cosine(a: Array[Long], b: Array[Long]): Double = {
+    var d = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  test("hardNegatives matches the exhaustive different-label top-k with the ceiling applied") {
+    val got = VectorOps.hardNegatives(emb, queryMaxId = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expected = qrows.filter(_._1 < 10).flatMap { case (qid, qlab, qq) =>
+      qrows.filter(v => v._1 != qid && v._2 != qlab)
+        .map(v => (v._1, cosine(qq, v._3)))
+        .filter(_._2 < 0.95)
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(5).zipWithIndex
+        .map { case ((vid, c), i) => (qid, vid, round6(c), i + 1) }
+    }
+    assert(got.toSet === expected.toSet)
+    assert(got.length === 50) // 10 anchors x full k: the ceiling never starves a query here
+  }
+
+  test("labelOutliers matches the exact-integer centroid z-score recomputation") {
+    val got = VectorOps.labelOutliers(emb, perLabel = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val expected = qrows.groupBy(_._2).toSeq.flatMap { case (lab, vs) =>
+      val n = vs.length.toLong
+      val dim = vs.head._3.length
+      val s = Array.tabulate(dim)(i => vs.map(_._3(i)).sum)
+      val s2 = s.map(x => x * x).sum
+      val dists = vs.map { case (vid, _, q) =>
+        val xx = q.map(x => x * x).sum
+        val xs = q.zip(s).map { case (x, si) => x * si }.sum
+        val num = n * n * xx - 2 * n * xs + s2
+        (vid, math.sqrt(num.toDouble) / n)
+      }
+      // decSum replica: each addend cast to DECIMAL(30,6) before the sum
+      def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val mu = (dists.map(d => dec6(d._2)).sum.toDouble) / n
+      val m2 = (dists.map(d => dec6(d._2 * d._2)).sum.toDouble) / n
+      val sd = math.sqrt(m2 - mu * mu)
+      dists.map { case (vid, d) => (vid, d, (d - mu) / sd) }
+        .sortBy { case (vid, _, z) => (-z, vid) }.take(2).zipWithIndex
+        .map { case ((vid, d, z), i) => (lab, vid, round4(d), round4(z), i + 1) }
+    }
+    assert(got.toSet === expected.toSet)
+  }
+
+  test("sourceVocabJaccard matches driver set arithmetic over every source pair") {
+    val got = TextOps.sourceVocabJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val vocab = docs.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ts) => s -> ts.flatMap(_._2.split(" ")).toSet }
+    val expected = for {
+      a <- vocab.keys.toSeq; b <- vocab.keys.toSeq if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield (a, b, inter,
+      round6(inter.toDouble / (vocab(a).size + vocab(b).size - inter)))
+    assert(got.toSet === expected.toSet)
+  }
+
+  test("hotKeys: exact counts, deterministic order, monotone cumulative share") {
+    import spark.implicits._
+    // one dominant key (40 rows), a mid tier, and a 13-key tail with ties
+    val keys: Seq[Long] = Seq.fill(40)(99L) ++ Seq.fill(17)(7L) ++
+      (1 to 200).map(i => (i % 13).toLong)
+    val frame = keys.toDF("user_id")
+    val got = EventOps.hotKeys(frame, "user_id", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    val counts = keys.groupBy(identity).map { case (u, xs) => (u, xs.length.toLong) }
+    val tot = counts.values.sum
+    val top = counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(10)
+    val expected = top.zipWithIndex.map { case ((u, n), i) =>
+      val cum = top.take(i + 1).map(_._2).sum
+      (u, n, i + 1, round6(n.toDouble / tot), round6(cum.toDouble / tot))
+    }
+    assert(got.toSet === expected.toSet)
+    val byRk = got.sortBy(_._3)
+    byRk.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2, "counts must be non-increasing in rank")
+        assert(a._5 <= b._5, "cumulative share must be monotone")
+      case _ =>
+    }
+  }
+
+  test("incrementalPairs equals the full minhashPairs restricted to boundary-crossing pairs") {
+    val split = (docs.agg(max(col("doc_id"))).head.getLong(0) * 4) / 5
+    val inc = DedupOps.incrementalPairs(docs, split).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = DedupOps.minhashPairs(docs)
+      .filter(col("doc_a") < split && col("doc_b") >= split).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "the synthetic corpus has near-dups crossing the 4/5 boundary")
+    // nothing from the already-indexed side pairs with itself
+    inc.foreach { case (n, o, _) => assert(n >= split && o < split) }
+  }
+}

@@ -36,7 +36,9 @@ class PlanSpec extends SparkSpec {
     "orders_zorder" -> "broadcasts the 1-row min/max stats aggregate back over the rows (the scaling bounds)",
     "priority_sample" -> "broadcasts the 1-row tau threshold aggregate over the <= k-row sample",
     "bloom_prune" -> "broadcasts the 1-row collapsed bit-position array (<= m entries) over the probe scan — the whole point of the filter",
-    "ann_rp_recall" -> "contains the exact brute-force baseline AND the RP-sketch full scan, both over the broadcast fixed query set (<= 10 rows)")
+    "ann_rp_recall" -> "contains the exact brute-force baseline AND the RP-sketch full scan, both over the broadcast fixed query set (<= 10 rows)",
+    "emb_hard_negatives" -> "same broadcast-anchors/stream-corpus shape as ann_cosine_topk: broadcast side is the fixed anchor set (vec_id < 10)",
+    "events_hotkeys" -> "broadcasts the 1-row grand-total aggregate over the k-row (<= 10) top-key frame")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets

@@ -495,6 +495,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counters: update-mode sum aggregation equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingJobs.cmsCounterStream(in.toDF.toDF("text"), d = 2, w = 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq("alpha beta gamma alpha", "delta epsilon"),
+      Seq("gamma zeta alpha eta", "alpha alpha"),
+      Seq("theta", "iota kappa delta"))
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.pipeline.TextOps
+        .cmsCounters(batches.flatten.toDF("text"), d = 2, w = 16).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("session windows close, emit once in append mode, and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
