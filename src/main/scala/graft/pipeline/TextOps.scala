@@ -110,21 +110,72 @@ object TextOps {
   /** Quality score: blend of length, stopword ratio, token length and
     * lexical diversity — the standard cheap pre-filter for web-scale corpus
     * cleaning (length/punct/stopword-ratio heuristics). */
-  def quality(docs: DataFrame): DataFrame = {
+  /** The [[quality]] score as a single reusable Column — row-local, so
+    * queries needing (source, quality) or (quality, n_tokens) together
+    * project it in the SAME scan instead of joining [[quality]]'s output
+    * back on doc_id (a corpus-wide shuffle for an in-row value). */
+  val qualityCol: Column = {
     val ts = tokens
     val n = size(ts).cast("double")
     val stopRatio = markerCount(ts, langMarkers.toMap.apply("en")).cast("double") / n
     val meanLen = aggregate(transform(ts, t => length(t)), lit(0), _ + _).cast("double") / n
     val distinctRatio = size(array_distinct(ts)).cast("double") / n
+    round(
+      lit(0.3) * least(lit(1.0), n / 100) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(lit(1.0), meanLen / 8) +
+      lit(0.2) * distinctRatio + lit(1e-9), 4)
+  }
+
+  /** Marker-hit count of one language over the token split — the
+    * language-ID raw score as a reusable row-local Column. */
+  def langScore(lang: String): Column =
+    markerCount(tokens, langMarkers.toMap.apply(lang))
+
+  def quality(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val n = size(ts).cast("double")
+    val stopRatio = markerCount(ts, langMarkers.toMap.apply("en")).cast("double") / n
+    val distinctRatio = size(array_distinct(ts)).cast("double") / n
     docs.select(
       col("doc_id"),
       round(stopRatio + lit(1e-9), 4).as("stop_ratio"),
       round(distinctRatio + lit(1e-9), 4).as("distinct_ratio"),
+      qualityCol.as("quality"))
+  }
+
+  /** One-scan GATE projection: every `docs` column plus `pred_lang` and
+    * `quality` — the fused form [[graft.queries.TextQueries]]'s
+    * corpus_pipeline gates on, so language-ID and quality-scoring never
+    * cost a second corpus scan or a doc_id join-back (both are row-local
+    * functions of the same token split; values are IDENTICAL to
+    * [[langId]] / [[quality]], sub-expression for sub-expression). The
+    * marker counts and ratio terms are materialized once in a first
+    * projection and only REFERENCED by the argmax/weighted-sum in the
+    * second — CollapseProject keeps non-cheap expressions used more than
+    * once un-inlined, so the interpreted lambda amplification cliff
+    * doesn't apply. */
+  def gateProjection(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val n = size(ts).cast("double")
+    val base = docs.select(col("*") +:
+      (langMarkers.map { case (l, ws) => markerCount(ts, ws).as(s"__s_$l") } :+
+        n.as("__n") :+
+        (aggregate(transform(ts, t => length(t)), lit(0), _ + _).cast("double") / n)
+          .as("__mean_len") :+
+        (size(array_distinct(ts)).cast("double") / n).as("__distinct_ratio")): _*)
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"__s_$l") }: _*)
+    val pred = langMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) =>
+        when(acc.isNull && col(s"__s_$l") === mx, lit(l)).otherwise(acc)
+    }
+    val stop = col("__s_en").cast("double") / col("__n")
+    base.select(docs.columns.map(col) :+ pred.as("pred_lang") :+
       round(
-        lit(0.3) * least(lit(1.0), n / 100) +
-        lit(0.3) * (lit(1.0) - stopRatio) +
-        lit(0.2) * least(lit(1.0), meanLen / 8) +
-        lit(0.2) * distinctRatio + lit(1e-9), 4).as("quality"))
+        lit(0.3) * least(lit(1.0), col("__n") / 100) +
+        lit(0.3) * (lit(1.0) - stop) +
+        lit(0.2) * least(lit(1.0), col("__mean_len") / 8) +
+        lit(0.2) * col("__distinct_ratio") + lit(1e-9), 4).as("quality"): _*)
   }
 
   /** Language ID: argmax of per-language marker hits, ties broken by

@@ -150,12 +150,11 @@ object MlQueries extends QueryModule {
     // P(lang = en): the closed-form minimax PAV, fully relational (one
     // data-scale shuffle + a constant-size triangle) — see Isotonic
     "isotonic_calibrate" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      val scored = graft.pipeline.TextOps.langId(all)
-        .select(col("doc_id"), col("s_en").cast("long").as("score"))
-        .join(all.select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
-        .select("score", "y")
+      // score and label are row-local — project both in one scan (the
+      // old form joined langId's output back on doc_id)
+      val scored = Tables.documents(s, d).select(
+        graft.pipeline.TextOps.langScore("en").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       graft.models.Isotonic.calibrate(scored)
     }))
 

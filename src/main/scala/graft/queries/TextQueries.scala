@@ -85,11 +85,12 @@ object TextQueries extends QueryModule {
     // token volume plus mean quality, one partial-aggregated shuffle
     "corpus_source_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val all = docs(s, d)
-      val q = TextOps.quality(all).select(col("doc_id"), col("quality"))
-      val t = TextOps.tokenStats(all).select(col("doc_id"), col("n_tokens"))
-      all.select(col("doc_id"), col("source"))
-        .join(q, "doc_id").join(t, "doc_id")
+      // quality and token count are row-local: ONE scan projects both
+      // next to source (the old form joined quality and tokenStats back
+      // on doc_id — two corpus shuffles for in-row values)
+      docs(s, d)
+        .select(col("source"), TextOps.qualityCol.as("quality"),
+          size(TextOps.tokens).as("n_tokens"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -130,14 +131,15 @@ object TextQueries extends QueryModule {
     // row-local quality projection; one shuffle on source
     "text_topk_per_source" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val q = TextOps.quality(docs(s, d)).select("doc_id", "quality")
+      import org.apache.spark.sql.functions.{col, row_number}
       val w = Window.partitionBy("source")
-        .orderBy(org.apache.spark.sql.functions.col("quality").desc,
-          org.apache.spark.sql.functions.col("doc_id"))
-      docs(s, d).select("doc_id", "source").join(q, "doc_id")
-        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w)
+        .orderBy(col("quality").desc, col("doc_id"))
+      // quality projected in the scan itself (row-local — no join-back)
+      docs(s, d).select(col("doc_id"), col("source"),
+          TextOps.qualityCol.as("quality"))
+        .withColumn("rk", row_number().over(w)
           .cast("long")) // DuckDB row_number() is BIGINT
-        .filter(org.apache.spark.sql.functions.col("rk") <= 3)
+        .filter(col("rk") <= 3)
     }),
     // corpus vocabulary statistics: the 20 most frequent token bigrams
     // (explode -> count -> top-k; ties by bigram text). Map-side partial
@@ -164,20 +166,25 @@ object TextQueries extends QueryModule {
     "corpus_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val all = docs(s, d)
-      val lang = TextOps.langId(all).filter(col("pred_lang") === "en")
-        .select("doc_id")
-      // the quality score rides along to the OUTPUT (a training-data
-      // pipeline keeps its cleaning signals for downstream curriculum /
-      // mixing decisions), so the gate projects it instead of dropping it
-      val qual = TextOps.quality(all).filter(col("quality") >= 0.6)
-        .select(col("doc_id"), col("quality"))
-      val gated = all.join(lang, "doc_id").join(qual, "doc_id")
-      val keep1 = gated.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // BOTH gates in ONE row-local pass (TextOps.gateProjection): the
+      // old two-scans-plus-two-doc_id-joins form shuffled the corpus
+      // twice for predicates computable in-row. The quality score rides
+      // along to the OUTPUT (a training-data pipeline keeps its cleaning
+      // signals for downstream curriculum / mixing decisions).
+      val gated = TextOps.gateProjection(all)
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.6)
+        .select(all.columns.map(col) :+ col("quality"): _*)
+      // exact dedup as ONE window pass (keep min doc_id per content
+      // hash): same result as groupBy(fp).min + join-back, one corpus
+      // shuffle instead of two
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       // d1 feeds BOTH the pair-graph materialization (inside the CC
       // loop's first checkpoint) and the final survivor anti-join — cache
       // it so the lang/quality/dedup subtree runs once, not per consumer
-      val d1 = graft.CacheScope.persist(gated.join(keep1, "doc_id"))
+      val d1 = graft.CacheScope.persist(
+        gated.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
       // one materialized shingle index feeds banding AND verification
       val inv = graft.CacheScope.persist(DedupOps.shingleRows(d1))
       val nonRep = graft.pipeline.GraphOps.connectedComponents(

@@ -108,6 +108,16 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("gateProjection is column-identical to langId + quality joined on doc_id") {
+    val g = TextOps.gateProjection(docs)
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+    val ref = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+      .join(TextOps.quality(docs).select(col("doc_id"), col("quality")), "doc_id")
+    assert(g.except(ref).count() === 0L)
+    assert(ref.except(g).count() === 0L)
+    assert(g.count() === docs.count())
+  }
+
   test("incrementalPairs equals the full minhashPairs restricted to boundary-crossing pairs") {
     val split = (docs.agg(max(col("doc_id"))).head.getLong(0) * 4) / 5
     val inc = DedupOps.incrementalPairs(docs, split).collect()
