@@ -82,12 +82,18 @@ object TextOps {
     * existing one across splits (the property a by-position random split
     * lacks). Per-row map, no shuffle. */
   def splitAssign(docs: DataFrame, valFrac: Double, testFrac: Double,
-                  salt: String = "split"): DataFrame = {
+                  salt: String = "split"): DataFrame =
+    docs.select(col("doc_id"), splitCol(valFrac, testFrac, salt).as("split"))
+
+  /** The [[splitAssign]] verdict as a row-local Column — pipelines that
+    * already hold the doc row project it in place instead of joining the
+    * (doc_id, split) frame back on doc_id. */
+  def splitCol(valFrac: Double, testFrac: Double,
+               salt: String = "split"): Column = {
     val u = mdDraw6(salt)
-    docs.select(col("doc_id"),
-      when(u < drawThreshold(valFrac), "val")
-        .when(u < drawThreshold(valFrac + testFrac), "test")
-        .otherwise("train").as("split"))
+    when(u < drawThreshold(valFrac), "val")
+      .when(u < drawThreshold(valFrac + testFrac), "test")
+      .otherwise("train")
   }
 
   /** MIXTURE SAMPLING: down/down-weight corpus slices to target rates (the
@@ -722,13 +728,99 @@ object TextOps {
     * corpus (thousands), keeping every sort partition bounded. Output:
     * (doc_id, shard, pos). */
   def shuffleShards(docs: DataFrame, nShards: Int = 16,
-                    salt: String = "shard"): DataFrame = {
+                    salt: String = "shard"): DataFrame =
+    withShuffleShards(docs.select(col("doc_id")), nShards, salt)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** [[shuffleShards]] appended IN PLACE: `docs` plus (shard, pos) —
+    * callers that want the assignment next to their payload columns get
+    * it without a doc_id join-back (the shard window is the only
+    * shuffle either way). */
+  def withShuffleShards(docs: DataFrame, nShards: Int = 16,
+                        salt: String = "shard"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
-    docs.select(col("doc_id"), mdDraw6(salt).as("draw"))
+    docs.withColumn("draw", mdDraw6(salt))
       .withColumn("shard", pmod(col("draw"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .drop("draw")
+  }
+
+  /** BPE VOCABULARY LEARNING — the tokenizer-training step of an LLM
+    * data pipeline, as a verified distributed computation: starting from
+    * characters, repeatedly (1) count adjacent symbol pairs over the
+    * corpus word-frequency table, (2) take the most frequent pair (ties:
+    * lowest left then right symbol), (3) merge its left-to-right
+    * non-overlapping occurrences in every word (Sennrich et al. 2016's
+    * word-model BPE; no end-of-word marker — words are the merge
+    * boundary here by construction).
+    *
+    * Scale shape: the corpus is scanned ONCE (the word-count groupBy);
+    * every merge round then runs on the distinct-WORD frame — vocabulary-
+    * sized, orders of magnitude below the corpus — as relational window
+    * passes (no interpreted array lambdas in the loop), with a
+    * localCheckpoint per round truncating lineage exactly like
+    * [[GraphOps]]'s label-propagation loop. The per-round 1-row argmax
+    * collect IS the algorithm's sequential dependency (each merge
+    * depends on the last), not a scalability leak.
+    *
+    * The merge rule is replayed relationally so the DuckDB oracle can
+    * unroll it per round: a position i merges iff (s_i, s_{i+1}) is the
+    * chosen pair AND i sits at an EVEN offset from the start of its run
+    * of consecutive matches (left-to-right non-overlap over runs like
+    * "aaaa" with pair (a,a) → [aa, aa]).
+    *
+    * Returns the learned merge table (rank, lhs, rhs, merged, pair_n) —
+    * ≤ `nMerges` rows, fewer iff the vocabulary merges to single
+    * symbols first. */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    var words = docs.select(explode(tokens).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, a, b, a + b, n))
+        val wn = w.partitionBy("w").orderBy("i")
+        val marked = words
+          .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("i", "s")))
+          .withColumn("m", col("s") === a && lead(col("s"), 1).over(wn) === b)
+        // left-to-right non-overlap: within each run of consecutive
+        // matches, merge the even offsets from the run start
+        val mergeAt = marked.filter(col("m"))
+          .withColumn("grp", col("i") - row_number().over(wn))
+          .withColumn("rs", min(col("i")).over(w.partitionBy("w", "grp")))
+          .filter(((col("i") - col("rs")) % 2) === 0)
+          .select(col("w"), col("i"), lit(true).as("mrk"))
+        words = marked.join(mergeAt, Seq("w", "i"), "left")
+          .withColumn("mrk", coalesce(col("mrk"), lit(false)))
+          .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
+          .filter(!col("pm"))
+          .withColumn("out_s", when(col("mrk"), lit(a + b)).otherwise(col("s")))
+          .groupBy(col("w"), col("cnt"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
+            x => x.getField("out_s")).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
   }
 
   /** GPT-2-style pretokenizer: segment text into maximal runs of a single

@@ -48,6 +48,52 @@ object TextQueries extends QueryModule {
        |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
        |  FROM sigs)""".stripMargin
 
+  /** DuckDB replay of [[TextOps.bpeLearn]]: every merge round unrolled
+    * as a CTE block (rounds are FIXED, the kmeansCtes pattern), each
+    * round = pair counts → 1-row argmax → relational left-to-right
+    * non-overlapping merge (runs of consecutive matches, even offsets).
+    * An exhausted round has an empty top CTE: it contributes no output
+    * row and leaves the word table unchanged — same as the engine's
+    * loop break. Every CTE is MATERIALIZED: each round reads the prior
+    * word table twice, so default inlining would double the plan per
+    * round (2^rounds scans of documents). */
+  private def bpeOracle(rounds: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS n FROM (
+         |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
+         |      SELECT cnt, syms, UNNEST(range(1, len(syms))) AS i FROM w${r - 1}))
+         |  GROUP BY l, r),
+         |top$r AS MATERIALIZED (SELECT l, r, n FROM pr$r ORDER BY n DESC, l, r LIMIT 1),
+         |g$r AS MATERIALIZED (SELECT w, cnt, i, syms[i] AS s,
+         |    COALESCE(syms[i] = (SELECT l FROM top$r)
+         |      AND syms[i + 1] = (SELECT r FROM top$r), false) AS m
+         |  FROM (SELECT w, cnt, syms, UNNEST(range(1, len(syms) + 1)) AS i
+         |        FROM w${r - 1})),
+         |mg$r AS MATERIALIZED (SELECT w, i FROM (
+         |    SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+         |    FROM g$r WHERE m)
+         |  QUALIFY (i - MIN(i) OVER (PARTITION BY w, grp)) % 2 = 0),
+         |w$r AS MATERIALIZED (SELECT w, cnt, list(out_s ORDER BY i) AS syms FROM (
+         |    SELECT g.w, g.cnt, g.i AS i,
+         |      CASE WHEN mg.i IS NOT NULL
+         |        THEN (SELECT l || r FROM top$r) ELSE g.s END AS out_s,
+         |      COALESCE(lag(mg.i IS NOT NULL) OVER (
+         |        PARTITION BY g.w ORDER BY g.i), false) AS pm
+         |    FROM g$r g LEFT JOIN mg$r mg ON g.w = mg.w AND g.i = mg.i)
+         |  WHERE NOT pm GROUP BY w, cnt)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+         |  l || r AS merged, CAST(n AS BIGINT) AS pair_n FROM top$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n$steps\n$finals"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
@@ -203,8 +249,10 @@ object TextQueries extends QueryModule {
       // the final select reads withSplit twice (pack input + output join)
       val d3 = graft.CacheScope.persist(d2.filter(col("source") =!= "src0")
         .join(contam, Seq("doc_id"), "left_anti"))
-      val withSplit = d3.join(
-        TextOps.splitAssign(d3, valFrac = 0.1, testFrac = 0.05), "doc_id")
+      // the split verdict is row-local (md5 draw of doc_id) — projected
+      // in place, not joined back
+      val withSplit = d3.withColumn("split",
+        TextOps.splitCol(valFrac = 0.1, testFrac = 0.05))
       val packed = TextOps.packAssignments(
         withSplit.filter(col("split") === "train"), budget = 256, groups = 8)
         .select(col("doc_id"), col("pack_id"))
@@ -220,6 +268,10 @@ object TextQueries extends QueryModule {
     // GPT-2-style pretokenization (category-run segmentation): the token
     // unit a BPE tokenizer budgets with, vs whitespace words
     "text_pretokenize" -> ((s, d) => TextOps.pretokenStats(docs(s, d))),
+
+    // BPE tokenizer TRAINING: 20 merge rounds learned from the corpus
+    // word-frequency table (oracle replays every round as unrolled CTEs)
+    "bpe_learn" -> ((s, d) => TextOps.bpeLearn(docs(s, d), nMerges = 20)),
 
     // count-min sketch token frequencies (d=4 x w=256 mergeable
     // counters) with exact top-20 counts as the honesty diagnostic
@@ -329,7 +381,9 @@ object TextQueries extends QueryModule {
               + lit(1e-9), 4))
           .filter(col("dsir_weight") >= 1.0 && col("dup_line_frac") <= 0.2 &&
             col("span_frac") <= 0.5))
-      gated.join(TextOps.shuffleShards(gated, nShards = 8), "doc_id")
+      // shard+pos appended in place — the shard window is the only
+      // shuffle; the old form joined the assignment back on doc_id
+      TextOps.withShuffleShards(gated, nShards = 8)
         .select(col("doc_id"), col("source"), col("dsir_weight"),
           col("dup_line_frac"), col("span_frac"), col("shard"), col("pos"))
     }))
@@ -598,6 +652,8 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "bpe_learn" -> bpeOracle(20),
 
     "dedup_incremental" ->
       s"""$lshCte,

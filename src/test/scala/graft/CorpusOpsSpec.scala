@@ -96,6 +96,23 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("max_err_x255") =!= 0L).count() === 0L)
   }
 
+  test("bpeLearn: hand-computed merge sequence — tie-break, non-overlap, exhaustion") {
+    import spark.implicits._
+    // word counts: abab:3, abc:2, aaaa:1
+    val tiny = Seq("abab abab abab abc abc aaaa").toDF("text")
+    val got = TextOps.bpeLearn(tiny, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // r1 (a,b) n=8; r2 tie (ab,ab)=3 vs (a,a)=3 -> lowest left wins (a,a);
+    // "aaaa" merges LEFT-TO-RIGHT non-overlapping -> [aa,aa] (not [aa,a,a]);
+    // r5 consumes the last pair, r6 finds none -> 5 rows, not 10
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "a", "a", "aa", 3L),
+      (3L, "ab", "ab", "abab", 3L),
+      (4L, "ab", "c", "abc", 2L),
+      (5L, "aa", "aa", "aaaa", 1L)))
+  }
+
   test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
     val thr = 0.4
     val d = VectorOps.semDedup(emb, threshold = thr)
