@@ -139,6 +139,16 @@ object DedupOps {
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(toks).as("sh"))
 
+  /** Deterministic md5 sub-corpus: keep documents whose content-independent
+    * draw ([[TextOps.mdDraw6]] with `salt`) falls below `frac` — the gate
+    * that makes exact-recomputing diagnostics ([[lshRecall]],
+    * [[jaccardPairs]]) runnable at production scale. `frac >= 1` is the
+    * identity (no filter in the plan). */
+  private[graft] def sampleDocs(docs: DataFrame, frac: Double,
+                                salt: String): DataFrame =
+    if (frac >= 1.0) docs
+    else docs.filter(TextOps.mdDraw6(salt) < TextOps.drawThreshold(frac))
+
   /** Exact dedup: group documents by content hash, keep the smallest
     * doc_id per group (one shuffle on the hash — the canonical exact-dedup
     * plan at any scale). */
@@ -223,8 +233,9 @@ object DedupOps {
     * recall gap) but heavier: pair cost grows with shingle co-occurrence,
     * so it suits corpora with discriminative shingles. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                   maxPostingLen: Int = 100): DataFrame = {
-    val invAll = shingleRows(docs)
+                   maxPostingLen: Int = 100,
+                   sampleFrac: Double = 1.0): DataFrame = {
+    val invAll = shingleRows(sampleDocs(docs, sampleFrac, "lshr"))
     val sizes = invAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df-cap: a shingle shared by >maxPostingLen docs generates quadratic
     // join fan-out while contributing almost nothing discriminative —
@@ -292,9 +303,17 @@ object DedupOps {
     * S-curve gives up before anyone ships the dedup config. One summary
     * row (n_exact, n_caught, recall); empty exact set reads as vacuous
     * recall 1.0. */
-  def lshRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val exact = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val approx = minhashPairs(docs, threshold)
+  def lshRecall(docs: DataFrame, threshold: Double = 0.5,
+                sampleFrac: Double = 1.0): DataFrame = {
+    // at production scale the exact inverted-index side is the expensive
+    // leg; a deterministic md5 sub-corpus (same doc draw on BOTH legs, so
+    // recall is measured over pairs whose two endpoints are sampled)
+    // keeps the diagnostic runnable at any corpus size — recall over a
+    // p-fraction sample is an unbiased read of the banding S-curve, which
+    // depends only on pair similarity, not corpus size
+    val base = sampleDocs(docs, sampleFrac, "lshr")
+    val exact = jaccardPairs(base, threshold).select(col("doc_a"), col("doc_b"))
+    val approx = minhashPairs(base, threshold)
       .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
     exact.join(approx, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_exact"),

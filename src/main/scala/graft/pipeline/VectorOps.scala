@@ -202,8 +202,9 @@ object VectorOps {
     * candidate dot products (explode → equi-join on (pair, component) →
     * groupBy-sum), keeping the hot path in whole-stage codegen instead of
     * interpreted per-pair zip_with folds. */
-  def ivfTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
-    val bits = cellBits(emb.count(), targetCellSize)
+  def ivfTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
+              knownN: Long = -1L): DataFrame = {
+    val bits = cellBits(if (knownN >= 0) knownN else emb.count(), targetCellSize)
     // (vec_id, i, x): the exploded view each downstream leg re-derives.
     // Deliberately NOT persisted: the explode is a cheap projection of
     // one scan (A/B-benched within noise of the cached form), while a
@@ -246,8 +247,9 @@ object VectorOps {
     * cost of a bounded (b+1)× candidate fanout, still O(n · (b+1) ·
     * targetCellSize) total work, never all-pairs. Scoring is the shared
     * per-pair fold ([[scoreCandidates]] — see its crossover note). */
-  def ivfMultiprobeTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50): DataFrame = {
-    val bits = cellBits(emb.count(), targetCellSize)
+  def ivfMultiprobeTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
+                        knownN: Long = -1L): DataFrame = {
+    val bits = cellBits(if (knownN >= 0) knownN else emb.count(), targetCellSize)
     // both the cell assignment and the probe expansion read bitArr, and
     // its upstream is the full projection shuffle: scope-persisted
     val bitArr = graft.CacheScope.persist(signProjections(emb, bits)
@@ -320,9 +322,10 @@ object VectorOps {
   def defaultNprobe(k: Int): Int = math.min(16, math.max(1, (k + 4) / 5))
 
   def kmeansCentroids(emb: DataFrame, targetCellSize: Int = 50,
-                      sampleSize: Int = 512, iters: Int = 4): Array[Array[Long]] = {
+                      sampleSize: Int = 512, iters: Int = 4,
+                      knownN: Long = -1L): Array[Array[Long]] = {
     val samp = quantSample(emb, sampleSize)
-    val n = emb.count()
+    val n = if (knownN >= 0) knownN else emb.count()
     val k = math.max(1L,
       math.min((n + targetCellSize - 1) / targetCellSize, samp.length.toLong)).toInt
     lloydFit(samp, k, iters)
@@ -433,8 +436,8 @@ object VectorOps {
     * work constant (nprobe × targetCellSize candidates) so total work
     * stays linear, the standard fixed-nprobe IVF serving contract. */
   def ivfKmeansTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
-                    nprobeOverride: Int = -1): DataFrame = {
-    val cents = kmeansCentroids(emb, targetCellSize)
+                    nprobeOverride: Int = -1, knownN: Long = -1L): DataFrame = {
+    val cents = kmeansCentroids(emb, targetCellSize, knownN = knownN)
     val nprobe = if (nprobeOverride > 0) nprobeOverride
                  else defaultNprobe(cents.length)
     // cells (rn = 1) and probes (rn <= nprobe) both read the ranked

@@ -48,6 +48,48 @@ object TextQueries extends QueryModule {
        |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
        |  FROM sigs)""".stripMargin
 
+  /** [[lshCte]] with its corpus CTE retargeted at `base` (a prior CTE
+    * name, e.g. a deterministic sample) — the sets/sigs/bands chain is
+    * byte-identical otherwise. */
+  private def lshCteOn(base: String): String =
+    lshCte.replace("FROM documents)", s"FROM $base)")
+
+  /** The dedup_lsh_recall oracle body over any CTE prefix that provides
+    * `sets(doc_id, sh)` and `bands(doc_id, bkey)` — shared by the
+    * full-corpus and sampled variants so the two replays can't drift. */
+  private def lshRecallOracle(pre: String): String =
+      s"""$pre,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |lsh AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |inv0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+         |expairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         MIN(a.n) AS na, MIN(b.n) AS nb
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b FROM expairs
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |hits AS (SELECT e.doc_a, e.doc_b,
+         |    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex e LEFT JOIN lsh l USING (doc_a, doc_b))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught,
+         |  CASE WHEN COUNT(*) = 0 THEN 1.0
+         |       ELSE ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*) + 1e-9, 4) END AS recall
+         |FROM hits""".stripMargin
+
   /** DuckDB replay of [[TextOps.bpeLearn]]: every merge round unrolled
     * as a CTE block (rounds are FIXED, the kmeansCtes pattern), each
     * round = pair counts → 1-row argmax → relational left-to-right
@@ -115,6 +157,10 @@ object TextQueries extends QueryModule {
     // candidate recall of the banding vs the exact pairs — the dedup
     // config's honesty metric (text twin of ann_recall)
     "dedup_lsh_recall"  -> ((s, d) => DedupOps.lshRecall(docs(s, d))),
+    // production-scale form: both legs gated to the deterministic md5
+    // half-sample (exact side cost scales with sampleFrac², not corpus²)
+    "dedup_lsh_recall_sampled" -> ((s, d) =>
+      DedupOps.lshRecall(docs(s, d), sampleFrac = 0.5)),
     // edit-distance near-dups: MinHash-band candidates, Levenshtein on
     // the 80-char title prefix (the DP runs per candidate, never all
     // pairs — see DedupOps.fuzzyPairs)
@@ -943,38 +989,17 @@ object TextQueries extends QueryModule {
          |    ORDER BY q.quality DESC, d.doc_id)
          |  <= (COUNT(*) OVER (PARTITION BY d.source) * 1 + 9) // 10""".stripMargin,
 
-    "dedup_lsh_recall" ->
-      s"""$lshCte,
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |scored AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-         |  FROM cands
-         |  JOIN sets sa ON sa.doc_id = doc_a
-         |  JOIN sets sb ON sb.doc_id = doc_b),
-         |lsh AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-         |inv0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
-         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
-         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
-         |expairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-         |         MIN(a.n) AS na, MIN(b.n) AS nb
-         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |ex AS (SELECT doc_a, doc_b FROM expairs
-         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
-         |hits AS (SELECT e.doc_a, e.doc_b,
-         |    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM ex e LEFT JOIN lsh l USING (doc_a, doc_b))
-         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
-         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught,
-         |  CASE WHEN COUNT(*) = 0 THEN 1.0
-         |       ELSE ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*) + 1e-9, 4) END AS recall
-         |FROM hits""".stripMargin,
+    "dedup_lsh_recall" -> lshRecallOracle(lshCte),
+
+    // same replay over the deterministic md5 half-sample — the
+    // production-scale gate on the exact leg (DedupOps.lshRecall
+    // sampleFrac); both legs read the identical sampled doc set
+    "dedup_lsh_recall_sampled" -> lshRecallOracle(
+      s"""WITH dsamp AS (
+         |  SELECT * FROM documents
+         |  WHERE ${hex60Sql("md5('lshr:' || CAST(doc_id AS VARCHAR))")}
+         |    % ${TextOps.DrawMod} < 500000),
+         |${lshCteOn("dsamp").stripPrefix("WITH ")}""".stripMargin),
 
     "dedup_jaccard_ngram" ->
       s"""WITH sets AS (
