@@ -242,21 +242,53 @@ object EventOps {
   /** Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION —
     * the screen that survives the contamination it is looking for (mean
     * ± k·stddev moves with the outliers; the median does not). Medians
-    * are the exact LOWER median by deterministic rank (row_number over
-    * (value, event_id), picked at ⌈n/2⌉) — no interpolation, so the two
-    * engines agree bit-for-bit on doubles; dev = |value − median| and
-    * the k·MAD comparison are single IEEE ops, equally exact. Returns
-    * the outlier rows (event_type, event_id, value, dev). Each median is
-    * a per-group rank — per-key parallel windows; the tiny med/mad
-    * frames (one row per group) broadcast back onto the data. */
-  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    * are the exact LOWER median (the ⌈n/2⌉-th smallest value per group)
+    * — no interpolation, so the two engines agree bit-for-bit on
+    * doubles; dev = |value − median| and the k·MAD comparison are single
+    * IEEE ops, equally exact. Returns the outlier rows (event_type,
+    * event_id, value, dev).
+    *
+    * Scale shape — histogram + exact refine, NOT a per-key sort window
+    * (the [[graft.pipeline.TextOps.lenQuantiles]] pattern): a
+    * `row_number() over (partition by event_type order by value)` funnels
+    * every row of a hot event type through ONE task — a straggler at
+    * 100× scale. Instead pass 1 builds an ADDITIVE per-(group, bin)
+    * histogram (one partial-aggregated shuffle; bin = floor(value /
+    * binWidth), monotone in value so equal values can never straddle a
+    * bin), the cumulative-count window runs over the BIN relation (rows
+    * per group bounded by value-range / binWidth, independent of corpus
+    * size), and pass 2 ranks ONLY the median bin's rows — the global
+    * ⌈n/2⌉-th element is the (⌈n/2⌉ − cumBefore)-th element of its bin,
+    * so the one remaining sort window sees ~n/bins rows per group. Both
+    * passes are exact: the result is identical to the full sort, which
+    * is what the unchanged DuckDB oracle checks. */
+  def madOutliers(events: DataFrame, k: Double = 3.0,
+                  binWidth: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
-    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
-      df.withColumn("__rn", row_number().over(
+    require(binWidth > 0, "binWidth must be positive")
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val binned = df
+        .groupBy(col("event_type"), floor(col(valueCol) / binWidth).as("__bin"))
+        .agg(count(lit(1)).as("__c"))
+      val wB = Window.partitionBy("event_type").orderBy("__bin")
+      val medBin = binned
+        .withColumn("__cum", sum(col("__c")).over(
+          wB.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__n", sum(col("__c")).over(
+          Window.partitionBy("event_type")))
+        .withColumn("__r", expr("(__n + 1) div 2"))
+        // the bin holding global rank ⌈n/2⌉, plus the within-bin rank
+        .filter(col("__cum") >= col("__r") &&
+          col("__cum") - col("__c") < col("__r"))
+        .select(col("event_type"), col("__bin"),
+          (col("__r") - (col("__cum") - col("__c"))).as("__k"))
+      df.withColumn("__bin", floor(col(valueCol) / binWidth))
+        .join(broadcast(medBin), Seq("event_type", "__bin"))
+        .withColumn("__rn", row_number().over(
           Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .filter(col("__rn") === col("__k"))
         .select(col("event_type"), col(valueCol).as(out))
+    }
     val base = events.select(col("event_type"), col("event_id"), col("value"))
     val med = lowerMedian(base, "value", "med")
     val dev = base.join(broadcast(med), Seq("event_type"))

@@ -67,4 +67,23 @@ class PlanSpec extends SparkSpec {
       results.find(_._1 == n).exists(r => !r._2.contains("BroadcastNestedLoopJoin")) }
     assert(stale.isEmpty, s"whitelist entries no longer needed: $stale")
   }
+
+  test("events_mad_outliers medians never sort a full group through one window") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The scale-safe median is histogram + refine: every window in the
+    // plan must operate on the bin relation or the median-bin-joined
+    // subset (both carry the __bin column). A regression back to
+    // `row_number() over (partition by event_type order by value)` on the
+    // raw rows would plan a Window whose subtree never mentions __bin.
+    // (Logical plan, not executedPlan: AQE wraps the physical tree and
+    // hides WindowExec from collect until execution.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("events_mad_outliers")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected histogram/refine windows in the plan")
+    val fullSort = windows.filterNot(_.child.toString.contains("__bin"))
+    assert(fullSort.isEmpty,
+      s"window over non-binned input (full per-key sort): ${fullSort.map(_.windowExpressions).mkString("; ")}")
+  }
 }
