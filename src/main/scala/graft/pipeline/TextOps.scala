@@ -797,8 +797,21 @@ object TextOps {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, a, b, a + b, n))
+        // row-local gate: only words CONTAINING the chosen pair run the
+        // explode → window → regroup merge machinery; every other word
+        // is provably a fixed point of this round and unions back
+        // unchanged. At web-scale vocabularies a chosen pair touches a
+        // shrinking fraction of words as ranks grow, so per-round work
+        // tracks the touched subset instead of re-exploding the full
+        // vocabulary 20 times. (For untouched words the old machinery
+        // was an identity — no marks, nothing dropped, same regrouped
+        // syms — so results are bit-identical and the oracle unchanged.)
+        val pairHit = exists(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => x === a && y === b), p => p)
         val wn = w.partitionBy("w").orderBy("i")
-        val marked = words
+        val marked = words.filter(pairHit)
           .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("i", "s")))
           .withColumn("m", col("s") === a && lead(col("s"), 1).over(wn) === b)
         // left-to-right non-overlap: within each run of consecutive
@@ -808,7 +821,7 @@ object TextOps {
           .withColumn("rs", min(col("i")).over(w.partitionBy("w", "grp")))
           .filter(((col("i") - col("rs")) % 2) === 0)
           .select(col("w"), col("i"), lit(true).as("mrk"))
-        words = marked.join(mergeAt, Seq("w", "i"), "left")
+        val merged = marked.join(mergeAt, Seq("w", "i"), "left")
           .withColumn("mrk", coalesce(col("mrk"), lit(false)))
           .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
           .filter(!col("pm"))
@@ -816,7 +829,7 @@ object TextOps {
           .groupBy(col("w"), col("cnt"))
           .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
             x => x.getField("out_s")).as("syms"))
-          .localCheckpoint()
+        words = merged.unionByName(words.filter(!pairHit)).localCheckpoint()
         r += 1
       }
     }
