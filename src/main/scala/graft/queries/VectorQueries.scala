@@ -43,12 +43,13 @@ object VectorQueries extends QueryModule {
     * sign-split half-away-from-zero rounding in pure BIGINT arithmetic,
     * squared-distance comparisons all BIGINT, ties to the lowest cid,
     * empty clusters carry the previous centroid forward. */
-  private def kmeansCtes(iters: Int = 4): String = {
+  private def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE"): String = {
     def dist(qv: String, c: String) =
       s"list_sum(list_transform(range(1, len($qv) + 1), j -> ($qv[j] - $c[j]) * ($qv[j] - $c[j])))"
     val head =
-      s"""par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k FROM embeddings),
-         |samp AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 512),
+      s"""par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k
+         |       FROM embeddings WHERE $fitPred),
+         |samp AS (SELECT vec_id, qv FROM q WHERE $fitPred ORDER BY vec_id LIMIT 512),
          |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          |            qv AS cent
          |          FROM samp QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM par)),""".stripMargin
@@ -147,16 +148,21 @@ object VectorQueries extends QueryModule {
        |    ORDER BY adist, vec_id) AS INT) AS rk
        |FROM ad QUALIFY rk <= 3""".stripMargin
 
-  /** DuckDB k-means nprobe top-3 (shared by the direct search and the
-    * persisted-index round-trip, which must serve identical results). */
-  private lazy val kmeansTopkSql: String =
+  /** DuckDB k-means nprobe top-3 with the Lloyd fit restricted to
+    * `fitPred` rows (assignment/serve always over the full corpus) —
+    * shared by the direct search, the persisted-index round-trip, and
+    * the incremental-append serve, which must all produce identical
+    * results for their respective fit scopes. */
+  private def kmeansTopkSqlOn(fitPred: String): String =
     s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-       |${kmeansCtes()},
+       |${kmeansCtes(4, fitPred)},
        |sc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
        |r AS (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
        |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
        |FROM r WHERE rk <= 3""".stripMargin
+
+  private lazy val kmeansTopkSql: String = kmeansTopkSqlOn("TRUE")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) =>
@@ -196,6 +202,18 @@ object VectorQueries extends QueryModule {
     "ann_index_roundtrip" -> ((s, d) =>
       VectorOps.ivfKmeansServe(Tables.embeddings(s, d), k = 3,
         indexDir = s"target/graft-tmp/ivf_index_${new java.io.File(d).getName}")),
+    // incremental add: index built over the oldest 4/5 of the corpus,
+    // the newest fifth assigned to the PERSISTED centroids (no refit),
+    // serve over the extended index — equals a from-scratch assignment
+    // of the full corpus at the base-fitted centroids, which is what
+    // the oracle replays
+    "ann_index_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.max
+      val emb = Tables.embeddings(s, d)
+      val split = (emb.agg(max("vec_id")).head.getLong(0) * 4) / 5
+      VectorOps.ivfKmeansAppend(emb, split, k = 3,
+        indexDir = s"target/graft-tmp/ivf_append_${new java.io.File(d).getName}")
+    }),
     // component-wise mean embedding per label (mean pooling)
     "emb_label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(Tables.embeddings(s, d))),
@@ -462,6 +480,13 @@ object VectorQueries extends QueryModule {
     // the persisted-index serve path is pinned EQUAL to the direct
     // k-means search, so it shares the oracle verbatim
     "ann_index_roundtrip" -> kmeansTopkSql,
+
+    // append path: Lloyd fit over the oldest 4/5 only; assignment and
+    // serve over the full corpus at those centroids (deterministic
+    // per-vector assignment ⇒ stored-cells ∪ appended-cells equals the
+    // from-scratch full assignment this SQL computes)
+    "ann_index_append" -> kmeansTopkSqlOn(
+      "vec_id < (SELECT (MAX(vec_id) * 4) // 5 FROM embeddings)"),
 
     "ann_pq_topk" -> pqTopkSql,
 

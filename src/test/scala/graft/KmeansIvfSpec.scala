@@ -49,4 +49,27 @@ class KmeansIvfSpec extends SparkSpec {
       .filter(col("n") > 3 || col("m") > 3).count()
     assert(bad == 0L)
   }
+
+  test("incremental append serves exactly the full-corpus assignment at base centroids") {
+    val dir = "target/graft-tmp/ivf_append_spec"
+    val split = 200L // base = first 200 vectors, batch = last 40
+    val appended = VectorOps.ivfKmeansAppend(clustered, split, k = 3, dir)
+      .collect().map(_.toSeq).toSet
+    // from-scratch reference: same base-fitted centroids, full corpus
+    // assigned in one pass, same nprobe serve
+    val cents = VectorOps.kmeansCentroids(clustered.filter(col("vec_id") < split))
+    val nprobe = VectorOps.defaultNprobe(cents.length)
+    val ranked = graft.CacheScope.persist(
+      VectorOps.kmeansRanked(clustered, cents, nprobe))
+    val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cands = probes.join(cells, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val scratch = VectorOps.scoreCandidates(clustered, cands, 3)
+      .collect().map(_.toSeq).toSet
+    assert(appended == scratch,
+      s"append served ${appended.size} rows != from-scratch ${scratch.size}")
+  }
 }
