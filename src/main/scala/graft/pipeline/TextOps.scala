@@ -773,7 +773,16 @@ object TextOps {
     * Returns the learned merge table (rank, lhs, rhs, merged, pair_n) —
     * ≤ `nMerges` rows, fewer iff the vocabulary merges to single
     * symbols first. */
-  def bpeLearn(docs: DataFrame, nMerges: Int = 20): DataFrame = {
+  def bpeLearn(docs: DataFrame, nMerges: Int = 20): DataFrame =
+    bpeLearnState(docs, nMerges)._1
+
+  /** The learn loop with BOTH outputs: the merge table AND the final
+    * word → symbol-sequence frame (w, cnt, syms) — the encoded
+    * vocabulary. [[bpeEncode]] consumes the latter: applying a BPE
+    * tokenizer to a corpus is a word-level lookup, so the expensive
+    * merge replay runs once per DISTINCT word, never per occurrence. */
+  private[graft] def bpeLearnState(docs: DataFrame,
+                                   nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -833,8 +842,46 @@ object TextOps {
         r += 1
       }
     }
-    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
+    (out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n"), words)
   }
+
+  /** BPE ENCODE — apply the learned merge table to the corpus: per
+    * document, the merged symbol sequence (words joined by spaces,
+    * symbol boundaries marked "|") and the EXACT BPE token count every
+    * pretraining pipeline budgets with (whitespace/pretoken counts are
+    * proxies; the model bills by BPE tokens).
+    *
+    * Scale shape: encoding happens on the DISTINCT-WORD table (the same
+    * vocabulary-sized frame the learn loop iterates), then one equi-join
+    * fans the per-word symbol sequences back onto the corpus token
+    * stream and one groupBy(doc_id) reassembles documents — corpus work
+    * is the explode + two shuffles, independent of merge count. The
+    * vocabulary side of the join is ≪ corpus and broadcasts itself at
+    * production scale; per-doc regroup state is bounded by document
+    * length. Output: (doc_id, n_words, bpe_tokens, bpe_text). */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 20): DataFrame = {
+    val wsyms = bpeLearnState(docs, nMerges)._2
+    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+      .join(wsyms.select(col("w"), col("syms")), Seq("w"))
+      .select(col("doc_id"), col("pos"),
+        size(col("syms")).cast("long").as("ntok"),
+        array_join(col("syms"), "|").as("ws"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("bpe_tokens"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("ws")))),
+          x => x.getField("ws"))).as("bpe_text"))
+  }
+
+  /** [[tokenStats]] extended with the exact BPE token count — the budget
+    * column consumers plan token bills with, next to the cheap per-row
+    * counts. Kept separate from the base [[tokenStats]] (a pure per-row
+    * map) because the BPE column requires the sequential merge-table
+    * learn; callers that already ran [[bpeEncode]] pass its output to
+    * avoid refitting. */
+  def tokenStatsBpe(docs: DataFrame, bpe: DataFrame): DataFrame =
+    tokenStats(docs).join(
+      bpe.select(col("doc_id"), col("bpe_tokens")), Seq("doc_id"))
 
   /** GPT-2-style pretokenizer: segment text into maximal runs of a single
     * character class — letters, digits, or other (punctuation/symbols).

@@ -100,6 +100,17 @@ object TextQueries extends QueryModule {
     * word table twice, so default inlining would double the plan per
     * round (2^rounds scans of documents). */
   private def bpeOracle(rounds: Int): String = {
+    val finals = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+         |  l || r AS merged, CAST(n AS BIGINT) AS pair_n FROM top$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"${bpeCtes(rounds)}\n$finals"
+  }
+
+  /** Just the unrolled merge-round CTE chain (w0 … w`rounds`), shared by
+    * the learn oracle and the encode oracle — w`rounds` IS the encoded
+    * vocabulary (w, cnt, syms). */
+  private def bpeCtes(rounds: Int): String = {
     val head =
       """WITH w0 AS MATERIALIZED (
         |  SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
@@ -129,15 +140,37 @@ object TextQueries extends QueryModule {
          |    FROM g$r g LEFT JOIN mg$r mg ON g.w = mg.w AND g.i = mg.i)
          |  WHERE NOT pm GROUP BY w, cnt)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
-         |  l || r AS merged, CAST(n AS BIGINT) AS pair_n FROM top$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"$head,\n$steps\n$finals"
+    s"$head,\n$steps"
   }
+
+  /** DuckDB replay of [[TextOps.bpeEncode]]: the learn chain's final
+    * word table joined back onto the positional token stream, regrouped
+    * per document. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
+       |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx),
+       |enc AS (SELECT doc_id, pos, len(syms) AS ntok,
+       |          array_to_string(syms, '|') AS ws
+       |        FROM wxx JOIN w$rounds USING (w))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(ntok) AS BIGINT) AS bpe_tokens,
+       |  string_agg(ws, ' ' ORDER BY pos) AS bpe_text
+       |FROM enc GROUP BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
+    // BPE encode: the 20-merge table applied back to the corpus — per
+    // doc the merged symbol string and the exact BPE token count (the
+    // number a pretraining token budget actually bills)
+    "text_bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), nMerges = 20)),
+    // token stats + the BPE budget column (base stats stay per-row; the
+    // encode frame is computed once and joined in)
+    "text_token_stats_bpe" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.tokenStatsBpe(dd, TextOps.bpeEncode(dd, nMerges = 20))
+    }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
@@ -700,6 +733,26 @@ object TextQueries extends QueryModule {
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     "bpe_learn" -> bpeOracle(20),
+
+    "text_bpe_encode" -> bpeEncodeOracle(20),
+
+    // base per-row stats joined with the encode replay's budget column
+    "text_token_stats_bpe" ->
+      s"""${bpeCtes(20)},
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
+         |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx),
+         |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens
+         |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  length(d.text) AS n_chars,
+         |  len(string_split(d.text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(d.text, ' '))) AS n_distinct,
+         |  ROUND(CAST(list_sum(list_transform(string_split(d.text, ' '),
+         |      t -> length(t))) AS DOUBLE)
+         |    / len(string_split(d.text, ' ')) + 1e-9, 4) AS mean_tok_len,
+         |  bt.bpe_tokens
+         |FROM documents d JOIN bt ON d.doc_id = bt.doc_id""".stripMargin,
 
     "dedup_incremental" ->
       s"""$lshCte,

@@ -113,6 +113,25 @@ class CorpusOpsSpec extends SparkSpec {
       (5L, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeEncode: hand-computed symbol sequences and exact token counts") {
+    import spark.implicits._
+    val tiny = Seq((1L, "abab abab abab abc abc aaaa"))
+      .toDF("doc_id", "text")
+    // after 2 merges ((a,b)->ab, (a,a)->aa): abab=[ab,ab], abc=[ab,c],
+    // aaaa=[aa,aa] -> 3*2 + 2*2 + 2 = 12 BPE tokens over 6 words
+    val two = TextOps.bpeEncode(tiny, nMerges = 2).collect()
+    assert(two.length === 1)
+    assert(two(0).getLong(two(0).fieldIndex("n_words")) === 6L)
+    assert(two(0).getLong(two(0).fieldIndex("bpe_tokens")) === 12L)
+    assert(two(0).getString(two(0).fieldIndex("bpe_text")) ===
+      "ab|ab ab|ab ab|ab ab|c ab|c aa|aa")
+    // the full 5-merge table collapses every word to one symbol
+    val full = TextOps.bpeEncode(tiny, nMerges = 10).collect()
+    assert(full(0).getLong(full(0).fieldIndex("bpe_tokens")) === 6L)
+    assert(full(0).getString(full(0).fieldIndex("bpe_text")) ===
+      "abab abab abab abc abc aaaa")
+  }
+
   test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
     val thr = 0.4
     val d = VectorOps.semDedup(emb, threshold = thr)
