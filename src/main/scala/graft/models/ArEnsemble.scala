@@ -12,10 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   * OLS (Cramer on a 3×3 normal system), then 6-step recursive forecasts
   * per model (A17's per-model forecast frame).
   *
-  * auto-ARIMA order search is NOT reproduced (SURVEY.md §7.4 risk 1:
-  * bit-parity with pmdarima is unrealistic); the deviation is documented
-  * and the ensemble/stride/blend machinery — the Spark-relevant part — is
-  * exact and oracle-verified. All 20 fits happen in ONE DataFrame plan
+  * Bit-parity with pmdarima's stepwise heuristics is unrealistic
+  * (SURVEY.md §7.4 risk 1); this object keeps the fixed AR(2) baseline,
+  * and [[AutoOrder]] supplies the order-search capability — per-member
+  * (p ≤ 3, d ≤ 1, q ≤ 1) selection by the reference's own 20%-holdout
+  * MAE criterion, with differencing and MA terms — as its own verified
+  * query (`m1_auto_order`). All 20 fits happen in ONE DataFrame plan
   * (explode model ids × stride filter → groupBy model), not a driver
   * loop.
   *

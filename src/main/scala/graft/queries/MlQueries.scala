@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.metrics.SmoothOps
-import graft.models.{ArEnsemble, Cluster1D, TwresRelational}
+import graft.models.{ArEnsemble, AutoOrder, Cluster1D, TwresRelational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,6 +53,14 @@ object MlQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_ar_forecast" -> ((s, d) =>
       ArEnsemble.fitForecast(clickDf(s, d), MODELS, HORIZON)),
+
+    // M1 order selection (the auto_arima analogue, models.py:85-88): per
+    // member, (p ≤ 3, d ≤ 1, q ≤ 1) fitted by Hannan–Rissanen CSS on the
+    // first 80%, selected by one-step holdout MAE (the reference's own
+    // out_of_sample_size=20%/scoring=mae criterion), refitted on the
+    // full series, forecast 6 steps (d = 1 integrates back)
+    "m1_auto_order" -> ((s, d) =>
+      AutoOrder.selectAndForecast(clickDf(s, d), MODELS, HORIZON)),
 
     // M1 incremental: fit on the first ~5/6 of the workload, then
     // update() each model with the stride-aligned points of the last
@@ -226,6 +234,11 @@ object MlQueries extends QueryModule {
       s"""WITH series AS ($SER),
          |$arCtes
          |SELECT * FROM fc""".stripMargin,
+
+    "m1_auto_order" ->
+      s"""WITH series AS ($SER),
+         |${Sql.clickWorkloadCtes},
+         |${AutoOrder.oracleSql(MODELS, HORIZON)}""".stripMargin,
 
     // from-scratch fit on the update path's anchored grid == the
     // incremental Spark result, by moment additivity (see the query)

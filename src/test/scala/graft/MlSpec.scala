@@ -1,6 +1,6 @@
 package graft
 
-import graft.models.{ArEnsemble, Cluster1D, Nnls, TwresModel, TwresRelational}
+import graft.models.{ArEnsemble, AutoOrder, Cluster1D, Nnls, TwresModel, TwresRelational}
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -155,6 +155,28 @@ class MlSpec extends SparkSpec {
         .orderBy("model_id").collect().toSeq
       assert(chunked == global, s"span $span diverged")
     }
+  }
+
+  test("auto-order on a trending series selects d=1 and beats the fixed AR(2)") {
+    // linear trend + deterministic bounded wiggle: the un-differenced
+    // AR(2) flattens toward the sample mean over the horizon, while a
+    // d=1 fit models the (stationary) differenced series — the exact
+    // failure mode of the fixed-order ensemble the order search closes
+    def v(t: Int): Double =
+      BigDecimal(2.5 * t + ((t * 2654435761L) % 1000) / 250.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val series = (1 to 150).map(t => (t.toLong * 60, v(t))).toDF("ts", "value")
+    val auto = AutoOrder.selectAndForecast(series, models = 1, horizon = 6)
+      .collect()(0)
+    assert(auto.getLong(auto.fieldIndex("d")) === 1L,
+      s"trending series should select a differenced config, got $auto")
+    val ar2 = ArEnsemble.fitForecast(series, models = 1, horizon = 6)
+      .collect()(0)
+    def mae(row: org.apache.spark.sql.Row): Double =
+      (1 to 6).map(k =>
+        math.abs(row.getDouble(row.fieldIndex(s"f$k")) - v(150 + k))).sum / 6
+    val (am, rm) = (mae(auto), mae(ar2))
+    assert(am < rm, s"auto-order MAE $am should beat fixed AR(2) MAE $rm")
   }
 
   test("M3 GBT config matches the reference (depth 10, 3n trees, capped)") {
