@@ -1,5 +1,7 @@
 package graft
 
+import graft.pipeline.VectorOps
+
 /** Physical-plan guardrails over the ENTIRE query surface.
   *
   * The two join shapes that melt at 100 TB are an un-broadcast
@@ -66,6 +68,29 @@ class PlanSpec extends SparkSpec {
     val stale = allowedNestedLoop.keySet.filter { n =>
       results.find(_._1 == n).exists(r => !r._2.contains("BroadcastNestedLoopJoin")) }
     assert(stale.isEmpty, s"whitelist entries no longer needed: $stale")
+  }
+
+  test("IVF search construction with a threaded count runs zero jobs") {
+    // Building a search plan must not execute anything: with knownN
+    // supplied, cellBits needs no count() action, so the only job is the
+    // caller's terminal action. A regression re-introducing a per-call
+    // count() (or any other eager action) fails this guard.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = 500L
+      VectorOps.ivfMultiprobeTopK(emb, k = 3, knownN = n)
+      VectorOps.ivfTopK(emb, k = 3, knownN = n)
+      Thread.sleep(1000) // listener events are async; let the bus drain
+      assert(jobs.get() == 0,
+        s"plan construction launched ${jobs.get()} jobs — an eager action leaked in")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("events_mad_outliers medians never sort a full group through one window") {
