@@ -323,25 +323,45 @@ object VectorOps {
 
   def kmeansCentroids(emb: DataFrame, targetCellSize: Int = 50,
                       sampleSize: Int = 512, iters: Int = 4,
-                      knownN: Long = -1L): Array[Array[Long]] = {
-    val samp = quantSample(emb, sampleSize)
+                      knownN: Long = -1L,
+                      hashSalt: Option[String] = None): Array[Array[Long]] = {
+    val samp = quantSample(emb, sampleSize, hashSalt)
     val n = if (knownN >= 0) knownN else emb.count()
     val k = math.max(1L,
       math.min((n + targetCellSize - 1) / targetCellSize, samp.length.toLong)).toInt
     lloydFit(samp, k, iters)
   }
 
-  /** The `sampleSize` lowest-vec_id quantized vectors (one TakeOrdered
-    * pass) — the shared deterministic fit sample. */
-  private[graft] def quantSample(emb: DataFrame, sampleSize: Int): Array[Array[Long]] = {
+  /** The shared deterministic fit sample (one TakeOrdered pass — per-
+    * partition heaps, never a global sort). Default order is the
+    * `sampleSize` LOWEST vec_ids; with `hashSalt` set the sample is the
+    * lowest md5 DRAWS instead — content-independent and corpus-
+    * REPRESENTATIVE, which is the production choice at 100 TB where an
+    * id prefix is ingest-order biased (oldest shard, one source). Both
+    * orders are exactly replayable in SQL. */
+  private[graft] def quantSample(emb: DataFrame, sampleSize: Int,
+                                 hashSalt: Option[String] = None): Array[Array[Long]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val samp: Array[Array[Long]] = emb.select(col("vec_id"), quant.as("q"))
-      .orderBy(col("vec_id")).limit(sampleSize)
+    val base = emb.select(col("vec_id"), quant.as("q"))
+    val ordered = hashSalt match {
+      case None => base.orderBy(col("vec_id"))
+      case Some(salt) => base.withColumn("dr", vecDraw(salt))
+        .orderBy(col("dr"), col("vec_id"))
+    }
+    val samp: Array[Array[Long]] = ordered.limit(sampleSize)
       .select(col("q")).as[Seq[Long]].collect().map(_.toArray)
     require(samp.nonEmpty, "vector fit needs a non-empty corpus")
     samp
   }
+
+  /** Deterministic md5 draw on vec_id (the [[graft.pipeline.TextOps
+    * .mdDraw6]] convention, vector-id keyed): 60-bit md5 prefix mod 1e6.
+    * SQL spelling: CAST('0x'||substr(md5('salt:'||vec_id),1,15) AS
+    * BIGINT) % 1000000. */
+  private[graft] def vecDraw(salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), col("vec_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
 
   /** The integer-exact Lloyd loop itself, over an in-memory sample —
     * shared by the IVF coarse quantizer (full vectors) and the PQ
@@ -436,8 +456,10 @@ object VectorOps {
     * work constant (nprobe × targetCellSize candidates) so total work
     * stays linear, the standard fixed-nprobe IVF serving contract. */
   def ivfKmeansTopK(emb: DataFrame, k: Int, targetCellSize: Int = 50,
-                    nprobeOverride: Int = -1, knownN: Long = -1L): DataFrame = {
-    val cents = kmeansCentroids(emb, targetCellSize, knownN = knownN)
+                    nprobeOverride: Int = -1, knownN: Long = -1L,
+                    hashSalt: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(emb, targetCellSize, knownN = knownN,
+      hashSalt = hashSalt)
     val nprobe = if (nprobeOverride > 0) nprobeOverride
                  else defaultNprobe(cents.length)
     // cells (rn = 1) and probes (rn <= nprobe) both read the ranked

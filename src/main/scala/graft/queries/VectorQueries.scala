@@ -43,16 +43,28 @@ object VectorQueries extends QueryModule {
     * sign-split half-away-from-zero rounding in pure BIGINT arithmetic,
     * squared-distance comparisons all BIGINT, ties to the lowest cid,
     * empty clusters carry the previous centroid forward. */
-  private def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE"): String = {
+  private def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE",
+                         drawSalt: Option[String] = None): String = {
     def dist(qv: String, c: String) =
       s"list_sum(list_transform(range(1, len($qv) + 1), j -> ($qv[j] - $c[j]) * ($qv[j] - $c[j])))"
+    // fit-sample order: lowest vec_ids by default; lowest md5 draws for
+    // the hash-sampled (corpus-representative) fit — VectorOps.vecDraw
+    val sampSel = drawSalt match {
+      case None => s"samp AS (SELECT vec_id, qv FROM q WHERE $fitPred ORDER BY vec_id LIMIT 512),"
+      case Some(salt) =>
+        s"""samp AS (SELECT vec_id, qv,
+           |    CAST('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           |      % 1000000 AS dr
+           |  FROM q WHERE $fitPred ORDER BY dr, vec_id LIMIT 512),""".stripMargin
+    }
+    val sampOrd = drawSalt.map(_ => "dr, vec_id").getOrElse("vec_id")
     val head =
       s"""par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k
          |       FROM embeddings WHERE $fitPred),
-         |samp AS (SELECT vec_id, qv FROM q WHERE $fitPred ORDER BY vec_id LIMIT 512),
-         |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |$sampSel
+         |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY $sampOrd) - 1 AS BIGINT) AS cid,
          |            qv AS cent
-         |          FROM samp QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM par)),""".stripMargin
+         |          FROM samp QUALIFY row_number() OVER (ORDER BY $sampOrd) <= (SELECT k FROM par)),""".stripMargin
     val steps = (0 until iters).map { i =>
       s"""asg$i AS (SELECT vec_id, qv, cid FROM (
          |  SELECT s.vec_id, s.qv, c.cid,
@@ -153,9 +165,10 @@ object VectorQueries extends QueryModule {
     * shared by the direct search, the persisted-index round-trip, and
     * the incremental-append serve, which must all produce identical
     * results for their respective fit scopes. */
-  private def kmeansTopkSqlOn(fitPred: String): String =
+  private def kmeansTopkSqlOn(fitPred: String,
+                              drawSalt: Option[String] = None): String =
     s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-       |${kmeansCtes(4, fitPred)},
+       |${kmeansCtes(4, fitPred, drawSalt)},
        |sc AS (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c FROM kcand),
        |r AS (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sc)
@@ -195,6 +208,13 @@ object VectorQueries extends QueryModule {
     // the data where sign-hyperplanes can't
     "ann_ivf_kmeans" -> ((s, d) =>
       VectorOps.ivfKmeansTopK(Tables.embeddings(s, d), k = 3)),
+    // same search with the HASH-SAMPLED fit: the 512-vector Lloyd sample
+    // is the lowest md5 draws instead of the lowest vec_ids — the
+    // corpus-representative choice at production scale, where an id
+    // prefix is ingest-order biased (oldest shard / single source)
+    "ann_ivf_kmeans_hashfit" -> ((s, d) =>
+      VectorOps.ivfKmeansTopK(Tables.embeddings(s, d), k = 3,
+        hashSalt = Some("kfit"))),
     "ann_kmeans_recall" -> ((s, d) =>
       VectorOps.kmeansRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
     // build -> persist -> reload -> serve; equals ann_ivf_kmeans exactly,
@@ -461,6 +481,8 @@ object VectorQueries extends QueryModule {
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "ann_ivf_kmeans" -> kmeansTopkSql,
+
+    "ann_ivf_kmeans_hashfit" -> kmeansTopkSqlOn("TRUE", Some("kfit")),
 
     // SemDeDup: same Lloyd-fit replay, pairs restricted to shared
     // kcells cid, keep-min-id verdicts like dedup_embedding_cosine
