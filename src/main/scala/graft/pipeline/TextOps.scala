@@ -791,16 +791,29 @@ object TextOps {
       .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // adjacent-pair occurrence rows of a word frame, count-weighted and
+    // signed — the unit of the incremental pair-count maintenance below
+    def pairRows(ws: DataFrame, sign: Int): DataFrame = ws
+      .select((col("cnt") * sign).as("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt").as("n"))
+    // INCREMENTAL pair counts (the classic BPE-trainer state): the full
+    // vocabulary is pair-counted ONCE; each round then subtracts the
+    // touched words' pre-merge pairs and adds their post-merge pairs —
+    // exact integer deltas, so the table always equals a from-scratch
+    // recount (which is what the unrolled oracle computes) while
+    // per-round counting work tracks the touched subset, not the
+    // vocabulary. Zero-count pairs drop so exhaustion (no pairs left)
+    // reads as an empty argmax exactly like the recount's empty result.
+    var counts = pairRows(words, 1)
+      .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val top = words
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
+      val top = counts
         .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
@@ -838,6 +851,14 @@ object TextOps {
           .groupBy(col("w"), col("cnt"))
           .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
             x => x.getField("out_s")).as("syms"))
+          // checkpointed before double use (pair delta + new word table)
+          .localCheckpoint()
+        counts = counts
+          .unionByName(pairRows(words.filter(pairHit), -1))
+          .unionByName(pairRows(merged, 1))
+          .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
         words = merged.unionByName(words.filter(!pairHit)).localCheckpoint()
         r += 1
       }
