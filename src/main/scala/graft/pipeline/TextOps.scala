@@ -50,10 +50,20 @@ object TextOps {
     * raising `groups` with the corpus, never a global window. Output one
     * row per document: (grp, doc_id, n_tokens, pack_id, straddles). */
   def packAssignments(docs: DataFrame, budget: Int = 2048,
-                      groups: Int = 32): DataFrame = {
+                      groups: Int = 32): DataFrame =
+    packByCounts(docs.select(col("doc_id"),
+      size(tokens).cast("long").as("n_tokens")), budget, groups)
+
+  /** [[packAssignments]] over a caller-supplied (doc_id, n_tokens)
+    * frame — the budget-exact form: a production loader packs by the
+    * tokens the model actually bills ([[bpeEncode]]'s `bpe_tokens`),
+    * not a whitespace proxy. Same scale shape: `groups` independent
+    * hash streams, one bounded window partition each. */
+  def packByCounts(counts: DataFrame, budget: Int = 2048,
+                   groups: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("doc_id"))
-    docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    counts.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("grp", pmod(col("doc_id"), lit(groups.toLong)))
       .withColumn("cum0", coalesce(sum(col("n_tokens")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),

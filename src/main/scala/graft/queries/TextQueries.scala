@@ -143,14 +143,19 @@ object TextQueries extends QueryModule {
     s"$head,\n$steps"
   }
 
+  /** Positional (doc_id, pos, w) token stream — shared by every oracle
+    * that joins the corpus back onto the BPE word table. */
+  private val docWordCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
+      |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx)""".stripMargin
+
   /** DuckDB replay of [[TextOps.bpeEncode]]: the learn chain's final
     * word table joined back onto the positional token stream, regrouped
     * per document. */
   private def bpeEncodeOracle(rounds: Int): String =
     s"""${bpeCtes(rounds)},
-       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
-       |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx),
+       |$docWordCtes,
        |enc AS (SELECT doc_id, pos, len(syms) AS ntok,
        |          array_to_string(syms, '|') AS ws
        |        FROM wxx JOIN w$rounds USING (w))
@@ -247,6 +252,14 @@ object TextQueries extends QueryModule {
     // synthetic docs average ~50 tokens → ~5 docs per pack)
     "pack_sequences" -> ((s, d) =>
       TextOps.packAssignments(docs(s, d), budget = 256, groups = 8)),
+    // budget-exact packing: pack boundaries cut by the BPE token bill
+    // (bpeEncode), not the whitespace proxy — the production loader form
+    "pack_bpe_sequences" -> ((s, d) =>
+      TextOps.packByCounts(
+        TextOps.bpeEncode(docs(s, d), nMerges = 20)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("bpe_tokens").as("n_tokens")),
+        budget = 512, groups = 8)),
     "split_assign" -> ((s, d) =>
       TextOps.splitAssign(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
     // Gopher-style repetitiousness filters over the documents table
@@ -736,12 +749,27 @@ object TextQueries extends QueryModule {
 
     "text_bpe_encode" -> bpeEncodeOracle(20),
 
+    // BPE-budget packing: the pack_sequences shape with n_tokens = the
+    // encode replay's exact per-doc BPE count, budget 512
+    "pack_bpe_sequences" ->
+      s"""${bpeCtes(20)},
+         |$docWordCtes,
+         |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+         |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id),
+         |t AS (SELECT doc_id, n_tokens, doc_id % 8 AS grp FROM bt),
+         |c AS (SELECT grp, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum0
+         |  FROM t)
+         |SELECT grp, doc_id, n_tokens, cum0 // 512 AS pack_id,
+         |  ((cum0 + n_tokens - 1) // 512) > (cum0 // 512) AS straddles
+         |FROM c""".stripMargin,
+
     // base per-row stats joined with the encode replay's budget column
     "text_token_stats_bpe" ->
       s"""${bpeCtes(20)},
-         |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
-         |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx),
+         |$docWordCtes,
          |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens
          |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id)
          |SELECT d.doc_id,
