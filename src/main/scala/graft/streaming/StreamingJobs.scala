@@ -235,4 +235,25 @@ object StreamingJobs {
     * motion. */
   def cmsCounterStream(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
     graft.pipeline.TextOps.cmsCounters(docs, d, w)
+
+  /** STREAMING ANN INGEST — the live form of
+    * [[graft.pipeline.VectorOps.ivfKmeansAppend]]: each arriving
+    * micro-batch of (vec_id, embedding) vectors is assigned MAP-SIDE to
+    * the frozen centroid matrix (the plan-embedded
+    * [[graft.functions.KmeansRank]] literal — no refit, no shuffle) and
+    * written to the index's cells store as its own parquet batch
+    * directory. A replayed batch OVERWRITES its own directory, so the
+    * job is exactly-once under restart (the repo's foreachBatch
+    * idempotency convention); the serving path reads base cells ∪ batch
+    * directories. State is zero — assignment is stateless per row — so
+    * the stream scales with batch size alone at any corpus size. */
+  def annIngest(vecs: DataFrame, cents: Array[Array[Long]],
+                cellsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        graft.pipeline.VectorOps.kmeansRanked(batch, cents, maxRank = 1)
+          .select(col("vec_id"), col("cid"))
+          .write.mode("overwrite").parquet(s"$cellsDir/batch_$id")
+        ()
+    }
 }

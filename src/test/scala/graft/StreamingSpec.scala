@@ -261,6 +261,36 @@ class StreamingSpec extends SparkSpec {
     } finally { loop.stop(); managed.stop() }
   }
 
+  test("streaming ANN ingest: per-batch centroid assignment equals one-pass assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val dir = s"target/graft-tmp/ann_ingest_spec_${System.nanoTime()}"
+    // frozen quantizer fitted on a small deterministic base corpus
+    val mk = (id: Long) => (id, (0 until 64).map(i =>
+      (((id * 31 + i * 7) % 13) - 6).toFloat))
+    val base = (0L until 40L).map(mk).toDF("vec_id", "embedding")
+    val cents = VectorOps.kmeansCentroids(base)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.annIngest(in.toDF.toDF("vec_id", "embedding"),
+        cents, s"$dir/cells_new")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData((40L until 55L).map(mk))
+      q.processAllAvailable()
+      in.addData((55L until 70L).map(mk))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/cells_new/batch_0", s"$dir/cells_new/batch_1")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // two micro-batches against the frozen centroids == one batch pass
+    val oneShot = VectorOps.kmeansRanked(
+        (40L until 70L).map(mk).toDF("vec_id", "embedding"), cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == oneShot && streamed.size == 30)
+  }
+
   test("streaming exact dedup: state drops cross-batch duplicates") {
     // the dedup family's streaming form: dropDuplicates keyed on content
     // id with a watermark bounding state. The guarantee is one row per
