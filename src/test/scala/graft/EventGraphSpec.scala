@@ -109,6 +109,34 @@ class EventGraphSpec extends SparkSpec {
     assert(viaLoop.toSeq == want)
   }
 
+  test("madOutliers: histogram+refine medians == naive sorted medians (ties, bin edges)") {
+    // the histogram/in-bin-refine median must equal the old full-sort
+    // lower median on ANY data — exercised here with heavy ties and
+    // values landing exactly on bin boundaries (multiples of 0.5 with
+    // binWidth 1.0), where an off-by-one in the cumulative-rank logic
+    // would pick a neighbor
+    val rnd = new scala.util.Random(7)
+    def lowerMedian(vs: Seq[(Long, Double)]): Double = {
+      val s = vs.sortBy { case (id, v) => (v, id) }
+      s(((s.size + 1) / 2) - 1)._2
+    }
+    for (_ <- 1 to 3) {
+      val rows = (1 to 200).map { i =>
+        (s"t${rnd.nextInt(3)}", i.toLong, math.floor(rnd.nextDouble() * 30) / 2.0)
+      }
+      val got = EventOps.madOutliers(rows.toDF("event_type", "event_id", "value"),
+          k = 1.5).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val byKey = rows.groupBy(_._1)
+      val want = rows.filter { case (et, _, v) =>
+        val med = lowerMedian(byKey(et).map(t => (t._2, t._3)))
+        val mad = lowerMedian(byKey(et).map(t => (t._2, math.abs(t._3 - med))))
+        math.abs(v - med) > 1.5 * mad
+      }.map(t => (t._1, t._2)).toSet
+      assert(got == want)
+    }
+  }
+
   test("asofJoin plans with ZERO join operators (union-merge, one exchange)") {
     val left = Seq((1L, "a", 5L, "x")).toDF("event_id", "sid", "ts", "tag")
     val right = Seq(("a", 5L, 1.0)).toDF("sid", "ts", "value")
