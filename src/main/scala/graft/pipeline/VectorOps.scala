@@ -694,8 +694,9 @@ object VectorOps {
     * integer-exact [[lloydFit]] on the deterministic sample, so the
     * DuckDB oracle replays all `m` codebooks CTE-for-CTE. */
   def pqCentroids(emb: DataFrame, m: Int = 4, k: Int = 16,
-                  sampleSize: Int = 512, iters: Int = 2): Array[Array[Array[Long]]] = {
-    val samp = quantSample(emb, sampleSize)
+                  sampleSize: Int = 512, iters: Int = 2,
+                  hashSalt: Option[String] = None): Array[Array[Array[Long]]] = {
+    val samp = quantSample(emb, sampleSize, hashSalt)
     val dim = samp.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
