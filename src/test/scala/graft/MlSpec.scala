@@ -179,6 +179,23 @@ class MlSpec extends SparkSpec {
     assert(am < rm, s"auto-order MAE $am should beat fixed AR(2) MAE $rm")
   }
 
+  test("auto-order degenerate inputs: constant and short series never throw") {
+    // constant series: every design is collinear -> all fits singular ->
+    // no config has a non-null holdout MAE -> the member drops from the
+    // output (mirrored by the oracle's WHERE mae IS NOT NULL)
+    val const = (1 to 40).map(t => (t.toLong * 60, 7.5)).toDF("ts", "value")
+    assert(AutoOrder.selectAndForecast(const, models = 1, horizon = 6).count() === 0L)
+    // short-but-varying series: the small-p configs still fit; output is
+    // at most one row per member and any emitted forecast is finite
+    val tiny = (1 to 9).map(t => (t.toLong * 60, (t % 4) * 1.5 + t)).toDF("ts", "value")
+    val rows = AutoOrder.selectAndForecast(tiny, models = 2, horizon = 6).collect()
+    assert(rows.length <= 2)
+    rows.foreach { r =>
+      val f1 = r.fieldIndex("f1")
+      if (!r.isNullAt(f1)) assert(!r.getDouble(f1).isNaN)
+    }
+  }
+
   test("M3 GBT config matches the reference (depth 10, 3n trees, capped)") {
     import graft.models.LatencyGbt
     import org.apache.spark.ml.regression.GBTRegressor
