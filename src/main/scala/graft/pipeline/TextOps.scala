@@ -123,6 +123,28 @@ object TextOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** MIXTURE TOKEN BUDGET — the question a pretraining run actually asks
+    * of its mixture config: how many tokens does each slice contribute
+    * AFTER down-sampling, in the tokens the model bills? Because the
+    * mixture draw is deterministic ([[sampleMixture]]), the budget is
+    * EXACT, not an expectation: per source, the kept docs, their summed
+    * token counts, and the slice's share of the post-mixture total.
+    * `tokenCounts` is any (doc_id, n_tokens) frame — [[bpeEncode]]'s
+    * exact BPE counts in production. One per-row mixture gate, one
+    * doc_id equi-join, one partial-agg shuffle; the 1-row total
+    * broadcasts back over the handful of source rows (bounded). */
+  def mixtureTokenBudget(docs: DataFrame, rates: Map[String, Double],
+                         tokenCounts: DataFrame): DataFrame = {
+    val per = sampleMixture(docs, rates)
+      .join(tokenCounts, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot") + lit(1e-9), 6).as("share"))
+  }
+
   /** Quality score: blend of length, stopword ratio, token length and
     * lexical diversity — the standard cheap pre-filter for web-scale corpus
     * cleaning (length/punct/stopword-ratio heuristics). */

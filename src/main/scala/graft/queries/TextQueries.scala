@@ -357,6 +357,17 @@ object TextQueries extends QueryModule {
     "sample_mixture" -> ((s, d) =>
       TextOps.sampleMixture(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.1))),
 
+    // exact post-mixture token bill per slice (BPE tokens of the docs
+    // the deterministic mixture actually keeps) — the budget table a
+    // pretraining run plans against
+    "mixture_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dd = docs(s, d)
+      TextOps.mixtureTokenBudget(dd, Map("src0" -> 0.5, "src1" -> 0.1),
+        TextOps.bpeEncode(dd, nMerges = 20)
+          .select(col("doc_id"), col("bpe_tokens").as("n_tokens")))
+    }),
+
     // GPT-2-style pretokenization (category-run segmentation): the token
     // unit a BPE tokenizer budgets with, vs whitespace words
     "text_pretokenize" -> ((s, d) => TextOps.pretokenStats(docs(s, d))),
@@ -1127,6 +1138,26 @@ object TextQueries extends QueryModule {
          |  WHEN 'src0' THEN ${TextOps.drawThreshold(0.5)}
          |  WHEN 'src1' THEN ${TextOps.drawThreshold(0.1)}
          |  ELSE 1000000 END""".stripMargin
+    },
+
+    "mixture_token_budget" -> {
+      val draw = s"${hex60Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""${bpeCtes(20)},
+         |$docWordCtes,
+         |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+         |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id),
+         |kept AS (SELECT doc_id, source FROM documents
+         |  WHERE $draw < CASE source
+         |    WHEN 'src0' THEN ${TextOps.drawThreshold(0.5)}
+         |    WHEN 'src1' THEN ${TextOps.drawThreshold(0.1)}
+         |    ELSE 1000000 END),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM kept JOIN bt USING (doc_id) GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE) / tot + 1e-9, 6) AS share
+         |FROM per CROSS JOIN tot""".stripMargin
     },
 
     "pack_sequences" ->

@@ -40,7 +40,8 @@ class PlanSpec extends SparkSpec {
     "bloom_prune" -> "broadcasts the 1-row collapsed bit-position array (<= m entries) over the probe scan — the whole point of the filter",
     "ann_rp_recall" -> "contains the exact brute-force baseline AND the RP-sketch full scan, both over the broadcast fixed query set (<= 10 rows)",
     "emb_hard_negatives" -> "same broadcast-anchors/stream-corpus shape as ann_cosine_topk: broadcast side is the fixed anchor set (vec_id < 10)",
-    "events_hotkeys" -> "broadcasts the 1-row grand-total aggregate over the k-row (<= 10) top-key frame")
+    "events_hotkeys" -> "broadcasts the 1-row grand-total aggregate over the k-row (<= 10) top-key frame",
+    "mixture_token_budget" -> "broadcasts the 1-row token-total aggregate over the per-source frame (<= |sources| rows)")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
