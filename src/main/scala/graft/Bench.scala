@@ -36,7 +36,11 @@ object Bench {
     // timings in this shared sandbox move by up to ±26 s on identical code
     // (GC, page cache, codegen jitter), which makes real 2x regressions
     // undetectable. The min of two runs is stable enough to trend.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // a malformed env value falls back to the default instead of killing
+    // the whole run with a NumberFormatException before any query runs
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
+      .getOrElse(2).max(1)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

@@ -234,8 +234,12 @@ object DedupOps {
     * so it suits corpora with discriminative shingles. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                    maxPostingLen: Int = 100,
-                   sampleFrac: Double = 1.0): DataFrame = {
-    val invAll = shingleRows(sampleDocs(docs, sampleFrac, "lshr"))
+                   sampleFrac: Double = 1.0,
+                   sampleSalt: String = "lshr"): DataFrame = {
+    // the salt defaults to lshRecall's draw (that diagnostic NEEDS both
+    // legs on the identical sub-corpus) but is caller-threadable so an
+    // independent diagnostic can use an uncorrelated sample
+    val invAll = shingleRows(sampleDocs(docs, sampleFrac, sampleSalt))
     val sizes = invAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df-cap: a shingle shared by >maxPostingLen docs generates quadratic
     // join fan-out while contributing almost nothing discriminative —

@@ -28,10 +28,13 @@ object TextQueries extends QueryModule {
       |       string_split(text, ' ')[i+1],
       |       string_split(text, ' ')[i+2])))""".stripMargin
 
-  /** Shared oracle CTE: doc_id → shingle set, MinHash signature, band keys. */
-  private val lshCte =
+  /** Shared oracle CTE chain doc_id → shingle set, MinHash signature,
+    * band keys, parameterized on the corpus relation (a table or a prior
+    * CTE name, e.g. a deterministic sample) — the sets/sigs/bands chain
+    * is byte-identical for every consumer so the replays can't drift. */
+  private def lshCteFor(base: String): String =
     s"""WITH sets AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |  SELECT doc_id, $shinglesSql AS sh FROM $base),
        |hashes AS (
        |  SELECT doc_id, sh,
        |    list_transform(sh, s -> ${hex60Sql("md5(s)")} % 1000000007) AS hs
@@ -48,11 +51,8 @@ object TextQueries extends QueryModule {
        |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
        |  FROM sigs)""".stripMargin
 
-  /** [[lshCte]] with its corpus CTE retargeted at `base` (a prior CTE
-    * name, e.g. a deterministic sample) — the sets/sigs/bands chain is
-    * byte-identical otherwise. */
-  private def lshCteOn(base: String): String =
-    lshCte.replace("FROM documents)", s"FROM $base)")
+  /** [[lshCteFor]] over the full documents table — the common spelling. */
+  private val lshCte = lshCteFor("documents")
 
   /** The dedup_lsh_recall oracle body over any CTE prefix that provides
     * `sets(doc_id, sh)` and `bands(doc_id, bkey)` — shared by the
@@ -1091,7 +1091,7 @@ object TextQueries extends QueryModule {
          |  SELECT * FROM documents
          |  WHERE ${hex60Sql("md5('lshr:' || CAST(doc_id AS VARCHAR))")}
          |    % ${TextOps.DrawMod} < 500000),
-         |${lshCteOn("dsamp").stripPrefix("WITH ")}""".stripMargin),
+         |${lshCteFor("dsamp").stripPrefix("WITH ")}""".stripMargin),
 
     "dedup_jaccard_ngram" ->
       s"""WITH sets AS (

@@ -88,7 +88,23 @@ class PlanSpec extends SparkSpec {
       val n = 500L
       VectorOps.ivfMultiprobeTopK(emb, k = 3, knownN = n)
       VectorOps.ivfTopK(emb, k = 3, knownN = n)
-      Thread.sleep(1000) // listener events are async; let the bus drain
+      // drain the async listener bus DETERMINISTICALLY before asserting:
+      // a fixed sleep can let a leaked job's JobStart arrive after the
+      // assertion on a loaded box (false negative). listenerBus is
+      // private[spark], so reach it reflectively; fall back to a sleep
+      // only if the internals ever move.
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map(_.invoke(bus))
+          .getOrElse {
+            val m = bus.getClass.getMethods
+              .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+            m.invoke(bus, java.lang.Long.valueOf(10000L))
+          }
+      } catch { case _: Throwable => Thread.sleep(1000) }
       assert(jobs.get() == 0,
         s"plan construction launched ${jobs.get()} jobs — an eager action leaked in")
     } finally spark.sparkContext.removeSparkListener(listener)
