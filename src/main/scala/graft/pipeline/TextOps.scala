@@ -813,15 +813,84 @@ object TextOps {
     * vocabulary. [[bpeEncode]] consumes the latter: applying a BPE
     * tokenizer to a corpus is a word-level lookup, so the expensive
     * merge replay runs once per DISTINCT word, never per occurrence. */
+  /** The corpus word-frequency table with character-split symbol
+    * sequences — round 0 of both the learn loop and the frozen-apply
+    * path: (w, cnt, syms), checkpointed (ONE corpus scan). */
+  private[graft] def charWords(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+
+  /** ONE BPE merge of the pair (a, b) applied to a word frame — the
+    * machinery shared by the learn loop and [[applyMerges]]: words
+    * CONTAINING the pair run the explode → window → regroup replay of
+    * left-to-right non-overlapping merging (within each run of
+    * consecutive matches, the even offsets from the run start merge);
+    * every other word is provably a fixed point of the round and
+    * passes through untouched. At web-scale vocabularies a pair
+    * touches a shrinking fraction of words as ranks grow, so per-round
+    * work tracks the touched subset, never the full vocabulary.
+    * Returns (merged touched words, touched originals, untouched) —
+    * the learner consumes all three (incremental pair-count deltas
+    * need before/after of the touched subset); appliers fold only
+    * merged ∪ untouched. `checkpointMerged` truncates the merged
+    * frame's lineage when the caller reads it more than once. */
+  private def mergeTouched(words: DataFrame, a: String, b: String,
+                           checkpointMerged: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pairHit = exists(zip_with(
+      slice(col("syms"), lit(1), size(col("syms")) - 1),
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      (x, y) => x === a && y === b), p => p)
+    val wn = w.partitionBy("w").orderBy("i")
+    val touched = words.filter(pairHit)
+    val marked = touched
+      .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("i", "s")))
+      .withColumn("m", col("s") === a && lead(col("s"), 1).over(wn) === b)
+    val mergeAt = marked.filter(col("m"))
+      .withColumn("grp", col("i") - row_number().over(wn))
+      .withColumn("rs", min(col("i")).over(w.partitionBy("w", "grp")))
+      .filter(((col("i") - col("rs")) % 2) === 0)
+      .select(col("w"), col("i"), lit(true).as("mrk"))
+    val merged0 = marked.join(mergeAt, Seq("w", "i"), "left")
+      .withColumn("mrk", coalesce(col("mrk"), lit(false)))
+      .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
+      .filter(!col("pm"))
+      .withColumn("out_s", when(col("mrk"), lit(a + b)).otherwise(col("s")))
+      .groupBy(col("w"), col("cnt"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
+        x => x.getField("out_s")).as("syms"))
+    val merged = if (checkpointMerged) merged0.localCheckpoint() else merged0
+    (merged, touched, words.filter(!pairHit))
+  }
+
+  /** FROZEN-TOKENIZER APPLY: replay an already-learned merge list, in
+    * rank order, over a (w, cnt, syms) word frame — encoding NEW text
+    * with a FIXED vocabulary, the train-tokenizer/encode-everything
+    * contract every production pipeline runs (the reference's fit-once
+    * model registry: analytics/app/common/models.py:66-93). Sequential
+    * replay in rank order is exactly the BPE encode algorithm: the
+    * learner applied merge r to every word at round r, so replaying the
+    * table reproduces its final word table bit-for-bit on the training
+    * corpus, and extends it to unseen words (which start from
+    * characters like any other). Per merge the work is one
+    * touched-word-gated [[mergeTouched]] pass + one checkpoint —
+    * vocabulary-sized, never corpus-sized. */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words) { case (ws, (a, b)) =>
+      // merged is consumed exactly once (the union) — the union's own
+      // checkpoint materializes it, so no per-step merged checkpoint
+      val (merged, _, untouched) = mergeTouched(ws, a, b, checkpointMerged = false)
+      merged.unionByName(untouched).localCheckpoint()
+    }
+
   private[graft] def bpeLearnState(docs: DataFrame,
                                    nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-    var words = docs.select(explode(tokens).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint()
+    var words = charWords(docs)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     // adjacent-pair occurrence rows of a word frame, count-weighted and
     // signed — the unit of the incremental pair-count maintenance below
@@ -851,47 +920,17 @@ object TextOps {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, a, b, a + b, n))
-        // row-local gate: only words CONTAINING the chosen pair run the
-        // explode → window → regroup merge machinery; every other word
-        // is provably a fixed point of this round and unions back
-        // unchanged. At web-scale vocabularies a chosen pair touches a
-        // shrinking fraction of words as ranks grow, so per-round work
-        // tracks the touched subset instead of re-exploding the full
-        // vocabulary 20 times. (For untouched words the old machinery
-        // was an identity — no marks, nothing dropped, same regrouped
-        // syms — so results are bit-identical and the oracle unchanged.)
-        val pairHit = exists(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (x, y) => x === a && y === b), p => p)
-        val wn = w.partitionBy("w").orderBy("i")
-        val marked = words.filter(pairHit)
-          .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("i", "s")))
-          .withColumn("m", col("s") === a && lead(col("s"), 1).over(wn) === b)
-        // left-to-right non-overlap: within each run of consecutive
-        // matches, merge the even offsets from the run start
-        val mergeAt = marked.filter(col("m"))
-          .withColumn("grp", col("i") - row_number().over(wn))
-          .withColumn("rs", min(col("i")).over(w.partitionBy("w", "grp")))
-          .filter(((col("i") - col("rs")) % 2) === 0)
-          .select(col("w"), col("i"), lit(true).as("mrk"))
-        val merged = marked.join(mergeAt, Seq("w", "i"), "left")
-          .withColumn("mrk", coalesce(col("mrk"), lit(false)))
-          .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
-          .filter(!col("pm"))
-          .withColumn("out_s", when(col("mrk"), lit(a + b)).otherwise(col("s")))
-          .groupBy(col("w"), col("cnt"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
-            x => x.getField("out_s")).as("syms"))
-          // checkpointed before double use (pair delta + new word table)
-          .localCheckpoint()
+        // merged is read twice here (pair delta + new word table), so
+        // mergeTouched checkpoints it before the double use
+        val (merged, touched, untouched) =
+          mergeTouched(words, a, b, checkpointMerged = true)
         counts = counts
-          .unionByName(pairRows(words.filter(pairHit), -1))
+          .unionByName(pairRows(touched, -1))
           .unionByName(pairRows(merged, 1))
           .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
           .localCheckpoint()
-        words = merged.unionByName(words.filter(!pairHit)).localCheckpoint()
+        words = merged.unionByName(untouched).localCheckpoint()
         r += 1
       }
     }
@@ -912,8 +951,15 @@ object TextOps {
     * vocabulary side of the join is ≪ corpus and broadcasts itself at
     * production scale; per-doc regroup state is bounded by document
     * length. Output: (doc_id, n_words, bpe_tokens, bpe_text). */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 20): DataFrame = {
-    val wsyms = bpeLearnState(docs, nMerges)._2
+  def bpeEncode(docs: DataFrame, nMerges: Int = 20): DataFrame =
+    bpeEncodeWith(docs, bpeLearnState(docs, nMerges)._2)
+
+  /** [[bpeEncode]] with a caller-supplied word → symbol-sequence frame
+    * (`wsyms`: (w, syms, …)) — the fit/encode split: one learned (or
+    * frozen-applied, or parquet-reloaded) vocabulary serves every
+    * consumer without refitting. Corpus-side work is exactly the
+    * encode join + regroup. */
+  def bpeEncodeWith(docs: DataFrame, wsyms: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
       .join(wsyms.select(col("w"), col("syms")), Seq("w"))
       .select(col("doc_id"), col("pos"),
@@ -924,6 +970,20 @@ object TextOps {
         sum(col("ntok")).as("bpe_tokens"),
         concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("ws")))),
           x => x.getField("ws"))).as("bpe_text"))
+
+  /** FROZEN-TOKENIZER ENCODE: apply an already-learned merge TABLE
+    * ((merge_rank, lhs, rhs, …) — e.g. [[bpeLearn]]'s output, possibly
+    * parquet-persisted and reloaded) to a corpus the table was NOT
+    * necessarily learned on: the train-tokenizer/encode-val contract.
+    * The ≤ nMerges-row table collects to the driver (it IS the model —
+    * the same bounded collect every serving path makes) and replays in
+    * rank order over the target corpus's distinct words via
+    * [[applyMerges]]; unseen words start from characters like any
+    * other. Output shape identical to [[bpeEncode]]. */
+  def bpeEncodeFrozen(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("merge_rank")).select(col("lhs"), col("rhs"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    bpeEncodeWith(docs, applyMerges(charWords(docs), ms))
   }
 
   /** [[tokenStats]] extended with the exact BPE token count — the budget

@@ -14,6 +14,13 @@ object TextQueries extends QueryModule {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** The shared full-corpus BPE tokenizer state (fit once per session ×
+    * sf dir via [[graft.pipeline.BpeFixture]]): every BPE consumer
+    * below encodes against this ONE learned table instead of refitting
+    * the identical 20 merges per query. */
+  private def bpeState(s: SparkSession, d: String) =
+    graft.pipeline.BpeFixture.learnedState(docs(s, d), d, nMerges = 20)
+
   /** DuckDB spelling of [[DedupOps.hex60]]. */
   private def hex60Sql(h: String) = s"CAST('0x' || substr($h, 1, 15) AS BIGINT)"
 
@@ -169,12 +176,13 @@ object TextQueries extends QueryModule {
     // BPE encode: the 20-merge table applied back to the corpus — per
     // doc the merged symbol string and the exact BPE token count (the
     // number a pretraining token budget actually bills)
-    "text_bpe_encode" -> ((s, d) => TextOps.bpeEncode(docs(s, d), nMerges = 20)),
+    "text_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncodeWith(docs(s, d), bpeState(s, d)._2)),
     // token stats + the BPE budget column (base stats stay per-row; the
-    // encode frame is computed once and joined in)
+    // encode joins the SHARED fitted vocabulary — no refit)
     "text_token_stats_bpe" -> ((s, d) => {
       val dd = docs(s, d)
-      TextOps.tokenStatsBpe(dd, TextOps.bpeEncode(dd, nMerges = 20))
+      TextOps.tokenStatsBpe(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
     }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
@@ -256,7 +264,7 @@ object TextQueries extends QueryModule {
     // (bpeEncode), not the whitespace proxy — the production loader form
     "pack_bpe_sequences" -> ((s, d) =>
       TextOps.packByCounts(
-        TextOps.bpeEncode(docs(s, d), nMerges = 20)
+        TextOps.bpeEncodeWith(docs(s, d), bpeState(s, d)._2)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("bpe_tokens").as("n_tokens")),
         budget = 512, groups = 8)),
@@ -364,7 +372,7 @@ object TextQueries extends QueryModule {
       import org.apache.spark.sql.functions.col
       val dd = docs(s, d)
       TextOps.mixtureTokenBudget(dd, Map("src0" -> 0.5, "src1" -> 0.1),
-        TextOps.bpeEncode(dd, nMerges = 20)
+        TextOps.bpeEncodeWith(dd, bpeState(s, d)._2)
           .select(col("doc_id"), col("bpe_tokens").as("n_tokens")))
     }),
 
