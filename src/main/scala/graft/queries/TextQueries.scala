@@ -114,38 +114,55 @@ object TextQueries extends QueryModule {
     s"${bpeCtes(rounds)}\n$finals"
   }
 
-  /** Just the unrolled merge-round CTE chain (w0 … w`rounds`), shared by
-    * the learn oracle and the encode oracle — w`rounds` IS the encoded
-    * vocabulary (w, cnt, syms). */
-  private def bpeCtes(rounds: Int): String = {
+  /** The char-split word-frequency table of `src` as a CTE body — round
+    * 0 of every merge chain ([[TextOps.charWords]]'s spelling). */
+  private def charWordsSql(src: String): String =
+    s"""SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM $src)
+       |  GROUP BY w""".stripMargin
+
+  /** ONE relational merge-replay round: the g/mg/out CTE triple that
+    * applies the pair held by the 1-row CTE `top` to word table `prev`
+    * (left-to-right non-overlap over runs of consecutive matches, even
+    * offsets) — shared verbatim by the learn chain (where `top` is that
+    * round's argmax) and the frozen-apply chain (where `top` is the
+    * LEARNED table's rank-r row replayed over a different corpus), so
+    * the two replays cannot drift. An empty `top` (exhausted learn)
+    * makes the round an identity: COALESCE(…, false) marks nothing. */
+  private def mergeRoundCtes(top: String, prev: String, g: String,
+                             mg: String, out: String): String =
+    s"""$g AS MATERIALIZED (SELECT w, cnt, i, syms[i] AS s,
+       |    COALESCE(syms[i] = (SELECT l FROM $top)
+       |      AND syms[i + 1] = (SELECT r FROM $top), false) AS m
+       |  FROM (SELECT w, cnt, syms, UNNEST(range(1, len(syms) + 1)) AS i
+       |        FROM $prev)),
+       |$mg AS MATERIALIZED (SELECT w, i FROM (
+       |    SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+       |    FROM $g WHERE m)
+       |  QUALIFY (i - MIN(i) OVER (PARTITION BY w, grp)) % 2 = 0),
+       |$out AS MATERIALIZED (SELECT w, cnt, list(out_s ORDER BY i) AS syms FROM (
+       |    SELECT g.w, g.cnt, g.i AS i,
+       |      CASE WHEN mg.i IS NOT NULL
+       |        THEN (SELECT l || r FROM $top) ELSE g.s END AS out_s,
+       |      COALESCE(lag(mg.i IS NOT NULL) OVER (
+       |        PARTITION BY g.w ORDER BY g.i), false) AS pm
+       |    FROM $g g LEFT JOIN $mg mg ON g.w = mg.w AND g.i = mg.i)
+       |  WHERE NOT pm GROUP BY w, cnt)""".stripMargin
+
+  /** Just the unrolled merge-round CTE chain (w0 … w`rounds`) over the
+    * corpus relation `src`, shared by the learn oracle and the encode
+    * oracle — w`rounds` IS the encoded vocabulary (w, cnt, syms). */
+  private def bpeCtes(rounds: Int, src: String = "documents"): String = {
     val head =
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
-        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w)""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+         |  ${charWordsSql(src)})""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS n FROM (
          |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
          |      SELECT cnt, syms, UNNEST(range(1, len(syms))) AS i FROM w${r - 1}))
          |  GROUP BY l, r),
          |top$r AS MATERIALIZED (SELECT l, r, n FROM pr$r ORDER BY n DESC, l, r LIMIT 1),
-         |g$r AS MATERIALIZED (SELECT w, cnt, i, syms[i] AS s,
-         |    COALESCE(syms[i] = (SELECT l FROM top$r)
-         |      AND syms[i + 1] = (SELECT r FROM top$r), false) AS m
-         |  FROM (SELECT w, cnt, syms, UNNEST(range(1, len(syms) + 1)) AS i
-         |        FROM w${r - 1})),
-         |mg$r AS MATERIALIZED (SELECT w, i FROM (
-         |    SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
-         |    FROM g$r WHERE m)
-         |  QUALIFY (i - MIN(i) OVER (PARTITION BY w, grp)) % 2 = 0),
-         |w$r AS MATERIALIZED (SELECT w, cnt, list(out_s ORDER BY i) AS syms FROM (
-         |    SELECT g.w, g.cnt, g.i AS i,
-         |      CASE WHEN mg.i IS NOT NULL
-         |        THEN (SELECT l || r FROM top$r) ELSE g.s END AS out_s,
-         |      COALESCE(lag(mg.i IS NOT NULL) OVER (
-         |        PARTITION BY g.w ORDER BY g.i), false) AS pm
-         |    FROM g$r g LEFT JOIN mg$r mg ON g.w = mg.w AND g.i = mg.i)
-         |  WHERE NOT pm GROUP BY w, cnt)""".stripMargin
+         |${mergeRoundCtes(s"top$r", s"w${r - 1}", s"g$r", s"mg$r", s"w$r")}""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps"
   }
@@ -183,6 +200,18 @@ object TextQueries extends QueryModule {
     "text_token_stats_bpe" -> ((s, d) => {
       val dd = docs(s, d)
       TextOps.tokenStatsBpe(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
+    }),
+    // the train-tokenizer/encode-val contract: merges learned ONLY on
+    // the train split, frozen, replayed over the val split (val-only
+    // words start from characters like any production encode of unseen
+    // text). Oracle learns on the same train subset and unrolls the
+    // same 20 apply rounds over the val word table.
+    "text_bpe_encode_frozen" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
+      val merges = graft.pipeline.BpeFixture.learnedState(
+        dd.filter(sp === "train"), s"train@$d", nMerges = 20)._1
+      TextOps.bpeEncodeFrozen(dd.filter(sp === "val"), merges)
     }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
@@ -767,6 +796,34 @@ object TextQueries extends QueryModule {
     "bpe_learn" -> bpeOracle(20),
 
     "text_bpe_encode" -> bpeEncodeOracle(20),
+
+    // learn chain over the train split only; av-chain replays each
+    // round's top$r (the FROZEN table) over the val split's word table,
+    // then the standard encode join-back over val docs
+    "text_bpe_encode_frozen" -> {
+      val draw = s"${hex60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      val applySteps = (1 to 20).map { r =>
+        mergeRoundCtes(s"top$r", s"av${r - 1}", s"ag$r", s"amg$r", s"av$r")
+      }.mkString(",\n")
+      s"""WITH tdocs AS MATERIALIZED (SELECT * FROM documents
+         |  WHERE $draw >= ${TextOps.drawThreshold(0.15)}),
+         |vdocs AS MATERIALIZED (SELECT * FROM documents
+         |  WHERE $draw < ${TextOps.drawThreshold(0.1)}),
+         |${bpeCtes(20, "tdocs").stripPrefix("WITH ")},
+         |av0 AS MATERIALIZED (
+         |  ${charWordsSql("vdocs")}),
+         |$applySteps,
+         |vtk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM vdocs),
+         |vwx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM vtk),
+         |vwxx AS (SELECT doc_id, pos, ts[pos] AS w FROM vwx),
+         |venc AS (SELECT doc_id, pos, len(syms) AS ntok,
+         |          array_to_string(syms, '|') AS ws
+         |        FROM vwxx JOIN av20 USING (w))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(ntok) AS BIGINT) AS bpe_tokens,
+         |  string_agg(ws, ' ' ORDER BY pos) AS bpe_text
+         |FROM venc GROUP BY doc_id""".stripMargin
+    },
 
     // BPE-budget packing: the pack_sequences shape with n_tokens = the
     // encode replay's exact per-doc BPE count, budget 512
