@@ -213,6 +213,20 @@ object TextQueries extends QueryModule {
         dd.filter(sp === "train"), s"train@$d", nMerges = 20)._1
       TextOps.bpeEncodeFrozen(dd.filter(sp === "val"), merges)
     }),
+    // TOKENIZER PERSISTENCE roundtrip (reference S11 semantics for the
+    // tokenizer: common/models.py:53-57): the fitted merge table and the
+    // encoded word table both land in parquet; the merge table alone is
+    // then reloaded and frozen-replayed over the corpus — proving the
+    // persisted artifact fully reconstructs the encode (result equals
+    // text_bpe_encode, which is what the oracle states).
+    "bpe_vocab_roundtrip" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (merges, wsyms) = bpeState(s, d)
+      val dir = s"target/graft-tmp/bpe_vocab_${new java.io.File(d).getName}"
+      merges.write.mode("overwrite").parquet(s"$dir/merges")
+      wsyms.write.mode("overwrite").parquet(s"$dir/wordsyms")
+      TextOps.bpeEncodeFrozen(dd, s.read.parquet(s"$dir/merges"))
+    }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
@@ -796,6 +810,10 @@ object TextQueries extends QueryModule {
     "bpe_learn" -> bpeOracle(20),
 
     "text_bpe_encode" -> bpeEncodeOracle(20),
+
+    // persistence roundtrip: reload + frozen replay must equal the
+    // direct encode, so the oracle IS the encode replay
+    "bpe_vocab_roundtrip" -> bpeEncodeOracle(20),
 
     // learn chain over the train split only; av-chain replays each
     // round's top$r (the FROZEN table) over the val split's word table,

@@ -132,6 +132,36 @@ class CorpusOpsSpec extends SparkSpec {
       "abab abab abab abc abc aaaa")
   }
 
+  test("bpe vocabulary persistence: parquet roundtrip and frozen replay equal the direct path") {
+    val (merges, wsyms) = TextOps.bpeLearnState(docs, nMerges = 20)
+    val direct = TextOps.bpeEncodeWith(docs, wsyms)
+    val dir = "target/graft-tmp/bpe_vocab_spec"
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+    wsyms.write.mode("overwrite").parquet(s"$dir/wordsyms")
+    // reloaded word table serves identically (S11 persistence semantics)
+    val viaWsyms = TextOps.bpeEncodeWith(docs, spark.read.parquet(s"$dir/wordsyms"))
+    assert(viaWsyms.exceptAll(direct).isEmpty && direct.exceptAll(viaWsyms).isEmpty)
+    // the merge table ALONE reconstructs the encode: frozen rank-order
+    // replay over the corpus equals the learner's own word table
+    val viaMerges = TextOps.bpeEncodeFrozen(docs, spark.read.parquet(s"$dir/merges"))
+    assert(viaMerges.exceptAll(direct).isEmpty && direct.exceptAll(viaMerges).isEmpty)
+    assert(direct.count() === docs.count())
+  }
+
+  test("applyMerges on unseen words: frozen encode covers out-of-vocabulary text") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = TextOps.bpeLearn(train, nMerges = 2) // (a,b)->ab, (ab,ab)->abab
+    // val corpus: 'ababab' and 'xbay' never occur in train
+    val value = Seq((9L, "ababab xbay abab")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeFrozen(value, merges).collect()
+    assert(got.length === 1)
+    // ababab -> [abab, ab] (left-to-right non-overlap at rank 2);
+    // xbay -> [x, b, a, y] (no pair applies); abab -> [abab]
+    assert(got(0).getString(got(0).fieldIndex("bpe_text")) === "abab|ab x|b|a|y abab")
+    assert(got(0).getLong(got(0).fieldIndex("bpe_tokens")) === 7L)
+  }
+
   test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
     val thr = 0.4
     val d = VectorOps.semDedup(emb, threshold = thr)
