@@ -118,6 +118,66 @@ object MultimodalOps {
     }).toDF("doc_id", "phash60")
   }
 
+  /** [[mmTable]] plus PLANTED NEAR-DUPLICATE TWINS: every 50th record
+    * gains a copy (doc_id + 1e9) whose payload differs in exactly ONE
+    * byte (position doc_id % 61, value +1 mod 256) — the controlled
+    * fixture for perceptual-hash dedup, where a genuinely random corpus
+    * would make every near-dup query vacuously empty. One flipped byte
+    * perturbs at most two adjacent dHash comparisons, so each twin sits
+    * within hamming 2 of its original. The tweak is hex-string surgery
+    * on the md5-derived payload (pure Column work, replayed by the
+    * oracle as byte arithmetic). */
+  def mmTableWithTwins(docs: DataFrame): DataFrame = {
+    val base = mmTable(docs)
+    val hx = lower(hex(col("payload")))
+    val p = (col("doc_id") % 61).cast("int")
+    val tweaked = (conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("long") + 1L) % 256L
+    val twins = base.filter(col("doc_id") % 50 === 0)
+      .withColumn("payload", unhex(concat(
+        hx.substr(lit(1), p * 2),
+        lpad(lower(hex(tweaked)), 2, "0"),
+        hx.substr(p * 2 + 3, lit(1024)))))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    base.unionByName(twins)
+  }
+
+  /** PERCEPTUAL-HASH NEAR-DUPLICATE PAIRS — the image twin of
+    * [[DedupOps.minhashPairs]]: band the 60-bit dHash into `nBands`
+    * disjoint bit slices, equi-join records sharing ANY (band, slice
+    * value) — never all-pairs — then verify candidates by EXACT hamming
+    * distance ≤ `maxHamming` (xor + bit_count, codegen'd integer work).
+    * Pigeonhole recall guarantee: ≤ nBands − 1 differing bits leave at
+    * least one band untouched, so every such pair IS a candidate; with
+    * the default 6 bands the hamming-5 verdict set is complete.
+    * Scale shape: candidate fan-out is Σ per-bucket n² over 2^(60/
+    * nBands) buckets per band — at larger corpora you widen the slices
+    * (fewer, bigger bands raise per-band selectivity exactly like LSH
+    * band tuning) or pre-split buckets on a second band, keeping the
+    * join an equi-join either way. Output: (doc_a, doc_b, hamming). */
+  def phashDups(mm: Dataset[MMRecord], maxHamming: Int = 5,
+                nBands: Int = 6): DataFrame = {
+    require(60 % nBands == 0, "nBands must divide 60")
+    val bits = 60 / nBands
+    val width = 1L << bits
+    // hashes feed the banding AND both verification join sides
+    val ph = graft.CacheScope.persist(perceptualHash(mm))
+    val bands = ph.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("phash60"), b * bits) % width): _*)).as(Seq("band", "bk")))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash60").as("ha")), Seq("doc_a"))
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash60").as("hb")), Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Resize stub: halve width/height until both fit `maxDim`, truncate the
     * payload to the implied byte budget (a codec would re-encode), emit
     * the new geometry + truncated-payload checksum. */

@@ -22,7 +22,14 @@ object MultimodalQueries extends QueryModule {
     "mm_energy_curve" -> ((s, d) => MultimodalOps.energyCurve(mm(s, d), windowBytes = 24)),
     // dHash perceptual fingerprint over the stubbed decode — the
     // near-duplicate image signature (group/band downstream like simhash)
-    "mm_phash" -> ((s, d) => MultimodalOps.perceptualHash(mm(s, d))))
+    "mm_phash" -> ((s, d) => MultimodalOps.perceptualHash(mm(s, d))),
+    // banded near-dup pairs over the dHash with planted one-byte twins:
+    // 6×10-bit band equi-join candidates, exact hamming ≤ 5 verification
+    // (complete by pigeonhole at 6 bands) — the image twin of
+    // dedup_minhash_lsh
+    "mm_phash_dups" -> ((s, d) => MultimodalOps.phashDups(
+      MultimodalOps.asRecords(
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -98,5 +105,33 @@ object MultimodalQueries extends QueryModule {
          |    THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT) AS phash60
          |FROM bytes a JOIN bytes c
          |  ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
-         |GROUP BY a.doc_id""".stripMargin)
+         |GROUP BY a.doc_id""".stripMargin,
+
+    // twins replayed as byte arithmetic (one byte +1 at pos doc_id%61),
+    // dHash per record, 6×10-bit band equi-join, xor+bit_count verify
+    "mm_phash_dups" ->
+      s"""$bytesCte,
+         |twb AS (SELECT doc_id + 1000000000 AS doc_id, i, nb AS b FROM (
+         |    SELECT doc_id, i,
+         |      CASE WHEN i = doc_id % 61 THEN (b + 1) % 256 ELSE b END AS nb
+         |    FROM bytes WHERE doc_id % 50 = 0)),
+         |allb AS (SELECT doc_id, i, b FROM bytes
+         |  UNION ALL SELECT doc_id, i, b FROM twb),
+         |ph AS (SELECT a.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN a.b < c.b
+         |      THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT) AS h
+         |  FROM allb a JOIN allb c
+         |    ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
+         |  GROUP BY a.doc_id),
+         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
+         |  FROM ph CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(pa.h, pb.h)) AS BIGINT) AS hamming
+         |FROM cands
+         |JOIN ph pa ON pa.doc_id = doc_a
+         |JOIN ph pb ON pb.doc_id = doc_b
+         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin)
 }

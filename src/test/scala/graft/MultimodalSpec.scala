@@ -43,4 +43,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(1) <= 16 && r.getInt(2) <= 16))
     assert(out.forall(r => r.getLong(3) <= 128L))
   }
+
+  test("phashDups recovers every planted twin within hamming 2 of its original") {
+    val withTwins = MultimodalOps.asRecords(MultimodalOps.mmTableWithTwins(docs))
+    val pairs = MultimodalOps.phashDups(withTwins).collect()
+    val planted = docs.select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      .collect().map(_.getLong(0)).toSet
+    // pigeonhole completeness: a one-byte flip moves <= 2 dHash bits, so
+    // banding must surface EVERY planted (orig, twin) pair
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(id => found.contains((id, id + 1000000000L))),
+      s"missing twins: ${planted.filterNot(id => found.contains((id, id + 1000000000L)))}")
+    assert(pairs.forall(_.getLong(2) <= 5))
+    assert(pairs.filter(r => planted.contains(r.getLong(0)) &&
+      r.getLong(1) == r.getLong(0) + 1000000000L).forall(_.getLong(2) <= 2))
+  }
 }
