@@ -641,11 +641,15 @@ object VectorOps {
     * the equality the oracle and KmeansIvfSpec pin. Centroid drift from
     * the unfitted batch is the accepted trade until the next rebuild
     * (standard IVF practice; [[ivfKmeansServe]] is the rebuild path). */
-  def ivfKmeansAppend(emb: DataFrame, splitId: Long, k: Int, indexDir: String,
-                      targetCellSize: Int = 50): DataFrame = {
+  /** BUILD + PERSIST the base IVF index over the existing corpus
+    * (`vec_id < splitId`): Lloyd-fit centroids and the base cell
+    * assignments land in parquet under `indexDir` — the expensive pass
+    * a production store runs once per rebuild cycle, factored out of
+    * [[ivfKmeansAppend]] so batch appends never repeat it. */
+  def ivfKmeansBuild(emb: DataFrame, splitId: Long, indexDir: String,
+                     targetCellSize: Int = 50): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // build + persist over the existing corpus only
     val base = emb.filter(col("vec_id") < splitId)
     val cents = kmeansCentroids(base, targetCellSize)
     cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
@@ -654,6 +658,21 @@ object VectorOps {
     kmeansRanked(base, cents, maxRank = 1)
       .select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$indexDir/cells")
+  }
+
+  def ivfKmeansAppend(emb: DataFrame, splitId: Long, k: Int, indexDir: String,
+                      targetCellSize: Int = 50,
+                      rebuildBase: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // build only when asked (the deterministic verify path) or when no
+    // persisted index exists yet; the steady-state append call finds the
+    // index on disk and does O(|batch|) work end-to-end — the base
+    // corpus is never re-assigned per batch
+    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rebuildBase || !fs.exists(centPath))
+      ivfKmeansBuild(emb, splitId, indexDir, targetCellSize)
     // append: reload the centroid matrix, assign ONLY the new batch
     val reloaded = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cid").select(col("cent"))

@@ -72,4 +72,28 @@ class KmeansIvfSpec extends SparkSpec {
     assert(appended == scratch,
       s"append served ${appended.size} rows != from-scratch ${scratch.size}")
   }
+
+  test("second append reuses the persisted base index without rewriting it") {
+    val dir = "target/graft-tmp/ivf_append_twice_spec"
+    val split = 200L
+    VectorOps.ivfKmeansBuild(clustered, split, dir)
+    def mtime(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getModificationTime).max
+    }
+    val (c0, b0) = (mtime("centroids"), mtime("cells"))
+    val first = VectorOps.ivfKmeansAppend(clustered, split, k = 3, dir,
+      rebuildBase = false).collect().map(_.toSeq).toSet
+    val second = VectorOps.ivfKmeansAppend(clustered, split, k = 3, dir,
+      rebuildBase = false).collect().map(_.toSeq).toSet
+    // appends are idempotent AND equal to the rebuild path's results
+    assert(first == second)
+    val rebuilt = VectorOps.ivfKmeansAppend(clustered, split, k = 3,
+      "target/graft-tmp/ivf_append_twice_spec_rb").collect().map(_.toSeq).toSet
+    assert(first == rebuilt)
+    // the base index was never recomputed or rewritten: O(|batch|) append
+    assert(mtime("centroids") == c0 && mtime("cells") == b0,
+      "append with rebuildBase=false rewrote the base index")
+  }
 }
