@@ -872,6 +872,48 @@ object VectorOps {
         round(col("c") + lit(1e-9), 6).as("cosine"))
   }
 
+  /** RECALL DIAGNOSTIC for the banded semantic-contamination screen —
+    * the embedding twin of [[DedupOps.lshRecall]]'s sampled form: the
+    * sign-LSH candidate generation is compared against the EXACT
+    * train × eval cosine pairs at the same threshold, with BOTH legs
+    * gated to the deterministic md5 sub-corpus (`sampleFrac` of
+    * vec_ids, salt "scr"). The exact leg is the expensive one (every
+    * train vector scores every benchmark vector), so at production
+    * scale only the sample ever runs it; the recall read stays
+    * unbiased because a pair's banding hit probability depends only on
+    * its cosine, not on corpus size. One summary row
+    * (n_exact, n_caught, recall); an empty exact set reads as vacuous
+    * recall 1.0. */
+  def semanticContaminationRecall(emb: DataFrame, evalPred: Column,
+                                  threshold: Double,
+                                  sampleFrac: Double = 1.0): DataFrame = {
+    val base =
+      if (sampleFrac >= 1.0) emb
+      else emb.filter(vecDraw("scr") < math.round(sampleFrac * 1000000L))
+    val e = base.withColumn("is_eval", evalPred)
+      .select(col("vec_id"), col("is_eval"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    // exact leg: brute-force train × eval scoring BY DESIGN (the honesty
+    // baseline) — the broadcast side is the benchmark set, bounded by
+    // eval-suite size and the sample gate
+    val exact = e.filter(!col("is_eval"))
+        .select(col("vec_id").as("train_id"), col("q").as("qa"), col("n2").as("n2a"))
+      .crossJoin(broadcast(e.filter(col("is_eval"))
+        .select(col("vec_id").as("eval_id"), col("q").as("qb"), col("n2").as("n2b"))))
+      .withColumn("c", cosinePre(col("qa"), col("qb"), col("n2a"), col("n2b")))
+      .filter(col("c") >= threshold)
+      .select(col("train_id"), col("eval_id"))
+    val approx = semanticContamination(base, evalPred, threshold)
+      .select(col("train_id"), col("eval_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("train_id", "eval_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_caught"))
+      .select(col("n_exact"), col("n_caught"),
+        when(col("n_exact") === 0, lit(1.0)).otherwise(
+          round(col("n_caught").cast("double") / col("n_exact") + lit(1e-9), 4))
+          .as("recall"))
+  }
+
   /** INT8 VECTOR COMPRESSION diagnostics: per-vector min/max scalar
     * quantization of the (already integer-quantized) embedding to 8-bit
     * codes — the 4× storage compression a production vector store

@@ -251,6 +251,13 @@ object VectorQueries extends QueryModule {
     "decontam_semantic" -> ((s, d) =>
       VectorOps.semanticContamination(Tables.embeddings(s, d),
         org.apache.spark.sql.functions.col("label") === 0, threshold = 0.4)),
+    // the banding's honesty metric: recall vs the exact train×eval
+    // cosine pairs, both legs on the deterministic md5 half-sample
+    // (the dedup_lsh_recall_sampled pattern on the embedding side)
+    "decontam_semantic_recall" -> ((s, d) =>
+      VectorOps.semanticContaminationRecall(Tables.embeddings(s, d),
+        org.apache.spark.sql.functions.col("label") === 0, threshold = 0.4,
+        sampleFrac = 0.5)),
     // flat-PQ ADC search: 4×16-dim codebooks (driver Lloyd fit replayed
     // by the oracle per subspace), codes map-side, approximate distance
     // = sum of m table lookups via one (m, code) equi-join
@@ -576,6 +583,41 @@ object VectorQueries extends QueryModule {
          |JOIN q qa ON qa.vec_id = train_id
          |JOIN q qb ON qb.vec_id = eval_id
          |WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4""".stripMargin,
+
+    // same sets/sig/bands replay as decontam_semantic over the sampled
+    // sub-corpus; exact leg = all train×eval pairs at the threshold
+    "decontam_semantic_recall" ->
+      s"""WITH esamp AS (SELECT * FROM embeddings
+         |  WHERE CAST('0x' || substr(md5('scr:' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 1000000 < 500000),
+         |q AS (SELECT vec_id, label = 0 AS is_eval, $qvSql AS qv FROM esamp),
+         |sg AS (SELECT vec_id, is_eval, qv, $sigSql AS sig FROM q),
+         |bands AS (
+         |  SELECT vec_id, is_eval, unnest(list_transform(range(0, 8), b ->
+         |    md5(CAST(b AS VARCHAR) || '|' ||
+         |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
+         |  FROM sg),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey
+         |  WHERE NOT a.is_eval AND b.is_eval),
+         |lsh AS (SELECT train_id, eval_id FROM cands
+         |  JOIN q qa ON qa.vec_id = train_id
+         |  JOIN q qb ON qb.vec_id = eval_id
+         |  WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4),
+         |ex AS (SELECT a.vec_id AS train_id, b.vec_id AS eval_id
+         |  FROM q a CROSS JOIN q b
+         |  WHERE NOT a.is_eval AND b.is_eval
+         |    AND ${cosSql("a.qv", "b.qv")} >= 0.4),
+         |hits AS (SELECT e.train_id, e.eval_id,
+         |    CASE WHEN l.train_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex e LEFT JOIN lsh l USING (train_id, eval_id))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught,
+         |  CASE WHEN COUNT(*) = 0 THEN 1.0
+         |       ELSE ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*) + 1e-9, 4) END
+         |    AS recall
+         |FROM hits""".stripMargin,
 
     "emb_int8_quant" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),

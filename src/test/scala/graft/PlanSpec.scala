@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
     "ann_rp_recall" -> "contains the exact brute-force baseline AND the RP-sketch full scan, both over the broadcast fixed query set (<= 10 rows)",
     "emb_hard_negatives" -> "same broadcast-anchors/stream-corpus shape as ann_cosine_topk: broadcast side is the fixed anchor set (vec_id < 10)",
     "events_hotkeys" -> "broadcasts the 1-row grand-total aggregate over the k-row (<= 10) top-key frame",
-    "mixture_token_budget" -> "broadcasts the 1-row token-total aggregate over the per-source frame (<= |sources| rows)")
+    "mixture_token_budget" -> "broadcasts the 1-row token-total aggregate over the per-source frame (<= |sources| rows)",
+    "decontam_semantic_recall" -> "exact leg is the brute-force train×eval baseline BY DESIGN; broadcast side is the benchmark set, bounded by eval-suite size and the sample gate")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
