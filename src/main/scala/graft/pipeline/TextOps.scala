@@ -921,7 +921,9 @@ object TextOps {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, a, b, a + b, n))
         // merged is read twice here (pair delta + new word table), so
-        // mergeTouched checkpoints it before the double use
+        // mergeTouched checkpoints it before the double use — measured
+        // faster than recomputing the touched-subset machinery for each
+        // reader (min-of-2 10.4 s vs 15.5 s at sf0.1)
         val (merged, touched, untouched) =
           mergeTouched(words, a, b, checkpointMerged = true)
         counts = counts

@@ -256,4 +256,30 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$cellsDir/batch_$id")
         ()
     }
+
+  /** STREAMING BPE TOKEN BILLING — the live twin of the frozen-tokenizer
+    * encode ([[graft.pipeline.TextOps.bpeEncodeFrozen]]): each arriving
+    * micro-batch of (doc_id, text) documents is billed against a FROZEN
+    * merge list (the driver-held ≤ nMerges-pair model, exactly like
+    * [[annIngest]]'s frozen centroid matrix). Per batch, the batch's
+    * DISTINCT words frozen-replay the merge list (batch-vocabulary-sized
+    * work; a persistent word→tokens cache would further skip recurring
+    * words between batches), the encode join-back yields each document's
+    * exact (n_words, bpe_tokens) bill, and the bill lands in the billing
+    * store as the batch's own parquet directory — overwrite ⇒
+    * exactly-once under replay (the repo's foreachBatch idempotency
+    * convention). Stateless: work scales with batch size alone on an
+    * unbounded stream, and token accounting against the SAME vocabulary
+    * the training run bills with goes live instead of nightly. */
+  def tokenBillStream(docs: DataFrame, merges: Seq[(String, String)],
+                      billDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        import graft.pipeline.TextOps
+        TextOps.bpeEncodeWith(batch,
+            TextOps.applyMerges(TextOps.charWords(batch), merges))
+          .select(col("doc_id"), col("n_words"), col("bpe_tokens"))
+          .write.mode("overwrite").parquet(s"$billDir/batch_$id")
+        ()
+    }
 }

@@ -291,6 +291,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot && streamed.size == 30)
   }
 
+  test("streaming BPE token billing: per-batch frozen encode equals the batch bill") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    val dir = s"target/graft-tmp/bpe_bill_spec_${System.nanoTime()}"
+    val train = Seq((1L, "abab abab abc"), (2L, "abc aaaa ab"),
+      (3L, "ab ab abab"), (4L, "aaaa abc abab")).toDF("doc_id", "text")
+    val mergesDf = TextOps.bpeLearn(train, nMerges = 3)
+    val merges = mergesDf.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // streamed corpus = the training docs plus one out-of-vocabulary doc
+    val streamDocs = Seq((1L, "abab abab abc"), (2L, "abc aaaa ab"),
+      (3L, "ab ab abab"), (4L, "aaaa abc abab"), (9L, "ababab zzz ab"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.tokenBillStream(
+        in.toDF.toDF("doc_id", "text"), merges, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(streamDocs.take(2))
+      q.processAllAvailable()
+      in.addData(streamDocs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/batch_0", s"$dir/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // two micro-batches against the frozen table == one batch pass
+    val oneShot = TextOps.bpeEncodeFrozen(streamDocs.toDF("doc_id", "text"), mergesDf)
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == oneShot && streamed.size == 5)
+    // and on the training docs the frozen bill equals the learn-path
+    // bill (tokenStatsBpe's budget column on the same corpus)
+    val learnBill = TextOps.bpeEncode(train, nMerges = 3)
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.filter(_._1 <= 4L) == learnBill)
+  }
+
   test("streaming exact dedup: state drops cross-batch duplicates") {
     // the dedup family's streaming form: dropDuplicates keyed on content
     // id with a watermark bounding state. The guarantee is one row per
