@@ -988,6 +988,57 @@ object TextOps {
     bpeEncodeWith(docs, applyMerges(charWords(docs), ms))
   }
 
+  /** TOKENIZER COMPRESSION / FERTILITY per source — the table every
+    * tokenizer evaluation reports: characters, whitespace words and
+    * exact BPE tokens per corpus slice, with chars-per-BPE-token (the
+    * compression rate) and BPE-tokens-per-word (fertility). A slice
+    * whose fertility is high is under-served by the learned vocabulary
+    * — the signal that drives merge-budget and mixture decisions.
+    * `bpe` is any (doc_id, bpe_tokens) frame ([[bpeEncodeWith]] on the
+    * shared fit); the rest is one row-local projection + one
+    * partial-aggregated groupBy. Ratios are single exact-BIGINT→double
+    * divisions rounded at 4 — engine-exact. */
+  def bpeCompressionStats(docs: DataFrame, bpe: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens).cast("long").as("n_words"))
+      .join(bpe.select(col("doc_id"), col("bpe_tokens")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_words")).as("words"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("chars"), col("words"),
+        col("bpe_tokens"),
+        round(col("chars").cast("double") / col("bpe_tokens") + lit(1e-9), 4)
+          .as("chars_per_token"),
+        round(col("bpe_tokens").cast("double") / col("words") + lit(1e-9), 4)
+          .as("fertility"))
+
+  /** OUT-OF-VOCABULARY RATE of a frozen tokenizer per corpus split —
+    * the deployment-health metric for a train-fitted vocabulary: what
+    * fraction of each split's word occurrences (and distinct words)
+    * never occurred in the training corpus the tokenizer was learned
+    * on? OOV words still encode (from characters — [[applyMerges]]),
+    * but at worse fertility; a rising val-OOV rate is the signal to
+    * refit. `trainVocab` is any frame whose `w` column holds the
+    * training words ([[bpeLearnState]]'s word table or its parquet
+    * reload). One explode + one broadcast-sized vocab join + one
+    * groupBy. */
+  def bpeOovRate(docs: DataFrame, trainVocab: DataFrame,
+                 valFrac: Double = 0.1, testFrac: Double = 0.05): DataFrame =
+    docs.select(splitCol(valFrac, testFrac).as("split"), explode(tokens).as("w"))
+      .join(trainVocab.select(col("w"), lit(1L).as("known")).distinct(), Seq("w"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"),
+        count_distinct(col("w")).as("n_distinct"),
+        count_distinct(when(col("known").isNull, col("w"))).as("n_distinct_oov"))
+      .select(col("split"), col("n_words"), col("n_oov"),
+        col("n_distinct"), col("n_distinct_oov"),
+        round(col("n_oov").cast("double") / col("n_words") + lit(1e-9), 6)
+          .as("oov_rate"))
+
   /** [[tokenStats]] extended with the exact BPE token count — the budget
     * column consumers plan token bills with, next to the cheap per-row
     * counts. Kept separate from the base [[tokenStats]] (a pure per-row

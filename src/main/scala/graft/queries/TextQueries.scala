@@ -227,6 +227,30 @@ object TextQueries extends QueryModule {
       wsyms.write.mode("overwrite").parquet(s"$dir/wordsyms")
       TextOps.bpeEncodeFrozen(dd, s.read.parquet(s"$dir/merges"))
     }),
+    // tokenizer compression/fertility per source (chars per BPE token,
+    // BPE tokens per word) over the SHARED fitted vocabulary
+    "bpe_compression_stats" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.bpeCompressionStats(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
+    }),
+    // per-split OOV rate of the train-fitted vocabulary — occurrences
+    // and distinct words the frozen tokenizer never saw in training
+    "bpe_oov_rate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
+      val trainWords = graft.pipeline.BpeFixture.learnedState(
+        dd.filter(sp === "train"), s"train@$d", nMerges = 20)._2
+      TextOps.bpeOovRate(dd, trainWords)
+    }),
+    // split-leakage screen: val documents sharing >= 3 shingles with a
+    // TRAIN document (the decontam machinery turned inward — the check
+    // that a random split didn't put near-copies on both sides of the
+    // train/val boundary)
+    "split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
+      DedupOps.contamination(dd.filter(sp =!= "test"), sp === "val")
+    }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
@@ -814,6 +838,69 @@ object TextQueries extends QueryModule {
     // persistence roundtrip: reload + frozen replay must equal the
     // direct encode, so the oracle IS the encode replay
     "bpe_vocab_roundtrip" -> bpeEncodeOracle(20),
+
+    "bpe_compression_stats" ->
+      s"""${bpeCtes(20)},
+         |$docWordCtes,
+         |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens
+         |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id),
+         |m AS (SELECT d.doc_id, d.source,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |    bt.bpe_tokens
+         |  FROM documents d JOIN bt ON d.doc_id = bt.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  CAST(SUM(n_words) AS BIGINT) AS words,
+         |  CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(bpe_tokens) AS BIGINT)
+         |    + 1e-9, 4) AS chars_per_token,
+         |  ROUND(CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT)
+         |    + 1e-9, 4) AS fertility
+         |FROM m GROUP BY source""".stripMargin,
+
+    "bpe_oov_rate" -> {
+      val draw = s"${hex60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""WITH tdocs AS (SELECT * FROM documents
+         |  WHERE $draw >= ${TextOps.drawThreshold(0.15)}),
+         |tv AS (SELECT DISTINCT w FROM (
+         |  SELECT UNNEST(string_split(text, ' ')) AS w FROM tdocs)),
+         |aw AS (SELECT
+         |    CASE WHEN $draw < ${TextOps.drawThreshold(0.1)} THEN 'val'
+         |         WHEN $draw < ${TextOps.drawThreshold(0.15)} THEN 'test'
+         |         ELSE 'train' END AS split,
+         |    UNNEST(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |j AS (SELECT split, aw.w, tv.w IS NOT NULL AS known
+         |      FROM aw LEFT JOIN tv ON aw.w = tv.w)
+         |SELECT split, COUNT(*) AS n_words,
+         |  CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  COUNT(DISTINCT w) AS n_distinct,
+         |  COUNT(DISTINCT CASE WHEN known THEN NULL ELSE w END) AS n_distinct_oov,
+         |  ROUND(CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) + 1e-9, 6) AS oov_rate
+         |FROM j GROUP BY split""".stripMargin
+    },
+
+    "split_leakage" -> {
+      val draw = s"${hex60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""WITH d2 AS (SELECT doc_id, text,
+         |    CASE WHEN $draw < ${TextOps.drawThreshold(0.1)} THEN 'val'
+         |         WHEN $draw < ${TextOps.drawThreshold(0.15)} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM documents),
+         |dd AS (SELECT doc_id, text, split = 'val' AS is_eval
+         |       FROM d2 WHERE split <> 'test'),
+         |sets AS (SELECT doc_id, is_eval, $shinglesSql AS sh FROM dd),
+         |inv0 AS (SELECT doc_id, is_eval, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot))
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  COUNT(*) AS shared
+         |FROM inv a JOIN inv b ON a.s = b.s
+         |WHERE NOT a.is_eval AND b.is_eval
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+    },
 
     // learn chain over the train split only; av-chain replays each
     // round's top$r (the FROZEN table) over the val split's word table,
