@@ -178,6 +178,53 @@ object MultimodalOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** FRAME-LEVEL DEDUP across records — the video twin of
+    * [[TextOps.lineDedup]]: every frame's exact content (hex of its
+    * bytes — the stub decode; a codec pipeline would hash the decoded
+    * frame) keeps only its globally FIRST occurrence (lowest (doc_id,
+    * frame_idx)), and each record reports how many of its frames were
+    * seen before. The dedup is the skew-safe min(struct) aggregation —
+    * a boilerplate frame repeated across a million clips stays one
+    * mergeable group, never one window partition. Output: (doc_id,
+    * n_frames, n_dup_frames). */
+  def frameDedup(mm: Dataset[MMRecord]): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    val frames = mm.mapPartitions(_.flatMap { r =>
+      Iterator.range(0, r.frames).map { f =>
+        val bytes = r.payload.slice(f * r.frame_size, (f + 1) * r.frame_size)
+        (r.doc_id, f.toLong, bytes.map(b => f"${b & 0xff}%02x").mkString)
+      }
+    }).toDF("doc_id", "frame_idx", "fhex")
+    val firsts = frames.groupBy(col("fhex"))
+      .agg(min(struct(col("doc_id"), col("frame_idx"))).as("first"))
+    frames.join(firsts, Seq("fhex"))
+      .withColumn("dup", struct(col("doc_id"), col("frame_idx")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_frames"))
+  }
+
+  /** SILENCE-SPAN DETECTION over the [[energyCurve]] — the VAD-style
+    * trim step an audio pipeline runs before transcription/training:
+    * maximal runs of consecutive windows whose energy (sum of squared
+    * centered samples) falls below `threshold` merge into spans (the
+    * gaps-and-islands cumulative-break pattern, per-record window
+    * bounded by payload length). Output: one row per span — (doc_id,
+    * span_start window index, n_wins, span_bytes). Integer arithmetic
+    * end-to-end. */
+  def silenceSpans(mm: Dataset[MMRecord], windowBytes: Int,
+                   threshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    energyCurve(mm, windowBytes).filter(col("sum_sq") < threshold)
+      .withColumn("grp", col("win_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("win_idx")).as("span_start"), count(lit(1)).as("n_wins"),
+        sum(col("n_bytes")).as("span_bytes"))
+      .select(col("doc_id"), col("span_start"), col("n_wins"), col("span_bytes"))
+  }
+
   /** Resize stub: halve width/height until both fit `maxDim`, truncate the
     * payload to the implied byte budget (a codec would re-encode), emit
     * the new geometry + truncated-payload checksum. */

@@ -29,7 +29,16 @@ object MultimodalQueries extends QueryModule {
     // dedup_minhash_lsh
     "mm_phash_dups" -> ((s, d) => MultimodalOps.phashDups(
       MultimodalOps.asRecords(
-        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))))
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))),
+    // frame-level exact dedup across records (twins share 3 of their 4
+    // frames with the original — the boilerplate-frame keep-first pass)
+    "mm_frame_dedup" -> ((s, d) => MultimodalOps.frameDedup(
+      MultimodalOps.asRecords(
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))),
+    // VAD-style silence spans: runs of consecutive low-energy windows
+    // (threshold ~p25 of the window-energy distribution)
+    "mm_silence_spans" -> ((s, d) => MultimodalOps.silenceSpans(
+      mm(s, d), windowBytes = 24, threshold = 100000L)))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -133,5 +142,40 @@ object MultimodalQueries extends QueryModule {
          |FROM cands
          |JOIN ph pa ON pa.doc_id = doc_a
          |JOIN ph pb ON pb.doc_id = doc_b
-         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin)
+         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin,
+
+    // frames rebuilt as 64-hex-char strings over base ∪ twins; first
+    // occurrence per content ranked by (doc_id, frame_idx)
+    "mm_frame_dedup" ->
+      s"""$bytesCte,
+         |twb AS (SELECT doc_id + 1000000000 AS doc_id, i, nb AS b FROM (
+         |    SELECT doc_id, i,
+         |      CASE WHEN i = doc_id % 61 THEN (b + 1) % 256 ELSE b END AS nb
+         |    FROM bytes WHERE doc_id % 50 = 0)),
+         |allb AS (SELECT doc_id, i, b FROM bytes
+         |  UNION ALL SELECT doc_id, i, b FROM twb),
+         |fr AS (SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+         |    string_agg(lower(lpad(hex(b), 2, '0')), '' ORDER BY i) AS fhex
+         |  FROM allb GROUP BY doc_id, i // 32),
+         |mk AS (SELECT doc_id, frame_idx, row_number() OVER (
+         |    PARTITION BY fhex ORDER BY doc_id, frame_idx) AS rn FROM fr)
+         |SELECT doc_id, COUNT(*) AS n_frames,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
+         |FROM mk GROUP BY doc_id""".stripMargin,
+
+    // window energies below the threshold merged into maximal runs
+    // (gaps-and-islands, the dedup_spans pattern)
+    "mm_silence_spans" ->
+      s"""$bytesCte,
+         |w AS (SELECT doc_id, CAST(i // 24 AS BIGINT) AS win_idx,
+         |    COUNT(*) AS nb,
+         |    CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS ss
+         |  FROM bytes GROUP BY doc_id, i // 24),
+         |s AS (SELECT * FROM w WHERE ss < 100000),
+         |mk AS (SELECT doc_id, win_idx, nb, win_idx - row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY win_idx) AS grp FROM s)
+         |SELECT doc_id, MIN(win_idx) AS span_start,
+         |  CAST(COUNT(*) AS BIGINT) AS n_wins,
+         |  CAST(SUM(nb) AS BIGINT) AS span_bytes
+         |FROM mk GROUP BY doc_id, grp""".stripMargin)
 }
