@@ -178,6 +178,32 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
   }
 
+  /** MATRYOSHKA-TRUNCATION SEARCH + RECALL — the evaluation run before
+    * serving MRL-style embeddings at a shorter length (Kusupati et al.
+    * 2022, arXiv 2205.13147): rank by cosine over only the FIRST
+    * `prefixDim` components (the cheap first-pass scan a tiered
+    * retrieval system runs at ¼ the bandwidth), then measure recall@k
+    * against the full-dimension exact ranking. Same fixed-query-set
+    * brute-force shape as [[bruteForceTopK]]; the truncation is a
+    * per-row `slice`, so the scan reads ¼ of each vector's arithmetic
+    * with no index at all. */
+  def matryoshkaRecall(emb: DataFrame, queryMaxId: Long, k: Int,
+                       prefixDim: Int = 16): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be positive")
+    val e = emb.select(col("vec_id"), slice(quant, 1, prefixDim).as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    import org.apache.spark.sql.expressions.Window
+    val approx = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
+  }
+
   /** Smallest b ≥ 1 (capped at `maxBits`) with 2^b · targetCellSize ≥ n —
     * exact integer arithmetic so the DuckDB oracle (same search over
     * range(1,17)) picks the identical b; a floating ceil(log2(…)) could

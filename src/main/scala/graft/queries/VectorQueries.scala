@@ -295,6 +295,13 @@ object VectorQueries extends QueryModule {
     "ann_rp_recall" -> ((s, d) =>
       VectorOps.rpRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
 
+    // matryoshka truncation eval: cosine over the first 16 of 64
+    // components vs the full-dimension exact ranking (the serve-shorter
+    // decision metric for MRL-style embeddings)
+    "ann_matryoshka_recall" -> ((s, d) =>
+      VectorOps.matryoshkaRecall(Tables.embeddings(s, d), queryMaxId = 10,
+        k = 3, prefixDim = 16)),
+
     // contrastive hard-negative mining: per anchor, top-5 most-similar
     // DIFFERENT-label vectors under a 0.95 near-dup ceiling
     "emb_hard_negatives" -> ((s, d) =>
@@ -583,6 +590,28 @@ object VectorQueries extends QueryModule {
          |JOIN q qa ON qa.vec_id = train_id
          |JOIN q qb ON qb.vec_id = eval_id
          |WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4""".stripMargin,
+
+    // full-dim exact top-3 vs prefix-16 cosine top-3, per query
+    "ann_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |  FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |tq AS (SELECT vec_id, qv[1:16] AS tv FROM q),
+         |tqs AS (SELECT vec_id AS q_id, tv AS tt FROM tq WHERE vec_id < 10),
+         |tsc AS (SELECT q_id, vec_id, ${cosSql("tt", "tv")} AS c
+         |  FROM tqs CROSS JOIN tq WHERE vec_id <> q_id),
+         |tr AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM tsc),
+         |approx AS (SELECT q_id, vec_id FROM tr WHERE rk <= 3),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     // same sets/sig/bands replay as decontam_semantic over the sampled
     // sub-corpus; exact leg = all train×eval pairs at the threshold

@@ -162,6 +162,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(0).getLong(got(0).fieldIndex("bpe_tokens")) === 7L)
   }
 
+  test("bpeCompressionStats: totals reconcile with per-doc stats and fertility >= per-word floor") {
+    val (_, wsyms) = TextOps.bpeLearnState(docs, nMerges = 20)
+    val bill = TextOps.bpeEncodeWith(docs, wsyms)
+    val out = TextOps.bpeCompressionStats(docs, bill).collect()
+    val totDocs = out.map(_.getLong(1)).sum
+    assert(totDocs === docs.count())
+    // every slice: at least one BPE token per word (a word never merges
+    // across its boundary), and chars strictly exceed the token count
+    // for multi-char tokens
+    out.foreach { r =>
+      val (words, toks) = (r.getLong(3), r.getLong(4))
+      assert(toks >= words, s"${r.getString(0)}: fewer tokens than words")
+      assert(r.getDouble(6) >= 1.0 - 1e-9) // fertility
+    }
+    // global BPE token total matches the bill's own sum
+    val billTot = bill.agg(sum(col("bpe_tokens"))).head.getLong(0)
+    assert(out.map(_.getLong(4)).sum === billTot)
+  }
+
+  test("bpeOovRate: train split has zero OOV by construction; rates reconcile") {
+    val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
+    val trainVocab = TextOps.bpeLearnState(
+      docs.filter(sp === "train"), nMerges = 2)._2
+    val out = TextOps.bpeOovRate(docs, trainVocab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the vocabulary was learned on exactly the train split
+    assert(out("train").getLong(2) === 0L)
+    assert(out("train").getLong(4) === 0L)
+    // occurrences and distinct counts are consistent per split
+    out.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_oov <= n_words
+      assert(r.getLong(4) <= r.getLong(3)) // distinct_oov <= distinct
+    }
+  }
+
   test("semDedup: verdicts at-threshold, keep-min-id, and confined to shared cells") {
     val thr = 0.4
     val d = VectorOps.semDedup(emb, threshold = thr)

@@ -44,6 +44,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) <= 128L))
   }
 
+  test("frameDedup: twins lose exactly their 3 unflipped frames; originals keep all") {
+    val withTwins = MultimodalOps.asRecords(MultimodalOps.mmTableWithTwins(docs))
+    val out = MultimodalOps.frameDedup(withTwins).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = docs.select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      .collect().map(_.getLong(0))
+    // every record reports all 4 frames; originals (lower doc_id) own
+    // the first occurrence, so they have zero dups
+    assert(out.values.forall(_._1 == 4L))
+    assert(planted.forall(id => out(id)._2 == 0L))
+    // a twin's flipped byte sits in frame 0 or 1 (pos <= 60 < 64), so
+    // exactly 3 of its frames duplicate the original's
+    assert(planted.forall(id => out(id + 1000000000L)._2 == 3L))
+    assert(out.filterNot { case (id, _) => planted.contains(id - 1000000000L) }
+      .forall(_._2._2 == 0L))
+  }
+
+  test("silenceSpans: spans are maximal runs of sub-threshold windows") {
+    val mm = MultimodalOps.asRecords(MultimodalOps.mmTable(docs))
+    val thr = 100000L
+    val spans = MultimodalOps.silenceSpans(mm, windowBytes = 24, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val energy = MultimodalOps.energyCurve(mm, windowBytes = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(spans.nonEmpty)
+    spans.foreach { case (doc, start, n, bytes) =>
+      // every window inside the span is silent; the windows bracketing
+      // it (if they exist) are not — maximality
+      (start until start + n).foreach(w => assert(energy((doc, w)) < thr))
+      energy.get((doc, start - 1)).foreach(ss => assert(ss >= thr))
+      energy.get((doc, start + n)).foreach(ss => assert(ss >= thr))
+      assert(bytes <= n * 24)
+    }
+    // total silent windows across spans == total sub-threshold windows
+    assert(spans.map(_._3).sum == energy.values.count(_ < thr))
+  }
+
   test("phashDups recovers every planted twin within hamming 2 of its original") {
     val withTwins = MultimodalOps.asRecords(MultimodalOps.mmTableWithTwins(docs))
     val pairs = MultimodalOps.phashDups(withTwins).collect()
