@@ -375,6 +375,55 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** CDC rolling-hash window width (tokens). */
+  val CdcW = 4
+
+  /** CONTENT-DEFINED CHUNKING (the FastCDC/rsync family, token-level):
+    * a chunk boundary falls after token j wherever the polynomial hash
+    * of the last [[CdcW]] tokens lands on a zero residue mod
+    * 2^`maskBits` — so boundaries depend only on LOCAL content, and an
+    * insertion or deletion re-synchronizes within one window instead of
+    * shifting every downstream chunk (the property fixed-stride
+    * [[chunkDocs]] lacks, and the reason storage and corpus dedup
+    * pipelines chunk this way). Expected chunk length is 2^maskBits
+    * tokens; the document end always closes the final chunk. Output one
+    * row per chunk: (doc_id, chunk_id, start_tok, n_tokens, chunk_md5)
+    * — the md5 is the downstream dedup key. Shape: one explode over
+    * token positions (w in-row element_at reads per position, no
+    * shuffle), then a per-doc window over the ~n/2^maskBits boundary
+    * rows. Integer hash arithmetic mirrors [[fingerprints]]' Rabin–Karp
+    * constants, so the oracle replays it exactly. */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 4): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, "maskBits in [1, 20]")
+    val mask = 1L << maskBits
+    val pows = (0 until CdcW).scanLeft(1L)((a, _) => a * 131L % HashP)
+      .take(CdcW).reverse
+    val ts = tokens
+    val base = docs.select(col("doc_id"), ts.as("ts"),
+      size(ts).cast("long").as("n"))
+    val tokVal = (t: Column) =>
+      (ascii(substring(t, 1, 1)) * 131 + length(t) * 31 +
+        ascii(substring(t, -1, 1))).cast("long")
+    val bounds = base.filter(col("n") >= CdcW)
+      .select(col("doc_id"),
+        explode(sequence(lit(CdcW.toLong), col("n"))).as("j"), col("ts"))
+      .withColumn("h", pows.zipWithIndex.map { case (p, i) =>
+          tokVal(element_at(col("ts"), (col("j") - (CdcW - 1) + i).cast("int"))) * lit(p)
+        }.reduce(_ + _) % HashP)
+      .filter(col("h") % mask === 0)
+      .select(col("doc_id"), col("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j"))
+    bounds.unionByName(base.select(col("doc_id"), col("n").as("j"))).distinct()
+      .withColumn("start", coalesce(lag(col("j"), 1).over(w) + 1, lit(1L)))
+      .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
+      .join(base.select(col("doc_id"), col("ts")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("start").as("start_tok"),
+        (col("j") - col("start") + 1).as("n_tokens"),
+        md5(array_join(slice(col("ts"), col("start").cast("int"),
+          (col("j") - col("start") + 1).cast("int")), " ")).as("chunk_md5"))
+  }
+
   /** PII pattern table: (name, Java+RE2-portable regex, replacement tag).
     * Patterns deliberately avoid constructs the two engines treat
     * differently (backreferences, lookaround, lazy quantifiers) — plain

@@ -479,6 +479,11 @@ object TextQueries extends QueryModule {
     "text_chunking" -> ((s, d) =>
       TextOps.chunkDocs(docs(s, d), window = 32, stride = 24)),
 
+    // content-defined chunking: boundaries where the 4-token rolling
+    // hash hits a zero residue mod 16 (edit-resilient, re-synchronizing
+    // — the storage/corpus-dedup chunker; expected chunk ~16 tokens)
+    "text_cdc_chunks" -> ((s, d) => TextOps.cdcChunks(docs(s, d))),
+
     // PII scrub over text with deterministic synthetic contact info
     // appended (the corpus itself is PII-free): counts + redacted text.
     // Injection is doc_id arithmetic so both engines build the same
@@ -1414,6 +1419,33 @@ object TextQueries extends QueryModule {
         |  array_to_string(list_slice(ts, c * 24 + 1, c * 24 + 32), ' ')
         |    AS chunk_text
         |FROM u""".stripMargin,
+
+    "text_cdc_chunks" -> {
+      val pows = (0 until TextOps.CdcW)
+        .scanLeft(1L)((a, _) => a * 131L % TextOps.HashP)
+        .take(TextOps.CdcW).reverse
+      val terms = pows.zipWithIndex.map { case (p, i) =>
+        val off = TextOps.CdcW - 1 - i
+        s"""(ascii(substr(ts[j - $off], 1, 1)) * 131 + length(ts[j - $off]) * 31
+           | + ascii(right(ts[j - $off], 1))) * CAST($p AS BIGINT)""".stripMargin
+      }.mkString("\n      + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |pj AS (SELECT doc_id, CAST(j AS BIGINT) AS j, ts FROM (
+         |    SELECT doc_id, ts, UNNEST(range(4, n + 1)) AS j FROM t WHERE n >= 4)),
+         |bj AS (SELECT doc_id, j FROM pj
+         |  WHERE (($terms) % ${TextOps.HashP}) % 16 = 0),
+         |ends AS (SELECT doc_id, j FROM bj UNION SELECT doc_id, n AS j FROM t),
+         |mk AS (SELECT doc_id, j,
+         |    COALESCE(lag(j) OVER (PARTITION BY doc_id ORDER BY j) + 1, 1) AS start,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT)
+         |      AS chunk_id
+         |  FROM ends)
+         |SELECT mk.doc_id, chunk_id, CAST(start AS BIGINT) AS start_tok,
+         |  j - start + 1 AS n_tokens,
+         |  md5(array_to_string(list_slice(ts, start, j), ' ')) AS chunk_md5
+         |FROM mk JOIN t ON mk.doc_id = t.doc_id""".stripMargin
+    },
 
     "text_pii_scrub" -> {
       // concat() instead of ||: stripMargin would eat a line-leading ||

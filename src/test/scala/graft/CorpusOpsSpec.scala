@@ -162,6 +162,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(0).getLong(got(0).fieldIndex("bpe_tokens")) === 7L)
   }
 
+  test("cdcChunks: chunks tile each document; boundaries re-synchronize after an edit") {
+    import spark.implicits._
+    val chunks = TextOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tiling: per doc, chunks are contiguous from token 1 to n
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == lens(doc))
+    }
+    // EDIT RESILIENCE (the property fixed-stride chunking lacks): put a
+    // token in front of a document — every chunk after the first
+    // re-synchronized boundary keeps its content hash
+    val base = docs.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).head.getString(1)
+    val pair = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(pair).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val ha = out.filter(_._1 == 1L).map(_._2)
+    val hb = out.filter(_._1 == 2L).map(_._2)
+    val shared = ha.toSet.intersect(hb.toSet).size
+    assert(shared >= ha.length - 2,
+      s"only $shared of ${ha.length} chunk hashes survived a front insertion")
+  }
+
   test("bpeCompressionStats: totals reconcile with per-doc stats and fertility >= per-word floor") {
     val (_, wsyms) = TextOps.bpeLearnState(docs, nMerges = 20)
     val bill = TextOps.bpeEncodeWith(docs, wsyms)
