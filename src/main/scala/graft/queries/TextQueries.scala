@@ -151,18 +151,21 @@ object TextQueries extends QueryModule {
 
   /** Just the unrolled merge-round CTE chain (w0 … w`rounds`) over the
     * corpus relation `src`, shared by the learn oracle and the encode
-    * oracle — w`rounds` IS the encoded vocabulary (w, cnt, syms). */
-  private def bpeCtes(rounds: Int, src: String = "documents"): String = {
+    * oracle — w`rounds` IS the encoded vocabulary (w, cnt, syms).
+    * `p` prefixes every CTE name so two independent learn chains (e.g.
+    * the vocab-drift oracle's two corpus halves) compose in one WITH. */
+  private def bpeCtes(rounds: Int, src: String = "documents",
+                      p: String = ""): String = {
     val head =
-      s"""WITH w0 AS MATERIALIZED (
+      s"""WITH ${p}w0 AS MATERIALIZED (
          |  ${charWordsSql(src)})""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS n FROM (
+      s"""${p}pr$r AS MATERIALIZED (SELECT l, r, SUM(cnt) AS n FROM (
          |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
-         |      SELECT cnt, syms, UNNEST(range(1, len(syms))) AS i FROM w${r - 1}))
+         |      SELECT cnt, syms, UNNEST(range(1, len(syms))) AS i FROM ${p}w${r - 1}))
          |  GROUP BY l, r),
-         |top$r AS MATERIALIZED (SELECT l, r, n FROM pr$r ORDER BY n DESC, l, r LIMIT 1),
-         |${mergeRoundCtes(s"top$r", s"w${r - 1}", s"g$r", s"mg$r", s"w$r")}""".stripMargin
+         |${p}top$r AS MATERIALIZED (SELECT l, r, n FROM ${p}pr$r ORDER BY n DESC, l, r LIMIT 1),
+         |${mergeRoundCtes(s"${p}top$r", s"${p}w${r - 1}", s"${p}g$r", s"${p}mg$r", s"${p}w$r")}""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps"
   }
@@ -483,6 +486,24 @@ object TextQueries extends QueryModule {
     // hash hits a zero residue mod 16 (edit-resilient, re-synchronizing
     // — the storage/corpus-dedup chunker; expected chunk ~16 tokens)
     "text_cdc_chunks" -> ((s, d) => TextOps.cdcChunks(docs(s, d))),
+
+    // tokenizer VOCABULARY DRIFT: merges learned independently on the
+    // two deterministic corpus halves, compared rank by rank — the
+    // distribution-shift monitor that tells a pipeline when yesterday's
+    // tokenizer no longer fits today's crawl (rank-level disagreement
+    // is the refit signal alongside bpe_oov_rate)
+    "bpe_vocab_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dd = docs(s, d)
+      val draw = TextOps.mdDraw6("half")
+      val a = TextOps.bpeLearn(dd.filter(draw < 500000), nMerges = 20)
+        .select(col("merge_rank"), col("merged").as("merged_a"))
+      val b = TextOps.bpeLearn(dd.filter(draw >= 500000), nMerges = 20)
+        .select(col("merge_rank"), col("merged").as("merged_b"))
+      a.join(b, Seq("merge_rank"), "full_outer")
+        .select(col("merge_rank"), col("merged_a"), col("merged_b"),
+          (col("merged_a") <=> col("merged_b")).as("same"))
+    }),
 
     // PII scrub over text with deterministic synthetic contact info
     // appended (the corpus itself is PII-free): counts + redacted text.
@@ -843,6 +864,25 @@ object TextQueries extends QueryModule {
     // persistence roundtrip: reload + frozen replay must equal the
     // direct encode, so the oracle IS the encode replay
     "bpe_vocab_roundtrip" -> bpeEncodeOracle(20),
+
+    // two independent prefixed learn chains over the md5 halves, rank
+    // rows unioned per chain, full-outer joined on rank
+    "bpe_vocab_drift" -> {
+      val draw = s"${hex60Sql("md5('half:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      def ranks(p: String) = (1 to 20).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, l || r AS merged FROM ${p}top$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ha AS MATERIALIZED (SELECT * FROM documents WHERE $draw < 500000),
+         |hb AS MATERIALIZED (SELECT * FROM documents WHERE $draw >= 500000),
+         |${bpeCtes(20, "ha", "a").stripPrefix("WITH ")},
+         |${bpeCtes(20, "hb", "b").stripPrefix("WITH ")},
+         |ra AS (${ranks("a")}),
+         |rb AS (${ranks("b")})
+         |SELECT COALESCE(ra.merge_rank, rb.merge_rank) AS merge_rank,
+         |  ra.merged AS merged_a, rb.merged AS merged_b,
+         |  ra.merged IS NOT DISTINCT FROM rb.merged AS same
+         |FROM ra FULL OUTER JOIN rb ON ra.merge_rank = rb.merge_rank""".stripMargin
+    },
 
     "bpe_compression_stats" ->
       s"""${bpeCtes(20)},
