@@ -373,4 +373,188 @@ object DedupOps {
       .filter(col("lev") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
   }
+
+  /** CONTAINMENT near-dup pairs — the asymmetric twin of [[minhashPairs]]:
+    * C(A→B) = |A∩B| / |A| flags documents SUBSUMED in a larger one
+    * (wire-copy, quote-farm, page-with-boilerplate-wrapper), which
+    * symmetric Jaccard misses whenever the container is much bigger than
+    * the contained doc. Candidates come from the same banded LSH equi-join
+    * (no all-pairs); a pair survives when either direction's containment
+    * reaches `threshold`. Caveat (documented, inherent): MinHash collision
+    * probability tracks JACCARD, so a tiny doc inside a huge one may not
+    * collide in any band — at production scale the candidate generator for
+    * pure containment would band the SMALL doc's shingles only; for
+    * corpus-vs-corpus screens see [[contamination]], which already uses the
+    * full inverted index. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.6,
+                       sharedInv: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0, "containment verification assumes a positive threshold")
+    val inv = sharedInv.getOrElse(shingleRows(docs))
+    val bands = minhashBandsFromInv(inv)
+    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("ca", col("inter").cast("double") / col("na"))
+      .withColumn("cb", col("inter").cast("double") / col("nb"))
+      .filter(greatest(col("ca"), col("cb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ca") + lit(1e-9), 4).as("cont_a_in_b"),
+        round(col("cb") + lit(1e-9), 4).as("cont_b_in_a"))
+  }
+
+  /** Near-dup clusters of the full corpus: connected components over the
+    * verified [[minhashPairs]] graph, EXTENDED to singletons — every
+    * document gets a `comp_id` (its own id when it has no near-dup), so
+    * downstream per-cluster decisions (splits, survivor picks) cover the
+    * whole corpus, not just the clustered minority. One left join of the
+    * corpus against the (small) component frame. */
+  def componentsAll(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val comps = GraphOps.connectedComponents(
+      minhashPairs(docs, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp_id"), col("doc_id")).as("comp_id"))
+  }
+
+  /** LEAKAGE-FREE train/val/test split: the whole near-dup CLUSTER moves to
+    * one split. A by-document split ([[TextOps.splitAssign]]) leaks
+    * near-duplicates of training documents into validation — the benchmark
+    * then measures memorization, not generalization (the failure
+    * `split_leakage` diagnoses; this operator prevents it by
+    * construction). The draw is a deterministic function of (salt,
+    * comp_id), so the split stays stable as the corpus grows AND as new
+    * members join an existing cluster: they land wherever their cluster
+    * already lives. Cost over plain splitting: the pair mining + one
+    * corpus-vs-components left join — both linear, no all-pairs. */
+  def leakproofSplit(docs: DataFrame, valFrac: Double, testFrac: Double,
+                     threshold: Double = 0.5,
+                     salt: String = "split"): DataFrame = {
+    val u = TextOps.mdDraw6On(salt, col("comp_id"))
+    componentsAll(docs, threshold)
+      .select(col("doc_id"), col("comp_id"),
+        when(u < TextOps.drawThreshold(valFrac), "val")
+          .when(u < TextOps.drawThreshold(valFrac + testFrac), "test")
+          .otherwise("train").as("split"))
+  }
+
+  /** SURVIVOR SELECTION: one canonical document per near-dup cluster — the
+    * decision step that turns pair mining into an actually-deduplicated
+    * corpus. The canonical member is the cluster's best-quality document
+    * ([[TextOps.qualityCol]]), ties broken by smallest doc_id; every
+    * clustered document maps to its survivor so references can be
+    * redirected (`canonical_id`), and `is_canonical` marks the rows a
+    * keep-filter retains. Only genuinely clustered documents appear (the
+    * unclustered corpus majority needs no decision and would only bloat
+    * the frame). The window partitions by comp_id — cluster-sized groups,
+    * never corpus-sized partitions. */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = GraphOps.connectedComponents(
+      minhashPairs(docs, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+    val scored = docs
+      .select(col("doc_id"), TextOps.qualityCol.as("quality"))
+      .join(comps, Seq("doc_id"))
+    val w = Window.partitionBy(col("comp_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("canonical_id",
+        first(col("doc_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("comp_id"), col("quality"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Pairwise-similarity HISTOGRAM of a deterministic sub-corpus: exact
+    * shingle-Jaccard of every co-occurring pair (df-capped inverted index,
+    * as [[jaccardPairs]]) binned into tenths. The bin is computed in
+    * INTEGER arithmetic — floor(10·|∩| / |∪|) clamped to 9 — so no
+    * float-boundary pair can land in different bins across engines. This
+    * is the data profile [[lshPlanConfigs]]'s S-curves integrate against:
+    * what fraction of this corpus' pair mass sits above/below the dedup
+    * threshold determines which (bands, rows) trade-off wins. */
+  def jaccardHistogram(docs: DataFrame, maxPostingLen: Int = 100,
+                       sampleFrac: Double = 1.0,
+                       sampleSalt: String = "plan"): DataFrame = {
+    val invAll = shingleRows(sampleDocs(docs, sampleFrac, sampleSalt))
+    val sizes = invAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostingLen).select(col("s"))
+    val inv = invAll.join(broadcast(hot), Seq("s"), "left_anti")
+    inv.select(col("doc_id").as("doc_a"), col("s"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(least(expr("(10 * inter) div (na + nb - inter)"), lit(9L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The (bands, rows) grid an LSH planner weighs for a k=16 MinHash
+    * signature, with the EXACT detection probability at each similarity
+    * bin's midpoint: p = 1 − (1 − s^r)^b at s = (2·bin+1)/20, evaluated in
+    * exact rational arithmetic (BigInt numerators over 20^(r·b); max
+    * numerator ≈ 6.6e20 — the final division to double is the only
+    * rounding, identical in any IEEE engine). Shared by the Spark plan and
+    * the generated oracle SQL so both integrate the identical S-curve. */
+  def lshPlanConfigs: Seq[(Int, Int, Int, Double)] = {
+    val den16 = BigInt(20).pow(16)
+    for {
+      (b, r) <- Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+      bin <- 0 to 9
+    } yield {
+      val m = BigInt(2 * bin + 1)
+      // (20^r − m^r)^b / 20^(r·b) = P(no band collides)
+      val miss = (BigInt(20).pow(r) - m.pow(r)).pow(b)
+      (b, r, bin, 1.0 - miss.toDouble / den16.toDouble)
+    }
+  }
+
+  /** LSH PARAMETER PLANNER — pick (bands, rows) from measured data, not
+    * folklore: integrate each config's S-curve against the corpus' own
+    * pairwise-similarity histogram ([[jaccardHistogram]], sampled). Per
+    * config: expected candidate-pair count, expected false positives
+    * (candidates below the dedup threshold 0.5 — wasted verification
+    * work), expected false negatives (missed true dups), and estimated
+    * recall. The histogram is ≤10 rows and the grid 50 — everything after
+    * the (sampled, df-capped) pair scan is broadcast-sized. */
+  def lshPlan(docs: DataFrame, maxPostingLen: Int = 100,
+              sampleFrac: Double = 1.0,
+              sampleSalt: String = "plan"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = jaccardHistogram(docs, maxPostingLen, sampleFrac, sampleSalt)
+    val grid = lshPlanConfigs.toDF("bands", "rows_", "bin", "p")
+    hist.join(broadcast(grid), Seq("bin"))
+      .groupBy(col("bands"), col("rows_"))
+      .agg(
+        graft.queries.Sql.decSum(round(col("n_pairs") * col("p") + lit(1e-9), 6))
+          .as("exp_candidates"),
+        graft.queries.Sql.decSum(round(
+          when(col("bin") < 5, col("n_pairs") * col("p")).otherwise(lit(0.0))
+            + lit(1e-9), 6)).as("exp_fp"),
+        graft.queries.Sql.decSum(round(
+          when(col("bin") >= 5, col("n_pairs") * (lit(1.0) - col("p")))
+            .otherwise(lit(0.0)) + lit(1e-9), 6)).as("exp_fn"),
+        sum(when(col("bin") >= 5, col("n_pairs")).otherwise(lit(0L))).as("n_true"))
+      .select(col("bands"), col("rows_"), col("exp_candidates"),
+        col("exp_fp"), col("exp_fn"),
+        round(when(col("n_true") > 0,
+          lit(1.0) - col("exp_fn") / col("n_true")).otherwise(lit(1.0))
+          + lit(1e-9), 6).as("est_recall"))
+  }
 }

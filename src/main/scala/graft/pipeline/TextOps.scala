@@ -79,8 +79,13 @@ object TextOps {
     * corpus growth and reshuffling, and compared against integer
     * thresholds so no float-boundary value can diverge across engines. */
   val DrawMod = 1000000L
-  def mdDraw6(salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 15),
+  def mdDraw6(salt: String): Column = mdDraw6On(salt, col("doc_id"))
+
+  /** [[mdDraw6]] keyed on an arbitrary id column — e.g. a CLUSTER id, so a
+    * whole near-dup component draws one fate ([[graft.pipeline.DedupOps
+    * .leakproofSplit]]). */
+  def mdDraw6On(salt: String, idCol: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 15),
       16, 10).cast("long") % DrawMod
 
   /** Probability → integer draw threshold. */
@@ -1330,5 +1335,57 @@ object TextOps {
       .withColumn("nn", count(lit(1)).over(w.partitionBy("source")))
       .filter(col("rn") <= expr(s"(nn * $keepNum + ${keepDen - 1}) div $keepDen"))
       .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  /** VOCABULARY COVERAGE CURVE — the sizing question every tokenizer
+    * decision starts from: what fraction of the corpus' token mass do the
+    * top-k word types cover? Words rank by (frequency desc, word asc —
+    * total order, so the cumulative sum is engine-deterministic); the
+    * curve is evaluated at the `ks` checkpoints. All arithmetic is exact
+    * integers until the single coverage division. The global rank window
+    * sorts the VOCABULARY (types, not tokens — bounded, like the BPE merge
+    * frames), never the corpus; the corpus-sized work is one explode +
+    * partial-agg word count. */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256,
+                                       512, 1024, 2048, 4096)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "checkpoints must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("w").asc)
+    val wc = docs.select(explode(tokens).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val curve = wc
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("freq")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("k").isin(ks.map(_.toLong): _*))
+    val tot = wc.agg(sum(col("freq")).as("tot"))
+    curve.join(broadcast(tot))
+      .select(col("k"), col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("tot")).as("coverage"))
+  }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS (α = 1/2): the multilingual /
+    * multi-domain sampling rule w_d ∝ n_d^α that up-weights small slices
+    * relative to proportional sampling without letting any slice dominate.
+    * α = 1/2 is chosen deliberately: IEEE sqrt is correctly rounded, so
+    * the weights are bit-identical in any engine (a general pow() is not).
+    * Returns, per source: doc/token volume, the temperature weight, and
+    * the slice's token allowance under `budgetTokens`. One corpus scan +
+    * one partial-agg shuffle; everything after is |sources|-sized. */
+  def temperatureWeights(docs: DataFrame,
+                         budgetTokens: Long = 1000000L): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val per = docs.select(col("source"), size(tokens).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      // 6-decimal fixed-point sqrt: the decimal-cast sum is then exact,
+      // so the normalizing total is order-independent across partitions
+      .withColumn("s", round(sqrt(col("n_tokens").cast("double")) + lit(1e-9), 6))
+    val tot = per.agg(graft.queries.Sql.decSum(col("s")).as("tot"))
+    per.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("s") / col("tot") + lit(1e-9), 6).as("weight"),
+        floor(col("s") / col("tot") * budgetTokens).cast("long").as("budget_tokens"))
   }
 }

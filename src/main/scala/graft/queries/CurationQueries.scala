@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-10 corpus-curation decision operators: the steps that turn pair
+  * mining and scoring into an actually-shipped dataset — leakage-free
+  * splits, survivor selection, containment screening, tokenizer sizing,
+  * temperature mixing, and measured LSH parameter planning.
+  *
+  * Oracle plumbing (band keys, shingle sets, component closure, quality
+  * score) is shared verbatim with [[TextQueries]] so the replays cannot
+  * drift from the dedup family they extend.
+  */
+object CurationQueries extends QueryModule {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  import TextQueries.{componentsCtes, dlit, hex60Sql, lshCte, qualityCte, shinglesSql}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LEAKAGE-FREE split: the whole near-dup cluster draws ONE fate, so no
+    // val/test doc has a near-duplicate in train (the failure mode
+    // split_leakage measures; this prevents it by construction)
+    "split_leakproof" -> ((s, d) =>
+      DedupOps.leakproofSplit(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
+    // survivor selection: per near-dup cluster keep the best-quality doc
+    // (ties to smallest doc_id); every clustered doc maps to its survivor
+    "dedup_canonical" -> ((s, d) => DedupOps.canonicalDocs(docs(s, d))),
+    // asymmetric containment |A∩B|/|A| over the banded candidates — flags
+    // documents SUBSUMED in a bigger one, which symmetric Jaccard misses
+    "text_containment" -> ((s, d) => DedupOps.containmentPairs(docs(s, d))),
+    // tokenizer sizing: cumulative token-mass coverage of the top-k word
+    // types at power-of-two checkpoints
+    "vocab_coverage_curve" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
+    // temperature-scaled (α = 1/2) mixture weights per source + the token
+    // allowance each slice gets under a 1M-token budget
+    "mixture_temperature" -> ((s, d) => TextOps.temperatureWeights(docs(s, d))),
+    // measured LSH planning: integrate each (bands, rows) S-curve against
+    // the corpus' own sampled pairwise-similarity histogram
+    "lsh_planner" -> ((s, d) => DedupOps.lshPlan(docs(s, d), sampleFrac = 0.5)))
+
+  def oracles: Map[String, String] = Map(
+    "split_leakproof" -> {
+      val draw = s"${hex60Sql("md5('split:' || CAST(comp_id AS VARCHAR))")} % 1000000"
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$componentsCtes,
+         |alldocs AS (SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+         |  FROM documents d LEFT JOIN comps c USING (doc_id))
+         |SELECT doc_id, comp_id,
+         |  CASE WHEN $draw < ${TextOps.drawThreshold(0.1)} THEN 'val'
+         |       WHEN $draw < ${TextOps.drawThreshold(0.15)} THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM alldocs""".stripMargin
+    },
+
+    "dedup_canonical" ->
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$componentsCtes,
+         |$qualityCte,
+         |j AS (SELECT c.doc_id, c.comp_id, qq.quality
+         |      FROM comps c JOIN qq ON qq.doc_id = c.doc_id),
+         |k AS (SELECT doc_id, comp_id, quality,
+         |    FIRST_VALUE(doc_id) OVER (
+         |      PARTITION BY comp_id ORDER BY quality DESC, doc_id) AS canonical_id
+         |  FROM j)
+         |SELECT doc_id, comp_id, quality, canonical_id,
+         |  doc_id = canonical_id AS is_canonical
+         |FROM k""".stripMargin,
+
+    "text_containment" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS ca,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS cb
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) > 0)
+         |SELECT doc_a, doc_b,
+         |  ROUND(ca + 1e-9, 4) AS cont_a_in_b,
+         |  ROUND(cb + 1e-9, 4) AS cont_b_in_a
+         |FROM scored
+         |WHERE greatest(ca, cb) >= 0.6""".stripMargin,
+
+    "vocab_coverage_curve" ->
+      s"""WITH wc AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |r AS (SELECT w, freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS k,
+         |    CAST(SUM(freq) OVER (ORDER BY freq DESC, w
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM wc),
+         |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM wc)
+         |SELECT k, cum_tokens, CAST(cum_tokens AS DOUBLE) / tot AS coverage
+         |FROM r, t
+         |WHERE k IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)""".stripMargin,
+
+    "mixture_temperature" ->
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |sc AS (SELECT source, n_docs, n_tokens,
+         |    ROUND(sqrt(CAST(n_tokens AS DOUBLE)) + 1e-9, 6) AS s FROM per),
+         |t AS (SELECT ${Sql.decSumSql("s")} AS tot FROM sc)
+         |SELECT source, n_docs, n_tokens,
+         |  ROUND(s / tot + 1e-9, 6) AS weight,
+         |  CAST(FLOOR(s / tot * 1000000) AS BIGINT) AS budget_tokens
+         |FROM sc, t""".stripMargin,
+
+    "lsh_planner" -> {
+      val draw = s"${hex60Sql("md5('plan:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      val grid = DedupOps.lshPlanConfigs
+        .map { case (b, r, bin, p) => s"($b, $r, $bin, ${dlit(p)})" }
+        .mkString(", ")
+      s"""WITH sd AS (SELECT doc_id, text FROM documents
+         |  WHERE $draw < ${TextOps.drawThreshold(0.5)}),
+         |sets AS (SELECT doc_id, $shinglesSql AS sh FROM sd),
+         |inv0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+         |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 100),
+         |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         MIN(a.n) AS na, MIN(b.n) AS nb
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT LEAST((10 * inter) // (na + nb - inter), 9) AS bin,
+         |         COUNT(*) AS n_pairs
+         |  FROM pairs GROUP BY 1),
+         |cfg AS (SELECT * FROM (VALUES $grid) t(bands, rows_, bin, p))
+         |SELECT bands, rows_,
+         |  ${Sql.decSumSql("ROUND(n_pairs * p + 1e-9, 6)")} AS exp_candidates,
+         |  ${Sql.decSumSql("ROUND(CASE WHEN hist.bin < 5 THEN n_pairs * p ELSE 0.0 END + 1e-9, 6)")} AS exp_fp,
+         |  ${Sql.decSumSql("ROUND(CASE WHEN hist.bin >= 5 THEN n_pairs * (1.0 - p) ELSE 0.0 END + 1e-9, 6)")} AS exp_fn,
+         |  ROUND(CASE WHEN SUM(CASE WHEN hist.bin >= 5 THEN n_pairs ELSE 0 END) > 0
+         |    THEN 1.0 - ${Sql.decSumSql("ROUND(CASE WHEN hist.bin >= 5 THEN n_pairs * (1.0 - p) ELSE 0.0 END + 1e-9, 6)")}
+         |      / SUM(CASE WHEN hist.bin >= 5 THEN n_pairs ELSE 0 END)
+         |    ELSE 1.0 END + 1e-9, 6) AS est_recall
+         |FROM hist JOIN cfg ON hist.bin = cfg.bin
+         |GROUP BY bands, rows_""".stripMargin
+    })
+}

@@ -22,13 +22,13 @@ object TextQueries extends QueryModule {
     graft.pipeline.BpeFixture.learnedState(docs(s, d), d, nMerges = 20)
 
   /** DuckDB spelling of [[DedupOps.hex60]]. */
-  private def hex60Sql(h: String) = s"CAST('0x' || substr($h, 1, 15) AS BIGINT)"
+  private[queries] def hex60Sql(h: String) = s"CAST('0x' || substr($h, 1, 15) AS BIGINT)"
 
   /** DuckDB spelling of the distinct 3-token shingle set of `text`.
     * concat_ws (not ||) so out-of-range trailing tokens are SKIPPED like
     * Spark's concat_ws, keeping <3-token documents' partial shingle
     * identical instead of NULL-propagating. */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
       |  i -> concat_ws(' ', string_split(text, ' ')[i],
@@ -39,7 +39,7 @@ object TextQueries extends QueryModule {
     * band keys, parameterized on the corpus relation (a table or a prior
     * CTE name, e.g. a deterministic sample) — the sets/sigs/bands chain
     * is byte-identical for every consumer so the replays can't drift. */
-  private def lshCteFor(base: String): String =
+  private[queries] def lshCteFor(base: String): String =
     s"""WITH sets AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM $base),
        |hashes AS (
@@ -59,7 +59,33 @@ object TextQueries extends QueryModule {
        |  FROM sigs)""".stripMargin
 
   /** [[lshCteFor]] over the full documents table — the common spelling. */
-  private val lshCte = lshCteFor("documents")
+  private[queries] val lshCte = lshCteFor("documents")
+
+  /** Shared oracle CTE chain from the LSH band frames to near-dup
+    * components `comps(doc_id, comp_id)` — candidates, exact-Jaccard
+    * verification at >= 0.5, transitive closure, min-reachable-label.
+    * Requires an lshCte prefix with its WITH rewritten RECURSIVE; shared
+    * verbatim by dedup_components and every cluster-consuming oracle
+    * (canonical selection, leak-proof split) so the replays can't drift. */
+  private[queries] val componentsCtes: String =
+    s"""cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       |  FROM cands
+       |  JOIN sets sa ON sa.doc_id = doc_a
+       |  JOIN sets sb ON sb.doc_id = doc_b),
+       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comps AS (SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a)""".stripMargin
 
   /** The dedup_lsh_recall oracle body over any CTE prefix that provides
     * `sets(doc_id, sh)` and `bands(doc_id, bkey)` — shared by the
@@ -600,11 +626,11 @@ object TextQueries extends QueryModule {
     * shortest-round-trip decimal string parsed back as DOUBLE
     * reproduces the identical bits in Spark and DuckDB, and the cast
     * keeps DuckDB from treating it as DECIMAL. */
-  private def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
+  private[queries] def dlit(v: Double): String = s"CAST('${v.toString}' AS DOUBLE)"
 
   /** Shared oracle CTE chain `qq(doc_id, quality)` — the text_quality
     * score spelling, factored for the AUC / adaptive-threshold oracles. */
-  private val qualityCte = {
+  private[queries] val qualityCte = {
     val en = TextOps.langMarkers.toMap.apply("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""qt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -1177,24 +1203,8 @@ object TextQueries extends QueryModule {
     // min reachable doc_id (recursive CTE's UNION dedup bounds the work)
     "dedup_components" ->
       s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |scored AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-         |  FROM cands
-         |  JOIN sets sa ON sa.doc_id = doc_a
-         |  JOIN sets sb ON sb.doc_id = doc_b),
-         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
-         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT a AS doc_id, MIN(b) AS comp_id FROM reach GROUP BY a""".stripMargin,
+         |$componentsCtes
+         |SELECT doc_id, comp_id FROM comps""".stripMargin,
 
     // the engine's 10 integer PageRank rounds replayed CTE-for-CTE —
     // bit-exact because every operation is a long integer op

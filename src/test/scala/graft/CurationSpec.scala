@@ -1,0 +1,157 @@
+package graft
+
+import graft.pipeline.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-10 curation decision operators:
+  * leakage-free splits, survivor selection, containment pairs, the
+  * vocabulary coverage curve, temperature mixture weights, and the
+  * measured LSH parameter planner.
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("leakproofSplit: no near-dup pair straddles a split boundary, and every doc is assigned") {
+    val split = DedupOps.leakproofSplit(docs, 0.1, 0.05).persist()
+    assert(split.count() === docs.count())
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() === 0L)
+    // THE property: both ends of every verified near-dup pair share a split
+    val pairs = DedupOps.minhashPairs(docs)
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(leaked.count() === 0L)
+    // and transitively: one split per component
+    val nSplitsPerComp = split.groupBy("comp_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(nSplitsPerComp.count() === 0L)
+    split.unpersist()
+  }
+
+  test("leakproofSplit: a by-document split on the same corpus DOES leak (the operator is not vacuous)") {
+    val byDoc = TextOps.splitAssign(docs, 0.1, 0.05)
+    val pairs = DedupOps.minhashPairs(docs)
+    val leaked = pairs
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    // the sf0.001 fixture has planted near-dup clusters; a hash-by-doc
+    // split scatters at least one of them across splits
+    assert(leaked.count() > 0L)
+  }
+
+  test("canonicalDocs: exactly one canonical per cluster, and it is the arg-max-quality member") {
+    val can = DedupOps.canonicalDocs(docs).persist()
+    val perComp = can.groupBy("comp_id").agg(
+      sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canon"),
+      max(col("quality")).as("max_q"))
+    assert(perComp.filter(col("n_canon") =!= 1L).count() === 0L)
+    // canonical quality equals the cluster max
+    val canQ = can.filter(col("is_canonical"))
+      .select(col("comp_id"), col("quality").as("cq"))
+    assert(perComp.join(canQ, "comp_id").filter(col("cq") =!= col("max_q")).count() === 0L)
+    // canonical_id is consistent: every member points at the canonical row
+    val bad = can.as("m").join(
+        can.filter(col("is_canonical")).select(col("comp_id"), col("doc_id").as("cid")),
+        "comp_id")
+      .filter(col("canonical_id") =!= col("cid"))
+    assert(bad.count() === 0L)
+    can.unpersist()
+  }
+
+  test("containmentPairs: a doc whose shingles are a subset of another's scores containment 1.0") {
+    import spark.implicits._
+    val contained = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(contained, threshold = 0.6).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Double]("cont_a_in_b") === 1.0)
+    assert(r.getAs[Double]("cont_b_in_a") < 1.0)
+  }
+
+  test("containmentPairs: symmetric-Jaccard threshold would reject what containment accepts") {
+    import spark.implicits._
+    val contained = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb " +
+        "cc dd ee ff gg hh ii jj kk ll mm nn"))
+      .toDF("doc_id", "text")
+    // jaccard = 10/48 ≈ 0.21 < 0.5 — minhashPairs drops it...
+    assert(DedupOps.minhashPairs(contained, threshold = 0.5).count() === 0L)
+    // ...but the small doc is fully contained, and containment keeps it
+    val out = DedupOps.containmentPairs(contained, threshold = 0.6).collect()
+    assert(out.length === 1 && out.head.getAs[Double]("cont_a_in_b") === 1.0)
+  }
+
+  test("vocabCoverage: monotone in k, bounded by 1, and k=1 matches the top word's share") {
+    val cov = TextOps.vocabCoverage(docs).orderBy("k").collect()
+    assert(cov.nonEmpty)
+    val covs = cov.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    assert(covs.forall(c => c > 0.0 && c <= 1.0))
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val top = wc.orderBy(col("freq").desc, col("w")).limit(1)
+      .collect().head.getAs[Long]("freq")
+    val tot = wc.agg(sum("freq")).collect().head.getLong(0)
+    assert(cov.head.getAs[Long]("k") === 1L)
+    assert(cov.head.getAs[Double]("coverage") === top.toDouble / tot)
+  }
+
+  test("temperatureWeights: weights sum to ~1 and flatten the raw token shares") {
+    val w = TextOps.temperatureWeights(docs).persist()
+    val rows = w.collect()
+    val sumW = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(sumW - 1.0) < 1e-4)
+    // α = 1/2 compresses ratios: max/min of weights must not exceed the
+    // raw share ratio (strictly less when shares differ)
+    val tokens = rows.map(_.getAs[Long]("n_tokens").toDouble)
+    val weights = rows.map(_.getAs[Double]("weight"))
+    val rawRatio = tokens.max / tokens.min
+    val wRatio = weights.max / weights.min
+    assert(wRatio <= rawRatio + 1e-9)
+    if (rawRatio > 1.001) assert(wRatio < rawRatio)
+    // budget allocation never exceeds the budget
+    assert(rows.map(_.getAs[Long]("budget_tokens")).sum <= 1000000L)
+    w.unpersist()
+  }
+
+  test("lshPlanConfigs: S-curves are exact, monotone in similarity, and ordered by bands at low s") {
+    val byCfg = DedupOps.lshPlanConfigs.groupBy(c => (c._1, c._2))
+    // within a config, detection probability is non-decreasing in the bin
+    byCfg.foreach { case (_, rows) =>
+      val ps = rows.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-15 })
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    // r = 1 (16 bands of 1 row) is the most permissive config at EVERY s;
+    // r = 16 the strictest
+    val p16_1 = byCfg((16, 1)).sortBy(_._3).map(_._4)
+    val p1_16 = byCfg((1, 16)).sortBy(_._3).map(_._4)
+    p16_1.zip(p1_16).foreach { case (hi, lo) => assert(hi >= lo) }
+    // exactness spot check: b=1, r=1 is p = s itself at the midpoint —
+    // wait, that config is absent; check b=16, r=1 against closed form
+    val s0 = 1.0 / 20  // bin 0 midpoint
+    assert(math.abs(p16_1.head - (1.0 - math.pow(1.0 - s0, 16))) < 1e-12)
+  }
+
+  test("lshPlan: recall rises with bands and FP mass falls with rows") {
+    val plan = DedupOps.lshPlan(docs).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_"),
+        r.getAs[Double]("exp_fp"), r.getAs[Double]("est_recall"))).toSeq
+    assert(plan.size === 5)
+    val byBands = plan.sortBy(-_._1)
+    // most bands (16,1) = best recall; fewest (1,16) = least FP
+    assert(byBands.head._4 === plan.map(_._4).max)
+    assert(byBands.last._3 === plan.map(_._3).min)
+    plan.foreach { case (_, _, fp, rec) =>
+      assert(fp >= 0.0); assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+}

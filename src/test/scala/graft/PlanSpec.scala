@@ -43,7 +43,9 @@ class PlanSpec extends SparkSpec {
     "events_hotkeys" -> "broadcasts the 1-row grand-total aggregate over the k-row (<= 10) top-key frame",
     "mixture_token_budget" -> "broadcasts the 1-row token-total aggregate over the per-source frame (<= |sources| rows)",
     "decontam_semantic_recall" -> "exact leg is the brute-force train×eval baseline BY DESIGN; broadcast side is the benchmark set, bounded by eval-suite size and the sample gate",
-    "ann_matryoshka_recall" -> "both legs are the brute-force fixed-query-set baseline (vec_id < 10) — the truncation eval IS a baseline comparison")
+    "ann_matryoshka_recall" -> "both legs are the brute-force fixed-query-set baseline (vec_id < 10) — the truncation eval IS a baseline comparison",
+    "vocab_coverage_curve" -> "broadcasts the 1-row total-token-count aggregate over the <= 13-row checkpoint frame",
+    "mixture_temperature" -> "broadcasts the 1-row temperature-normalizer aggregate over the per-source frame (<= |sources| rows)")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
