@@ -888,10 +888,8 @@ object TextOps {
     * Returns (merged touched words, touched originals, untouched) —
     * the learner consumes all three (incremental pair-count deltas
     * need before/after of the touched subset); appliers fold only
-    * merged ∪ untouched. `checkpointMerged` truncates the merged
-    * frame's lineage when the caller reads it more than once. */
-  private def mergeTouched(words: DataFrame, a: String, b: String,
-                           checkpointMerged: Boolean)
+    * merged ∪ untouched. */
+  private def mergeTouched(words: DataFrame, a: String, b: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
     val pairHit = exists(zip_with(
@@ -900,24 +898,28 @@ object TextOps {
       (x, y) => x === a && y === b), p => p)
     val wn = w.partitionBy("w").orderBy("i")
     val touched = words.filter(pairHit)
-    val marked = touched
+    // left-to-right non-overlap, JOIN-FREE: a match position merges iff it
+    // sits at an even offset from the start of its run of consecutive
+    // matches; the run start is (last preceding NON-match position) + 1 —
+    // a running max over the same (w, i) window the match flag already
+    // uses, so the whole rule is one exchange on w (the old spelling
+    // re-joined a filtered positions frame on (w, i) and re-windowed by
+    // (w, run) — two more shuffles per merge round for the same bits)
+    val merged0 = touched
       .select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("i", "s")))
       .withColumn("m", col("s") === a && lead(col("s"), 1).over(wn) === b)
-    val mergeAt = marked.filter(col("m"))
-      .withColumn("grp", col("i") - row_number().over(wn))
-      .withColumn("rs", min(col("i")).over(w.partitionBy("w", "grp")))
-      .filter(((col("i") - col("rs")) % 2) === 0)
-      .select(col("w"), col("i"), lit(true).as("mrk"))
-    val merged0 = marked.join(mergeAt, Seq("w", "i"), "left")
-      .withColumn("mrk", coalesce(col("mrk"), lit(false)))
+      .withColumn("rs",
+        coalesce(max(when(!col("m"), col("i"))).over(
+          wn.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(-1)) + 1)
+      .withColumn("mrk", col("m") && ((col("i") - col("rs")) % 2) === 0)
       .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
       .filter(!col("pm"))
       .withColumn("out_s", when(col("mrk"), lit(a + b)).otherwise(col("s")))
       .groupBy(col("w"), col("cnt"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
         x => x.getField("out_s")).as("syms"))
-    val merged = if (checkpointMerged) merged0.localCheckpoint() else merged0
-    (merged, touched, words.filter(!pairHit))
+    (merged0, touched, words.filter(!pairHit))
   }
 
   /** FROZEN-TOKENIZER APPLY: replay an already-learned merge list, in
@@ -936,7 +938,7 @@ object TextOps {
     merges.foldLeft(words) { case (ws, (a, b)) =>
       // merged is consumed exactly once (the union) — the union's own
       // checkpoint materializes it, so no per-step merged checkpoint
-      val (merged, _, untouched) = mergeTouched(ws, a, b, checkpointMerged = false)
+      val (merged, _, untouched) = mergeTouched(ws, a, b)
       merged.unionByName(untouched).localCheckpoint()
     }
 
@@ -974,19 +976,24 @@ object TextOps {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, a, b, a + b, n))
-        // merged is read twice here (pair delta + new word table), so
-        // mergeTouched checkpoints it before the double use — measured
-        // faster than recomputing the touched-subset machinery for each
-        // reader (min-of-2 10.4 s vs 15.5 s at sf0.1)
-        val (merged, touched, untouched) =
-          mergeTouched(words, a, b, checkpointMerged = true)
+        // merged is read twice (pair delta + new word table): instead of
+        // checkpointing it separately (a third materialization job per
+        // round), tag its rows and checkpoint the UNION once — the delta
+        // then reads the touched subset back out of the same checkpoint
+        // with a row-local filter. 2 materializations + 1 argmax collect
+        // per round (was 3 + 1; together with the join-free merge rule,
+        // measured 12.0 s → 6.2 s min-of-2 at sf0.1).
+        val (merged, touched, untouched) = mergeTouched(words, a, b)
+        val tagged = merged.withColumn("tch", lit(true))
+          .unionByName(untouched.withColumn("tch", lit(false)))
+          .localCheckpoint()
         counts = counts
           .unionByName(pairRows(touched, -1))
-          .unionByName(pairRows(merged, 1))
+          .unionByName(pairRows(tagged.filter(col("tch")), 1))
           .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
           .localCheckpoint()
-        words = merged.unionByName(untouched).localCheckpoint()
+        words = tagged.drop("tch")
         r += 1
       }
     }
