@@ -1082,4 +1082,109 @@ object VectorOps {
         round(col("dist") + lit(1e-9), 4).as("dist"),
         round(col("z") + lit(1e-9), 4).as("z"), col("rk"))
   }
+
+  /** Spark-side twin of the engines' ROUND(double): half away from zero
+    * on the decimal rendering — Spark's `Round` and DuckDB's `round()`
+    * agree on this (both resolve exact .5 doubles away from zero), so a
+    * driver-side fit that rounds with the same rule stays bit-identical
+    * with the SQL replay. */
+  private def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Top principal direction of the quantized embedding cloud — the
+    * whitening / curriculum axis every embedding-curation pipeline wants
+    * (ABTT/"all-but-the-top" dominant-direction removal, PCA-guided IVF
+    * preprocessing).
+    *
+    * Exact fixed-point power iteration, fit-small / score-distributed
+    * like the IVF centroid fit:
+    *  1. one distributed pass for the per-component sums (dim groups,
+    *     map-side partial aggregation);
+    *  2. one distributed pass for the integer-centered covariance — each
+    *     row emits its UPPER-TRIANGLE outer products from a single
+    *     nested `transform` (no self-join), partial-aggregated into
+    *     dim·(dim+1)/2 groups, collected as a bounded ≤64×64 matrix;
+    *  3. `iters` power-iteration rounds run driver-side on the bounded
+    *     matrix in exact arithmetic: u = C·v is integer (|u| ≤
+    *     64·4e6·1e6 < 2^53, so the BIGINT and double views agree), and
+    *     the renormalization v' = round(u/max|u|·1e6) is one IEEE
+    *     division + multiply + half-away round — deterministic on both
+    *     engines, replayed by the oracle's unrolled CTE chain.
+    *
+    * Covariance entries are round(S_ij/N): centered products stay exact
+    * BIGINT per row (|q−m| ≤ ~2·10³ ⇒ products ≤ ~4·10⁶), sums ride
+    * decimals so no corpus size overflows, and the single double
+    * division per entry is bit-identical across engines. Work is
+    * N·dim²/2 map-side multiplies — the intrinsic covariance cost — with
+    * a constant-size shuffle; nothing in the plan grows with the corpus
+    * beyond the two scans. */
+  private[graft] def pcaFit(emb: DataFrame, iters: Int = 8)
+      : (Array[Long], Array[Long]) = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = emb.select(posexplode(quant).as(Seq("i", "x")))
+    val mrows = ex.groupBy(col("i"))
+      .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(mrows.nonEmpty, "PCA fit needs a non-empty corpus")
+    val dim = mrows.length
+    val n = mrows.head.getLong(2)
+    val mu = new Array[Long](dim)
+    mrows.foreach { r =>
+      mu(r.getInt(0)) = roundHalfUp(r.getDecimal(1).doubleValue() / n)
+    }
+    val muLit = typedlit(mu.toSeq)
+    val cen = emb.select(
+      transform(quant, (x, i) => x - element_at(muLit, i + 1)).as("c"))
+    val tri = cen.select(explode(flatten(transform(col("c"), (xi, i) =>
+        transform(slice(col("c"), i + 1, size(col("c"))), (xj, j0) =>
+          struct(i.cast("int").as("i"), (i + j0).cast("int").as("j"),
+            (xi * xj).cast(DecimalType(38, 0)).as("p")))))).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s"))
+      .collect()
+    val c = Array.ofDim[Long](dim, dim)
+    tri.foreach { r =>
+      val v = roundHalfUp(r.getDecimal(2).doubleValue() / n)
+      c(r.getInt(0))(r.getInt(1)) = v
+      c(r.getInt(1))(r.getInt(0)) = v
+    }
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(dim) { i =>
+        var s = 0L; var j = 0
+        while (j < dim) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      val m = u.map(math.abs).max
+      if (m != 0L) v = u.map(uj => roundHalfUp(uj.toDouble / m * 1e6))
+    }
+    (mu, v)
+  }
+
+  /** The fitted loading vector as a (i, loading) frame — dim rows,
+    * loadings in [-1e6, 1e6] fixed-point. */
+  def pcaLoading(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (_, v) = pcaFit(emb, iters)
+    v.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+      .toDF("i", "loading")
+  }
+
+  /** Per-vector projection onto the fitted top principal direction:
+    * pc1 = Σᵢ (qᵢ − μᵢ)·vᵢ, exact BIGINT (≤ 64·2e3·1e6 ≪ 2^63). The
+    * fitted (μ, v) ship as plan literals, so scoring is one map-side
+    * pass over the corpus — zero shuffles, the same broadcast-the-model
+    * shape as [[kmeansRanked]]. */
+  def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val (mu, v) = pcaFit(emb, iters)
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    emb.select(col("vec_id"),
+      aggregate(
+        transform(quant, (x, i) =>
+          (x - element_at(muLit, i + 1)) * element_at(vLit, i + 1)),
+        lit(0L), _ + _).as("pc1"))
+  }
 }

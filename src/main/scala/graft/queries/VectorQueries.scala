@@ -310,9 +310,65 @@ object VectorQueries extends QueryModule {
     // mislabeled-example screen: top-2 per label by z-scored distance to
     // the label centroid (exact-integer centroid arithmetic)
     "emb_label_outliers" -> ((s, d) =>
-      VectorOps.labelOutliers(Tables.embeddings(s, d), perLabel = 2)))
+      VectorOps.labelOutliers(Tables.embeddings(s, d), perLabel = 2)),
+
+    // top principal direction of the embedding cloud: exact fixed-point
+    // power iteration over the integer-centered covariance (the
+    // dominant-direction / ABTT axis). Fit-small/score-distributed —
+    // covariance is two map-side-aggregated scans, the 8-round
+    // iteration runs on the bounded 64×64 driver matrix
+    "emb_pca_power" -> ((s, d) =>
+      VectorOps.pcaLoading(Tables.embeddings(s, d))),
+
+    // per-vector projection onto that direction — the curriculum /
+    // outlier axis; (μ, v) ship as plan literals, zero shuffles
+    "emb_pca_project" -> ((s, d) =>
+      VectorOps.pcaProject(Tables.embeddings(s, d))))
+
+  /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
+    * covariance round(S/N) via vec_id self-join, then `iters` unrolled
+    * power-iteration CTEs — u = C·v in exact integers, renormalized by
+    * round(u/max|u|·1e6) (both engines round half away from zero).
+    * Produces `e(vec_id, i, x)`, `mu(i, m)` and `v{iters}(i, v)`. */
+  private def pcaCtes(iters: Int = 8): String = {
+    // every stage MATERIALIZED: the iteration CTEs reference their
+    // predecessors 3× apiece, and DuckDB inlines non-materialized CTEs —
+    // without the hint the v8 tree re-evaluates cov (and re-opens the
+    // parquet) O(3^iters) times
+    val rounds = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (SELECT c.i AS i, CAST(SUM(c.c * p.v) AS BIGINT) AS u
+         |  FROM cov c JOIN v${k - 1} p ON c.j = p.i GROUP BY c.i),
+         |m$k AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u$k),
+         |v$k AS MATERIALIZED (SELECT u$k.i AS i, CASE WHEN (SELECT m FROM m$k) = 0 THEN p.v
+         |  ELSE CAST(round(CAST(u AS DOUBLE) / (SELECT m FROM m$k) * 1000000) AS BIGINT)
+         |  END AS v FROM u$k JOIN v${k - 1} p ON u$k.i = p.i)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+       |e AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x FROM (SELECT vec_id,
+       |  unnest(list_transform(range(1, len(qv) + 1),
+       |    j -> {'i': j - 1, 'x': qv[j]})) AS u FROM q)),
+       |mu AS MATERIALIZED (SELECT i, CAST(round(CAST(SUM(x) AS DOUBLE)
+       |  / (SELECT n FROM nn)) AS BIGINT) AS m FROM e GROUP BY i),
+       |ce AS MATERIALIZED (SELECT vec_id, e.i AS i, x - m AS cx FROM e JOIN mu ON e.i = mu.i),
+       |cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(round(CAST(SUM(a.cx * b.cx) AS DOUBLE)
+       |  / (SELECT n FROM nn)) AS BIGINT) AS c
+       |  FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS v FROM mu),
+       |$rounds""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
+    "emb_pca_power" ->
+      s"""WITH ${pcaCtes(8)}
+         |SELECT i, v AS loading FROM v8""".stripMargin,
+
+    "emb_pca_project" ->
+      s"""WITH ${pcaCtes(8)}
+         |SELECT vec_id, CAST(SUM((e.x - mu.m) * vv.v) AS BIGINT) AS pc1
+         |FROM e JOIN mu ON e.i = mu.i JOIN v8 vv ON e.i = vv.i
+         |GROUP BY vec_id""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
