@@ -569,6 +569,52 @@ object TextOps {
         round(min(col("p")) + lit(1e-9), 6).as("min_p"))
   }
 
+  /** REFERENCE-trained word-bigram LM scoring — the other half of the
+    * CCNet recipe next to [[charLmScore]]: instead of fitting on the
+    * corpus being scored, the model is trained on a curated REFERENCE
+    * slice (`trainPred`, CCNet's Wikipedia) and FROZEN, then every
+    * document — reference or not — is scored under it. Add-one
+    * smoothing handles transitions the reference never saw:
+    * p(b|a) = (c2(a,b)+1) / (c1(a)+V), V = distinct reference unigram
+    * types, so unseen contexts score 1/V instead of dividing by zero.
+    * Per doc: transition count, the count of reference-unseen
+    * transitions (the OOV bill CCNet thresholds its head/middle/tail
+    * split on), decimal-exact mean probability and min probability.
+    *
+    * All counts are exact integers, V rides the plan as a 1-row
+    * broadcast (no driver action), and the model tables are
+    * reference-sized — bounded by the curated slice, not the corpus —
+    * so the broadcast-back is the standard fit-small/score-distributed
+    * shape at any corpus scale. Mean-probability instead of mean-log
+    * keeps the score transcendental-free (see [[charLmScore]]). */
+  def refLmScore(docs: DataFrame, trainPred: Column): DataFrame = {
+    val ts = tokens
+    val trans = docs.select(col("doc_id"), trainPred.as("is_train"),
+        explode(zip_with(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("ab"))
+      .select(col("doc_id"), col("is_train"),
+        col("ab.a").as("a"), col("ab.b").as("b"))
+    val train = trans.filter(col("is_train"))
+    val c2 = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val vdf = train.select(col("a")).union(train.select(col("b")))
+      .distinct().agg(count(lit(1)).as("v"))
+    trans
+      .join(broadcast(c2), Seq("a", "b"), "left")
+      .join(broadcast(c1), Seq("a"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("p",
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(when(col("c2").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        round(graft.queries.Sql.decAvg(col("p")) + lit(1e-9), 6).as("avg_p"),
+        round(min(col("p")) + lit(1e-9), 8).as("min_p"))
+  }
+
   /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
     * statistics over the whole corpus): explode each document's adjacent
     * token pairs, count per bigram, keep the k most frequent (ties by

@@ -502,6 +502,13 @@ object TextQueries extends QueryModule {
     // perplexity filter; arithmetic-mean-probability variant)
     "text_charlm_score" -> ((s, d) => TextOps.charLmScore(docs(s, d))),
 
+    // REFERENCE-trained word-bigram LM scoring: fit add-one-smoothed
+    // transition probabilities on the curated src0/src1 slice only,
+    // freeze, score every document — CCNet's train-on-wiki/score-the-web
+    // shape, with the OOV-transition bill per doc
+    "quality_ref_ppl" -> ((s, d) => TextOps.refLmScore(docs(s, d),
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
+
     // overlapping token-window chunks (32-token windows every 24) — the
     // retrieval/embedding prep step; chunk boundaries are pure (n,
     // window, stride) arithmetic so the oracle replays them exactly
@@ -1455,6 +1462,28 @@ object TextQueries extends QueryModule {
          |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
          |  ROUND(MIN(p) + 1e-9, 6) AS min_p
          |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "quality_ref_ppl" ->
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+         |tr AS (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
+         |  FROM (SELECT doc_id, source, ts,
+         |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
+         |trn AS (SELECT * FROM tr WHERE source IN ('src0', 'src1')),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM trn GROUP BY a, b),
+         |c1 AS (SELECT a, COUNT(*) AS c1 FROM trn GROUP BY a),
+         |vv AS (SELECT COUNT(*) AS v FROM
+         |  (SELECT a FROM trn UNION SELECT b FROM trn)),
+         |p AS (SELECT tr.doc_id,
+         |    CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+         |      / (COALESCE(c1.c1, 0) + (SELECT v FROM vv)) AS p,
+         |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tr LEFT JOIN c2 ON tr.a = c2.a AND tr.b = c2.b
+         |          LEFT JOIN c1 ON tr.a = c1.a)
+         |SELECT doc_id, COUNT(*) AS n_trans,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 6) AS avg_p,
+         |  ROUND(MIN(p) + 1e-9, 8) AS min_p
+         |FROM p GROUP BY doc_id""".stripMargin,
 
     "text_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,

@@ -247,4 +247,28 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("cid") =!= col("cid2")).count()
     assert(mism === 0L)
   }
+
+  test("refLmScore: the model is FROZEN on the reference slice") {
+    import spark.implicits._
+    val ref = Seq((0L, "the cat sat", "ref"), (1L, "the cat ran", "ref"))
+    val junk = Seq((2L, "zz yy xx ww", "web"), (3L, "the cat sat", "web"))
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "text", "source")
+    val pred = col("source") === "ref"
+    val small = TextOps.refLmScore(mk(ref ++ junk.take(1)), pred)
+    val big = TextOps.refLmScore(mk(ref ++ junk), pred)
+    // adding a NON-reference doc must not move any other doc's score
+    val a = small.filter(col("doc_id") <= 2).orderBy("doc_id").collect().toSeq
+    val b = big.filter(col("doc_id") <= 2).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a doc of tokens the reference never saw: every transition is OOV
+    val oov = big.filter(col("doc_id") === 2).head
+    assert(oov.getAs[Long]("n_oov") === oov.getAs[Long]("n_trans"))
+    // a reference-identical doc scores the reference's own probabilities:
+    // "the cat" (c2=2, c1=2) and "cat sat" (c2=1, c1=2), V=4
+    // ⇒ p = 3/6 and 2/6
+    val twin = big.filter(col("doc_id") === 3).head
+    assert(twin.getAs[Long]("n_oov") === 0L)
+    assert(math.abs(twin.getAs[Double]("avg_p") - ((3.0 / 6 + 2.0 / 6) / 2)) < 1e-4)
+  }
 }
