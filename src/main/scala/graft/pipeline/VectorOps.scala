@@ -1083,6 +1083,59 @@ object VectorOps {
         round(col("z") + lit(1e-9), 4).as("z"), col("rk"))
   }
 
+  /** Same-cell k-nearest-neighbor GRAPH over the k-means IVF cells: for
+    * every vector, its `k` most-cosine-similar neighbors within its own
+    * coarse cell — the adjacency structure semantic clustering, graph
+    * dedup, and label propagation all start from. Pair work is
+    * Σ_cells |cell|² ≈ n · targetCellSize (the [[semDedup]] bound),
+    * never all-pairs; the per-source top-k is a window over cell-local
+    * candidates only. Output: (src, dst, cosine, rk). */
+  def knnGraph(emb: DataFrame, k: Int = 3,
+               targetCellSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(emb, targetCellSize)
+    val cells = kmeansRanked(emb, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    val pairs = cells.as("a").join(cells.as("b"), Seq("cid"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    pairs
+      .join(e.select(col("vec_id").as("src"), col("q").as("qa"), col("n2").as("na")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("q").as("qb"), col("n2").as("nb")), Seq("dst"))
+      .withColumn("c", cosinePre(col("qa"), col("qb"), col("na"), col("nb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("c").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when
+    * each endpoint is in the other's top-k (the standard mutual-kNN
+    * denoising — one-sided edges from a dense region into an outlier
+    * are dropped), then label connected components; vectors with no
+    * mutual neighbor are singletons under their own id. The mutual
+    * filter is a self-equi-join of the (src, dst) edge set on the
+    * reversed key; components ride [[GraphOps.connectedComponents]]
+    * (driver union-find under the edge bound, distributed min-label
+    * propagation above it). Output: (vec_id, cluster_id). */
+  def semanticClusters(emb: DataFrame, k: Int = 3,
+                       targetCellSize: Int = 50): DataFrame = {
+    val g = graft.CacheScope.persist(
+      knnGraph(emb, k, targetCellSize).select(col("src"), col("dst")))
+    val mutual = g.join(
+      g.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"))
+    val comps = GraphOps.connectedComponents(mutual)
+      .select(col("id").as("vec_id"), col("comp_id"))
+    emb.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp_id"), col("vec_id")).as("cluster_id"))
+  }
+
   /** Spark-side twin of the engines' ROUND(double): half away from zero
     * on the decimal rendering — Spark's `Round` and DuckDB's `round()`
     * agree on this (both resolve exact .5 doubles away from zero), so a

@@ -323,7 +323,18 @@ object VectorQueries extends QueryModule {
     // per-vector projection onto that direction — the curriculum /
     // outlier axis; (μ, v) ship as plan literals, zero shuffles
     "emb_pca_project" -> ((s, d) =>
-      VectorOps.pcaProject(Tables.embeddings(s, d))))
+      VectorOps.pcaProject(Tables.embeddings(s, d))),
+
+    // same-cell kNN adjacency (top-3 cosine neighbors within each
+    // k-means cell) — the graph semantic clustering starts from;
+    // Σ|cell|² pair work, never all-pairs
+    "ann_knn_graph" -> ((s, d) =>
+      VectorOps.knnGraph(Tables.embeddings(s, d), k = 3)),
+
+    // mutual-kNN connected components: semantic cluster id per vector,
+    // singletons under their own id
+    "semantic_clusters" -> ((s, d) =>
+      VectorOps.semanticClusters(Tables.embeddings(s, d), k = 3)))
 
   /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
     * covariance round(S/N) via vec_id self-join, then `iters` unrolled
@@ -358,7 +369,37 @@ object VectorQueries extends QueryModule {
        |$rounds""".stripMargin
   }
 
+  /** Shared oracle body for the same-cell kNN edges: expects `q` +
+    * [[kmeansCtes]] in scope, produces `knn(src, dst, c, rk)`. */
+  private val knnCtes: String =
+    s"""pr AS (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
+       |  FROM kcells a JOIN kcells b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT src, dst, ${cosSql("qa", "qb")} AS c FROM pr),
+       |knn AS (SELECT * FROM (SELECT src, dst, c, row_number() OVER (
+       |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM sc)
+       |  WHERE rk <= 3)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "ann_knn_graph" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes
+         |SELECT src, dst, ROUND(c + 1e-9, 6) AS cosine, rk FROM knn""".stripMargin,
+
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |mut AS (SELECT a.src AS a, a.dst AS b FROM knn a
+         |        JOIN knn b ON a.src = b.dst AND a.dst = b.src),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM mut) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN mut e ON r.b = e.a),
+         |comps AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT q.vec_id, COALESCE(c.cluster_id, q.vec_id) AS cluster_id
+         |FROM q LEFT JOIN comps c ON q.vec_id = c.vec_id""".stripMargin,
+
     "emb_pca_power" ->
       s"""WITH ${pcaCtes(8)}
          |SELECT i, v AS loading FROM v8""".stripMargin,

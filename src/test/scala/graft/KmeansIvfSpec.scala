@@ -96,4 +96,38 @@ class KmeansIvfSpec extends SparkSpec {
     assert(mtime("centroids") == c0 && mtime("cells") == b0,
       "append with rebuildBase=false rewrote the base index")
   }
+
+  test("knnGraph: ≤k same-cell neighbors per source, ranked by cosine") {
+    val k = 3
+    val g = VectorOps.knnGraph(clustered, k).collect()
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      // rk is 1..n and cosine non-increasing along it
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rows.length))
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // every edge stays inside one k-means cell
+    val cents = VectorOps.kmeansCentroids(clustered)
+    val cells = VectorOps.kmeansRanked(clustered, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    g.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1))))
+  }
+
+  test("semanticClusters: planted clusters stay coherent, none straddle") {
+    val out = VectorOps.semanticClusters(clustered, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 240) // every vector labeled
+    // no semantic cluster mixes two planted clusters (vec_id / 30)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val planted = members.keys.map(_ / 30).toSet
+      assert(planted.size == 1, s"cluster spans planted groups $planted")
+    }
+    // the graph actually connects things: most vectors are non-singleton
+    val nonSingleton = out.groupBy(_._2).count(_._2.size > 1)
+    assert(nonSingleton >= 8, s"only $nonSingleton multi-member clusters")
+  }
 }
