@@ -1240,4 +1240,33 @@ object VectorOps {
           (x - element_at(muLit, i + 1)) * element_at(vLit, i + 1)),
         lit(0L), _ + _).as("pc1"))
   }
+
+  /** ALL-BUT-THE-TOP correction (Mu & Viswanath 2018): remove the
+    * dominant direction from every embedding — x' = (x−μ) −
+    * round(((x−μ)·v)/(v·v) · v) — the isotropy fix run before cosine
+    * retrieval on anisotropic embedding spaces. Output is the corrected
+    * table in long form (vec_id, i, resid), integer components.
+    *
+    * Exactness: the projection (x−μ)·v and ‖v‖² are exact BIGINT; the
+    * per-component correction is (p/‖v‖²)·vᵢ — two IEEE double ops on
+    * exactly-representable integers (p ≤ 1.3·10¹¹, ‖v‖² ≤ 6.4·10¹³,
+    * both < 2⁵³) then one half-away round, identical on both engines.
+    * Same zero-shuffle broadcast-the-model shape as [[pcaProject]]. */
+  def abttResiduals(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val (mu, v) = pcaFit(emb, iters)
+    val vv = v.map(x => x * x).sum
+    require(vv > 0L, "ABTT needs a non-zero principal direction")
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    emb.select(col("vec_id"), quant.as("q"),
+        aggregate(
+          transform(quant, (x, i) =>
+            (x - element_at(muLit, i + 1)) * element_at(vLit, i + 1)),
+          lit(0L), _ + _).as("p"))
+      .select(col("vec_id"), posexplode(transform(col("q"), (x, i) =>
+        (x - element_at(muLit, i + 1)) -
+          round(col("p").cast("double") / lit(vv.toDouble)
+            * element_at(vLit, i + 1)).cast("long"))).as(Seq("i", "resid")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("resid"))
+  }
 }

@@ -334,7 +334,13 @@ object VectorQueries extends QueryModule {
     // mutual-kNN connected components: semantic cluster id per vector,
     // singletons under their own id
     "semantic_clusters" -> ((s, d) =>
-      VectorOps.semanticClusters(Tables.embeddings(s, d), k = 3)))
+      VectorOps.semanticClusters(Tables.embeddings(s, d), k = 3)),
+
+    // all-but-the-top isotropy correction: the corpus with its dominant
+    // direction removed, long form — the fitted (μ, v, ‖v‖²) ship as
+    // plan literals, zero shuffles
+    "emb_abtt" -> ((s, d) =>
+      VectorOps.abttResiduals(Tables.embeddings(s, d))))
 
   /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
     * covariance round(S/N) via vec_id self-join, then `iters` unrolled
@@ -409,6 +415,16 @@ object VectorQueries extends QueryModule {
          |SELECT vec_id, CAST(SUM((e.x - mu.m) * vv.v) AS BIGINT) AS pc1
          |FROM e JOIN mu ON e.i = mu.i JOIN v8 vv ON e.i = vv.i
          |GROUP BY vec_id""".stripMargin,
+
+    "emb_abtt" ->
+      s"""WITH ${pcaCtes(8)},
+         |nv AS MATERIALIZED (SELECT CAST(SUM(v * v) AS DOUBLE) AS vv FROM v8),
+         |pj AS MATERIALIZED (SELECT vec_id, CAST(SUM((e.x - mu.m) * v8.v) AS BIGINT) AS p
+         |  FROM e JOIN mu ON e.i = mu.i JOIN v8 ON e.i = v8.i GROUP BY vec_id)
+         |SELECT e.vec_id, e.i, CAST((e.x - mu.m)
+         |  - round(CAST(p AS DOUBLE) / (SELECT vv FROM nv) * v8.v) AS BIGINT) AS resid
+         |FROM e JOIN mu ON e.i = mu.i JOIN v8 ON e.i = v8.i
+         |     JOIN pj ON e.vec_id = pj.vec_id""".stripMargin,
 
     "ann_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),

@@ -79,4 +79,25 @@ class PcaSpec extends SparkSpec {
     assert(pcVar >= coordVars.max * 0.999,
       s"pc1 variance $pcVar < best coordinate ${coordVars.max}")
   }
+
+  test("ABTT residuals carry ~no component along the removed direction") {
+    val (_, df) = anisotropic
+    val (mu, v) = VectorOps.pcaFit(df)
+    val resid = VectorOps.abttResiduals(df)
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("i"), col("resid"))).as("rs"))
+      .select(col("vec_id"), expr("transform(array_sort(rs), s -> s.resid)").as("r"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val qs = df.select(col("vec_id"), VectorOps.quant.as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val before = qs.map { case (id, q) =>
+      math.abs(q.zipWithIndex.map { case (x, i) => (x - mu(i)) * v(i) }.sum.toDouble)
+    }
+    val after = resid.values.map(r =>
+      math.abs(r.zipWithIndex.map { case (x, i) => x * v(i) }.sum.toDouble))
+    // per-component rounding can leave at most dim/2 quanta of projection
+    assert(after.max <= 32L * 1000000L, s"max residual projection ${after.max}")
+    assert(after.sum / after.size < before.sum / before.size / 100,
+      "correction did not remove the dominant component")
+  }
 }
