@@ -34,3 +34,24 @@ object BpeFixture {
       (System.identityHashCode(docs.sparkSession), key, nMerges),
       TextOps.bpeLearnState(docs, nMerges))
 }
+
+/** Session-lifetime registry of fitted PCA models ((μ, v) driver
+  * arrays) — the same fit-once/serve-many contract as [[BpeFixture]]
+  * for the embedding side: the loading query, the projection query and
+  * the ABTT correction all consume ONE fit per (session, corpus,
+  * iters) instead of re-running the two covariance scans apiece. The
+  * cached state is two ≤64-long arrays — plain driver memory, nothing
+  * pinned in the Spark session. */
+object PcaFixture {
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int), (Array[Long], Array[Long])]
+
+  /** The fitted (mean, loading) for `emb`, fitting at most once per
+    * (session, key, iters); `key` names the corpus (the sf dir). */
+  def fitted(emb: DataFrame, key: String,
+             iters: Int): (Array[Long], Array[Long]) =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(emb.sparkSession), key, iters),
+      VectorOps.pcaFit(emb, iters))
+}

@@ -1217,11 +1217,16 @@ object VectorOps {
 
   /** The fitted loading vector as a (i, loading) frame — dim rows,
     * loadings in [-1e6, 1e6] fixed-point. */
-  def pcaLoading(emb: DataFrame, iters: Int = 8): DataFrame = {
+  def pcaLoading(emb: DataFrame, iters: Int = 8): DataFrame =
+    pcaLoadingFrom(emb, pcaFit(emb, iters))
+
+  /** [[pcaLoading]] from an already-fitted model (e.g. the session
+    * fixture [[PcaFixture]]) — no scans. */
+  def pcaLoadingFrom(emb: DataFrame,
+                     fit: (Array[Long], Array[Long])): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (_, v) = pcaFit(emb, iters)
-    v.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+    fit._2.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
       .toDF("i", "loading")
   }
 
@@ -1230,8 +1235,13 @@ object VectorOps {
     * fitted (μ, v) ship as plan literals, so scoring is one map-side
     * pass over the corpus — zero shuffles, the same broadcast-the-model
     * shape as [[kmeansRanked]]. */
-  def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame = {
-    val (mu, v) = pcaFit(emb, iters)
+  def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame =
+    pcaProjectWith(emb, pcaFit(emb, iters))
+
+  /** [[pcaProject]] from an already-fitted model — scoring only. */
+  def pcaProjectWith(emb: DataFrame,
+                     fit: (Array[Long], Array[Long])): DataFrame = {
+    val (mu, v) = fit
     val muLit = typedlit(mu.toSeq)
     val vLit = typedlit(v.toSeq)
     emb.select(col("vec_id"),
@@ -1252,8 +1262,13 @@ object VectorOps {
     * exactly-representable integers (p ≤ 1.3·10¹¹, ‖v‖² ≤ 6.4·10¹³,
     * both < 2⁵³) then one half-away round, identical on both engines.
     * Same zero-shuffle broadcast-the-model shape as [[pcaProject]]. */
-  def abttResiduals(emb: DataFrame, iters: Int = 8): DataFrame = {
-    val (mu, v) = pcaFit(emb, iters)
+  def abttResiduals(emb: DataFrame, iters: Int = 8): DataFrame =
+    abttResidualsWith(emb, pcaFit(emb, iters))
+
+  /** [[abttResiduals]] from an already-fitted model — scoring only. */
+  def abttResidualsWith(emb: DataFrame,
+                        fit: (Array[Long], Array[Long])): DataFrame = {
+    val (mu, v) = fit
     val vv = v.map(x => x * x).sum
     require(vv > 0L, "ABTT needs a non-zero principal direction")
     val muLit = typedlit(mu.toSeq)

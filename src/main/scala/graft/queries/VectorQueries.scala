@@ -316,14 +316,20 @@ object VectorQueries extends QueryModule {
     // power iteration over the integer-centered covariance (the
     // dominant-direction / ABTT axis). Fit-small/score-distributed —
     // covariance is two map-side-aggregated scans, the 8-round
-    // iteration runs on the bounded 64×64 driver matrix
-    "emb_pca_power" -> ((s, d) =>
-      VectorOps.pcaLoading(Tables.embeddings(s, d))),
+    // iteration runs on the bounded 64×64 driver matrix; the fit is
+    // shared session-wide via PcaFixture (the BpeFixture contract), so
+    // the loading/projection/ABTT trio scans the corpus once, not 3×
+    "emb_pca_power" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.pcaLoadingFrom(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
+    }),
 
     // per-vector projection onto that direction — the curriculum /
     // outlier axis; (μ, v) ship as plan literals, zero shuffles
-    "emb_pca_project" -> ((s, d) =>
-      VectorOps.pcaProject(Tables.embeddings(s, d))),
+    "emb_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.pcaProjectWith(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
+    }),
 
     // same-cell kNN adjacency (top-3 cosine neighbors within each
     // k-means cell) — the graph semantic clustering starts from;
@@ -339,8 +345,10 @@ object VectorQueries extends QueryModule {
     // all-but-the-top isotropy correction: the corpus with its dominant
     // direction removed, long form — the fitted (μ, v, ‖v‖²) ship as
     // plan literals, zero shuffles
-    "emb_abtt" -> ((s, d) =>
-      VectorOps.abttResiduals(Tables.embeddings(s, d))))
+    "emb_abtt" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.abttResidualsWith(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
+    }))
 
   /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
     * covariance round(S/N) via vec_id self-join, then `iters` unrolled
