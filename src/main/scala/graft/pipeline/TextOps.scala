@@ -587,21 +587,40 @@ object TextOps {
     * so the broadcast-back is the standard fit-small/score-distributed
     * shape at any corpus scale. Mean-probability instead of mean-log
     * keeps the score transcendental-free (see [[charLmScore]]). */
-  def refLmScore(docs: DataFrame, trainPred: Column): DataFrame = {
+  def refLmScore(docs: DataFrame, trainPred: Column): DataFrame =
+    refLmScoreWith(docs, refLmFit(docs, trainPred))
+
+  /** The (doc_id, a, b) adjacent-word-transition stream of a corpus. */
+  private def wordTransitions(docs: DataFrame): DataFrame = {
     val ts = tokens
-    val trans = docs.select(col("doc_id"), trainPred.as("is_train"),
+    docs.select(col("doc_id"),
         explode(zip_with(
           slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
           slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
           (a, b) => struct(a.as("a"), b.as("b")))).as("ab"))
-      .select(col("doc_id"), col("is_train"),
-        col("ab.a").as("a"), col("ab.b").as("b"))
-    val train = trans.filter(col("is_train"))
+      .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
+  }
+
+  /** Fit the reference bigram model on the `trainPred` slice of `docs`:
+    * (c2(a, b), c1(a), 1-row V) — the frozen state [[refLmScoreWith]]
+    * and the streaming scorer consume. */
+  def refLmFit(docs: DataFrame, trainPred: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = wordTransitions(docs.filter(trainPred))
     val c2 = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy(col("a")).agg(count(lit(1)).as("c1"))
     val vdf = train.select(col("a")).union(train.select(col("b")))
       .distinct().agg(count(lit(1)).as("v"))
-    trans
+    (c2, c1, vdf)
+  }
+
+  /** [[refLmScore]] under an already-fitted (possibly persisted or
+    * stream-frozen) model — scoring only, no fit scans over the scored
+    * corpus. */
+  def refLmScoreWith(docs: DataFrame,
+                     model: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (c2, c1, vdf) = model
+    wordTransitions(docs)
       .join(broadcast(c2), Seq("a", "b"), "left")
       .join(broadcast(c1), Seq("a"), "left")
       .crossJoin(broadcast(vdf))

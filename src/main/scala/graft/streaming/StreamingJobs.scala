@@ -282,4 +282,36 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$billDir/batch_$id")
         ()
     }
+
+  /** STREAMING PCA SCORING — each arriving micro-batch of (vec_id,
+    * embedding) rows is projected onto a FROZEN fitted axis (the
+    * driver-held (μ, v) arrays, exactly like [[annIngest]]'s frozen
+    * centroid matrix): stateless, map-side-only per batch, batch dirs
+    * overwritten ⇒ exactly-once under replay. The live form of the
+    * curriculum/outlier axis ([[graft.pipeline.VectorOps.pcaProjectWith]]). */
+  def pcaScoreStream(vecs: DataFrame, fit: (Array[Long], Array[Long]),
+                     scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        graft.pipeline.VectorOps.pcaProjectWith(batch, fit)
+          .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
+        ()
+    }
+
+  /** STREAMING REFERENCE-LM QUALITY SCORING — each arriving micro-batch
+    * of (doc_id, text) documents is scored under the FROZEN reference
+    * bigram model ([[graft.pipeline.TextOps.refLmFit]]'s (c2, c1, V)
+    * frames — static reference-sized tables, the other side of every
+    * per-batch join). The CCNet filter as an ingest gate: per-doc OOV
+    * bill and mean probability land with the batch, before the document
+    * ever reaches the corpus store. Stateless; exactly-once batch dirs. */
+  def refLmScoreStream(docs: DataFrame,
+                       model: (DataFrame, DataFrame, DataFrame),
+                       scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        graft.pipeline.TextOps.refLmScoreWith(batch, model)
+          .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
+        ()
+    }
 }

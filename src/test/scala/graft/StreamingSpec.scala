@@ -328,6 +328,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(_._1 <= 4L) == learnBill)
   }
 
+  test("streaming PCA scoring: per-batch frozen projection equals the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.VectorOps
+    val dir = s"target/graft-tmp/pca_score_spec_${System.nanoTime()}"
+    val rnd = new scala.util.Random(11)
+    def mk(id: Long) = (id, Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    val fitCorpus = (0L until 100L).map(mk).toDF("vec_id", "embedding")
+    val fit = VectorOps.pcaFit(fitCorpus)
+    val arriving = (100L until 130L).map(mk)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.pcaScoreStream(
+        in.toDF.toDF("vec_id", "embedding"), fit, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(arriving.take(15))
+      q.processAllAvailable()
+      in.addData(arriving.drop(15))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/batch_0", s"$dir/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = VectorOps.pcaProjectWith(
+        arriving.toDF("vec_id", "embedding"), fit)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot && streamed.size == 30)
+  }
+
+  test("streaming reference-LM scoring: frozen model equals the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextOps
+    val dir = s"target/graft-tmp/reflm_score_spec_${System.nanoTime()}"
+    val ref = Seq((0L, "the cat sat", "ref"), (1L, "the cat ran fast", "ref"),
+      (2L, "a dog ran", "ref")).toDF("doc_id", "text", "source")
+    val model = TextOps.refLmFit(ref, col("source") === "ref")
+    // materialize the frozen model once — the static side of every batch join
+    model._1.persist(); model._2.persist(); model._3.persist()
+    val arriving = Seq((10L, "the cat ran"), (11L, "zz yy xx"),
+      (12L, "a dog sat fast"), (13L, "the the the"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.refLmScoreStream(
+        in.toDF.toDF("doc_id", "text"), model, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(arriving.take(2))
+      q.processAllAvailable()
+      in.addData(arriving.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/batch_0", s"$dir/batch_1")
+      .collect().map(_.toSeq).toSet
+    val oneShot = TextOps.refLmScoreWith(arriving.toDF("doc_id", "text"), model)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot && streamed.size == 4)
+    // the all-OOV doc is billed as such
+    val oov = spark.read.parquet(s"$dir/batch_0")
+      .filter(col("doc_id") === 11L).head
+    assert(oov.getAs[Long]("n_oov") === oov.getAs[Long]("n_trans"))
+  }
+
   test("streaming exact dedup: state drops cross-batch duplicates") {
     // the dedup family's streaming form: dropDuplicates keyed on content
     // id with a watermark bounding state. The guarantee is one row per
