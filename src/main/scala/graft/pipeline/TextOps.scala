@@ -1065,6 +1065,101 @@ object TextOps {
     (out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n"), words)
   }
 
+  /** GROUPED BPE LEARNING — fit an independent tokenizer PER GROUP
+    * (corpus half, source domain, language) in ONE merge loop: every
+    * round picks each group's own most-frequent pair (same (n desc, l,
+    * r) tie-break as [[bpeLearnState]]) and merges all groups in the
+    * same two materialization jobs, so fitting G vocabularies costs the
+    * rounds of ONE fit plus per-round work proportional to the union of
+    * the groups' touched words — not G sequential loops. Groups exhaust
+    * independently (a group with no pairs left simply stops producing
+    * ranks). Per-group results are IDENTICAL to [[bpeLearn]] run on
+    * that group alone (pinned by CorpusOpsSpec). Output: (grp,
+    * merge_rank, lhs, rhs, merged, pair_n). */
+  def bpeLearnGrouped(docs: DataFrame, grp: Column,
+                      nMerges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    var words = docs.select(grp.as("grp"), explode(tokens).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    def pairRows(ws: DataFrame, sign: Int): DataFrame = ws
+      .select(col("grp"), (col("cnt") * sign).as("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("grp"), col("p.l").as("l"), col("p.r").as("r"), col("cnt").as("n"))
+    var counts = pairRows(words, 1)
+      .groupBy(col("grp"), col("l"), col("r")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, String, Long)]
+    val rank = scala.collection.mutable.Map.empty[String, Long]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // per-group argmax — G rows, the grouped twin of the 1-row collect
+      val top = counts.groupBy(col("grp"))
+        .agg(min_by(struct(col("l"), col("r"), col("n")),
+          struct((-col("n")).as("nn"), col("l"), col("r"))).as("t"))
+        .select(col("grp"), col("t.l"), col("t.r"), col("t.n")).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val chosen = top.map(row => (row.getString(0), row.getString(1),
+          row.getString(2), row.getLong(3)))
+        chosen.foreach { case (g, a, b, n) =>
+          val rk = rank.getOrElse(g, 0L) + 1
+          rank(g) = rk
+          out += ((g, rk, a, b, a + b, n))
+        }
+        val pairDf = chosen.toSeq.toDF("grp", "pa", "pb", "pn")
+          .select(col("grp"), col("pa"), col("pb"))
+        // per-group merge: the chosen pair rides a broadcast join instead
+        // of plan literals; groups without a pair this round (exhausted)
+        // fall through untouched via the left join's nulls
+        val withPair = words.join(broadcast(pairDf), Seq("grp"), "left")
+        val pairHit = col("pa").isNotNull && exists(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => x === col("pa") && y === col("pb")), p => p)
+        val touched = withPair.filter(pairHit)
+        val untouched = withPair.filter(!pairHit)
+          .select(col("grp"), col("w"), col("cnt"), col("syms"))
+        val wn = w.partitionBy("grp", "w").orderBy("i")
+        val merged = touched
+          .select(col("grp"), col("w"), col("cnt"), col("pa"), col("pb"),
+            posexplode(col("syms")).as(Seq("i", "s")))
+          .withColumn("m", col("s") === col("pa") && lead(col("s"), 1).over(wn) === col("pb"))
+          .withColumn("rs",
+            coalesce(max(when(!col("m"), col("i"))).over(
+              wn.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+              lit(-1)) + 1)
+          .withColumn("mrk", col("m") && ((col("i") - col("rs")) % 2) === 0)
+          .withColumn("pm", lag(col("mrk"), 1, false).over(wn))
+          .filter(!col("pm"))
+          .withColumn("out_s", when(col("mrk"), concat(col("pa"), col("pb")))
+            .otherwise(col("s")))
+          .groupBy(col("grp"), col("w"), col("cnt"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("out_s")))),
+            x => x.getField("out_s")).as("syms"))
+        val tagged = merged.withColumn("tch", lit(true))
+          .unionByName(untouched.withColumn("tch", lit(false)))
+          .localCheckpoint()
+        counts = counts
+          .unionByName(pairRows(touched.select(col("grp"), col("cnt"), col("syms")), -1))
+          .unionByName(pairRows(tagged.filter(col("tch")), 1))
+          .groupBy(col("grp"), col("l"), col("r")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
+        words = tagged.drop("tch")
+        r += 1
+      }
+    }
+    out.toSeq.toDF("grp", "merge_rank", "lhs", "rhs", "merged", "pair_n")
+  }
+
   /** BPE ENCODE — apply the learned merge table to the corpus: per
     * document, the merged symbol sequence (words joined by spaces,
     * symbol boundaries marked "|") and the EXACT BPE token count every

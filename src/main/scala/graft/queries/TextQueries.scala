@@ -526,12 +526,18 @@ object TextQueries extends QueryModule {
     // tokenizer no longer fits today's crawl (rank-level disagreement
     // is the refit signal alongside bpe_oov_rate)
     "bpe_vocab_drift" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, when}
       val dd = docs(s, d)
       val draw = TextOps.mdDraw6("half")
-      val a = TextOps.bpeLearn(dd.filter(draw < 500000), nMerges = 20)
+      // ONE grouped learn fits both halves' vocabularies round-by-round
+      // (20 shared rounds instead of 2×20 sequential ones); per-half
+      // results are pinned identical to independent bpeLearn runs. The
+      // returned merge table is a driver-local frame — no persist needed
+      val m = TextOps.bpeLearnGrouped(
+        dd, when(draw < 500000, "a").otherwise("b"), nMerges = 20)
+      val a = m.filter(col("grp") === "a")
         .select(col("merge_rank"), col("merged").as("merged_a"))
-      val b = TextOps.bpeLearn(dd.filter(draw >= 500000), nMerges = 20)
+      val b = m.filter(col("grp") === "b")
         .select(col("merge_rank"), col("merged").as("merged_b"))
       a.join(b, Seq("merge_rank"), "full_outer")
         .select(col("merge_rank"), col("merged_a"), col("merged_b"),

@@ -248,6 +248,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("bpeLearnGrouped: per-group results equal independent bpeLearn runs") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "abab abab abc", "x"), (1L, "abc aaaa ab", "x"),
+      (2L, "cdcd cd cdc", "y"), (3L, "cdc cccc cd", "y"),
+      (4L, "ab cd abcd", "x")).toDF("doc_id", "text", "g")
+    val grouped = TextOps.bpeLearnGrouped(d, col("g"), nMerges = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    val solo = Seq("x", "y").flatMap { g =>
+      TextOps.bpeLearn(d.filter(col("g") === g), nMerges = 5)
+        .collect().map(r => (g, r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4)))
+    }.toSet
+    assert(grouped == solo)
+    // exhaustion is per-group: a tiny group stops early without
+    // truncating the other group's rank sequence
+    val d2 = Seq((0L, "aa", "small"), (1L, "abab abab abc cddc", "big"))
+      .toDF("doc_id", "text", "g")
+    val g2 = TextOps.bpeLearnGrouped(d2, col("g"), nMerges = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val smallRanks = g2.filter(_._1 == "small").map(_._2).sorted
+    val bigRanks = g2.filter(_._1 == "big").map(_._2).sorted
+    assert(smallRanks == (1L to smallRanks.length))
+    assert(bigRanks == (1L to bigRanks.length))
+    assert(bigRanks.length > smallRanks.length)
+  }
+
   test("refLmScore: the model is FROZEN on the reference slice") {
     import spark.implicits._
     val ref = Seq((0L, "the cat sat", "ref"), (1L, "the cat ran", "ref"))
