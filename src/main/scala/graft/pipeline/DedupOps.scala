@@ -557,4 +557,32 @@ object DedupOps {
           lit(1.0) - col("exp_fn") / col("n_true")).otherwise(lit(1.0))
           + lit(1e-9), 6).as("est_recall"))
   }
+
+  /** Near-dup THRESHOLD ABLATION — the curve a curation team reads
+    * before fixing the production cutoff: from ONE banded-candidate
+    * scoring pass ([[minhashPairs]] at a low floor), how many verified
+    * pairs and how many flagged documents (distinct higher-id members,
+    * the keep-min-id removal set) survive each candidate threshold.
+    * The sweep itself is an in-row explode of the qualifying thresholds
+    * (no per-threshold re-scan); thresholds with zero survivors still
+    * report as explicit zero rows. Output: (threshold, n_pairs,
+    * n_docs_flagged). */
+  def thresholdSweep(docs: DataFrame,
+                     thresholds: Seq[Double] =
+                       Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                     floor: Double = 0.05): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashPairs(docs, threshold = floor)
+    val tLit = typedlit(thresholds)
+    val counts = pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(filter(tLit, t => col("jaccard") >= t)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_flagged"))
+    thresholds.toDF("threshold")
+      .join(counts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
+  }
 }

@@ -239,4 +239,24 @@ object MultimodalOps {
       (r.doc_id, w, h, budget.toLong, cut.map(b => (b & 0xff).toLong).sum)
     }).toDF("doc_id", "new_width", "new_height", "n_bytes", "checksum")
   }
+
+  /** IMAGE NEAR-DUP CLUSTERS — the grouping pass on top of
+    * [[phashDups]]' verified pairs: connected components over the
+    * hamming-≤t graph label every record with its cluster (keep-min-id
+    * representative = the cluster label, the [[graft.pipeline.DedupOps]]
+    * convention); records with no near-dup are singletons under their
+    * own id. This is the image twin of `dedup_components`: a 100 TB
+    * image+text corpus dedups whole CLUSTERS (keep one per cluster),
+    * not pairs. Output: (doc_id, cluster_id). */
+  def phashClusters(mm: Dataset[MMRecord], maxHamming: Int = 5,
+                    nBands: Int = 6): DataFrame = {
+    val pairs = phashDups(mm, maxHamming, nBands)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp_id"))
+    mm.toDF.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_id"), col("doc_id")).as("cluster_id"))
+  }
 }

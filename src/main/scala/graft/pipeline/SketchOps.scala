@@ -130,4 +130,48 @@ object SketchOps {
         round((round(col("est") + lit(1e-9), 0) - col("exact_n").cast("double"))
           / col("exact_n").cast("double") + lit(1e-9), 4).as("rel_err"))
   }
+
+  /** WINDOWED distinct-user sketch over the event stream: per hour
+    * bucket, the HLL estimate of distinct user_ids with the exact count
+    * as the honesty column — the mergeable per-time-bucket form a
+    * production metrics store keeps (registers compose by MAX across
+    * buckets AND across shards, so daily = max-merge of the hours, and
+    * the same groupBy-MAX runs as an update-mode streaming aggregation
+    * like [[graft.streaming.StreamingJobs.hllRegisterStream]]). Same
+    * exact-integer estimator as [[hllDistinct]]: the harmonic-mean
+    * denominator is Σ 2^(53−M_r) in BIGINT, the only floats are one
+    * division and (small-range) one ln. */
+  def hllUserWindows(events: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 10, "p in [4, 10]")
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2.0, 53)
+    val du = events.select(
+        expr("unix_timestamp(ts) div 3600 * 3600").as("win_start"),
+        col("user_id"))
+      .distinct()
+    val regs = du
+      .withColumn("h", DedupOps.hex60(md5(concat(lit("hllu:"), col("user_id").cast("string")))))
+      .withColumn("r", expr(s"h div ${1L << 52}") % m)
+      .withColumn("w", expr(s"h % ${1L << 52}"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(expr("bin(w)"))))
+      .groupBy(col("win_start"), col("r")).agg(max(col("rho")).as("mr"))
+    val exact = du.groupBy(col("win_start")).agg(count(lit(1)).as("exact_n"))
+    regs.groupBy(col("win_start"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(53 - mr as int))")).as("sp"),
+        count(lit(1)).as("present"))
+      .withColumn("zeros", lit(m.toLong) - col("present"))
+      .withColumn("sum_int", col("sp") + col("zeros") * lit(1L << 53))
+      .withColumn("raw", lit(num) / col("sum_int").cast("double"))
+      .withColumn("est",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw")))
+      .join(exact, Seq("win_start"))
+      .select(col("win_start"), col("exact_n"),
+        round(col("est") + lit(1e-9), 0).cast("long").as("hll_n"),
+        round((round(col("est") + lit(1e-9), 0) - col("exact_n").cast("double"))
+          / col("exact_n").cast("double") + lit(1e-9), 4).as("rel_err"))
+  }
 }

@@ -38,7 +38,13 @@ object MultimodalQueries extends QueryModule {
     // VAD-style silence spans: runs of consecutive low-energy windows
     // (threshold ~p25 of the window-energy distribution)
     "mm_silence_spans" -> ((s, d) => MultimodalOps.silenceSpans(
-      mm(s, d), windowBytes = 24, threshold = 100000L)))
+      mm(s, d), windowBytes = 24, threshold = 100000L)),
+    // image near-dup CLUSTERS: connected components over the verified
+    // hamming pairs (the image twin of dedup_components) — whole-cluster
+    // dedup, singletons under their own id
+    "mm_phash_clusters" -> ((s, d) => MultimodalOps.phashClusters(
+      MultimodalOps.asRecords(
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -118,6 +124,39 @@ object MultimodalQueries extends QueryModule {
 
     // twins replayed as byte arithmetic (one byte +1 at pos doc_id%61),
     // dHash per record, 6×10-bit band equi-join, xor+bit_count verify
+    "mm_phash_clusters" ->
+      s"""${bytesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |twb AS (SELECT doc_id + 1000000000 AS doc_id, i, nb AS b FROM (
+         |    SELECT doc_id, i,
+         |      CASE WHEN i = doc_id % 61 THEN (b + 1) % 256 ELSE b END AS nb
+         |    FROM bytes WHERE doc_id % 50 = 0)),
+         |allb AS (SELECT doc_id, i, b FROM bytes
+         |  UNION ALL SELECT doc_id, i, b FROM twb),
+         |ph AS (SELECT a.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN a.b < c.b
+         |      THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT) AS h
+         |  FROM allb a JOIN allb c
+         |    ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
+         |  GROUP BY a.doc_id),
+         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
+         |  FROM ph CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
+         |pcands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id),
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM pcands
+         |  JOIN ph pa ON pa.doc_id = doc_a
+         |  JOIN ph pb ON pb.doc_id = doc_b
+         |  WHERE bit_count(xor(pa.h, pb.h)) <= 5),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comps AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |ids AS (SELECT doc_id FROM ph)
+         |SELECT ids.doc_id, COALESCE(c.cluster_id, ids.doc_id) AS cluster_id
+         |FROM ids LEFT JOIN comps c ON ids.doc_id = c.doc_id""".stripMargin,
+
     "mm_phash_dups" ->
       s"""$bytesCte,
          |twb AS (SELECT doc_id + 1000000000 AS doc_id, i, nb AS b FROM (

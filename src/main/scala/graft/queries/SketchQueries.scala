@@ -33,9 +33,53 @@ object SketchQueries extends QueryModule {
 
     // HLL per-source distinct-token estimate next to the exact count
     "corpus_hll_distinct" -> ((s, d) =>
-      SketchOps.hllDistinct(docs(s, d), p = HllP)))
+      SketchOps.hllDistinct(docs(s, d), p = HllP)),
+
+    // windowed distinct-user HLL over the event stream: per hour bucket,
+    // estimate + exact honesty — the mergeable per-time-bucket sketch a
+    // metrics store keeps (daily = max-merge of the hours)
+    "events_hll_windows" -> ((s, d) =>
+      SketchOps.hllUserWindows(Tables.events(s, d), p = HllP)))
 
   def oracles: Map[String, String] = Map(
+    "events_hll_windows" -> {
+      val m = 1 << HllP
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      val num = alpha * m * m * math.pow(2.0, 53)
+      s"""WITH du AS (SELECT DISTINCT
+         |    (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
+         |    user_id
+         |  FROM events),
+         |h AS (SELECT win_start,
+         |    ${hex60Sql("md5('hllu:' || CAST(user_id AS VARCHAR))")} AS h FROM du),
+         |rr AS (SELECT win_start, (h // ${1L << 52}) % $m AS r,
+         |         h % ${1L << 52} AS w FROM h),
+         |rho AS (SELECT win_start, r,
+         |          CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+         |        FROM rr),
+         |regs AS (SELECT win_start, r, MAX(rho) AS mr FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT win_start,
+         |          SUM(CAST(1 AS BIGINT) << CAST(53 - mr AS INT)) AS sp,
+         |          COUNT(*) AS present
+         |        FROM regs GROUP BY win_start),
+         |est AS (SELECT win_start,
+         |          CAST('${num.toString}' AS DOUBLE)
+         |            / CAST(sp + ($m - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS raw,
+         |          $m - present AS zeros
+         |        FROM agg),
+         |fin AS (SELECT win_start,
+         |          CASE WHEN raw <= ${2.5 * m} AND zeros > 0
+         |               THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE))
+         |               ELSE raw END AS e
+         |        FROM est),
+         |ex AS (SELECT win_start, COUNT(*) AS exact_n FROM du GROUP BY win_start)
+         |SELECT ex.win_start, ex.exact_n,
+         |  CAST(ROUND(f.e + 1e-9, 0) AS BIGINT) AS hll_n,
+         |  ROUND((ROUND(f.e + 1e-9, 0) - CAST(ex.exact_n AS DOUBLE))
+         |    / CAST(ex.exact_n AS DOUBLE) + 1e-9, 4) AS rel_err
+         |FROM fin f JOIN ex ON f.win_start = ex.win_start""".stripMargin
+    },
+
     "bloom_prune" -> {
       def pos(id: String) =
         s"${hex60Sql(s"md5('bl' || CAST(i AS VARCHAR) || ':' || CAST($id AS VARCHAR))")} % $BloomM"

@@ -544,6 +544,13 @@ object TextQueries extends QueryModule {
           (col("merged_a") <=> col("merged_b")).as("same"))
     }),
 
+    // near-dup threshold ablation: pairs/flagged-docs surviving each
+    // candidate cutoff, from ONE banded scoring pass (in-row threshold
+    // explode, zero rows kept explicit) — the curve that fixes the
+    // production threshold
+    "dedup_threshold_sweep" -> ((s, d) =>
+      graft.pipeline.DedupOps.thresholdSweep(docs(s, d))),
+
     // PII scrub over text with deterministic synthetic contact info
     // appended (the corpus itself is PII-free): counts + redacted text.
     // Injection is doc_id arithmetic so both engines build the same
@@ -1468,6 +1475,30 @@ object TextQueries extends QueryModule {
          |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
          |  ROUND(MIN(p) + 1e-9, 6) AS min_p
          |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |pr AS (SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS j
+         |       FROM scored WHERE jaccard >= 0.05),
+         |th AS (SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         |cnt AS (SELECT threshold, COUNT(*) AS n_pairs,
+         |          COUNT(DISTINCT doc_b) AS n_docs_flagged
+         |        FROM th JOIN pr ON pr.j >= th.threshold GROUP BY threshold)
+         |SELECT th.threshold,
+         |  CAST(COALESCE(cnt.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(cnt.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+         |FROM th LEFT JOIN cnt ON th.threshold = cnt.threshold""".stripMargin,
 
     "quality_ref_ppl" ->
       s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),

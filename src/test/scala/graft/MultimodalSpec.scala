@@ -95,4 +95,20 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.filter(r => planted.contains(r.getLong(0)) &&
       r.getLong(1) == r.getLong(0) + 1000000000L).forall(_.getLong(2) <= 2))
   }
+
+  test("phashClusters: every twin shares a cluster with its original, labels are min-member") {
+    val withTwins = MultimodalOps.asRecords(MultimodalOps.mmTableWithTwins(docs))
+    val clusters = MultimodalOps.phashClusters(withTwins).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = docs.select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      .collect().map(_.getLong(0)).toSet
+    // every record is labeled
+    assert(clusters.size == withTwins.count())
+    planted.foreach { id =>
+      assert(clusters(id) == clusters(id + 1000000000L),
+        s"twin of $id landed in a different cluster") }
+    // the label is the cluster's minimum member id
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min) }
+  }
 }

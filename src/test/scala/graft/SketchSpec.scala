@@ -109,4 +109,22 @@ class SketchSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
+
+  test("hllUserWindows: exact column is truth, estimate tracks it per window") {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.pipeline.SketchOps.hllUserWindows(events, p = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val truth = events.select(
+        expr("unix_timestamp(ts) div 3600 * 3600").as("w"), col("user_id"))
+      .distinct().groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (w, exact, est, rel) =>
+      assert(exact == truth(w), s"window $w exact $exact != ${truth(w)}")
+      // p=8 HLL: ~6.5% stderr; 4x that as a hard per-window bound
+      assert(math.abs(rel) < 0.26, s"window $w rel_err $rel")
+      assert(math.abs(est - exact) <= math.max(3.0, 0.26 * exact))
+    }
+  }
 }
