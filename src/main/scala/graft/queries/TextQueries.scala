@@ -551,6 +551,13 @@ object TextQueries extends QueryModule {
     "dedup_threshold_sweep" -> ((s, d) =>
       graft.pipeline.DedupOps.thresholdSweep(docs(s, d))),
 
+    // per-LANGUAGE tokenizer fits in ONE grouped merge loop (the
+    // multilingual reality: one vocabulary per language family, fitted
+    // together — 5 vocabularies for the rounds of one learn)
+    "bpe_learn_by_lang" -> ((s, d) =>
+      TextOps.bpeLearnGrouped(docs(s, d),
+        org.apache.spark.sql.functions.col("lang"), nMerges = 10)),
+
     // PII scrub over text with deterministic synthetic contact info
     // appended (the corpus itself is PII-free): counts + redacted text.
     // Injection is doc_id arithmetic so both engines build the same
@@ -928,6 +935,23 @@ object TextQueries extends QueryModule {
          |  ra.merged AS merged_a, rb.merged AS merged_b,
          |  ra.merged IS NOT DISTINCT FROM rb.merged AS same
          |FROM ra FULL OUTER JOIN rb ON ra.merge_rank = rb.merge_rank""".stripMargin
+    },
+
+    "bpe_learn_by_lang" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val slices = langs.map(l =>
+        s"l$l AS MATERIALIZED (SELECT * FROM documents WHERE lang = '$l')")
+        .mkString(",\n")
+      val chains = langs.map(l =>
+        bpeCtes(10, s"l$l", l).stripPrefix("WITH ")).mkString(",\n")
+      val ranks = langs.flatMap(l => (1 to 10).map { r =>
+        s"""SELECT '$l' AS grp, CAST($r AS BIGINT) AS merge_rank, l AS lhs,
+           |  r AS rhs, l || r AS merged, CAST(n AS BIGINT) AS pair_n
+           |  FROM ${l}top$r""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH $slices,
+         |$chains
+         |$ranks""".stripMargin
     },
 
     "bpe_compression_stats" ->
