@@ -248,6 +248,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("thresholdSweep: survival curve is monotone and consistent with direct pair counts") {
+    import graft.pipeline.DedupOps
+    val ts = Seq(0.3, 0.5, 0.7, 0.9)
+    val sweep = DedupOps.thresholdSweep(docs, thresholds = ts).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == ts)
+    // counts never increase as the threshold rises
+    sweep.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1) }
+    // each point equals a direct minhashPairs count at that threshold
+    // (compare on the rounded jaccard exactly like the sweep does)
+    val scored = DedupOps.minhashPairs(docs, threshold = 0.05)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    ts.foreach { t =>
+      val surviving = scored.filter(_._2 >= t)
+      val (_, np, nd) = sweep.find(_._1 == t).get
+      assert(np == surviving.length.toLong, s"pairs at $t")
+      assert(nd == surviving.map(_._1).distinct.length.toLong, s"docs at $t")
+    }
+  }
+
   test("bpeLearnGrouped: per-group results equal independent bpeLearn runs") {
     import spark.implicits._
     val d = Seq(
