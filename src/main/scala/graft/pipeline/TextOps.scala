@@ -556,7 +556,10 @@ object TextOps {
     * weighting surprisal linearly — the ranking it induces serves the
     * same filtering purpose. */
   def charLmScore(docs: DataFrame): DataFrame = {
-    val trans = charTransitions(docs)
+    // the per-character explode feeds three consumers (both count legs
+    // and the scoring join); without the persist each leg re-runs the
+    // n_chars-per-doc explode over the corpus
+    val trans = graft.CacheScope.persist(charTransitions(docs))
     val c2 = trans.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val c1 = trans.groupBy(col("a")).agg(count(lit(1)).as("c1"))
     val probs = c2.join(c1, "a")
