@@ -585,4 +585,37 @@ object DedupOps {
       .join(counts, Seq("threshold"), "left")
       .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
   }
+
+  /** Banding PRECISION — the other half of the honesty pair next to
+    * [[lshRecall]]: of the candidate pairs the band join surfaces, what
+    * fraction verify at the production threshold. Low precision means
+    * wasted verification work (too few bits per band); the planner
+    * ([[lshPlan]]) predicts it, this measures it. One banded candidate
+    * pass + the standard exact-Jaccard verification; zero-overlap
+    * candidates count as unverified (they never reach the intersection
+    * join). Output: 1 row (n_candidates, n_verified, precision). */
+  def lshPrecision(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val inv = graft.CacheScope.persist(shingleRows(docs))
+    val bands = minhashBandsFromInv(inv)
+    val cands = graft.CacheScope.persist(
+      bands.as("a").join(bands.as("b"), Seq("bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val verified = cands
+      .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")) >= threshold)
+    cands.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_candidates"), col("n_verified"),
+        round(when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(1.0)) + lit(1e-9), 6).as("precision"))
+  }
 }

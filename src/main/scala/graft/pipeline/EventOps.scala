@@ -310,6 +310,42 @@ object EventOps {
     * per-key counts — never a global sort of the data — and the final
     * window runs over exactly `k` rows. Share arithmetic stays integral
     * until one division, so engines can't drift. */
+  /** VOLUME-ANOMALY windows — the ops monitor next to the value-level
+    * [[madOutliers]]: per (event_type, hour), the event count z-scored
+    * against its own TRAILING 24-hour baseline (rows -24..-1 of the
+    * per-type hourly series). Hours with |z| > `zThresh` — ingest
+    * outages, bot spikes, pipeline stalls — are the output. Baseline
+    * mean/std ride decimal-exact window sums (partition = event_type,
+    * a bounded per-type hourly series, never row-scale); hours with
+    * fewer than `minBaseline` trailing points or zero variance are
+    * skipped rather than flagged on noise. Output: (event_type,
+    * win_start, n, base_mean, z). */
+  def anomalyWindows(events: DataFrame, zThresh: Double = 3.0,
+                     minBaseline: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600 * 3600").as("win_start"))
+      .groupBy(col("event_type"), col("win_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("bs", sum(col("n").cast(DecimalType(30, 6))).over(w).cast("double"))
+      .withColumn("bs2", sum((col("n") * col("n")).cast(DecimalType(30, 6))).over(w).cast("double"))
+      .filter(col("bn") >= minBaseline)
+      .withColumn("mu", col("bs") / col("bn"))
+      .withColumn("sd", sqrt(col("bs2") / col("bn") - col("mu") * col("mu")))
+      .filter(col("sd") > 0)
+      .withColumn("z", (col("n").cast("double") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > zThresh)
+      .select(col("event_type"), col("win_start"), col("n"),
+        round(col("mu") + lit(1e-9), 4).as("base_mean"),
+        round(col("z") + lit(1e-9), 4).as("z"))
+  }
+
   def hotKeys(events: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))

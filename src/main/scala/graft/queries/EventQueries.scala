@@ -44,6 +44,11 @@ object EventQueries extends QueryModule {
     // hot-key skew diagnostic: top-10 user_ids by event count with
     // share / cumulative share — the pre-join salting decision input
     "events_hotkeys" -> ((s, d) => EventOps.hotKeys(ev(s, d), "user_id")),
+    // volume anomalies: per-type hourly counts z-scored against the
+    // trailing 24-observed-hour baseline (|z| > 2.5; decimal-exact
+    // window moments) — the ingest-outage / bot-spike monitor
+    "events_anomaly_windows" -> ((s, d) =>
+      EventOps.anomalyWindows(ev(s, d), zThresh = 2.5)),
 
     // semi-structured payloads: JSON prop extraction + per-type stats —
     // the "parse the event envelope" step every log pipeline runs
@@ -207,6 +212,28 @@ object EventQueries extends QueryModule {
          |  MIN(k) AS min_k, MAX(k) AS max_k,
          |  ROUND(${Sql.decAvgSql("k")} + 1e-9, 4) AS avg_k
          |FROM e GROUP BY event_type""".stripMargin,
+
+    "events_anomaly_windows" ->
+      s"""WITH h AS (SELECT event_type,
+         |    (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, win_start, n,
+         |    COUNT(*) OVER w AS bn,
+         |    CAST(SUM(CAST(n AS DECIMAL(30,6))) OVER w AS DOUBLE) AS bs,
+         |    CAST(SUM(CAST(n * n AS DECIMAL(30,6))) OVER w AS DOUBLE) AS bs2
+         |  FROM h
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY win_start
+         |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT event_type, win_start, n, bs / bn AS mu,
+         |    sqrt(bs2 / bn - (bs / bn) * (bs / bn)) AS sd
+         |  FROM b WHERE bn >= 12),
+         |z AS (SELECT event_type, win_start, n, mu,
+         |    (CAST(n AS DOUBLE) - mu) / sd AS z
+         |  FROM m WHERE sd > 0)
+         |SELECT event_type, win_start, n,
+         |  ROUND(mu + 1e-9, 4) AS base_mean, ROUND(z + 1e-9, 4) AS z
+         |FROM z WHERE abs(z) > 2.5""".stripMargin,
 
     "events_hotkeys" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events

@@ -551,6 +551,12 @@ object TextQueries extends QueryModule {
     "dedup_threshold_sweep" -> ((s, d) =>
       graft.pipeline.DedupOps.thresholdSweep(docs(s, d))),
 
+    // banding precision: verified fraction of the surfaced candidates —
+    // the honesty companion to dedup_lsh_recall (recall = what banding
+    // misses; precision = what verification wastes)
+    "dedup_lsh_precision" -> ((s, d) =>
+      graft.pipeline.DedupOps.lshPrecision(docs(s, d))),
+
     // per-LANGUAGE tokenizer fits in ONE grouped merge loop (the
     // multilingual reality: one vocabulary per language family, fitted
     // together — 5 vocabularies for the rounds of one learn)
@@ -1499,6 +1505,27 @@ object TextQueries extends QueryModule {
          |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
          |  ROUND(MIN(p) + 1e-9, 6) AS min_p
          |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "dedup_lsh_precision" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |nc AS (SELECT COUNT(*) AS n_candidates FROM cands),
+         |nv AS (SELECT COUNT(*) AS n_verified FROM scored WHERE jaccard >= 0.5)
+         |SELECT nc.n_candidates, nv.n_verified,
+         |  ROUND(CASE WHEN nc.n_candidates > 0
+         |    THEN CAST(nv.n_verified AS DOUBLE) / nc.n_candidates
+         |    ELSE 1.0 END + 1e-9, 6) AS precision
+         |FROM nc CROSS JOIN nv""".stripMargin,
 
     "dedup_threshold_sweep" ->
       s"""$lshCte,

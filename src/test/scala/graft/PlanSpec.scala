@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
     "ann_matryoshka_recall" -> "both legs are the brute-force fixed-query-set baseline (vec_id < 10) — the truncation eval IS a baseline comparison",
     "vocab_coverage_curve" -> "broadcasts the 1-row total-token-count aggregate over the <= 13-row checkpoint frame",
     "mixture_temperature" -> "broadcasts the 1-row temperature-normalizer aggregate over the per-source frame (<= |sources| rows)",
-    "quality_ref_ppl" -> "broadcasts the 1-row vocabulary-size aggregate (V) over the transition stream — the text_bm25 corpus-stats shape")
+    "quality_ref_ppl" -> "broadcasts the 1-row vocabulary-size aggregate (V) over the transition stream — the text_bm25 corpus-stats shape",
+    "dedup_lsh_precision" -> "crossJoin of two 1-row count aggregates (candidates x verified) — both sides single rows by construction")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
