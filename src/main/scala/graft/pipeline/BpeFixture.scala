@@ -22,17 +22,29 @@ import org.apache.spark.sql.DataFrame
 object BpeFixture {
 
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), (DataFrame, DataFrame)]
+    .empty[(String, String, Int), (DataFrame, DataFrame)]
 
   /** The learned (merges, wordSyms) for `docs`, fitting at most once per
-    * (session, key, nMerges). `key` names the corpus (the sf dir, plus a
+    * (context, key, nMerges). `key` names the corpus (the sf dir, plus a
     * tag when `docs` is a split of it) — the caller owns keeping it
-    * faithful to what `docs` actually contains. */
+    * faithful to what `docs` actually contains.
+    *
+    * Keyed on the SparkContext's applicationId (unique per context
+    * instance — an identity hash could be reused by a later session
+    * after GC and serve frames bound to a stopped context), and a hit
+    * whose context has since stopped refits instead of returning dead
+    * checkpointed RDDs. */
   def learnedState(docs: DataFrame, key: String,
-                   nMerges: Int): (DataFrame, DataFrame) =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession), key, nMerges),
-      TextOps.bpeLearnState(docs, nMerges))
+                   nMerges: Int): (DataFrame, DataFrame) = {
+    val k = (docs.sparkSession.sparkContext.applicationId, key, nMerges)
+    cache.get(k) match {
+      case Some(v) if !v._1.sparkSession.sparkContext.isStopped => v
+      case _ =>
+        val v = TextOps.bpeLearnState(docs, nMerges)
+        cache.put(k, v)
+        v
+    }
+  }
 }
 
 /** Session-lifetime registry of fitted PCA models ((μ, v) driver
@@ -45,13 +57,15 @@ object BpeFixture {
 object PcaFixture {
 
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), (Array[Long], Array[Long])]
+    .empty[(String, String, Int), (Array[Long], Array[Long])]
 
   /** The fitted (mean, loading) for `emb`, fitting at most once per
-    * (session, key, iters); `key` names the corpus (the sf dir). */
+    * (context, key, iters); `key` names the corpus (the sf dir). The
+    * cached arrays are plain driver data (valid across contexts), but
+    * the applicationId key keeps corpus identity honest per run. */
   def fitted(emb: DataFrame, key: String,
              iters: Int): (Array[Long], Array[Long]) =
     cache.getOrElseUpdate(
-      (System.identityHashCode(emb.sparkSession), key, iters),
+      (emb.sparkSession.sparkContext.applicationId, key, iters),
       VectorOps.pcaFit(emb, iters))
 }

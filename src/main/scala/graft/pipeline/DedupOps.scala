@@ -152,6 +152,17 @@ object DedupOps {
   /** Exact dedup: group documents by content hash, keep the smallest
     * doc_id per group (one shuffle on the hash — the canonical exact-dedup
     * plan at any scale). */
+  /** Distinct banded candidate pairs (doc_a < doc_b) of an inverted
+    * index — the one spelling of the bands-self-join scaffold shared by
+    * the pair miner and its precision diagnostic. */
+  private[graft] def bandedCandidates(inv: DataFrame): DataFrame = {
+    val bands = minhashBandsFromInv(inv)
+    bands.as("a").join(bands.as("b"), Seq("bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def dedupExact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -171,11 +182,7 @@ object DedupOps {
     // the banding consumes; callers composing several dedup stages pass a
     // persisted one so the shingle explode+distinct runs once, not per leg
     val inv = sharedInv.getOrElse(shingleRows(docs))
-    val bands = minhashBandsFromInv(inv)
-    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = bandedCandidates(inv)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
       .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
@@ -390,11 +397,7 @@ object DedupOps {
                        sharedInv: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0, "containment verification assumes a positive threshold")
     val inv = sharedInv.getOrElse(shingleRows(docs))
-    val bands = minhashBandsFromInv(inv)
-    val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cands = bandedCandidates(inv)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
       .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
@@ -417,11 +420,21 @@ object DedupOps {
     * downstream per-cluster decisions (splits, survivor picks) cover the
     * whole corpus, not just the clustered minority. One left join of the
     * corpus against the (small) component frame. */
-  def componentsAll(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val comps = GraphOps.connectedComponents(
+  /** Connected components of the verified near-dup pair graph, clustered
+    * documents only — the one mining pass [[componentsAll]],
+    * [[leakproofSplit]] and [[canonicalDocs]] all consume. A pipeline
+    * composing several of them passes the SAME frame via their
+    * `sharedComps` parameter so the LSH pair mining (the dominant cost
+    * at corpus scale) runs once, not per decision step. */
+  def clusteredComps(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    GraphOps.connectedComponents(
       minhashPairs(docs, threshold)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .withColumnRenamed("id", "doc_id")
+
+  def componentsAll(docs: DataFrame, threshold: Double = 0.5,
+                    sharedComps: Option[DataFrame] = None): DataFrame = {
+    val comps = sharedComps.getOrElse(clusteredComps(docs, threshold))
     docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp_id"), col("doc_id")).as("comp_id"))
@@ -439,9 +452,10 @@ object DedupOps {
     * corpus-vs-components left join — both linear, no all-pairs. */
   def leakproofSplit(docs: DataFrame, valFrac: Double, testFrac: Double,
                      threshold: Double = 0.5,
-                     salt: String = "split"): DataFrame = {
+                     salt: String = "split",
+                     sharedComps: Option[DataFrame] = None): DataFrame = {
     val u = TextOps.mdDraw6On(salt, col("comp_id"))
-    componentsAll(docs, threshold)
+    componentsAll(docs, threshold, sharedComps)
       .select(col("doc_id"), col("comp_id"),
         when(u < TextOps.drawThreshold(valFrac), "val")
           .when(u < TextOps.drawThreshold(valFrac + testFrac), "test")
@@ -458,12 +472,10 @@ object DedupOps {
     * unclustered corpus majority needs no decision and would only bloat
     * the frame). The window partitions by comp_id — cluster-sized groups,
     * never corpus-sized partitions. */
-  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5,
+                    sharedComps: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comps = GraphOps.connectedComponents(
-      minhashPairs(docs, threshold)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .withColumnRenamed("id", "doc_id")
+    val comps = sharedComps.getOrElse(clusteredComps(docs, threshold))
     val scored = docs
       .select(col("doc_id"), TextOps.qualityCol.as("quality"))
       .join(comps, Seq("doc_id"))
@@ -596,12 +608,7 @@ object DedupOps {
     * join). Output: 1 row (n_candidates, n_verified, precision). */
   def lshPrecision(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val inv = graft.CacheScope.persist(shingleRows(docs))
-    val bands = minhashBandsFromInv(inv)
-    val cands = graft.CacheScope.persist(
-      bands.as("a").join(bands.as("b"), Seq("bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct())
+    val cands = graft.CacheScope.persist(bandedCandidates(inv))
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val verified = cands
       .join(inv.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))

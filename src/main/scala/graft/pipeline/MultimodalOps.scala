@@ -136,7 +136,9 @@ object MultimodalOps {
       .withColumn("payload", unhex(concat(
         hx.substr(lit(1), p * 2),
         lpad(lower(hex(tweaked)), 2, "0"),
-        hx.substr(p * 2 + 3, lit(1024)))))
+        // remainder length from the string itself — a literal cap would
+        // silently truncate twins if the payload geometry ever grows
+        hx.substr(p * 2 + 3, length(hx)))))
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
     base.unionByName(twins)
   }

@@ -76,7 +76,7 @@ object SketchOps {
     * (rank window): rho = leading zeros in the 52-bit window + 1 =
     * 53 - length(bin(w)), computed identically in both engines from the
     * minimal binary string. The harmonic-mean denominator is summed as
-    * the EXACT integer Σ 2^(53-M_r) (≤ m·2^53, long-safe for p ≤ 10), so
+    * the EXACT integer Σ 2^(53-M_r) (≤ m·2^53, long-safe at the p ≤ 8 bound), so
     * the only floating ops are the final division and (in the
     * small-range branch) one ln — both single IEEE ops behind an
     * integer-rounded estimate. Registers compose by MAX, so this exact
@@ -104,17 +104,17 @@ object SketchOps {
       .groupBy(col("source"), col("r")).agg(max(col("rho")).as("mr"))
   }
 
-  def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 10, "p in [4, 10]: estimate quality below, long overflow above")
+  /** The shared estimator tail: registers (grp, r, mr) + exact counts
+    * (grp, exact_n) → (grp, exact_n, hll_n, rel_err). ONE spelling of
+    * the alpha / harmonic-sum / linear-counting arithmetic, so the
+    * per-source and per-window sketches cannot desynchronize. */
+  private def hllEstimate(regs: DataFrame, exact: DataFrame,
+                          grp: String, p: Int): DataFrame = {
     val m = 1 << p
     // alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
     val alpha = 0.7213 / (1 + 1.079 / m)
     val num = alpha * m * m * math.pow(2.0, 53)
-    val tok = docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
-      .distinct()
-    val regs = hllRegisters(docs, p)
-    val exact = tok.groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
-    val est = regs.groupBy(col("source"))
+    regs.groupBy(col(grp))
       .agg(sum(expr("shiftleft(cast(1 as bigint), cast(53 - mr as int))")).as("sp"),
         count(lit(1)).as("present"))
       .withColumn("zeros", lit(m.toLong) - col("present"))
@@ -124,11 +124,22 @@ object SketchOps {
         when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw")))
-    est.join(exact, Seq("source"))
-      .select(col("source"), col("exact_n"),
+      .join(exact, Seq(grp))
+      .select(col(grp), col("exact_n"),
         round(col("est") + lit(1e-9), 0).cast("long").as("hll_n"),
         round((round(col("est") + lit(1e-9), 0) - col("exact_n").cast("double"))
           / col("exact_n").cast("double") + lit(1e-9), 4).as("rel_err"))
+  }
+
+  def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 8,
+      "p in [4, 8]: the register index is the TOP p bits of the 60-bit hash\n"
+        + "and the rank window is fixed at the low 52 bits, so p > 8 would\n"
+        + "leave registers beyond 2^8 permanently empty")
+    val tok = docs.select(col("source"), explode(array_distinct(TextOps.tokens)).as("t"))
+      .distinct()
+    val exact = tok.groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
+    hllEstimate(hllRegisters(docs, p), exact, "source", p)
   }
 
   /** WINDOWED distinct-user sketch over the event stream: per hour
@@ -142,10 +153,8 @@ object SketchOps {
     * denominator is Σ 2^(53−M_r) in BIGINT, the only floats are one
     * division and (small-range) one ln. */
   def hllUserWindows(events: DataFrame, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 10, "p in [4, 10]")
+    require(p >= 4 && p <= 8, "p in [4, 8]: register index = top 8 hash bits")
     val m = 1 << p
-    val alpha = 0.7213 / (1 + 1.079 / m)
-    val num = alpha * m * m * math.pow(2.0, 53)
     val du = events.select(
         expr("unix_timestamp(ts) div 3600 * 3600").as("win_start"),
         col("user_id"))
@@ -158,20 +167,6 @@ object SketchOps {
         .otherwise(lit(53) - length(expr("bin(w)"))))
       .groupBy(col("win_start"), col("r")).agg(max(col("rho")).as("mr"))
     val exact = du.groupBy(col("win_start")).agg(count(lit(1)).as("exact_n"))
-    regs.groupBy(col("win_start"))
-      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(53 - mr as int))")).as("sp"),
-        count(lit(1)).as("present"))
-      .withColumn("zeros", lit(m.toLong) - col("present"))
-      .withColumn("sum_int", col("sp") + col("zeros") * lit(1L << 53))
-      .withColumn("raw", lit(num) / col("sum_int").cast("double"))
-      .withColumn("est",
-        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
-          .otherwise(col("raw")))
-      .join(exact, Seq("win_start"))
-      .select(col("win_start"), col("exact_n"),
-        round(col("est") + lit(1e-9), 0).cast("long").as("hll_n"),
-        round((round(col("est") + lit(1e-9), 0) - col("exact_n").cast("double"))
-          / col("exact_n").cast("double") + lit(1e-9), 4).as("rel_err"))
+    hllEstimate(regs, exact, "win_start", p)
   }
 }
