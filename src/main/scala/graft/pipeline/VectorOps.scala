@@ -1265,6 +1265,53 @@ object VectorOps {
   def abttResiduals(emb: DataFrame, iters: Int = 8): DataFrame =
     abttResidualsWith(emb, pcaFit(emb, iters))
 
+  /** ISOTROPY DIAGNOSTIC — did the ABTT correction actually flatten the
+    * dominant direction? One row: variance of the along-axis projection
+    * BEFORE (pc1 = (q−μ)·v) and AFTER the correction (pc1 minus the
+    * rounded removed component — computable per row from pc1 and the
+    * loading literal, no second data pass), plus the reduction ratio.
+    * Projections and their squares ride decimal-exact sums; the two
+    * variances are then single IEEE expressions of identical integers
+    * on both engines. Zero shuffles: one map-side pass + one global
+    * aggregate. */
+  def abttIsotropy(emb: DataFrame, iters: Int = 8): DataFrame =
+    abttIsotropyWith(emb, pcaFit(emb, iters))
+
+  /** [[abttIsotropy]] from an already-fitted model — scoring only. */
+  def abttIsotropyWith(emb: DataFrame,
+                       fit: (Array[Long], Array[Long])): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mu, v) = fit
+    val vv = v.map(x => x * x).sum
+    require(vv > 0L, "isotropy diagnostic needs a non-zero direction")
+    val muLit = typedlit(mu.toSeq)
+    val vLit = typedlit(v.toSeq)
+    val scored = emb.select(
+        aggregate(transform(quant, (x, i) =>
+          (x - element_at(muLit, i + 1)) * element_at(vLit, i + 1)),
+          lit(0L), _ + _).as("p"))
+      .withColumn("pa", col("p") - aggregate(
+        transform(vLit, (vi, _) =>
+          round(col("p").cast("double") / lit(vv.toDouble) * vi).cast("long") * vi),
+        lit(0L), _ + _))
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
+    // squares exceed Long (p² up to ~1.7e22): cast to decimal BEFORE the
+    // multiply so the product is exact, never a wrapped long
+    def dsq(c: Column) = sum(c.cast(DecimalType(38, 0))
+      * c.cast(DecimalType(38, 0))).cast("double")
+    scored.agg(count(lit(1)).as("n"),
+        dsum(col("p")).as("s1"), dsq(col("p")).as("s2"),
+        dsum(col("pa")).as("a1"), dsq(col("pa")).as("a2"))
+      .select(col("n"),
+        round((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          + lit(1e-9), 4).as("axis_var_before"),
+        round((col("a2") / col("n") - (col("a1") / col("n")) * (col("a1") / col("n")))
+          + lit(1e-9), 4).as("axis_var_after"),
+        round((col("a2") / col("n") - (col("a1") / col("n")) * (col("a1") / col("n")))
+          / (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          + lit(1e-9), 8).as("residual_ratio"))
+  }
+
   /** [[abttResiduals]] from an already-fitted model — scoring only. */
   def abttResidualsWith(emb: DataFrame,
                         fit: (Array[Long], Array[Long])): DataFrame = {

@@ -348,6 +348,13 @@ object VectorQueries extends QueryModule {
     "emb_abtt" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorOps.abttResidualsWith(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
+    }),
+
+    // did the correction work? along-axis variance before/after ABTT +
+    // reduction ratio, decimal-exact moments, one map-side pass
+    "emb_abtt_isotropy" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorOps.abttIsotropyWith(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
     }))
 
   /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
@@ -423,6 +430,29 @@ object VectorQueries extends QueryModule {
          |SELECT vec_id, CAST(SUM((e.x - mu.m) * vv.v) AS BIGINT) AS pc1
          |FROM e JOIN mu ON e.i = mu.i JOIN v8 vv ON e.i = vv.i
          |GROUP BY vec_id""".stripMargin,
+
+    "emb_abtt_isotropy" ->
+      s"""WITH ${pcaCtes(8)},
+         |nv AS MATERIALIZED (SELECT CAST(SUM(v * v) AS DOUBLE) AS vv FROM v8),
+         |pj AS MATERIALIZED (SELECT vec_id, CAST(SUM((e.x - mu.m) * v8.v) AS BIGINT) AS p
+         |  FROM e JOIN mu ON e.i = mu.i JOIN v8 ON e.i = v8.i GROUP BY vec_id),
+         |rm AS MATERIALIZED (SELECT pj.vec_id, CAST(SUM(
+         |    CAST(round(CAST(p AS DOUBLE) / (SELECT vv FROM nv) * v8.v) AS BIGINT)
+         |      * v8.v) AS BIGINT) AS rmv
+         |  FROM pj CROSS JOIN v8 GROUP BY pj.vec_id, pj.p),
+         |pp AS (SELECT pj.vec_id, p, p - rmv AS pa FROM pj JOIN rm ON pj.vec_id = rm.vec_id),
+         |ag AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(p AS HUGEINT) * p) AS DOUBLE) AS s2,
+         |    CAST(SUM(CAST(pa AS HUGEINT)) AS DOUBLE) AS a1,
+         |    CAST(SUM(CAST(pa AS HUGEINT) * pa) AS DOUBLE) AS a2
+         |  FROM pp)
+         |SELECT n,
+         |  ROUND((s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 4) AS axis_var_before,
+         |  ROUND((a2 / n - (a1 / n) * (a1 / n)) + 1e-9, 4) AS axis_var_after,
+         |  ROUND((a2 / n - (a1 / n) * (a1 / n))
+         |    / (s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 8) AS residual_ratio
+         |FROM ag""".stripMargin,
 
     "emb_abtt" ->
       s"""WITH ${pcaCtes(8)},

@@ -100,4 +100,13 @@ class PcaSpec extends SparkSpec {
     assert(after.sum / after.size < before.sum / before.size / 100,
       "correction did not remove the dominant component")
   }
+
+  test("isotropy diagnostic: along-axis variance collapses after ABTT") {
+    val (_, df) = anisotropic
+    val r = VectorOps.abttIsotropy(df).head
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("axis_var_before") > 0)
+    assert(r.getAs[Double]("residual_ratio") < 1e-4,
+      s"residual_ratio ${r.getAs[Double]("residual_ratio")}")
+  }
 }
