@@ -321,14 +321,25 @@ object EventOps {
     * skipped rather than flagged on noise. Output: (event_type,
     * win_start, n, base_mean, z). */
   def anomalyWindows(events: DataFrame, zThresh: Double = 3.0,
-                     minBaseline: Int = 12): DataFrame = {
+                     minBaseline: Int = 12): DataFrame =
+    anomalyFromHourly(hourlyCounts(events), zThresh, minBaseline)
+
+  /** The per-(event_type, hour) count frame [[anomalyFromHourly]]
+    * scores — separated so the streaming monitor can accumulate it as
+    * additive per-batch deltas and re-score the merged store. */
+  def hourlyCounts(events: DataFrame): DataFrame = events
+    .select(col("event_type"),
+      expr("unix_timestamp(ts) div 3600 * 3600").as("win_start"))
+    .groupBy(col("event_type"), col("win_start"))
+    .agg(count(lit(1)).as("n"))
+
+  /** [[anomalyWindows]] over an already-aggregated hourly frame
+    * ((event_type, win_start, n) — e.g. the streaming store's summed
+    * deltas). */
+  def anomalyFromHourly(hourly: DataFrame, zThresh: Double = 3.0,
+                        minBaseline: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val hourly = events
-      .select(col("event_type"),
-        expr("unix_timestamp(ts) div 3600 * 3600").as("win_start"))
-      .groupBy(col("event_type"), col("win_start"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
       .rowsBetween(-24, -1)
     hourly

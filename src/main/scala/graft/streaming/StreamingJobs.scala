@@ -298,6 +298,40 @@ object StreamingJobs {
         ()
     }
 
+  /** STREAMING VOLUME-ANOMALY MONITOR — the live form of
+    * [[graft.pipeline.EventOps.anomalyWindows]]: each micro-batch's
+    * hourly count DELTAS land in their own parquet dir (additive, so
+    * replays overwrite idempotently — exactly-once), and the monitor
+    * re-scores the accumulated store (summed deltas per type-hour)
+    * against the trailing baseline, emitting the current alert set as
+    * the batch's own output dir. Store size is type×hour — bounded by
+    * the time horizon, not event volume; the per-batch rescore is a
+    * window over that bounded frame. Final alert output equals the
+    * batch monitor over the same events (pinned in StreamingSpec). */
+  def anomalyStream(events: DataFrame, storeDir: String,
+                    zThresh: Double = 2.5,
+                    minBaseline: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        import graft.pipeline.EventOps
+        EventOps.hourlyCounts(batch)
+          .write.mode("overwrite").parquet(s"$storeDir/hours/batch_$id")
+        // enumerate the delta dirs explicitly (a `hours/*` glob resolves
+        // at plan time and can race the first batch's own write)
+        val hoursPath = new org.apache.hadoop.fs.Path(s"$storeDir/hours")
+        val fs = hoursPath.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val deltaDirs = fs.listStatus(hoursPath)
+          .filter(_.isDirectory).map(_.getPath.toString)
+        val accumulated = batch.sparkSession.read
+          .parquet(deltaDirs.toIndexedSeq: _*)
+          .groupBy(col("event_type"), col("win_start"))
+          .agg(sum(col("n")).as("n"))
+        EventOps.anomalyFromHourly(accumulated, zThresh, minBaseline)
+          .write.mode("overwrite").parquet(s"$storeDir/alerts/batch_$id")
+        ()
+    }
+
   /** STREAMING REFERENCE-LM QUALITY SCORING — each arriving micro-batch
     * of (doc_id, text) documents is scored under the FROZEN reference
     * bigram model ([[graft.pipeline.TextOps.refLmFit]]'s (c2, c1, V)

@@ -355,6 +355,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot && streamed.size == 30)
   }
 
+  test("streaming anomaly monitor: accumulated-store rescore equals the batch monitor") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.EventOps
+    val dir = s"target/graft-tmp/anomaly_spec_${System.nanoTime()}"
+    // 30 quiet hours at ~5 events/hour, then one 60-event spike hour
+    val rows = (0 until 30).flatMap { h =>
+      (0 until 5 + (h % 3)).map(i => (ts(h * 3600L + i * 60), "click", 1.0))
+    } ++ (0 until 60).map(i => (ts(30 * 3600L + i * 10), "click", 1.0))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingJobs.anomalyStream(
+        in.toDF.toDF("ts", "event_type", "value"), dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(rows.take(100))
+      q.processAllAvailable()
+      in.addData(rows.drop(100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lastBatch = new java.io.File(s"$dir/alerts").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_"))
+      .maxBy(_.stripPrefix("batch_").toInt)
+    val streamed = spark.read.parquet(s"$dir/alerts/$lastBatch")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.anomalyWindows(
+        rows.toDF("ts", "event_type", "value"), zThresh = 2.5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the spike hour is flagged
+    assert(batch.exists(r => r(1) == 30L * 3600 && r(2) == 60L))
+  }
+
   test("streaming reference-LM scoring: frozen model equals the batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
