@@ -57,4 +57,30 @@ class ScanPruningSpec extends SparkSpec {
     Seq("source", "lang", "n_chars").foreach(c =>
       assert(!read.contains(c), s"unneeded $c read: $read"))
   }
+
+  test("emb_pca_project: the scoring scan reads only vec_id and embedding") {
+    val ss = scans("emb_pca_project")
+    assert(ss.nonEmpty)
+    ss.filter(_.metadata("Location").contains("embeddings")).foreach { s =>
+      val read = s.metadata("ReadSchema")
+      assert(!read.contains("label"), s"unneeded label column read: $read")
+    }
+  }
+
+  test("quality_ref_ppl: label-free columns only — doc_id, text, source") {
+    val ss = scans("quality_ref_ppl")
+    ss.filter(_.metadata("Location").contains("documents")).foreach { s =>
+      val read = s.metadata("ReadSchema")
+      Seq("lang", "n_chars").foreach(c =>
+        assert(!read.contains(c), s"unneeded $c read: $read"))
+    }
+  }
+
+  test("events_anomaly_windows: only ts and event_type are read from events") {
+    val ss = scans("events_anomaly_windows")
+    val ev = ss.find(_.metadata("Location").contains("events")).get
+    val read = ev.metadata("ReadSchema")
+    Seq("props", "value", "user_id").foreach(c =>
+      assert(!read.contains(c), s"unneeded $c read: $read"))
+  }
 }
