@@ -54,6 +54,34 @@ object TextOps {
     packByCounts(docs.select(col("doc_id"),
       size(tokens).cast("long").as("n_tokens")), budget, groups)
 
+  /** PACKING EFFICIENCY — the utilization numbers that justify (or
+    * reject) sequence packing for a corpus: token slots consumed under
+    * per-document PADDING (each doc padded up to whole `budget`-token
+    * slots — the naive batching bill) vs under GPT-style PACKING
+    * ([[packAssignments]]'s streams: only each group's final partial
+    * pack wastes). All counts exact integers from two partial-agg
+    * passes; the two utilization ratios are single divisions. Output:
+    * 1 row (n_docs, tokens_total, padded_slots, n_packs, padded_util,
+    * packed_util). */
+  def packEfficiency(docs: DataFrame, budget: Int = 256,
+                     groups: Int = 8): DataFrame = {
+    val counts = docs.select(col("doc_id"), size(tokens).cast("long").as("n"))
+      .withColumn("grp", pmod(col("doc_id"), lit(groups.toLong)))
+    val per = counts.agg(
+      count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"),
+      sum(expr(s"(n + $budget - 1) div $budget")).as("padded_slots"))
+    val packs = counts.groupBy(col("grp")).agg(sum(col("n")).as("gt"))
+      .agg(sum(expr(s"(gt + $budget - 1) div $budget")).as("n_packs"))
+    per.crossJoin(packs).select(
+      col("n_docs"), col("tokens_total"), col("padded_slots"), col("n_packs"),
+      round(col("tokens_total").cast("double")
+        / (col("padded_slots") * budget).cast("double") + lit(1e-9), 6)
+        .as("padded_util"),
+      round(col("tokens_total").cast("double")
+        / (col("n_packs") * budget).cast("double") + lit(1e-9), 6)
+        .as("packed_util"))
+  }
+
   /** [[packAssignments]] over a caller-supplied (doc_id, n_tokens)
     * frame — the budget-exact form: a production loader packs by the
     * tokens the model actually bills ([[bpeEncode]]'s `bpe_tokens`),

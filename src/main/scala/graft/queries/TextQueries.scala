@@ -364,6 +364,11 @@ object TextQueries extends QueryModule {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("bpe_tokens").as("n_tokens")),
         budget = 512, groups = 8)),
+    // padding-vs-packing utilization: the numbers that justify packing
+    // for this corpus (naive per-doc padded slots vs GPT-pack bill)
+    "pack_efficiency" -> ((s, d) =>
+      TextOps.packEfficiency(docs(s, d), budget = 256, groups = 8)),
+
     "split_assign" -> ((s, d) =>
       TextOps.splitAssign(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
     // Gopher-style repetitiousness filters over the documents table
@@ -1448,6 +1453,25 @@ object TextQueries extends QueryModule {
         |SELECT grp, doc_id, n_tokens, cum0 // 256 AS pack_id,
         |  ((cum0 + n_tokens - 1) // 256) > (cum0 // 256) AS straddles
         |FROM c""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    doc_id % 8 AS grp
+        |  FROM documents),
+        |per AS (SELECT COUNT(*) AS n_docs, SUM(n) AS tokens_total,
+        |    SUM((n + 255) // 256) AS padded_slots FROM t),
+        |pk AS (SELECT SUM((gt + 255) // 256) AS n_packs FROM
+        |    (SELECT grp, SUM(n) AS gt FROM t GROUP BY grp))
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens_total AS BIGINT) AS tokens_total,
+        |  CAST(padded_slots AS BIGINT) AS padded_slots,
+        |  CAST(n_packs AS BIGINT) AS n_packs,
+        |  ROUND(CAST(tokens_total AS DOUBLE)
+        |    / CAST(padded_slots * 256 AS DOUBLE) + 1e-9, 6) AS padded_util,
+        |  ROUND(CAST(tokens_total AS DOUBLE)
+        |    / CAST(n_packs * 256 AS DOUBLE) + 1e-9, 6) AS packed_util
+        |FROM per CROSS JOIN pk""".stripMargin,
 
     // same shingle-min spelling as text_fingerprints — the native
     // expression must land on the identical value

@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
     "vocab_coverage_curve" -> "broadcasts the 1-row total-token-count aggregate over the <= 13-row checkpoint frame",
     "mixture_temperature" -> "broadcasts the 1-row temperature-normalizer aggregate over the per-source frame (<= |sources| rows)",
     "quality_ref_ppl" -> "broadcasts the 1-row vocabulary-size aggregate (V) over the transition stream — the text_bm25 corpus-stats shape",
-    "dedup_lsh_precision" -> "crossJoin of two 1-row count aggregates (candidates x verified) — both sides single rows by construction")
+    "dedup_lsh_precision" -> "crossJoin of two 1-row count aggregates (candidates x verified) — both sides single rows by construction",
+    "pack_efficiency" -> "crossJoin of two 1-row aggregates (per-doc totals x pack totals)")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
