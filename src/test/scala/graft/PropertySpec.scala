@@ -117,6 +117,25 @@ class PropertySpec extends SparkSpec {
     }, cases = 6)
   }
 
+  test("property: packing never wastes more slots than padding") {
+    import graft.pipeline.TextOps
+    runProp(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val budget = 16
+        val r = TextOps.packEfficiency(docsDf(docs), budget, groups = 4).head
+        val (nDocs, total, slots, packs) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))
+        val (padU, pakU) = (r.getDouble(4), r.getDouble(5))
+        // packs of concatenated streams can never exceed per-doc padded
+        // slots, and both bills must cover the token mass
+        nDocs == docs.length &&
+          packs <= slots &&
+          total <= packs * budget && total <= slots * budget &&
+          pakU >= padU - 1e-9 && pakU <= 1.0 + 1e-9
+      }
+    }, cases = 6)
+  }
+
   test("property: chunking covers every token; boundaries are pure arithmetic") {
     import graft.pipeline.TextOps
     val (window, stride) = (8, 6)
