@@ -598,6 +598,33 @@ object DedupOps {
       .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
   }
 
+  /** NEAR-DUP CLUSTER-SIZE HISTOGRAM — the audit view of how duplication
+    * is distributed: are we removing scattered pairs or a few huge
+    * template families? Buckets (1 / 2 / 3-5 / 6+) with cluster and
+    * document counts; the singleton row is derived from the corpus
+    * total minus the clustered mass (two 1-row aggregates), so the
+    * histogram always accounts for every document. */
+  def clusterSizeHistogram(docs: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sizes = clusteredComps(docs, threshold)
+      .groupBy(col("comp_id")).agg(count(lit(1)).as("sz"))
+    val buckets = sizes
+      .withColumn("bucket", when(col("sz") === 2, "2")
+        .when(col("sz") <= 5, "3-5").otherwise("6+"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val clustered = sizes.agg(
+      coalesce(sum(col("sz")), lit(0L)).as("cd"))
+    val singles = docs.agg(count(lit(1)).as("total"))
+      .crossJoin(clustered)
+      .select(lit("1").as("bucket"),
+        (col("total") - col("cd")).as("n_clusters"),
+        (col("total") - col("cd")).as("n_docs"))
+    buckets.unionByName(singles)
+  }
+
   /** Banding PRECISION — the other half of the honesty pair next to
     * [[lshRecall]]: of the candidate pairs the band join surfaces, what
     * fraction verify at the production threshold. Low precision means

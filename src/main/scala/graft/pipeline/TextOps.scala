@@ -1563,6 +1563,33 @@ object TextOps {
         (col("cum_tokens").cast("double") / col("tot")).as("coverage"))
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law empirically): distinct token
+    * types seen after consuming the first `c` documents, for each
+    * checkpoint — the curve that forecasts vocabulary size (and
+    * tokenizer OOV pressure) at the next 10× of corpus. One pass: every
+    * token type reduces to its FIRST document (min-agg, skew-safe like
+    * [[lineDedup]]), then an in-row explode of the checkpoints at or
+    * after that first occurrence — no per-checkpoint re-scan.
+    * Checkpoints beyond the corpus report the full vocabulary
+    * (monotone tail). Output: (checkpoint, distinct_tokens). */
+  def vocabGrowth(docs: DataFrame,
+                  checkpoints: Seq[Long] = Seq(50, 100, 200, 500, 1000,
+                                               2000, 5000)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      "checkpoints must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cLit = typedlit(checkpoints)
+    val firsts = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val counts = firsts
+      .select(explode(filter(cLit, c => col("first_doc") < c)).as("checkpoint"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("distinct_tokens"))
+    checkpoints.toDF("checkpoint")
+      .join(counts, Seq("checkpoint"), "left")
+      .na.fill(0L, Seq("distinct_tokens"))
+  }
+
   /** TEMPERATURE-SCALED MIXTURE WEIGHTS (α = 1/2): the multilingual /
     * multi-domain sampling rule w_d ∝ n_d^α that up-weights small slices
     * relative to proportional sampling without letting any slice dominate.

@@ -562,6 +562,16 @@ object TextQueries extends QueryModule {
     "dedup_lsh_precision" -> ((s, d) =>
       graft.pipeline.DedupOps.lshPrecision(docs(s, d))),
 
+    // how is duplication distributed: cluster-size buckets (1/2/3-5/6+)
+    // with cluster and document counts — scattered pairs vs template
+    // families; the singleton row closes the accounting
+    "dedup_cluster_sizes" -> ((s, d) =>
+      graft.pipeline.DedupOps.clusterSizeHistogram(docs(s, d))),
+
+    // Heaps-law vocabulary growth: distinct token types after the first
+    // c documents per checkpoint — the OOV-pressure forecast curve
+    "vocab_growth_curve" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
+
     // per-LANGUAGE tokenizer fits in ONE grouped merge loop (the
     // multilingual reality: one vocabulary per language family, fitted
     // together — 5 vocabularies for the rounds of one learn)
@@ -1529,6 +1539,33 @@ object TextQueries extends QueryModule {
          |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
          |  ROUND(MIN(p) + 1e-9, 6) AS min_p
          |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$componentsCtes,
+         |sz AS (SELECT comp_id, COUNT(*) AS sz FROM comps GROUP BY comp_id),
+         |bk AS (SELECT CASE WHEN sz = 2 THEN '2' WHEN sz <= 5 THEN '3-5'
+         |    ELSE '6+' END AS bucket,
+         |    COUNT(*) AS n_clusters, SUM(sz) AS n_docs
+         |  FROM sz GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS total FROM documents),
+         |cd AS (SELECT COALESCE(SUM(sz), 0) AS cd FROM sz)
+         |SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(n_docs AS BIGINT) AS n_docs FROM bk
+         |UNION ALL
+         |SELECT '1', CAST(total - cd AS BIGINT), CAST(total - cd AS BIGINT)
+         |FROM tot CROSS JOIN cd""".stripMargin,
+
+    "vocab_growth_curve" ->
+      """WITH f AS (SELECT w, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |cp AS (SELECT UNNEST([50, 100, 200, 500, 1000, 2000, 5000]) AS checkpoint),
+        |c AS (SELECT checkpoint, COUNT(*) AS distinct_tokens
+        |      FROM cp JOIN f ON f.first_doc < cp.checkpoint GROUP BY checkpoint)
+        |SELECT CAST(cp.checkpoint AS BIGINT) AS checkpoint,
+        |  CAST(COALESCE(c.distinct_tokens, 0) AS BIGINT) AS distinct_tokens
+        |FROM cp LEFT JOIN c ON cp.checkpoint = c.checkpoint""".stripMargin,
 
     "dedup_lsh_precision" ->
       s"""$lshCte,
