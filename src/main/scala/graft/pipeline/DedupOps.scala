@@ -598,6 +598,26 @@ object DedupOps {
       .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — which sources copy from which:
+    * verified near-dup pairs rolled up by their (unordered) source
+    * pair, with count and mean similarity. The provenance audit a
+    * multi-crawl corpus runs before deciding which feed to drop; one
+    * pair-mining pass + two keyed joins onto the doc→source map. */
+  def sourcePairMatrix(docs: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"), col("jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(graft.queries.Sql.decAvg(col("jaccard")) + lit(1e-9), 4)
+          .as("avg_jaccard"))
+  }
+
   /** NEAR-DUP CLUSTER-SIZE HISTOGRAM — the audit view of how duplication
     * is distributed: are we removing scattered pairs or a few huge
     * template families? Buckets (1 / 2 / 3-5 / 6+) with cluster and

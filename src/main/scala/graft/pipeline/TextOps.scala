@@ -1563,6 +1563,26 @@ object TextOps {
         (col("cum_tokens").cast("double") / col("tot")).as("coverage"))
   }
 
+  /** N-GRAM NOVELTY per document — the memorization audit: what
+    * fraction of a document's 3-gram shingles appears in NO
+    * earlier-id document. Low-novelty documents are recombinations of
+    * already-seen text (template spam, quote farms); the curve over
+    * doc_id is also the marginal-value signal ingestion-ordered crawls
+    * watch. Every shingle reduces to its first document (min-agg,
+    * skew-safe), then one keyed join back — no pair enumeration
+    * anywhere. Output: (doc_id, n_shingles, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val inv = graft.CacheScope.persist(DedupOps.shingleRows(docs))
+    val firsts = inv.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    inv.join(firsts, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles") + lit(1e-9), 4))
+  }
+
   /** VOCABULARY GROWTH CURVE (Heaps' law empirically): distinct token
     * types seen after consuming the first `c` documents, for each
     * checkpoint — the curve that forecasts vocabulary size (and

@@ -1136,6 +1136,40 @@ object VectorOps {
         coalesce(col("comp_id"), col("vec_id")).as("cluster_id"))
   }
 
+  /** EMBEDDING CENTROID DRIFT — the embedding-space twin of the
+    * tokenizer vocabulary-drift monitor: per label, the cosine between
+    * the mean embeddings of the two deterministic md5 corpus halves.
+    * Cosine is scale-invariant, so the centroid cosine equals the
+    * cosine of the raw component SUMS — exact BIGINT per half (products
+    * ride decimals against overflow at production counts), one explode
+    * + one partial-aggregated shuffle. A label whose halves disagree
+    * (cosine ≪ 1) marks a class whose embedding distribution is
+    * unstable across the corpus — retrain/recalibrate signal. Output:
+    * (label, n_a, n_b, centroid_cosine). */
+  def centroidDrift(emb: DataFrame, salt: String = "half"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sums = emb
+      .select(col("label"), (vecDraw(salt) < 500000L).as("ha"),
+        posexplode(quant).as(Seq("i", "x")))
+      .groupBy(col("label"), col("ha"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val a = sums.filter(col("ha"))
+      .select(col("label"), col("i"), col("s").as("sa"), col("n").as("n_a"))
+    val b = sums.filter(!col("ha"))
+      .select(col("label"), col("i"), col("s").as("sb"), col("n").as("n_b"))
+    def dprod(x: Column, y: Column) =
+      sum(x.cast(DecimalType(38, 0)) * y.cast(DecimalType(38, 0))).cast("double")
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        dprod(col("sa"), col("sb")).as("dot"),
+        dprod(col("sa"), col("sa")).as("na"),
+        dprod(col("sb"), col("sb")).as("nb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot") / sqrt(col("na") * col("nb")) + lit(1e-9), 6)
+          .as("centroid_cosine"))
+  }
+
   /** Spark-side twin of the engines' ROUND(double): half away from zero
     * on the decimal rendering — Spark's `Round` and DuckDB's `round()`
     * agree on this (both resolve exact .5 doubles away from zero), so a

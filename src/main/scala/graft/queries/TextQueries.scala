@@ -572,6 +572,15 @@ object TextQueries extends QueryModule {
     // c documents per checkpoint — the OOV-pressure forecast curve
     "vocab_growth_curve" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
 
+    // which sources copy from which: verified near-dup pairs rolled up
+    // by unordered source pair with count + mean similarity
+    "dedup_source_matrix" -> ((s, d) =>
+      graft.pipeline.DedupOps.sourcePairMatrix(docs(s, d))),
+
+    // memorization audit: per doc, the fraction of its 3-gram shingles
+    // seen in no earlier document (first-occurrence min-agg)
+    "text_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(docs(s, d))),
+
     // per-LANGUAGE tokenizer fits in ONE grouped merge loop (the
     // multilingual reality: one vocabulary per language family, fitted
     // together — 5 vocabularies for the rounds of one learn)
@@ -1539,6 +1548,41 @@ object TextQueries extends QueryModule {
          |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 4) AS avg_p,
          |  ROUND(MIN(p) + 1e-9, 6) AS min_p
          |FROM tr JOIN p USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    "dedup_source_matrix" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |pr AS (SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS j
+         |       FROM scored WHERE jaccard >= 0.5),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |sp AS (SELECT least(a.source, b.source) AS source_lo,
+         |    greatest(a.source, b.source) AS source_hi, j
+         |  FROM pr JOIN ds a ON pr.doc_a = a.doc_id
+         |          JOIN ds b ON pr.doc_b = b.doc_id)
+         |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+         |  ROUND(${Sql.decAvgSql("j")} + 1e-9, 4) AS avg_jaccard
+         |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH sets AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         |f AS (SELECT s, MIN(doc_id) AS first_doc FROM inv GROUP BY s)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) + 1e-9, 4) AS novelty
+         |FROM inv JOIN f USING (s) GROUP BY doc_id""".stripMargin,
 
     "dedup_cluster_sizes" ->
       s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -355,7 +355,12 @@ object VectorQueries extends QueryModule {
     "emb_abtt_isotropy" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorOps.abttIsotropyWith(emb, graft.pipeline.PcaFixture.fitted(emb, d, 8))
-    }))
+    }),
+
+    // embedding drift monitor: per label, cosine between the two md5
+    // corpus halves' mean embeddings (cosine of exact component sums)
+    "emb_centroid_drift" -> ((s, d) =>
+      VectorOps.centroidDrift(Tables.embeddings(s, d))))
 
   /** DuckDB replay of [[VectorOps.pcaFit]]: integer means, centered
     * covariance round(S/N) via vec_id self-join, then `iters` unrolled
@@ -401,6 +406,27 @@ object VectorQueries extends QueryModule {
        |  WHERE rk <= 3)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "emb_centroid_drift" ->
+      s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv,
+         |    CAST('0x' || substr(md5('half:' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % 1000000 < 500000 AS ha
+         |  FROM embeddings),
+         |e AS (SELECT label, ha, u.i AS i, u.x AS x FROM (SELECT label, ha,
+         |  unnest(list_transform(range(1, len(qv) + 1),
+         |    j -> {'i': j - 1, 'x': qv[j]})) AS u FROM q)),
+         |s AS (SELECT label, ha, i, SUM(x) AS s, COUNT(*) AS n
+         |      FROM e GROUP BY 1, 2, 3),
+         |jj AS (SELECT a.label, a.i, a.s AS sa, b.s AS sb, a.n AS n_a, b.n AS n_b
+         |  FROM (SELECT * FROM s WHERE ha) a
+         |  JOIN (SELECT * FROM s WHERE NOT ha) b
+         |    ON a.label = b.label AND a.i = b.i)
+         |SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         |  ROUND(CAST(SUM(CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+         |    / sqrt(CAST(SUM(CAST(sa AS HUGEINT) * sa) AS DOUBLE)
+         |           * CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE)) + 1e-9, 6)
+         |    AS centroid_cosine
+         |FROM jj GROUP BY label""".stripMargin,
+
     "ann_knn_graph" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |${kmeansCtes(4)},
