@@ -357,6 +357,29 @@ object EventOps {
         round(col("z") + lit(1e-9), 4).as("z"))
   }
 
+  /** DAU / WAU STICKINESS — the engagement ratio per day: distinct
+    * users that day over distinct users in the trailing 7 days.
+    * Exact (not sketched): user-days dedup once, then the weekly leg
+    * fans each user-day out to the ≤ 7 windows it serves (bounded ×7,
+    * dedup per window) — the standard exact-WAU shape; swap in the HLL
+    * registers ([[graft.pipeline.SketchOps.hllUserWindows]]) when
+    * per-day distincts stop fitting. Output: (day, dau, wau,
+    * stickiness). */
+  def dauStickiness(events: DataFrame): DataFrame = {
+    val ud = events.select(
+        expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau") + lit(1e-9), 4)
+          .as("stickiness"))
+  }
+
   def hotKeys(events: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))

@@ -267,6 +267,17 @@ object TextOps {
       :+ pred.as("pred_lang"): _*)
   }
 
+  /** Language-ID CONFUSION MATRIX — the quality audit of the marker
+    * heuristic against the labeled `lang` column: (actual, predicted,
+    * count). The off-diagonal mass is the mislabeling bill a
+    * lang-gated curation pipeline pays; per-language it tells which
+    * marker lists need widening. One scoring pass + one keyed join. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs).select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
   /** Shingle-window width and the polynomial-hash constants of
     * `fp_shingle_min` (Rabin–Karp base 131 mod 1e9+7). The per-window
     * weights are pre-reduced mod P so every term fits a long:

@@ -49,6 +49,9 @@ object EventQueries extends QueryModule {
     // window moments) — the ingest-outage / bot-spike monitor
     "events_anomaly_windows" -> ((s, d) =>
       EventOps.anomalyWindows(ev(s, d), zThresh = 2.5)),
+    // engagement stickiness: exact DAU over trailing-7-day WAU per day
+    "events_dau_stickiness" -> ((s, d) =>
+      EventOps.dauStickiness(ev(s, d))),
 
     // semi-structured payloads: JSON prop extraction + per-type stats —
     // the "parse the event envelope" step every log pipeline runs
@@ -212,6 +215,18 @@ object EventQueries extends QueryModule {
          |  MIN(k) AS min_k, MAX(k) AS max_k,
          |  ROUND(${Sql.decAvgSql("k")} + 1e-9, 4) AS avg_k
          |FROM e GROUP BY event_type""".stripMargin,
+
+    "events_dau_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |wexp AS (SELECT DISTINCT user_id, day + o AS wday
+        |  FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS o)),
+        |wau AS (SELECT wday AS day, COUNT(*) AS wau FROM wexp GROUP BY wday)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau + 1e-9, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
     "events_anomaly_windows" ->
       s"""WITH h AS (SELECT event_type,

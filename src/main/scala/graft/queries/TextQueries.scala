@@ -581,6 +581,10 @@ object TextQueries extends QueryModule {
     // seen in no earlier document (first-occurrence min-agg)
     "text_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(docs(s, d))),
 
+    // lang-ID heuristic audited against the labeled lang column: the
+    // (actual, predicted, n) confusion matrix
+    "lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
+
     // per-LANGUAGE tokenizer fits in ONE grouped merge loop (the
     // multilingual reality: one vocabulary per language family, fitted
     // together — 5 vocabularies for the rounds of one learn)
@@ -899,6 +903,21 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
          |  CASE $pred END AS pred_lang
          |FROM mm""".stripMargin
+    },
+
+    "lang_confusion" -> {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+         |mm AS (SELECT *, $m AS m FROM sc),
+         |p AS (SELECT doc_id, lang, CASE $pred END AS pred_lang FROM mm)
+         |SELECT lang, pred_lang, COUNT(*) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin
     },
 
     "text_fingerprints" -> {
