@@ -130,4 +130,73 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     // nothing from the already-indexed side pairs with itself
     inc.foreach { case (n, o, _) => assert(n >= split && o < split) }
   }
+
+  test("ngramNovelty: exact duplicates score 0, the first document scores 1") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // exact dup of 0
+      (2L, "zeta eta theta iota kappa"))     // all-new shingles
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val out = TextOps.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._2 === 1.0)
+    assert(out(1L) === ((0L, 0.0)))
+    assert(out(2L)._2 === 1.0)
+  }
+
+  test("dauStickiness: dau never exceeds wau; a one-day corpus has ratio 1") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventOps.dauStickiness(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (day, dau, wau, s) =>
+      assert(dau <= wau, s"day $day: dau $dau > wau $wau")
+      assert(s > 0 && s <= 1.0 + 1e-9)
+    }
+    import spark.implicits._
+    val oneDay = Seq((new java.sql.Timestamp(86400000L), 1L),
+      (new java.sql.Timestamp(86400000L + 3600000L), 2L))
+      .toDF("ts", "user_id")
+    val od = EventOps.dauStickiness(oneDay).collect()
+    assert(od.length == 1 && od.head.getDouble(3) === 1.0)
+  }
+
+  test("langConfusion: totals reconcile; the matrix exposes the heuristic honestly") {
+    val cm = TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cm.map(_._3).sum == docs.count())
+    // per-label rows account for every document of that label
+    val byLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cm.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == byLang(lang)) }
+    // the synthetic corpus reuses English-ish tokens under every lang
+    // label, and the matrix must SAY so: 'en' is the only label whose
+    // diagonal dominates; the others are predicted mostly 'en' — the
+    // honest off-diagonal mass this audit exists to surface
+    val en = cm.filter(_._1 == "en")
+    assert(en.filter(_._2 == "en").map(_._3).sum >
+      en.filter(_._2 != "en").map(_._3).sum)
+    cm.groupBy(_._1).filter(_._1 != "en").foreach { case (lang, rows) =>
+      val predEn = rows.filter(_._2 == "en").map(_._3).sum
+      assert(predEn >= rows.filter(_._2 == lang).map(_._3).sum,
+        s"$lang unexpectedly self-identifies on an English-token corpus")
+    }
+  }
+
+  test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
+    val m = DedupOps.sourcePairMatrix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val src = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    assert(m == expected)
+  }
 }
