@@ -180,4 +180,50 @@ object MetricOps {
         round(col("conslag_slope") + lit(1e-9), 6).as("conslag_slope"),
         col("is_bck_pres"))
   }
+
+  /** HOUR-OF-DAY SEASONAL PROFILE per series — the daily-periodicity
+    * view of a workload (the reference's sine/tiled workloads are
+    * built from exactly this structure): per (sid, hour-of-day), the
+    * observation count and decimal-exact mean value. The profile is
+    * what a seasonal-naive forecaster serves and what capacity
+    * planning reads peak hours from. One partial-agg shuffle over
+    * sid×24 groups. */
+  def seasonalProfile(series: DataFrame): DataFrame =
+    series.select(col("sid"),
+        (expr("ts div 3600") % 24).as("hod"), col("value"))
+      .groupBy(col("sid"), col("hod"))
+      .agg(count(col("value")).as("n"),
+        round(graft.queries.Sql.decAvg(col("value")) + lit(1e-9), 4)
+          .as("mean_value"))
+
+  /** AUTOCORRELATION FUNCTION of one series, lags 1..maxLag — the
+    * diagnostic that justifies the forecaster's (p, q) order search
+    * ([[graft.models.AutoOrder]]): r_k = Σ c_t·c_{t+k} / Σ c_t², with
+    * c = value − mean. Exactness: the mean is the decimal-exact
+    * average, every centered product is individually rounded to a
+    * decimal before summing (the [[graft.queries.Sql.decSum]] pattern,
+    * so partitioning can't reorder float adds), and lag pairing is an
+    * equi-join on ts + k·step — the in-row lag explode is bounded ×
+    * maxLag, never a window over the whole series. */
+  def acf(series: DataFrame, sid: String, maxLag: Int = 24,
+          step: Long = 3600L): DataFrame = {
+    val s = graft.CacheScope.persist(
+      series.filter(col("sid") === sid).select(col("ts"), col("value")))
+    val stats = s.agg(graft.queries.Sql.decAvg(col("value")).as("mu"))
+    val c = graft.CacheScope.persist(
+      s.crossJoin(broadcast(stats))
+        .select(col("ts"), (col("value") - col("mu")).as("c")))
+    val den = c.agg(
+      sum((col("c") * col("c")).cast(DecimalType(30, 6))).cast("double").as("den"))
+    val ks = typedlit((1 to maxLag).map(_.toLong))
+    c.select(col("ts"), col("c"), explode(ks).as("k"))
+      .withColumn("ts2", col("ts") + col("k") * step)
+      .join(c.select(col("ts").as("ts2"), col("c").as("c2")), Seq("ts2"))
+      .groupBy(col("k"))
+      .agg(sum((col("c") * col("c2")).cast(DecimalType(30, 6)))
+        .cast("double").as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"),
+        round(col("num") / col("den") + lit(1e-9), 6).as("acf"))
+  }
 }

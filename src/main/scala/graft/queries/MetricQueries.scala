@@ -58,6 +58,12 @@ object MetricQueries extends QueryModule {
       MetricOps.trailingAvg(TimeSeriesOps.dense(seriesDf(s, d), STEP), STEP, points = 120)),
 
     "a4_promql_sum" -> ((s, d) => MetricOps.promSum(seriesDf(s, d))),
+    // daily-periodicity profile: per (series, hour-of-day) mean — the
+    // seasonal-naive baseline and peak-hour capacity view
+    "ts_seasonal_profile" -> ((s, d) =>
+      MetricOps.seasonalProfile(seriesDf(s, d))),
+    // ACF lags 1..24 of the click series — the order-search diagnostic
+    "m1_acf" -> ((s, d) => MetricOps.acf(seriesDf(s, d), "click")),
 
     "a5_promql_mean" -> ((s, d) => MetricOps.promMean(seriesDf(s, d))),
 
@@ -172,6 +178,26 @@ object MetricQueries extends QueryModule {
       s"""WITH series AS ($SER)
          |SELECT ts, ROUND(${Sql.decSumSql("value")}, 4) AS value
          |FROM series WHERE value IS NOT NULL GROUP BY ts""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      s"""WITH series AS ($SER)
+         |SELECT sid, (ts // 3600) % 24 AS hod, COUNT(value) AS n,
+         |  ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS mean_value
+         |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "m1_acf" ->
+      s"""WITH series AS ($SER),
+         |s AS MATERIALIZED (SELECT ts, value FROM series WHERE sid = 'click'),
+         |st AS MATERIALIZED (SELECT ${Sql.decAvgSql("value")} AS mu FROM s),
+         |c AS MATERIALIZED (SELECT ts, value - (SELECT mu FROM st) AS c FROM s),
+         |den AS MATERIALIZED (SELECT ${Sql.decSumSql("c * c")} AS den FROM c),
+         |ks AS (SELECT UNNEST(range(1, 25)) AS k),
+         |pr AS (SELECT k, a.c AS ca, b.c AS cb
+         |  FROM ks CROSS JOIN c a JOIN c b ON b.ts = a.ts + k * 3600),
+         |num AS (SELECT k, ${Sql.decSumSql("ca * cb")} AS num FROM pr GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  ROUND(num / (SELECT den FROM den) + 1e-9, 6) AS acf
+         |FROM num""".stripMargin,
 
     "a5_promql_mean" ->
       s"""WITH series AS ($SER)

@@ -49,7 +49,8 @@ class PlanSpec extends SparkSpec {
     "quality_ref_ppl" -> "broadcasts the 1-row vocabulary-size aggregate (V) over the transition stream — the text_bm25 corpus-stats shape",
     "dedup_lsh_precision" -> "crossJoin of two 1-row count aggregates (candidates x verified) — both sides single rows by construction",
     "pack_efficiency" -> "crossJoin of two 1-row aggregates (per-doc totals x pack totals)",
-    "dedup_cluster_sizes" -> "singleton row = crossJoin of the 1-row corpus total with the 1-row clustered-mass aggregate")
+    "dedup_cluster_sizes" -> "singleton row = crossJoin of the 1-row corpus total with the 1-row clustered-mass aggregate",
+    "m1_acf" -> "broadcasts the 1-row mean and 1-row denominator aggregates over the (bounded, series-sized) centered frame")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
