@@ -223,6 +223,10 @@ object MetricOps {
       .agg(sum((col("c") * col("c2")).cast(DecimalType(30, 6)))
         .cast("double").as("num"))
       .crossJoin(broadcast(den))
+      // a zero-variance (constant) series has no autocorrelation to
+      // report: skip instead of emitting 24 NaN rows (the
+      // anomalyWindows zero-variance convention)
+      .filter(col("den") > 0)
       .select(col("k"),
         round(col("num") / col("den") + lit(1e-9), 6).as("acf"))
   }

@@ -251,20 +251,25 @@ object TextOps {
 
   /** Language ID: argmax of per-language marker hits, ties broken by
     * language code ascending (deterministic). */
+  /** Argmax language over the `s_<lang>` score columns: greatest +
+    * cascaded when (tie → first language asc) — the ONE spelling
+    * [[langId]] and [[langConfusion]] share. */
+  private def predLang: Column = {
+    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val maxScore = greatest(best: _*)
+    langMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) =>
+        when(acc.isNull && col(s"s_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val ts = tokens
     val scored = docs.select(
       col("doc_id") +: langMarkers.map { case (l, ws) =>
         markerCount(ts, ws).as(s"s_$l") }: _*)
-    // argmax via greatest + cascaded when (5 languages, tie → first asc).
-    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
-    val maxScore = greatest(best: _*)
-    val pred = langMarkers.foldLeft(lit(null).cast("string")) {
-      case (acc, (l, _)) =>
-        when(acc.isNull && col(s"s_$l") === maxScore, lit(l)).otherwise(acc)
-    }
     scored.select(col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") }
-      :+ pred.as("pred_lang"): _*)
+      :+ predLang.as("pred_lang"): _*)
   }
 
   /** Language-ID CONFUSION MATRIX — the quality audit of the marker
@@ -272,11 +277,17 @@ object TextOps {
     * count). The off-diagonal mass is the mislabeling bill a
     * lang-gated curation pipeline pays; per-language it tells which
     * marker lists need widening. One scoring pass + one keyed join. */
-  def langConfusion(docs: DataFrame): DataFrame =
-    langId(docs).select(col("doc_id"), col("pred_lang"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+  def langConfusion(docs: DataFrame): DataFrame = {
+    // lang rides the scoring select — scoring is row-local, so joining
+    // langId's output back onto the corpus would shuffle for a column
+    // a pass-through keeps for free
+    val ts = tokens
+    docs.select(col("lang") +: langMarkers.map { case (l, ws) =>
+        markerCount(ts, ws).as(s"s_$l") }: _*)
+      .select(col("lang"), predLang.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Shingle-window width and the polynomial-hash constants of
     * `fp_shingle_min` (Rabin–Karp base 131 mod 1e9+7). The per-window
@@ -1608,6 +1619,8 @@ object TextOps {
                                                2000, 5000)): DataFrame = {
     require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
       "checkpoints must be >= 1")
+    require(checkpoints.distinct.size == checkpoints.size,
+      "duplicate checkpoints would duplicate output rows")
     val spark = docs.sparkSession
     import spark.implicits._
     val cLit = typedlit(checkpoints)

@@ -1341,9 +1341,13 @@ object VectorOps {
           + lit(1e-9), 4).as("axis_var_before"),
         round((col("a2") / col("n") - (col("a1") / col("n")) * (col("a1") / col("n")))
           + lit(1e-9), 4).as("axis_var_after"),
-        round((col("a2") / col("n") - (col("a1") / col("n")) * (col("a1") / col("n")))
-          / (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
-          + lit(1e-9), 8).as("residual_ratio"))
+        // a degenerate corpus (n = 1, or all projections identical) has
+        // no variance to reduce: report the ratio as NULL, never a NaN
+        // that would vacuously fail downstream comparisons
+        when((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) > 0,
+          round((col("a2") / col("n") - (col("a1") / col("n")) * (col("a1") / col("n")))
+            / (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            + lit(1e-9), 8)).as("residual_ratio"))
   }
 
   /** [[abttResiduals]] from an already-fitted model — scoring only. */

@@ -197,7 +197,7 @@ object MetricQueries extends QueryModule {
          |num AS (SELECT k, ${Sql.decSumSql("ca * cb")} AS num FROM pr GROUP BY k)
          |SELECT CAST(k AS BIGINT) AS k,
          |  ROUND(num / (SELECT den FROM den) + 1e-9, 6) AS acf
-         |FROM num""".stripMargin,
+         |FROM num WHERE (SELECT den FROM den) > 0""".stripMargin,
 
     "a5_promql_mean" ->
       s"""WITH series AS ($SER)

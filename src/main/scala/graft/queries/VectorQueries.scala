@@ -476,8 +476,9 @@ object VectorQueries extends QueryModule {
          |SELECT n,
          |  ROUND((s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 4) AS axis_var_before,
          |  ROUND((a2 / n - (a1 / n) * (a1 / n)) + 1e-9, 4) AS axis_var_after,
-         |  ROUND((a2 / n - (a1 / n) * (a1 / n))
-         |    / (s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 8) AS residual_ratio
+         |  CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN
+         |    ROUND((a2 / n - (a1 / n) * (a1 / n))
+         |      / (s2 / n - (s1 / n) * (s1 / n)) + 1e-9, 8) END AS residual_ratio
          |FROM ag""".stripMargin,
 
     "emb_abtt" ->

@@ -299,35 +299,38 @@ object StreamingJobs {
     }
 
   /** STREAMING VOLUME-ANOMALY MONITOR — the live form of
-    * [[graft.pipeline.EventOps.anomalyWindows]]: each micro-batch's
-    * hourly count DELTAS land in their own parquet dir (additive, so
-    * replays overwrite idempotently — exactly-once), and the monitor
-    * re-scores the accumulated store (summed deltas per type-hour)
-    * against the trailing baseline, emitting the current alert set as
-    * the batch's own output dir. Store size is type×hour — bounded by
-    * the time horizon, not event volume; the per-batch rescore is a
-    * window over that bounded frame. Final alert output equals the
-    * batch monitor over the same events (pinned in StreamingSpec). */
+    * [[graft.pipeline.EventOps.anomalyWindows]] over a COMPACTED hourly
+    * store: batch `id` folds its hourly deltas into the previous
+    * batch's compacted store (`store/batch_{id-1}` ∪ delta, re-summed)
+    * and writes the merge as `store/batch_id`, then re-scores that
+    * bounded type×hour frame against the trailing baseline, emitting
+    * the current alert set as the batch's own output dir. Per-batch
+    * work is therefore bounded by the store's type×hour keyspace at
+    * EVERY batch — an earlier cut read every historical delta dir per
+    * batch, O(N²) cumulative I/O over the stream's lifetime. Replay of
+    * batch `id` re-reads `batch_{id-1}` (which never includes its own
+    * delta) and overwrites, so the compaction stays exactly-once.
+    * Final alert output equals the batch monitor over the same events
+    * (pinned in StreamingSpec). */
   def anomalyStream(events: DataFrame, storeDir: String,
                     zThresh: Double = 2.5,
                     minBaseline: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
         import graft.pipeline.EventOps
-        EventOps.hourlyCounts(batch)
-          .write.mode("overwrite").parquet(s"$storeDir/hours/batch_$id")
-        // enumerate the delta dirs explicitly (a `hours/*` glob resolves
-        // at plan time and can race the first batch's own write)
-        val hoursPath = new org.apache.hadoop.fs.Path(s"$storeDir/hours")
-        val fs = hoursPath.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val deltaDirs = fs.listStatus(hoursPath)
-          .filter(_.isDirectory).map(_.getPath.toString)
-        val accumulated = batch.sparkSession.read
-          .parquet(deltaDirs.toIndexedSeq: _*)
+        val spark = batch.sparkSession
+        val delta = EventOps.hourlyCounts(batch)
+        val prev = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 1}")
+        val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged = (if (id > 0 && fs.exists(prev))
+            spark.read.parquet(prev.toString).unionByName(delta)
+          else delta)
           .groupBy(col("event_type"), col("win_start"))
           .agg(sum(col("n")).as("n"))
-        EventOps.anomalyFromHourly(accumulated, zThresh, minBaseline)
+        merged.write.mode("overwrite").parquet(s"$storeDir/store/batch_$id")
+        EventOps.anomalyFromHourly(
+            spark.read.parquet(s"$storeDir/store/batch_$id"),
+            zThresh, minBaseline)
           .write.mode("overwrite").parquet(s"$storeDir/alerts/batch_$id")
         ()
     }
