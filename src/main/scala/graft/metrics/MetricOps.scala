@@ -196,6 +196,37 @@ object MetricOps {
         round(graft.queries.Sql.decAvg(col("value")) + lit(1e-9), 4)
           .as("mean_value"))
 
+  /** SEASONALITY STRENGTH per series — the STL-style decision metric
+    * for whether the hour-of-day structure is worth modeling:
+    * 1 − Var(residual)/Var(raw), residual = value − its (sid, hod)
+    * profile mean ([[seasonalProfile]]'s rounded means, so the
+    * subtraction is deterministic on both engines). Variances ride the
+    * per-product decimal rounding pattern; a zero-variance series
+    * reports NULL strength rather than NaN. Output: (sid, n, var_raw,
+    * var_resid, seasonal_strength). */
+  def seasonalStrength(series: DataFrame): DataFrame = {
+    val prof = seasonalProfile(series)
+      .select(col("sid"), col("hod"), col("mean_value"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    series.select(col("sid"), (expr("ts div 3600") % 24).as("hod"), col("value"))
+      .join(prof, Seq("sid", "hod"))
+      .withColumn("r", col("value") - col("mean_value"))
+      .groupBy(col("sid"))
+      .agg(count(col("value")).as("n"),
+        dsum(col("value")).as("sv"), dsum(col("value") * col("value")).as("sv2"),
+        dsum(col("r")).as("sr"), dsum(col("r") * col("r")).as("sr2"))
+      .withColumn("var_raw",
+        col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")))
+      .withColumn("var_resid",
+        col("sr2") / col("n") - (col("sr") / col("n")) * (col("sr") / col("n")))
+      .select(col("sid"), col("n"),
+        round(col("var_raw") + lit(1e-9), 4).as("var_raw"),
+        round(col("var_resid") + lit(1e-9), 4).as("var_resid"),
+        when(col("var_raw") > 0,
+          round(lit(1.0) - col("var_resid") / col("var_raw") + lit(1e-9), 6))
+          .as("seasonal_strength"))
+  }
+
   /** AUTOCORRELATION FUNCTION of one series, lags 1..maxLag — the
     * diagnostic that justifies the forecaster's (p, q) order search
     * ([[graft.models.AutoOrder]]): r_k = Σ c_t·c_{t+k} / Σ c_t², with

@@ -64,6 +64,9 @@ object MetricQueries extends QueryModule {
       MetricOps.seasonalProfile(seriesDf(s, d))),
     // ACF lags 1..24 of the click series — the order-search diagnostic
     "m1_acf" -> ((s, d) => MetricOps.acf(seriesDf(s, d), "click")),
+    // STL-style seasonality strength per series: 1 - Var(resid)/Var(raw)
+    "ts_seasonal_strength" -> ((s, d) =>
+      MetricOps.seasonalStrength(seriesDf(s, d))),
 
     "a5_promql_mean" -> ((s, d) => MetricOps.promMean(seriesDf(s, d))),
 
@@ -184,6 +187,28 @@ object MetricQueries extends QueryModule {
          |SELECT sid, (ts // 3600) % 24 AS hod, COUNT(value) AS n,
          |  ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS mean_value
          |FROM series GROUP BY 1, 2""".stripMargin,
+
+    "ts_seasonal_strength" ->
+      s"""WITH series AS ($SER),
+         |p AS (SELECT sid, (ts // 3600) % 24 AS hod,
+         |    ROUND(${Sql.decSumSql("value")} / COUNT(value) + 1e-9, 4) AS mean_value
+         |  FROM series GROUP BY 1, 2),
+         |j AS (SELECT s.sid, s.value, s.value - p.mean_value AS r
+         |  FROM (SELECT sid, (ts // 3600) % 24 AS hod, value FROM series) s
+         |  JOIN p ON s.sid = p.sid AND s.hod = p.hod),
+         |ag AS (SELECT sid, COUNT(value) AS n,
+         |    ${Sql.decSumSql("value")} AS sv, ${Sql.decSumSql("value * value")} AS sv2,
+         |    ${Sql.decSumSql("r")} AS sr, ${Sql.decSumSql("r * r")} AS sr2
+         |  FROM j GROUP BY sid),
+         |v AS (SELECT sid, n,
+         |    sv2 / n - (sv / n) * (sv / n) AS var_raw,
+         |    sr2 / n - (sr / n) * (sr / n) AS var_resid FROM ag)
+         |SELECT sid, n, ROUND(var_raw + 1e-9, 4) AS var_raw,
+         |  ROUND(var_resid + 1e-9, 4) AS var_resid,
+         |  CASE WHEN var_raw > 0
+         |    THEN ROUND(1.0 - var_resid / var_raw + 1e-9, 6) END
+         |    AS seasonal_strength
+         |FROM v""".stripMargin,
 
     "m1_acf" ->
       s"""WITH series AS ($SER),
