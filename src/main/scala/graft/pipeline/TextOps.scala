@@ -1562,19 +1562,24 @@ object TextOps {
     * top-k word types cover? Words rank by (frequency desc, word asc —
     * total order, so the cumulative sum is engine-deterministic); the
     * curve is evaluated at the `ks` checkpoints. All arithmetic is exact
-    * integers until the single coverage division. The global rank window
-    * sorts the VOCABULARY (types, not tokens — bounded, like the BPE merge
-    * frames), never the corpus; the corpus-sized work is one explode +
-    * partial-agg word count. */
+    * integers until the single coverage division. The curve only ever
+    * reads ranks <= max(ks), so the type relation is truncated to the
+    * top max(ks) types FIRST — a parallel partial top-k
+    * (TakeOrderedAndProject, the [[EventOps.hotKeys]] shape) — and the
+    * rank/cumsum window then runs over that bounded frame (non-foldable
+    * `freq % 1` partition key, the repo's bounded-window idiom: a
+    * 10^8-type vocabulary at 100 TB never sorts through one task). The
+    * corpus-sized work is one explode + partial-agg word count. */
   def vocabCoverage(docs: DataFrame,
                     ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256,
                                        512, 1024, 2048, 4096)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "checkpoints must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("w").asc)
+      .partitionBy(col("freq") % 1).orderBy(col("freq").desc, col("w").asc)
     val wc = docs.select(explode(tokens).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val curve = wc
+    val top = wc.orderBy(col("freq").desc, col("w").asc).limit(ks.max)
+    val curve = top
       .withColumn("k", row_number().over(w).cast("long"))
       .withColumn("cum_tokens", sum(col("freq")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

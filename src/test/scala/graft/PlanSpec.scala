@@ -80,6 +80,41 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"whitelist entries no longer needed: $stale")
   }
 
+  /** name -> the bound that keeps its empty-partition-spec window safe.
+    * An EMPTY partitionSpec means Spark moves the window's entire input
+    * through ONE task with a full sort — the exact shape that melted
+    * vocab_coverage_curve before round 11 (a 10^8-row type table through
+    * one partition at 100 TB). The repo's idiom for deliberately-bounded
+    * single-partition windows is a non-foldable `col % 1` key
+    * (TimeSeriesOps.scala chunk carry, EventOps.hotKeys) — it keeps the
+    * spec NON-empty so intent is machine-checkable here: every empty
+    * spec must be justified BY NAME with the bound, and anything else
+    * fails the spec, not the 100 TB run. */
+  private val allowedGlobalWindow: Map[String, String] = Map.empty
+
+  test("no query plans an unpartitioned window over an unbounded relation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sf = "/root/testdata/sf0.001"
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // planning failures are asserted empty by the cartesian guard above
+      val wins =
+        try fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w }
+        catch { case _: Throwable => Nil }
+      if (wins.nonEmpty)
+        Some(name -> wins.map(_.windowExpressions.mkString(",")).mkString("; "))
+      else None
+    }
+    val unvetted = hits.filterNot { case (n, _) => allowedGlobalWindow.contains(n) }
+    assert(unvetted.isEmpty,
+      s"unpartitioned (single-task, full-sort) window in: ${unvetted.map(_._1)} — " +
+        "bound the input first (top-k limit / % 1 idiom) or add a justified whitelist entry")
+    // keep the whitelist honest: drop entries whose plans no longer need them
+    val stale = allowedGlobalWindow.keySet -- hits.map(_._1).toSet
+    assert(stale.isEmpty, s"global-window whitelist entries no longer needed: $stale")
+  }
+
   test("IVF search construction with a threaded count runs zero jobs") {
     // Building a search plan must not execute anything: with knownN
     // supplied, cellBits needs no count() action, so the only job is the
