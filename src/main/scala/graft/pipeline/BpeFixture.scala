@@ -32,17 +32,20 @@ object BpeFixture {
     * Keyed on the SparkContext's applicationId (unique per context
     * instance — an identity hash could be reused by a later session
     * after GC and serve frames bound to a stopped context), and a hit
-    * whose context has since stopped refits instead of returning dead
-    * checkpointed RDDs. */
+    * whose context has since stopped is EVICTED and refit instead of
+    * returning dead checkpointed RDDs (without the eviction,
+    * dead-session frame pairs accumulate across sessions in one JVM).
+    * The refit path is an atomic `getOrElseUpdate` (TrieMap): under a
+    * concurrent-first-callers race at most one fit is stored; a losing
+    * fit is unreferenced and its checkpointed blocks die with it. */
   def learnedState(docs: DataFrame, key: String,
                    nMerges: Int): (DataFrame, DataFrame) = {
     val k = (docs.sparkSession.sparkContext.applicationId, key, nMerges)
     cache.get(k) match {
       case Some(v) if !v._1.sparkSession.sparkContext.isStopped => v
-      case _ =>
-        val v = TextOps.bpeLearnState(docs, nMerges)
-        cache.put(k, v)
-        v
+      case stale =>
+        stale.foreach(v => cache.remove(k, v))
+        cache.getOrElseUpdate(k, TextOps.bpeLearnState(docs, nMerges))
     }
   }
 }

@@ -573,19 +573,30 @@ object DedupOps {
   /** Near-dup THRESHOLD ABLATION — the curve a curation team reads
     * before fixing the production cutoff: from ONE banded-candidate
     * scoring pass ([[minhashPairs]] at a low floor), how many verified
-    * pairs and how many flagged documents (distinct higher-id members,
-    * the keep-min-id removal set) survive each candidate threshold.
-    * The sweep itself is an in-row explode of the qualifying thresholds
-    * (no per-threshold re-scan); thresholds with zero survivors still
-    * report as explicit zero rows. Output: (threshold, n_pairs,
-    * n_docs_flagged). */
+    * pairs, how many PAIRWISE-flagged documents, and how many documents
+    * the COMPONENT-BASED dedup actually removes survive each candidate
+    * threshold. The two document counts answer different questions and
+    * can differ: `n_docs_flagged` = distinct higher-id pair members (the
+    * per-pair flag set); `n_docs_removed` = members minus representatives
+    * of the connected components at that threshold (the production
+    * removal bill [[canonicalDocs]] pays — pairs (1,3),(2,3) flag only
+    * {3} but remove {2,3}).
+    * The pair-level sweep is an in-row explode of the qualifying
+    * thresholds (no per-threshold re-scan); the component leg collects
+    * the bounded verified-pair list ONCE (the [[graft.pipeline.GraphOps]]
+    * driver-union-find contract — a dup graph is a vanishing fraction of
+    * its corpus) and runs an INCREMENTAL union-find over the thresholds
+    * in descending order, so the whole curve costs one pass over the
+    * edge list. Thresholds with zero survivors still report as explicit
+    * zero rows. Output: (threshold, n_pairs, n_docs_flagged,
+    * n_docs_removed). */
   def thresholdSweep(docs: DataFrame,
                      thresholds: Seq[Double] =
                        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
                      floor: Double = 0.05): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = minhashPairs(docs, threshold = floor)
+    val pairs = graft.CacheScope.persist(minhashPairs(docs, threshold = floor))
     val tLit = typedlit(thresholds)
     val counts = pairs
       .select(col("doc_a"), col("doc_b"),
@@ -593,8 +604,32 @@ object DedupOps {
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_docs_flagged"))
+    // removal bill: incremental union-find, edges added as t descends
+    val es = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    var i = 0
+    val removedRows = thresholds.sorted.reverse.map { t =>
+      while (i < es.length && es(i)._3 >= t) {
+        val (a, b, _) = es(i)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 1
+      }
+      // every component keeps exactly its min member: removed = nodes - roots
+      val roots = parent.keysIterator.count(k => find(k) == k)
+      (t, (parent.size - roots).toLong)
+    }
     thresholds.toDF("threshold")
       .join(counts, Seq("threshold"), "left")
+      .join(removedRows.toDF("threshold", "n_docs_removed"), Seq("threshold"))
       .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
   }
 

@@ -313,13 +313,18 @@ object EventOps {
   /** VOLUME-ANOMALY windows — the ops monitor next to the value-level
     * [[madOutliers]]: per (event_type, hour), the event count z-scored
     * against its own TRAILING 24-hour baseline (rows -24..-1 of the
-    * per-type hourly series). Hours with |z| > `zThresh` — ingest
-    * outages, bot spikes, pipeline stalls — are the output. Baseline
-    * mean/std ride decimal-exact window sums (partition = event_type,
-    * a bounded per-type hourly series, never row-scale); hours with
-    * fewer than `minBaseline` trailing points or zero variance are
-    * skipped rather than flagged on noise. Output: (event_type,
-    * win_start, n, base_mean, z). */
+    * per-type DENSE hourly series). The scored grid is zero-filled over
+    * each type's [min, max] hour span, so a COMPLETE outage hour (no
+    * events at all — the case a sparse series can never flag) scores as
+    * n = 0 against its baseline, and the ROWS frame always spans
+    * exactly the trailing 24 calendar hours (a sparse series would
+    * silently stretch it across gaps). Hours with |z| > `zThresh` —
+    * ingest outages, bot spikes, pipeline stalls — are the output.
+    * Baseline mean/std ride decimal-exact window sums (partition =
+    * event_type, a bounded per-type hourly series, never row-scale);
+    * hours with fewer than `minBaseline` trailing points or zero
+    * variance are skipped rather than flagged on noise. Output:
+    * (event_type, win_start, n, base_mean, z). */
   def anomalyWindows(events: DataFrame, zThresh: Double = 3.0,
                      minBaseline: Int = 12): DataFrame =
     anomalyFromHourly(hourlyCounts(events), zThresh, minBaseline)
@@ -335,14 +340,24 @@ object EventOps {
 
   /** [[anomalyWindows]] over an already-aggregated hourly frame
     * ((event_type, win_start, n) — e.g. the streaming store's summed
-    * deltas). */
+    * deltas). Densifies BEFORE scoring: the store stays sparse-additive
+    * (zero rows never enter it), and each scoring pass zero-fills the
+    * per-type [min, max] hour grid — one `sequence` explode per type
+    * (span = calendar hours, bounded by wall-clock time not event
+    * volume: a decade is ~90k rows/type) + one keyed left join. */
   def anomalyFromHourly(hourly: DataFrame, zThresh: Double = 3.0,
                         minBaseline: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
       .rowsBetween(-24, -1)
-    hourly
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("win_start")).as("__mn"), max(col("win_start")).as("__mx"))
+      .select(col("event_type"),
+        explode(sequence(col("__mn"), col("__mx"), lit(3600L))).as("win_start"))
+    val dense = grid.join(hourly, Seq("event_type", "win_start"), "left")
+      .na.fill(0L, Seq("n"))
+    dense
       .withColumn("bn", count(lit(1)).over(w))
       .withColumn("bs", sum(col("n").cast(DecimalType(30, 6))).over(w).cast("double"))
       .withColumn("bs2", sum((col("n") * col("n")).cast(DecimalType(30, 6))).over(w).cast("double"))

@@ -229,10 +229,18 @@ object EventQueries extends QueryModule {
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
     "events_anomaly_windows" ->
-      s"""WITH h AS (SELECT event_type,
+      s"""WITH h0 AS (SELECT event_type,
          |    (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_start,
          |    COUNT(*) AS n
          |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type,
+         |    UNNEST(range(mn, mx + 3600, 3600)) AS win_start
+         |  FROM (SELECT event_type, MIN(win_start) AS mn,
+         |        MAX(win_start) AS mx FROM h0 GROUP BY event_type)),
+         |h AS (SELECT g.event_type, g.win_start,
+         |    CAST(COALESCE(h0.n, 0) AS BIGINT) AS n
+         |  FROM g LEFT JOIN h0
+         |    ON g.event_type = h0.event_type AND g.win_start = h0.win_start),
          |b AS (SELECT event_type, win_start, n,
          |    COUNT(*) OVER w AS bn,
          |    CAST(SUM(CAST(n AS DECIMAL(30,6))) OVER w AS DOUBLE) AS bs,

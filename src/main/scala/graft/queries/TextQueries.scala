@@ -1651,29 +1651,48 @@ object TextQueries extends QueryModule {
          |    ELSE 1.0 END + 1e-9, 6) AS precision
          |FROM nc CROSS JOIN nv""".stripMargin,
 
+    // the component leg replays the threshold-parameterized transitive
+    // closure (reach carries the threshold, so ONE recursive CTE covers
+    // all 7 curve points); n_docs_removed = members minus min-labeled
+    // representatives, the dedup_components removal semantics
     "dedup_threshold_sweep" ->
-      s"""$lshCte,
-         |cands AS (
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cands AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |scored AS (
+         |scored AS MATERIALIZED (
          |  SELECT doc_a, doc_b,
          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
          |  FROM cands
          |  JOIN sets sa ON sa.doc_id = doc_a
          |  JOIN sets sb ON sb.doc_id = doc_b),
-         |pr AS (SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS j
+         |pr AS MATERIALIZED (SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS j
          |       FROM scored WHERE jaccard >= 0.05),
          |th AS (SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
          |cnt AS (SELECT threshold, COUNT(*) AS n_pairs,
          |          COUNT(DISTINCT doc_b) AS n_docs_flagged
-         |        FROM th JOIN pr ON pr.j >= th.threshold GROUP BY threshold)
+         |        FROM th JOIN pr ON pr.j >= th.threshold GROUP BY threshold),
+         |e0 AS MATERIALIZED (SELECT th.threshold, pr.doc_a AS a, pr.doc_b AS b
+         |       FROM th JOIN pr ON pr.j >= th.threshold),
+         |edges AS MATERIALIZED (SELECT threshold, a, b FROM e0
+         |         UNION SELECT threshold, b, a FROM e0),
+         |reach(threshold, a, b) AS (
+         |  SELECT threshold, a, a FROM (SELECT DISTINCT threshold, a FROM edges) n
+         |  UNION
+         |  SELECT r.threshold, r.a, e.b FROM reach r
+         |    JOIN edges e ON r.threshold = e.threshold AND r.b = e.a),
+         |comps AS (SELECT threshold, a AS doc_id, MIN(b) AS comp_id
+         |          FROM reach GROUP BY threshold, a),
+         |rem AS (SELECT threshold, COUNT(*) AS n_docs_removed
+         |        FROM comps WHERE doc_id <> comp_id GROUP BY threshold)
          |SELECT th.threshold,
          |  CAST(COALESCE(cnt.n_pairs, 0) AS BIGINT) AS n_pairs,
-         |  CAST(COALESCE(cnt.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
-         |FROM th LEFT JOIN cnt ON th.threshold = cnt.threshold""".stripMargin,
+         |  CAST(COALESCE(cnt.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+         |  CAST(COALESCE(rem.n_docs_removed, 0) AS BIGINT) AS n_docs_removed
+         |FROM th LEFT JOIN cnt ON th.threshold = cnt.threshold
+         |        LEFT JOIN rem ON th.threshold = rem.threshold""".stripMargin,
 
     "quality_ref_ppl" ->
       s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),

@@ -309,7 +309,11 @@ object StreamingJobs {
     * EVERY batch — an earlier cut read every historical delta dir per
     * batch, O(N²) cumulative I/O over the stream's lifetime. Replay of
     * batch `id` re-reads `batch_{id-1}` (which never includes its own
-    * delta) and overwrites, so the compaction stays exactly-once.
+    * delta) and overwrites, so the compaction stays exactly-once — and
+    * because only `batch_{id-1}` is ever read, `batch_{id-2}` is
+    * DELETED after each successful write (keeping one predecessor
+    * preserves the replay contract); disk held is two compacted copies,
+    * not O(batches).
     * Final alert output equals the batch monitor over the same events
     * (pinned in StreamingSpec). */
   def anomalyStream(events: DataFrame, storeDir: String,
@@ -328,6 +332,12 @@ object StreamingJobs {
           .groupBy(col("event_type"), col("win_start"))
           .agg(sum(col("n")).as("n"))
         merged.write.mode("overwrite").parquet(s"$storeDir/store/batch_$id")
+        // GC: batch id+1 only reads batch_id; keep ONE predecessor for
+        // the replay contract and drop everything older
+        if (id >= 2) {
+          val old = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 2}")
+          if (fs.exists(old)) fs.delete(old, true)
+        }
         EventOps.anomalyFromHourly(
             spark.read.parquet(s"$storeDir/store/batch_$id"),
             zThresh, minBaseline)
