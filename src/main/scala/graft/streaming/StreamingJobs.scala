@@ -321,29 +321,110 @@ object StreamingJobs {
                     minBaseline: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
-        import graft.pipeline.EventOps
-        val spark = batch.sparkSession
-        val delta = EventOps.hourlyCounts(batch)
-        val prev = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 1}")
-        val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged = (if (id > 0 && fs.exists(prev))
-            spark.read.parquet(prev.toString).unionByName(delta)
-          else delta)
-          .groupBy(col("event_type"), col("win_start"))
-          .agg(sum(col("n")).as("n"))
-        merged.write.mode("overwrite").parquet(s"$storeDir/store/batch_$id")
-        // GC: batch id+1 only reads batch_id; keep ONE predecessor for
-        // the replay contract and drop everything older
-        if (id >= 2) {
-          val old = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 2}")
-          if (fs.exists(old)) fs.delete(old, true)
-        }
-        EventOps.anomalyFromHourly(
-            spark.read.parquet(s"$storeDir/store/batch_$id"),
-            zThresh, minBaseline)
-          .write.mode("overwrite").parquet(s"$storeDir/alerts/batch_$id")
+        anomalyTick(graft.pipeline.EventOps.hourlyCounts(batch),
+          storeDir, id, zThresh, minBaseline)
         ()
     }
+
+  /** One monitor tick over an hourly-count DELTA frame: fold the delta
+    * into the previous batch's compacted store, write the merge as this
+    * batch's store, GC the grandparent (only `batch_{id-1}` is ever
+    * read; keeping one predecessor preserves the replay/exactly-once
+    * contract), and emit the current alert set. The shared machinery of
+    * [[anomalyStream]] and [[curationStream]]'s monitor leg. */
+  private[streaming] def anomalyTick(delta: DataFrame, storeDir: String,
+                                     id: Long, zThresh: Double,
+                                     minBaseline: Int): Unit = {
+    import graft.pipeline.EventOps
+    val spark = delta.sparkSession
+    val prev = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 1}")
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = (if (id > 0 && fs.exists(prev))
+        spark.read.parquet(prev.toString).unionByName(delta)
+      else delta)
+      .groupBy(col("event_type"), col("win_start"))
+      .agg(sum(col("n")).as("n"))
+    merged.write.mode("overwrite").parquet(s"$storeDir/store/batch_$id")
+    if (id >= 2) {
+      val old = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 2}")
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    EventOps.anomalyFromHourly(
+        spark.read.parquet(s"$storeDir/store/batch_$id"),
+        zThresh, minBaseline)
+      .write.mode("overwrite").parquet(s"$storeDir/alerts/batch_$id")
+  }
+
+  /** COMPOSED STREAMING CURATION JOB — the end-to-end ingest loader a
+    * production corpus actually runs, as ONE streaming query under ONE
+    * checkpoint (the streaming twin of the batch `curation_pipeline` /
+    * `corpus_pipeline` flagships, and the analogue of the reference's
+    * resident optimize loop,
+    * /root/reference/src/main/java/de/tu_berlin/dos/phoebe/execution/phoebe/Graph.java:215-283 —
+    * a standing composition of gates and models over a live stream, not
+    * a chain of separate jobs). Input: (ts, doc_id, source, text).
+    * Stages, in production order:
+    *
+    *  1. LANG + QUALITY GATE — [[graft.pipeline.TextOps.gateProjection]],
+    *     row-local, stateless, runs INSIDE the streaming plan (cheap
+    *     gates first: rejected documents never touch state or disk).
+    *  2. EXACT DEDUP — `dropDuplicatesWithinWatermark` on the md5
+    *     content fingerprint: the engine's keyed state store under THIS
+    *     query's checkpoint, so survivors are exactly-once ACROSS
+    *     batches and across stop/restart, and a fingerprint's state is
+    *     EVICTED once the watermark passes its first arrival + lag
+    *     (plain `dropDuplicates` on a non-event-time key never evicts —
+    *     unbounded state on an unbounded stream). A duplicate arriving
+    *     later than the lag re-admits — the standard bounded-state
+    *     tradeoff; pass a large lag for replay-window dedup.
+    *  3. FROZEN-BPE TOKEN BILLING — survivors are billed against the
+    *     frozen merge list ([[tokenBillStream]]'s leg): batch-vocabulary
+    *     frozen replay + encode join, written as the batch's own
+    *     `bill/batch_id` dir (overwrite ⇒ exactly-once under replay).
+    *  4. VOLUME-ANOMALY MONITOR — ACCEPTED volume per (source, hour)
+    *     folds into the compacted store and is re-scored against the
+    *     trailing baseline ([[anomalyTick]]): a stall or spike in what
+    *     the gates ADMIT (not raw arrivals) is exactly the signal a
+    *     curation loader pages on.
+    *
+    * Every stage's state is bounded: gate none, dedup one fingerprint
+    * per in-watermark survivor, billing none (frozen model), monitor
+    * the type×hour store. Batch-parity: with first-arrival order
+    * matching min-doc_id order, the union of `bill` dirs equals the batch
+    * gate→dedup→encode pass and the final alert set equals the batch
+    * monitor (pinned across a stop/restart in StreamingSpec). */
+  def curationStream(docs: DataFrame, merges: Seq[(String, String)],
+                     outDir: String, lang: String = "en",
+                     minQuality: Double = 0.6, watermark: String = "1 hour",
+                     zThresh: Double = 2.5, minBaseline: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.pipeline.{EventOps, TextOps}
+    val gated = TextOps.gateProjection(docs)
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+      .withColumn("__fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+    gated.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, id: Long) =>
+        // both legs consume the survivor set; persist so the gate+dedup
+        // output isn't recomputed per leg
+        val batch = batch0.persist()
+        try {
+          TextOps.bpeEncodeWith(batch,
+              TextOps.applyMerges(TextOps.charWords(batch), merges))
+            .join(batch.select(col("doc_id"), col("source"), col("quality")),
+              Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("quality"),
+              col("n_words"), col("bpe_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/bill/batch_$id")
+          anomalyTick(
+            EventOps.hourlyCounts(
+              batch.select(col("source").as("event_type"), col("ts"))),
+            outDir, id, zThresh, minBaseline)
+        } finally { batch.unpersist(); () }
+        ()
+    }
+  }
 
   /** STREAMING REFERENCE-LM QUALITY SCORING — each arriving micro-batch
     * of (doc_id, text) documents is scored under the FROZEN reference

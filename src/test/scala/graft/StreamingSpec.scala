@@ -418,6 +418,95 @@ class StreamingSpec extends SparkSpec {
     assert(oov.getAs[Long]("n_oov") === oov.getAs[Long]("n_trans"))
   }
 
+  test("composed curation stream: gate -> dedup state -> frozen-BPE billing -> " +
+       "anomaly monitor equals the batch gates across a stop/restart") {
+    // the end-to-end loader: ONE query, ONE checkpoint. Restart between
+    // the two batches proves the dedup state store AND the compacted
+    // anomaly store both survive a stop/restart (a dup of a batch-1 doc
+    // arriving after the restart must be dropped by restored state), and
+    // the final outputs equal the batch gate->dedup->encode/monitor pass
+    // over the union of the input.
+    import graft.pipeline.{EventOps, TextOps}
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.types._
+    val base = s"target/graft-tmp/curation_stream_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "s")
+    def start(): StreamingQuery =
+      StreamingJobs.curationStream(
+          spark.readStream.schema(schema).parquet(s"$base/src"),
+          merges, s"$base/out", watermark = "30 days", minBaseline = 3)
+        .option("checkpointLocation", s"$base/ckpt").start()
+    val fill = Seq("quantum", "spectrum", "coherent", "harmonic", "gradient",
+      "manifold", "tensor", "entropy", "lattice", "photon", "plasma",
+      "neutrino", "quark", "boson", "fermion", "hadron", "meson")
+    // hour 0 of the test timeline sits OFF epoch 0: the stream's initial
+    // watermark is epoch 0, and dropDuplicatesWithinWatermark drops
+    // at-or-before-watermark rows as late data
+    val h0 = 1000L
+    def accDoc(id: Long, hour: Long, w: String) =
+      (ts((h0 + hour) * 3600), id, "s0",
+        s"the $w resonance of ${w}like systems generates coherent harmonic structures")
+    // hours 0..5 with accepted counts 1,2,1,2,1,2: enough trailing
+    // variance that the hour-6 spike z-scores cleanly (mu=1.5, sd=0.5)
+    val b1acc = Seq(0L, 1L, 1L, 2L, 3L, 3L, 4L, 5L, 5L).zipWithIndex
+      .map { case (h, i) => accDoc(i + 1L, h, fill(i)) }
+    val b1 = b1acc ++ Seq(
+      (ts((h0 + 1) * 3600), 20L, "s0", "der die das und ist von mit ein"), // lang gate
+      (ts((h0 + 1) * 3600), 21L, "s0", "the the the the the the"))         // quality gate
+    val dupText = b1acc(2)._4 // doc 3's text — the cross-restart dup target
+    val b2 = (0 until 8).map(k => accDoc(40L + k, 6L, fill(9 + k))) ++ Seq(
+      (ts((h0 + 6) * 3600), 48L, "s0", dupText),                  // dup across restart
+      (ts((h0 + 6) * 3600), 49L, "s0", "und der das die ein mit von ist"))
+    b1.toDF("ts", "doc_id", "source", "text").write.mode("append").parquet(s"$base/src")
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    b2.toDF("ts", "doc_id", "source", "text").write.mode("append").parquet(s"$base/src")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // batch replay of the same gates over the UNION of the input
+    val all = (b1 ++ b2).toDF("ts", "doc_id", "source", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val surv = TextOps.gateProjection(all)
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.6)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val batchBill = TextOps.bpeEncodeWith(surv,
+        TextOps.applyMerges(TextOps.charWords(surv), merges))
+      .join(surv.select(col("doc_id"), col("source"), col("quality")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_words"), col("bpe_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamBill = spark.read.parquet(s"$base/out/bill/batch_*")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"))).toSet
+    assert(streamBill.map(_._1).contains(3L))   // first arrival billed
+    assert(!streamBill.map(_._1).contains(48L)) // post-restart dup dropped by restored state
+    assert(streamBill == batchBill)
+    // final alert set equals the batch monitor over the accepted survivors
+    val lastAlert = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out/alerts"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_"))
+      .map(_.stripPrefix("batch_").toLong).max
+    val streamAlerts = spark.read.parquet(s"$base/out/alerts/batch_$lastAlert")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("win_start"),
+        r.getAs[Long]("n"), r.getAs[Double]("base_mean"), r.getAs[Double]("z"))).toSet
+    val batchAlerts = EventOps.anomalyFromHourly(
+        EventOps.hourlyCounts(surv.select(col("source").as("event_type"), col("ts"))),
+        zThresh = 2.5, minBaseline = 3)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("win_start"),
+        r.getAs[Long]("n"), r.getAs[Double]("base_mean"), r.getAs[Double]("z"))).toSet
+    assert(streamAlerts == batchAlerts)
+    assert(streamAlerts.map(a => (a._1, a._2)) == Set(("s0", (h0 + 6) * 3600))) // the spike hour
+  }
+
   test("streaming exact dedup: state drops cross-batch duplicates") {
     // the dedup family's streaming form: dropDuplicates keyed on content
     // id with a watermark bounding state. The guarantee is one row per
