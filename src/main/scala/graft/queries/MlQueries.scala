@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
 
 /** Model-family queries: M1 AR(2) ensemble skeleton + A17 blend (exact
   * oracles), M4/A16 optimal 1-D 2-means clustering (exact oracle), M6
-  * TWRES NNLS via relational subset enumeration (exact oracle), and the
-  * one driver-fit model that is not SQL-expressible — M3 GBT —
-  * registered as a rows-only check with ScalaTest coverage instead.
+  * TWRES NNLS via relational subset enumeration (exact oracle), and M3
+  * GBT, covered by THREE oracles of increasing reach: the data-dependent
+  * `m3_latency_gbt` (rows-only — cross-engine sum-order exactness over
+  * arbitrary-double training data is unobtainable), the frozen-fixture
+  * scoring twin `m3_gbt_fixture_score` (hash-green: traversal +
+  * broadcast plumbing), and `m3_gbt_fit_pinned` (hash-green: the FIT
+  * itself — split search, gain argmax, tie-breaks, boosting — replayed
+  * relationally in DuckDB over an exactness-designed fixture).
   */
 object MlQueries extends QueryModule {
 
@@ -147,6 +152,33 @@ object MlQueries extends QueryModule {
         .withColumn("pred_latency", round(score(col("scaleout"), col("avgthr")) + lit(1e-9), 4))
     }),
 
+    // M3 FIT-PATH PIN: GbtLocal's greedy split search, variance-gain
+    // argmax, tie-breaks, midpoint thresholds, residual boosting and
+    // leaf means, hash-checked against a DuckDB oracle that REPLAYS THE
+    // WHOLE FIT relationally (candidate enumeration → gain argmax per
+    // node → side assignment → next stage). Feasible because the
+    // fixture is DESIGNED exact: integer targets, n = 16 = 2^4, lr =
+    // 0.5 (exact binary), and tree-1 leaves of size 4 — every
+    // cross-row sum in both engines is over exact binary rationals, so
+    // summation order cannot drift. The still-unpinned remainder of
+    // m3_latency_gbt proper shrinks to "data-dependent fit over
+    // arbitrary doubles", where cross-engine sum-order exactness is
+    // unobtainable by construction.
+    "m3_gbt_fit_pinned" -> ((s, d) => {
+      import graft.models.GbtLocal
+      val xs = (0 until 16).map(i => Array((i / 8).toDouble,
+        ((i / 4) % 2).toDouble, (i % 3).toDouble)).toArray
+      val ys = (0 until 16).map(i =>
+        (40 * (i / 8) + 10 * ((i / 4) % 2)).toDouble).toArray
+      val model = GbtLocal.fit(xs, ys, nTrees = 2, maxDepth = 2, lr = 0.5)
+      s.range(0, 16).toDF("i").select(col("i"),
+          expr("CAST(i div 8 AS DOUBLE)").as("f0"),
+          expr("CAST((i div 4) % 2 AS DOUBLE)").as("f1"),
+          expr("CAST(i % 3 AS DOUBLE)").as("f2"))
+        .withColumn("pred",
+          expr(GbtLocal.modelSql(model, Seq("f0", "f1", "f2"))))
+    }),
+
     // M6 — TWRES NNLS baseline, fully relational (subset-enumeration NNLS
     // over exact moments; bit-exact DuckDB oracle — see TwresRelational).
     "m6_twres_decision" -> ((s, d) =>
@@ -167,6 +199,68 @@ object MlQueries extends QueryModule {
     }))
 
   // ------------------------------------------------------------ oracles --
+
+  /** One depth-2 CART stage of the m3_gbt_fit_pinned oracle, replayed
+    * relationally over a residual relation `rel(i, f0, f1, f2, r)`:
+    * long-form features → candidate thresholds between consecutive
+    * distinct values (midpoint, GbtLocal's mid-rounds-to-b guard) →
+    * variance gain in GbtLocal's exact expression order → argmax with
+    * the fit's tie-break (first feature, then lowest threshold) → side
+    * assignment → the same search per side → leaf means. Emits
+    * `tr$s(i, v)`: the tree's prediction per row. Exactness contract:
+    * `r` must be exact binary rationals (the fixture guarantees it), so
+    * both engines' cross-row sums agree bit-for-bit in any order. */
+  private def gbtStageCtes(rel: String, s: String): String = {
+    val eps = "CAST('1.0E-12' AS DOUBLE)"
+    s"""lf$s AS MATERIALIZED (SELECT i, r, 0 AS f, f0 AS x FROM $rel UNION ALL
+       |  SELECT i, r, 1, f1 FROM $rel UNION ALL
+       |  SELECT i, r, 2, f2 FROM $rel),
+       |thr$s AS MATERIALIZED (SELECT f, CASE WHEN a/2 + b/2 < b THEN a/2 + b/2 ELSE a END AS thr
+       |  FROM (SELECT f, x AS a, lead(x) OVER (PARTITION BY f ORDER BY x) AS b
+       |        FROM (SELECT DISTINCT f, x FROM lf$s)) WHERE b IS NOT NULL),
+       |gain$s AS MATERIALIZED (SELECT f, thr,
+       |    sl*sl/nl + (s-sl)*(s-sl)/(n-nl) - s*s/n AS gain FROM (
+       |  SELECT c.f, c.thr,
+       |    COUNT(*) FILTER (WHERE lf.x <= c.thr) AS nl,
+       |    COALESCE(SUM(lf.r) FILTER (WHERE lf.x <= c.thr), 0) AS sl,
+       |    COUNT(*) AS n, SUM(lf.r) AS s
+       |  FROM thr$s c JOIN lf$s lf ON lf.f = c.f GROUP BY c.f, c.thr)
+       |  WHERE nl > 0 AND nl < n),
+       |pick$s AS MATERIALIZED (SELECT f, thr FROM gain$s WHERE gain > $eps
+       |  ORDER BY gain DESC, f, thr LIMIT 1),
+       |sd$s AS MATERIALIZED (SELECT q.*, CASE WHEN
+       |    (CASE p.f WHEN 0 THEN q.f0 WHEN 1 THEN q.f1 ELSE q.f2 END) <= p.thr
+       |    THEN 0 ELSE 1 END AS side
+       |  FROM $rel q CROSS JOIN pick$s p),
+       |lfb$s AS MATERIALIZED (SELECT side, i, r, 0 AS f, f0 AS x FROM sd$s UNION ALL
+       |  SELECT side, i, r, 1, f1 FROM sd$s UNION ALL
+       |  SELECT side, i, r, 2, f2 FROM sd$s),
+       |thrb$s AS MATERIALIZED (SELECT side, f,
+       |    CASE WHEN a/2 + b/2 < b THEN a/2 + b/2 ELSE a END AS thr
+       |  FROM (SELECT side, f, x AS a,
+       |        lead(x) OVER (PARTITION BY side, f ORDER BY x) AS b
+       |        FROM (SELECT DISTINCT side, f, x FROM lfb$s)) WHERE b IS NOT NULL),
+       |gainb$s AS MATERIALIZED (SELECT side, f, thr,
+       |    sl*sl/nl + (s-sl)*(s-sl)/(n-nl) - s*s/n AS gain FROM (
+       |  SELECT c.side, c.f, c.thr,
+       |    COUNT(*) FILTER (WHERE lf.x <= c.thr) AS nl,
+       |    COALESCE(SUM(lf.r) FILTER (WHERE lf.x <= c.thr), 0) AS sl,
+       |    COUNT(*) AS n, SUM(lf.r) AS s
+       |  FROM thrb$s c JOIN lfb$s lf ON lf.side = c.side AND lf.f = c.f
+       |  GROUP BY c.side, c.f, c.thr)
+       |  WHERE nl > 0 AND nl < n),
+       |pickb$s AS MATERIALIZED (SELECT side, f, thr FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY side ORDER BY gain DESC, f, thr) AS rk
+       |  FROM gainb$s WHERE gain > $eps) WHERE rk = 1),
+       |lvs$s AS MATERIALIZED (SELECT q.i, q.r, q.side, CASE WHEN p.f IS NULL THEN 0
+       |    WHEN (CASE p.f WHEN 0 THEN q.f0 WHEN 1 THEN q.f1 ELSE q.f2 END) <= p.thr
+       |    THEN 0 ELSE 1 END AS sub
+       |  FROM sd$s q LEFT JOIN pickb$s p ON q.side = p.side),
+       |lv$s AS MATERIALIZED (SELECT side, sub, SUM(r)/COUNT(*) AS v
+       |  FROM lvs$s GROUP BY side, sub),
+       |tr$s AS MATERIALIZED (SELECT l.i, lv.v FROM lvs$s l
+       |  JOIN lv$s lv ON l.side = lv.side AND l.sub = lv.sub)""".stripMargin
+  }
 
   /** Shared CTEs: click workload → strided AR(2) fits → f1..f6 (rounded),
     * mirroring [[ArEnsemble.fitForecast]] expression-for-expression. */
@@ -207,6 +301,28 @@ object MlQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the FIT replay: init = mean(y) (exact: integer sum / 2^4), stage 1
+    // on r = y - init, stage 2 on the lr=0.5-advanced residuals, predict
+    // in Model.predict's association order (init + lr*t1) + lr*t2
+    "m3_gbt_fit_pinned" -> {
+      val half = "CAST('0.5' AS DOUBLE)"
+      s"""WITH t AS MATERIALIZED (SELECT i, CAST(i // 8 AS DOUBLE) AS f0,
+         |    CAST((i // 4) % 2 AS DOUBLE) AS f1, CAST(i % 3 AS DOUBLE) AS f2,
+         |    CAST(40 * (i // 8) + 10 * ((i // 4) % 2) AS DOUBLE) AS y
+         |  FROM (SELECT UNNEST(range(0, 16)) AS i)),
+         |i0 AS MATERIALIZED (SELECT CAST(SUM(y) AS DOUBLE) / 16 AS fv FROM t),
+         |rr1 AS MATERIALIZED (SELECT t.i, t.f0, t.f1, t.f2,
+         |    t.y - (SELECT fv FROM i0) AS r FROM t),
+         |${gbtStageCtes("rr1", "1")},
+         |rr2 AS MATERIALIZED (SELECT t.i, t.f0, t.f1, t.f2,
+         |    t.y - ((SELECT fv FROM i0) + $half * a.v) AS r
+         |  FROM t JOIN tr1 a ON t.i = a.i),
+         |${gbtStageCtes("rr2", "2")}
+         |SELECT t.i, t.f0, t.f1, t.f2,
+         |  (SELECT fv FROM i0) + $half * a.v + $half * b.v AS pred
+         |FROM t JOIN tr1 a ON t.i = a.i JOIN tr2 b ON t.i = b.i""".stripMargin
+    },
+
     "m3_gbt_fixture_score" ->
       s"""WITH pro AS ($PRO),
          |p AS (SELECT expid, CAST(scaleout AS DOUBLE) AS scaleout, avgthr
