@@ -267,6 +267,21 @@ class CorpusOpsSpec extends SparkSpec {
       assert(np == surviving.length.toLong, s"pairs at $t")
       assert(nd == surviving.map(_._1).distinct.length.toLong, s"docs at $t")
     }
+    // n_docs_removed carries component semantics: at every threshold it
+    // equals the non-representative member count of GraphOps components
+    // over the surviving pair graph (the production removal bill,
+    // distinct from the pairwise n_docs_flagged)
+    val removed = DedupOps.thresholdSweep(docs, thresholds = ts).collect()
+      .map(r => (r.getDouble(0), r.getLong(3))).toMap
+    val pairs = DedupOps.minhashPairs(docs, threshold = 0.05).persist()
+    ts.foreach { t =>
+      val comp = graft.pipeline.GraphOps.connectedComponents(
+        pairs.filter(col("jaccard") >= t)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val want = comp.filter(col("id") =!= col("comp_id")).count()
+      assert(removed(t) == want, s"removal bill at $t")
+    }
+    pairs.unpersist()
   }
 
   test("bpeLearnGrouped: per-group results equal independent bpeLearn runs") {

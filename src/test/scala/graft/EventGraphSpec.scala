@@ -26,6 +26,23 @@ class EventGraphSpec extends SparkSpec {
       (2L, 10L, 10L, 3L, 7.5)))
   }
 
+  test("anomalyWindows: a complete outage hour is zero-filled and flagged") {
+    // the sparse hourly series can never flag an hour with NO events (it
+    // has no row to score); the dense grid gives it n = 0. Type "s"
+    // emits 2/3 events alternating per hour for 30 hours EXCEPT hour 27
+    // (the outage): baseline mean 2.5, sd 0.5 ⇒ z = -5.
+    val rows = for {
+      h <- 0 until 30; if h != 27
+      k <- 0 until (2 + h % 2)
+    } yield ("s", new java.sql.Timestamp((h * 3600L + 60L * k) * 1000))
+    val got = EventOps.anomalyWindows(
+        rows.toDF("event_type", "ts"), zThresh = 3.0, minBaseline = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.length == 1, s"exactly the outage hour flags: ${got.toSeq}")
+    val (et, ws, n, z) = got.head
+    assert(et == "s" && ws == 27L * 3600 && n == 0L && z == -5.0)
+  }
+
   test("asofJoin: <= semantics, per-key isolation, null before first obs") {
     val left = Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 14L), (4L, "b", 10L), (5L, "a", 2L))
       .toDF("event_id", "sid", "ts")
