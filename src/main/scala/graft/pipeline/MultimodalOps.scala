@@ -95,6 +95,33 @@ object MultimodalOps {
     }).toDF("doc_id", "win_idx", "n_bytes", "sum_sq")
   }
 
+  /** SCENE-CUT detection over the stubbed decode — the video curation
+    * step that picks representative frames per SHOT instead of sampling
+    * uniformly: per consecutive frame pair, the L1 byte delta
+    * Σ|b_f[i] − b_{f−1}[i]|, flagged a CUT where it exceeds
+    * `threshold`. On real video the bytes would be the downscaled luma
+    * plane — L1 frame difference is the classic shot-boundary feature;
+    * the stub keeps the arithmetic (integer, oracle-exact) and the
+    * plumbing (typed mapPartitions over video records, one row per
+    * frame pair) real. Output: (doc_id, frame_idx, l1_delta, is_cut)
+    * with frame_idx the LATER frame of the pair. */
+  def sceneCuts(mm: Dataset[MMRecord], threshold: Long): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.filter(_.kind == "video").mapPartitions(_.flatMap { r =>
+      Iterator.range(1, r.frames).map { f =>
+        val prev = r.payload.slice((f - 1) * r.frame_size, f * r.frame_size)
+        val cur = r.payload.slice(f * r.frame_size, (f + 1) * r.frame_size)
+        var l1 = 0L
+        var i = 0
+        while (i < cur.length && i < prev.length) {
+          l1 += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1
+        }
+        (r.doc_id, f, l1, l1 > threshold)
+      }
+    }).toDF("doc_id", "frame_idx", "l1_delta", "is_cut")
+  }
+
   /** Perceptual difference-hash (dHash) over the stubbed decode: bit i =
     * [byte_i < byte_{i+1}] over the first 61 payload bytes → a 60-bit
     * signature (kept under the sign bit so both engines hold it in a

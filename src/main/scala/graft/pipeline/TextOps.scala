@@ -504,6 +504,27 @@ object TextOps {
     docs.select(col("doc_id") +: counts :+ clean.as("clean_text"): _*)
   }
 
+  /** ENCODING-ARTIFACT GATE (mojibake detection): per document, counts
+    * of the three classic encoding-damage signals a web corpus carries —
+    * UTF-8-decoded-as-Latin-1 sequences (Ã© for é, Ã¯ for ï, …), the
+    * U+FFFD replacement character a lossy decode leaves behind, and
+    * stray C0 control characters (excluding tab/newline/CR). Documents
+    * clean on all three pass the gate; the rest go to re-decode or
+    * drop. Pure per-row regex/replace work — embarrassingly parallel,
+    * no shuffle — and every pattern is RE2/Java-regex-portable so the
+    * oracle replays it exactly. Output: (doc_id, n_mojibake,
+    * n_replacement, n_ctrl, is_clean). */
+  def mojibakeStats(docs: DataFrame, textCol: Column): DataFrame = {
+    val nMoji = regexp_count(textCol, lit("Ã[©¯¼±]")).cast("long")
+    val nRepl = (length(textCol)
+      - length(regexp_replace(textCol, lit("�"), lit("")))).cast("long")
+    val nCtrl = regexp_count(textCol,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    docs.select(col("doc_id"), nMoji.as("n_mojibake"),
+      nRepl.as("n_replacement"), nCtrl.as("n_ctrl"),
+      (nMoji === 0 && nRepl === 0 && nCtrl === 0).as("is_clean"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query term set —
     * the lexical-search leg every retrieval pipeline keeps next to its
     * ANN index. One aggregation pass computes corpus stats (N, Σdl, per-
@@ -1588,6 +1609,52 @@ object TextOps {
     curve.join(broadcast(tot))
       .select(col("k"), col("cum_tokens"),
         (col("cum_tokens").cast("double") / col("tot")).as("coverage"))
+  }
+
+  /** TOKEN-DISTRIBUTION SHIFT per source (χ² against the corpus) — the
+    * domain-drift monitor a multi-crawl mixture runs before reweighting:
+    * how far each source's token distribution sits from the corpus-wide
+    * one, measured as Pearson's χ² over the top-`k` corpus token types
+    * plus an OTHER bucket (a complete partition, so expectations sum to
+    * the source's token count). χ² is chosen over KL deliberately:
+    * it is division/multiplication-only, so the oracle replays it
+    * exactly (ln/log2 are not correctly-rounded across engines').
+    * Per-term contributions are rounded to 6 dp and decimal-summed —
+    * the repo's order-free summation recipe — so engines can't drift on
+    * addition order. The top-k frame is a parallel partial top-k
+    * (TakeOrderedAndProject, the hotKeys shape); all joins against it
+    * and the 1-row total broadcast. Output: (source, n_tokens, chi2). */
+  def chi2Shift(docs: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // (source, token) counts feed the per-source totals, the corpus
+    // counts AND the observed leg — one explode, persisted
+    val wc = graft.CacheScope.persist(
+      docs.select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("o")))
+    val st = wc.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+    val cw = wc.groupBy(col("w")).agg(sum(col("o")).as("c"))
+    val top = cw.orderBy(col("c").desc, col("w")).limit(k)
+    val tot = cw.agg(sum(col("c")).as("ctot"))
+    val obs = st.crossJoin(broadcast(top))
+      .join(wc, Seq("source", "w"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    val terms = obs
+      .withColumn("e", col("ns").cast("double") * col("c") / col("ctot"))
+      .select(col("source"), col("ns"),
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+          + lit(1e-9), 6).as("t"))
+    val other = obs.groupBy(col("source"), col("ns"), col("ctot"))
+      .agg(sum(col("o")).as("otop"), sum(col("c")).as("ctop"))
+      .withColumn("ooth", col("ns") - col("otop"))
+      .withColumn("eoth",
+        col("ns").cast("double") * (col("ctot") - col("ctop")) / col("ctot"))
+      .select(col("source"), col("ns"),
+        when(col("eoth") > 0,
+          round((col("ooth") - col("eoth")) * (col("ooth") - col("eoth"))
+            / col("eoth") + lit(1e-9), 6)).otherwise(lit(0.0)).as("t"))
+    terms.unionByName(other)
+      .groupBy(col("source"), col("ns").as("n_tokens"))
+      .agg(round(graft.queries.Sql.decSum(col("t")) + lit(1e-9), 4).as("chi2"))
   }
 
   /** N-GRAM NOVELTY per document — the memorization audit: what

@@ -44,7 +44,12 @@ object MultimodalQueries extends QueryModule {
     // dedup, singletons under their own id
     "mm_phash_clusters" -> ((s, d) => MultimodalOps.phashClusters(
       MultimodalOps.asRecords(
-        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))))
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))),
+    // shot-boundary detection on video records: per consecutive frame
+    // pair the L1 byte delta, cut where it exceeds the ~median of the
+    // uniform-byte expectation (E|a-b| ≈ 85/byte × 32 bytes)
+    "mm_scene_cuts" -> ((s, d) =>
+      MultimodalOps.sceneCuts(mm(s, d), threshold = 2720L)))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -216,5 +221,17 @@ object MultimodalQueries extends QueryModule {
          |SELECT doc_id, MIN(win_idx) AS span_start,
          |  CAST(COUNT(*) AS BIGINT) AS n_wins,
          |  CAST(SUM(nb) AS BIGINT) AS span_bytes
-         |FROM mk GROUP BY doc_id, grp""".stripMargin)
+         |FROM mk GROUP BY doc_id, grp""".stripMargin,
+
+    // consecutive-frame L1 deltas joined on (doc, byte offset ± 32);
+    // video records are doc_id % 3 = 2 (kind list is 1-indexed)
+    "mm_scene_cuts" ->
+      s"""$bytesCte
+         |SELECT a.doc_id, CAST(a.i // 32 AS INT) AS frame_idx,
+         |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) AS l1_delta,
+         |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) > 2720 AS is_cut
+         |FROM bytes a JOIN bytes p
+         |  ON a.doc_id = p.doc_id AND p.i = a.i - 32
+         |WHERE a.doc_id % 3 = 2
+         |GROUP BY a.doc_id, a.i // 32""".stripMargin)
 }

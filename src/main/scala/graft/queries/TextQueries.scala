@@ -549,6 +549,12 @@ object TextQueries extends QueryModule {
           (col("merged_a") <=> col("merged_b")).as("same"))
     }),
 
+    // token-distribution drift per source vs the corpus: Pearson χ² over
+    // the top-16 corpus types + OTHER bucket (division-only, so the
+    // oracle is exact where KL's log could drift) — the domain-shift
+    // monitor that decides when a mixture needs reweighting
+    "text_chi2_shift" -> ((s, d) => TextOps.chi2Shift(docs(s, d))),
+
     // near-dup threshold ablation: pairs/flagged-docs surviving each
     // candidate cutoff, from ONE banded scoring pass (in-row threshold
     // explode, zero rows kept explicit) — the curve that fixes the
@@ -612,6 +618,22 @@ object TextQueries extends QueryModule {
     // CCNet-style line-level boilerplate dedup: 10-token "lines", keep
     // each line's globally first occurrence, per-doc survival stats
     "line_dedup" -> ((s, d) => TextOps.lineDedup(docs(s, d), window = 10)),
+
+    // encoding-artifact gate over text with deterministic synthetic
+    // damage injected (the corpus itself is clean): mojibake sequences
+    // on doc_id % 7, a U+FFFD on % 11, a C0 control char on % 13
+    "text_mojibake" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val withArt = docs(s, d).select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit(" cafÃ© naÃ¯ve"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11L)) === 0, lit(" �data"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0, lit(" x\u0007z"))
+            .otherwise(lit("")))
+        .as("atext"))
+      TextOps.mojibakeStats(withArt, col("atext"))
+    }),
 
     // repeated-substring spans (token-level substring-dedup units):
     // 5-gram grams occurring >= 2x corpus-wide, merged into maximal runs
@@ -1651,6 +1673,34 @@ object TextQueries extends QueryModule {
          |    ELSE 1.0 END + 1e-9, 6) AS precision
          |FROM nc CROSS JOIN nv""".stripMargin,
 
+    "text_chi2_shift" ->
+      s"""WITH wc AS MATERIALIZED (SELECT source, w, COUNT(*) AS o FROM
+         |    (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY source, w),
+         |st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM wc GROUP BY source),
+         |cw AS MATERIALIZED (SELECT w, CAST(SUM(o) AS BIGINT) AS c
+         |  FROM wc GROUP BY w),
+         |top AS (SELECT w, c FROM cw ORDER BY c DESC, w LIMIT 16),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot FROM cw),
+         |obs AS MATERIALIZED (SELECT st.source, st.ns, top.w, top.c, ctot,
+         |    CAST(COALESCE(wc.o, 0) AS BIGINT) AS o
+         |  FROM st CROSS JOIN top CROSS JOIN tot
+         |  LEFT JOIN wc ON wc.source = st.source AND wc.w = top.w),
+         |terms AS (SELECT source, ns,
+         |    ROUND((o - e) * (o - e) / e + 1e-9, 6) AS t FROM (
+         |    SELECT source, ns, o, CAST(ns AS DOUBLE) * c / ctot AS e FROM obs)),
+         |oth AS (SELECT source, ns,
+         |    CASE WHEN eoth > 0
+         |      THEN ROUND((ooth - eoth) * (ooth - eoth) / eoth + 1e-9, 6)
+         |      ELSE 0.0 END AS t FROM (
+         |    SELECT source, ns, ns - SUM(o) AS ooth,
+         |      CAST(ns AS DOUBLE) * (ctot - SUM(c)) / ctot AS eoth
+         |    FROM obs GROUP BY source, ns, ctot)),
+         |allt AS (SELECT * FROM terms UNION ALL SELECT * FROM oth)
+         |SELECT source, ns AS n_tokens,
+         |  ROUND(${Sql.decSumSql("t")} + 1e-9, 4) AS chi2
+         |FROM allt GROUP BY source, ns""".stripMargin,
+
     // the component leg replays the threshold-parameterized transitive
     // closure (reach carries the threshold, so ONE recursive CTE covers
     // all 7 curve points); n_docs_removed = members minus min-labeled
@@ -1775,6 +1825,25 @@ object TextQueries extends QueryModule {
          |  $clean AS clean_text
          |FROM t""".stripMargin
     },
+
+    // same injection, detection via portable RE2 patterns + the
+    // replace-length trick for the replacement-char count
+    "text_mojibake" ->
+      s"""WITH t AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(65533) || 'data' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' x' || chr(7) || 'z' ELSE '' END
+         |      AS atext
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(atext, 'Ã[©¯¼±]')) AS BIGINT) AS n_mojibake,
+         |    CAST(len(atext) - len(replace(atext, chr(65533), '')) AS BIGINT) AS n_replacement,
+         |    CAST(len(regexp_extract_all(atext,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctrl
+         |  FROM t)
+         |SELECT doc_id, n_mojibake, n_replacement, n_ctrl,
+         |  (n_mojibake = 0 AND n_replacement = 0 AND n_ctrl = 0) AS is_clean
+         |FROM c""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (0 until 16)
