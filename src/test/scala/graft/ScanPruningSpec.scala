@@ -19,11 +19,18 @@ class ScanPruningSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // AQE wraps joined plans in AdaptiveSparkPlanExec whose inner tree
     // collect() can't see before execution; pushdown/pruning decisions
-    // are made below AQE, so inspecting the non-adaptive plan is exact
+    // are made below AQE, so inspecting the non-adaptive plan is exact.
+    // CacheScope-persisted subtrees hide their file scan inside an
+    // InMemoryRelation — descend into the cached plan, where the
+    // pruning decision was made.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.collectWithSubqueries {
-        case s: FileSourceScanExec => s }
+    def collect(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case s: FileSourceScanExec => Seq(s)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          collect(im.relation.cachedPlan)
+      }.flatten
+    try collect(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -82,5 +89,25 @@ class ScanPruningSpec extends SparkSpec {
     val read = ev.metadata("ReadSchema")
     Seq("props", "value", "user_id").foreach(c =>
       assert(!read.contains(c), s"unneeded $c read: $read"))
+  }
+
+  test("mm_scene_cuts: the synthetic payload derives from doc_id alone — text never read") {
+    val ss = scans("mm_scene_cuts")
+    assert(ss.nonEmpty)
+    ss.filter(_.metadata("Location").contains("documents")).foreach { s =>
+      val read = s.metadata("ReadSchema")
+      Seq("text", "lang", "n_chars").foreach(c =>
+        assert(!read.contains(c), s"unneeded $c read: $read"))
+    }
+  }
+
+  test("text_chi2_shift: only source and text are read from documents") {
+    val ss = scans("text_chi2_shift")
+    assert(ss.nonEmpty)
+    ss.filter(_.metadata("Location").contains("documents")).foreach { s =>
+      val read = s.metadata("ReadSchema")
+      Seq("lang", "n_chars", "doc_id").foreach(c =>
+        assert(!read.contains(c), s"unneeded $c read: $read"))
+    }
   }
 }
