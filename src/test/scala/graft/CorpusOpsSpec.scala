@@ -284,6 +284,39 @@ class CorpusOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("chi2Shift: zero for identical distributions, exact hand value for a skewed source") {
+    import spark.implicits._
+    // two sources with the SAME token distribution sit exactly at the
+    // corpus expectation -> chi2 identically 0
+    val same = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val g1 = TextOps.chi2Shift(same).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(g1 == Set(("s1", 3L, 0.0), ("s2", 3L, 0.0)))
+    // corpus a:2 b:4 over 6; each source 3 tokens -> e = (1, 2); hand
+    // chi2 = (2-1)^2/1 + (1-2)^2/2 = 1.5 for both sides of the skew
+    val skew = Seq((1L, "a a b", "s1"), (2L, "b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val g2 = TextOps.chi2Shift(skew).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(g2 == Map("s1" -> 1.5, "s2" -> 1.5))
+  }
+
+  test("mojibakeStats: hand-counted artifacts and clean verdicts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text here"),
+      (2L, "damaged cafÃ© and naÃ¯ ve with � twice �"),
+      (3L, "ctrl\u0007char\u0001here")).toDF("doc_id", "text")
+    val got = TextOps.mojibakeStats(d, col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, true),
+      (2L, 2L, 2L, 0L, false),
+      (3L, 0L, 0L, 2L, false)))
+  }
+
   test("bpeLearnGrouped: per-group results equal independent bpeLearn runs") {
     import spark.implicits._
     val d = Seq(

@@ -37,6 +37,23 @@ class MultimodalSpec extends SparkSpec {
       .forall(r => r.getLong(1) == 16 && r.getLong(2) == 128L))
   }
 
+  test("sceneCuts: hand-built frame deltas are exact; only video records scored") {
+    import graft.pipeline.MMRecord
+    // 3-frame, 4-byte synthetic video: frame deltas are hand-computable
+    val p = Array[Byte](
+      0, 10, 20, 30,           // frame 0
+      0, 10, 20, 30,           // frame 1: identical -> delta 0
+      100, 10, 0, -126)        // frame 2: |100-0|+0+20+|130-30| = 220
+    val recs = Seq(
+      MMRecord(1L, "video", p, 4, 1, 3, 4),
+      MMRecord(2L, "image", p, 4, 1, 3, 4)).toDS()
+    val got = MultimodalOps.sceneCuts(recs, threshold = 100L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).sorted
+    // image record never scored; identical pair delta 0 (no cut);
+    // -126.toByte reads as unsigned 130
+    assert(got.toSeq == Seq((1L, 1, 0L, false), (1L, 2, 220L, true)))
+  }
+
   test("resize halves geometry to the bound and truncates the byte budget") {
     val mm = MultimodalOps.asRecords(MultimodalOps.mmTable(docs))
     val out = MultimodalOps.resize(mm, maxDim = 16).collect()
