@@ -111,6 +111,43 @@ object EventOps {
         col("s.n_users"), col("s.conversion"))
   }
 
+  /** FUNNEL TIME-TO-CONVERT QUANTILES — the "how long does step k take"
+    * view next to [[funnelReport]]'s "how many make it": per transition
+    * (step k−1 → k), exact type-1 quantiles of the per-user gap
+    * t_k − t_{k−1} over converting users. EXACT at scale without a
+    * per-step sort of user-scale data: gaps are integer seconds, so the
+    * quantile is read off a (step, gap)-distinct cumulative histogram —
+    * the only corpus-scale shuffle is the histogram groupBy, and the
+    * per-step window runs over DISTINCT gap values (bounded by the
+    * funnel horizon in seconds, never by user count — the madOutliers
+    * bin-not-rows principle). Quantile = smallest gap whose cumulative
+    * count reaches ceil(p·n). Output: (step, step_name, p, n_conv,
+    * gap_q). */
+  def funnelTiming(events: DataFrame, steps: Seq[String],
+                   ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(steps.size >= 2, "timing needs at least one transition")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "quantiles in (0,1]")
+    val stages = funnelStages(events, steps)
+    val gapCols = steps.indices.tail.map { k =>
+      struct(lit(k.toLong).as("step"), lit(steps(k)).as("step_name"),
+        (col(s"t_${steps(k)}") - col(s"t_${steps(k - 1)}")).as("gap"))
+    }
+    val gaps = stages.select(explode(array(gapCols: _*)).as("g"))
+      .select(col("g.step"), col("g.step_name"), col("g.gap"))
+      .filter(col("gap").isNotNull)
+    val h = gaps.groupBy(col("step"), col("step_name"), col("gap"))
+      .agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy("step")
+        .orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("step")))
+    cum.select(col("step"), col("step_name"), col("gap"), col("cum"), col("n"),
+        explode(typedlit(ps)).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")).cast("long"))
+      .groupBy(col("step"), col("step_name"), col("p"))
+      .agg(max(col("n")).as("n_conv"), min(col("gap")).as("gap_q"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the calendar week
     * (epoch-week, `ts div 604800`) of their FIRST event; cell
     * (cohort_wk, offset_wk) counts the cohort's users active offset

@@ -41,6 +41,12 @@ object EventQueries extends QueryModule {
     // weekly cohort retention matrix with rates vs cohort size
     "events_retention" -> ((s, d) => EventOps.retention(evTs(s, d))),
 
+    // per-transition time-to-convert quantiles (p50/p90 of t_k - t_{k-1}
+    // over converting users) via the distinct-gap cumulative histogram —
+    // exact without a user-scale per-step sort
+    "events_funnel_timing" -> ((s, d) =>
+      EventOps.funnelTiming(evTs(s, d), FunnelSteps)),
+
     // hot-key skew diagnostic: top-10 user_ids by event count with
     // share / cumulative share — the pre-join salting decision input
     "events_hotkeys" -> ((s, d) => EventOps.hotKeys(ev(s, d), "user_id")),
@@ -192,6 +198,28 @@ object EventQueries extends QueryModule {
       s"""$funnelCte,
          |f AS (SELECT $counts FROM $last)
          |$rows""".stripMargin
+    },
+
+    "events_funnel_timing" -> {
+      val last = s"c${FunnelSteps.size - 1}"
+      val transitions = FunnelSteps.indices.tail.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, '${FunnelSteps(k)}' AS step_name,
+           |  t$k - t${k - 1} AS gap FROM $last WHERE t$k IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$funnelCte,
+         |g AS ($transitions),
+         |h AS (SELECT step, step_name, gap, COUNT(*) AS c
+         |      FROM g GROUP BY step, step_name, gap),
+         |cum AS (SELECT *,
+         |    SUM(c) OVER (PARTITION BY step ORDER BY gap
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY step) AS n FROM h)
+         |SELECT step, step_name, p,
+         |  CAST(MAX(n) AS BIGINT) AS n_conv, MIN(gap) AS gap_q
+         |FROM cum CROSS JOIN (SELECT UNNEST([CAST('0.5' AS DOUBLE),
+         |  CAST('0.9' AS DOUBLE)]) AS p)
+         |WHERE cum >= CAST(ceil(p * n) AS BIGINT)
+         |GROUP BY step, step_name, p""".stripMargin
     },
 
     "events_retention" ->

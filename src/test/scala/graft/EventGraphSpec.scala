@@ -26,6 +26,20 @@ class EventGraphSpec extends SparkSpec {
       (2L, 10L, 10L, 3L, 7.5)))
   }
 
+  test("funnelTiming: type-1 quantiles over hand-built gaps, non-converters excluded") {
+    // users 1..3 convert a->b with gaps 10, 20, 30; user 4 never reaches b.
+    // p50 -> ceil(0.5*3)=2nd smallest = 20; p90 -> ceil(2.7)=3rd = 30.
+    val e = Seq(
+      (1L, 100L, "a"), (1L, 110L, "b"),
+      (2L, 100L, "a"), (2L, 120L, "b"),
+      (3L, 100L, "a"), (3L, 130L, "b"),
+      (4L, 100L, "a")).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelTiming(e, Seq("a", "b"), ps = Seq(0.5, 0.9))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._3)
+    assert(got.toSeq == Seq((1L, "b", 0.5, 3L, 20L), (1L, "b", 0.9, 3L, 30L)))
+  }
+
   test("anomalyWindows: a complete outage hour is zero-filled and flagged") {
     // the sparse hourly series can never flag an hour with NO events (it
     // has no row to score); the dense grid gives it n = 0. Type "s"
