@@ -633,6 +633,36 @@ object DedupOps {
       .na.fill(0L, Seq("n_pairs", "n_docs_flagged"))
   }
 
+  /** TRIANGLE CENSUS of the near-dup pair graph — whether duplication
+    * is CLIQUISH (template families: every member similar to every
+    * other ⇒ high clustering coefficient) or CHAINED (drifted
+    * revisions: a~b~c but a≁c ⇒ low). One row: edge/triangle/wedge
+    * counts and the global clustering coefficient 3·T / wedges.
+    * Triangles come from two equi-joins over the canonical (a < b)
+    * edge list (a<b<c enumerated exactly once); wedges are
+    * Σ_v C(deg v, 2) in exact integers (d·(d−1) is always even). All
+    * work is pair-graph-sized — a vanishing fraction of the corpus by
+    * the [[graft.pipeline.GraphOps]] contract — never corpus-scale.
+    * Output: (n_edges, n_triangles, n_wedges, clustering_coeff). */
+  def triangleStats(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val e = graft.CacheScope.persist(
+      minhashPairs(docs, threshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val tri = e.as("e1")
+      .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .join(e.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wed = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri).crossJoin(wed)
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges") + lit(1e-9), 6))
+          .as("clustering_coeff"))
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — which sources copy from which:
     * verified near-dup pairs rolled up by their (unordered) source
     * pair, with count and mean similarity. The provenance audit a

@@ -562,6 +562,12 @@ object TextQueries extends QueryModule {
     "dedup_threshold_sweep" -> ((s, d) =>
       graft.pipeline.DedupOps.thresholdSweep(docs(s, d))),
 
+    // triangle census of the >=0.5 near-dup graph: cliquish template
+    // families (high clustering coeff) vs drift chains (low) — the
+    // structure signal next to the cluster-size histogram
+    "dedup_triangles" -> ((s, d) =>
+      graft.pipeline.DedupOps.triangleStats(docs(s, d))),
+
     // banding precision: verified fraction of the surfaced candidates —
     // the honesty companion to dedup_lsh_recall (recall = what banding
     // misses; precision = what verification wastes)
@@ -1825,6 +1831,35 @@ object TextQueries extends QueryModule {
          |  $clean AS clean_text
          |FROM t""".stripMargin
     },
+
+    "dedup_triangles" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM scored
+         |  WHERE jaccard >= 0.5),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
+         |  JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |deg AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+         |wed AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+         |  AS n_wedges FROM deg),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+         |SELECT n_edges, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0
+         |    THEN ROUND(CAST('3.0' AS DOUBLE) * n_triangles / n_wedges + 1e-9, 6)
+         |  END AS clustering_coeff
+         |FROM ne CROSS JOIN tri CROSS JOIN wed""".stripMargin,
 
     // same injection, detection via portable RE2 patterns + the
     // replace-length trick for the replacement-char count

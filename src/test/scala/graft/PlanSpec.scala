@@ -51,7 +51,8 @@ class PlanSpec extends SparkSpec {
     "pack_efficiency" -> "crossJoin of two 1-row aggregates (per-doc totals x pack totals)",
     "dedup_cluster_sizes" -> "singleton row = crossJoin of the 1-row corpus total with the 1-row clustered-mass aggregate",
     "m1_acf" -> "broadcasts the 1-row mean and 1-row denominator aggregates over the (bounded, series-sized) centered frame",
-    "text_chi2_shift" -> "broadcasts the 16-row top-token frame and the 1-row corpus total over the |sources|-row per-source frame — all sides bounded")
+    "text_chi2_shift" -> "broadcasts the 16-row top-token frame and the 1-row corpus total over the |sources|-row per-source frame — all sides bounded",
+    "dedup_triangles" -> "crossJoin of three 1-row aggregates (edge / triangle / wedge counts)")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
