@@ -24,6 +24,11 @@ class ScanPruningSpec extends SparkSpec {
     // InMemoryRelation — descend into the cached plan, where the
     // pruning decision was made.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // a cache entry left by an earlier suite (built with AQE on) would
+    // wrap its cachedPlan in AdaptiveSparkPlanExec, which hides the scan
+    // from collect until execution — drop shared-session cache state so
+    // the persist below rebuilds under this test's conf
+    spark.catalog.clearCache()
     def collect(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
       p.collectWithSubqueries {
         case s: FileSourceScanExec => Seq(s)
