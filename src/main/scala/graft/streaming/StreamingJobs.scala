@@ -173,6 +173,56 @@ object StreamingJobs {
     }
   }
 
+  /** One funnel-step completion: the user, the 1-based step, its name,
+    * the completing event's epoch-second ts, and the gap since the
+    * previous step (0 for step 1). */
+  final case class FunnelHit(user_id: Long, step: Long, step_name: String,
+                             ts: Long, gap: Long)
+
+  /** STREAMING ORDERED FUNNEL — the live twin of
+    * [[graft.pipeline.EventOps.funnelStages]]: per user, keyed state
+    * tracks (next expected step, previous completion ts) — O(1) per
+    * user, never the event history — and a row is emitted THE MOMENT a
+    * step completes (an event of the expected type at-or-after the
+    * previous completion), carrying the conversion gap
+    * [[graft.pipeline.EventOps.funnelTiming]] aggregates offline. A
+    * windowed aggregation cannot express this in append mode (the
+    * completion predicate chains across arbitrary time spans); the
+    * state is two scalars, so an unbounded stream holds exactly
+    * |users| × O(1).
+    *
+    * Within a batch events are processed in (ts, step-index) order, so
+    * equal-ts step chains complete deterministically under shuffle and,
+    * when arrival order respects per-user event-time order (the kafka
+    * key = user_id deployment), the hit set equals the batch
+    * funnelStages chain exactly — the same first-arrival contract as
+    * [[nearDupCandidates]]; an out-of-order earlier event cannot
+    * retroactively improve an already-claimed completion (append-only
+    * emission, documented deviation). Input: (user_id, ts, event_type). */
+  def funnelStream(events: org.apache.spark.sql.Dataset[(Long, Long, String)],
+                   steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelHit] = {
+    require(steps.nonEmpty && steps.size == steps.distinct.size, "distinct steps")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val idx = steps.zipWithIndex.toMap
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, Long, String)], state: GroupState[(Int, Long)]) =>
+        var (k, last) = state.getOption.getOrElse((0, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+        it.toSeq.filter(e => idx.contains(e._3))
+          .sortBy(e => (e._2, idx(e._3))).foreach { case (_, ts, et) =>
+            if (k < steps.length && et == steps(k) && (k == 0 || ts >= last)) {
+              out += FunnelHit(user, k + 1L, et, ts, if (k == 0) 0L else ts - last)
+              last = ts
+              k += 1
+            }
+          }
+        state.update((k, last))
+        out.iterator
+    }
+  }
+
   /** One fired alarm: the key, its count at the crossing, and the
     * epoch-second event time of the event that crossed the threshold. */
   final case class Alarm(key: Long, n: Long, ts: Long)

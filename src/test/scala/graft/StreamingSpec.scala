@@ -507,6 +507,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamAlerts.map(a => (a._1, a._2)) == Set(("s0", (h0 + 6) * 3600))) // the spike hour
   }
 
+  test("streaming funnel: O(1) keyed state emits completions across batches, equals the batch chain") {
+    import graft.pipeline.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("a", "b", "c")
+    val b1 = Seq((1L, 100L, "a"), (1L, 150L, "b"), (2L, 100L, "b"),
+      (3L, 50L, "a"), (3L, 50L, "b"), (1L, 130L, "x"))
+    val b2 = Seq((1L, 200L, "c"), (2L, 110L, "a"), (2L, 120L, "b"))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamingJobs.funnelStream(in.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // user 1 completes across batches; user 2's premature b (ts 100 <
+      // its t_a) never counts; user 3's equal-ts chain completes in one
+      // batch; "x" ignored
+      assert(got == Set(
+        (1L, 1L, "a", 100L, 0L), (1L, 2L, "b", 150L, 50L), (1L, 3L, "c", 200L, 50L),
+        (2L, 1L, "a", 110L, 0L), (2L, 2L, "b", 120L, 10L),
+        (3L, 1L, "a", 50L, 0L), (3L, 2L, "b", 50L, 0L)))
+      // parity: the hit set equals the batch funnelStages chain
+      val expected = EventOps.funnelStages(
+          (b1 ++ b2).toDF("user_id", "ts", "event_type"), steps)
+        .collect().flatMap { r =>
+          val ts = steps.map(s => Option(r.getAs[Any](s"t_$s"))
+            .map(_.asInstanceOf[Long]))
+          val done = ts.takeWhile(_.isDefined).map(_.get)
+          done.zipWithIndex.map { case (t, k) =>
+            (r.getLong(0), k + 1L, steps(k), t,
+              if (k == 0) 0L else t - done(k - 1)) }
+        }.toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: state drops cross-batch duplicates") {
     // the dedup family's streaming form: dropDuplicates keyed on content
     // id with a watermark bounding state. The guarantee is one row per
