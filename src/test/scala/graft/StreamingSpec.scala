@@ -507,6 +507,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamAlerts.map(a => (a._1, a._2)) == Set(("s0", (h0 + 6) * 3600))) // the spike hour
   }
 
+  test("rescaler manages the curation stream: dedup state and billing stay exactly-once across a rescale") {
+    // the reference's optimize/rescale machinery applied to the
+    // LLM-pipeline flagship instead of a toy job: the curation query is
+    // stopped and restarted from its checkpoint at a new parallelism
+    // (Rescaler owns the stop/measure/start), and the gate->dedup->bill
+    // chain must come through exactly-once — a post-rescale duplicate is
+    // dropped by the RESTORED state store, and the billing dirs union to
+    // the batch pass over all input.
+    import graft.pipeline.TextOps
+    import graft.streaming.Rescaler
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.types._
+    val base = s"target/graft-tmp/curation_rescale_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val merges = Seq("t" -> "h", "th" -> "e")
+    def start(parallelism: Int): StreamingQuery =
+      StreamingJobs.curationStream(
+          spark.readStream.schema(schema).parquet(s"$base/src")
+            .repartition(parallelism),
+          merges, s"$base/out", watermark = "30 days", minBaseline = 3)
+        .option("checkpointLocation", s"$base/ckpt").start()
+    val h0 = 2000L
+    def doc(id: Long, w: String) = (ts(h0 * 3600 + id), id, "s0",
+      s"the $w resonance of ${w}like systems generates coherent harmonic structures")
+    val b1 = Seq(doc(1L, "alpha"), doc(2L, "beta"), doc(3L, "gamma"))
+    val b2 = Seq(doc(10L, "delta"), doc(11L, "epsilon"),
+      (b1.head._1, 12L, "s0", b1(2)._4)) // duplicate of doc 3 after the rescale
+    b1.toDF("ts", "doc_id", "source", "text").write.mode("append").parquet(s"$base/src")
+    val q1 = start(1)
+    q1.processAllAvailable()
+    val (q2, downtimeMs) = Rescaler.rescale(spark, s"$base/store",
+      tickTs = 1L, running = q1, fromParallelism = 1, toParallelism = 3,
+      start = start)
+    try {
+      b2.toDF("ts", "doc_id", "source", "text").write.mode("append").parquet(s"$base/src")
+      q2.processAllAvailable()
+      val billed = spark.read.parquet(s"$base/out/bill/batch_*")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // exactly-once across the rescale: every unique doc once, the
+      // post-rescale duplicate (id 12) dropped by restored dedup state
+      assert(billed == Seq(1L, 2L, 3L, 10L, 11L))
+      // the rescale is a real managed-job event: measured downtime recorded
+      assert(downtimeMs > 0)
+      assert(Rescaler.avgDowntimeSec(spark, s"$base/store").exists(_ > 0))
+      // bills equal the batch gate->dedup->encode pass over all input
+      val all = (b1 ++ b2).toDF("ts", "doc_id", "source", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val surv = TextOps.gateProjection(all)
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.6)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      val batchBill = TextOps.bpeEncodeWith(surv,
+          TextOps.applyMerges(TextOps.charWords(surv), merges))
+        .select("doc_id", "n_words", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamBill = spark.read.parquet(s"$base/out/bill/batch_*")
+        .select("doc_id", "n_words", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamBill == batchBill)
+    } finally q2.stop()
+  }
+
   test("streaming funnel: O(1) keyed state emits completions across batches, equals the batch chain") {
     import graft.pipeline.EventOps
     implicit val sqlCtx = spark.sqlContext
