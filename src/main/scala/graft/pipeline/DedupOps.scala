@@ -604,8 +604,13 @@ object DedupOps {
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_docs_flagged"))
-    // removal bill: incremental union-find, edges added as t descends
+    // removal bill: incremental union-find, edges added as t descends.
+    // Pairs below min(thresholds) can never join the graph — filter
+    // BEFORE the collect (the [floor, min-threshold) band is the
+    // densest part of the candidate distribution at scale, and the
+    // driver never reads it)
     val es = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= thresholds.min)
       .as[(Long, Long, Double)].collect().sortBy(-_._3)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

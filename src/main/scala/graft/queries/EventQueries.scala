@@ -202,11 +202,15 @@ object EventQueries extends QueryModule {
 
     "events_funnel_timing" -> {
       val last = s"c${FunnelSteps.size - 1}"
+      // the per-transition UNION ALL reads the funnel chain 3x — pin a
+      // MATERIALIZED copy so DuckDB doesn't re-run the corpus-scale
+      // per-user aggregation per transition (the repo's CTE gotcha)
       val transitions = FunnelSteps.indices.tail.map { k =>
         s"""SELECT CAST($k AS BIGINT) AS step, '${FunnelSteps(k)}' AS step_name,
-           |  t$k - t${k - 1} AS gap FROM $last WHERE t$k IS NOT NULL""".stripMargin
+           |  t$k - t${k - 1} AS gap FROM lastm WHERE t$k IS NOT NULL""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""$funnelCte,
+         |lastm AS MATERIALIZED (SELECT * FROM $last),
          |g AS ($transitions),
          |h AS (SELECT step, step_name, gap, COUNT(*) AS c
          |      FROM g GROUP BY step, step_name, gap),

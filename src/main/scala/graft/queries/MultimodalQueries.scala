@@ -224,14 +224,17 @@ object MultimodalQueries extends QueryModule {
          |FROM mk GROUP BY doc_id, grp""".stripMargin,
 
     // consecutive-frame L1 deltas joined on (doc, byte offset ± 32);
-    // video records are doc_id % 3 = 2 (kind list is 1-indexed)
+    // video records are doc_id % 3 = 2 (kind list is 1-indexed). The
+    // self-join reads bytes twice — materialize a video-only copy so
+    // the md5 byte expansion runs once, not per join side
     "mm_scene_cuts" ->
-      s"""$bytesCte
+      s"""$bytesCte,
+         |vb AS MATERIALIZED (SELECT doc_id, i, b FROM bytes
+         |  WHERE doc_id % 3 = 2)
          |SELECT a.doc_id, CAST(a.i // 32 AS INT) AS frame_idx,
          |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) AS l1_delta,
          |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) > 2720 AS is_cut
-         |FROM bytes a JOIN bytes p
+         |FROM vb a JOIN vb p
          |  ON a.doc_id = p.doc_id AND p.i = a.i - 32
-         |WHERE a.doc_id % 3 = 2
          |GROUP BY a.doc_id, a.i // 32""".stripMargin)
 }

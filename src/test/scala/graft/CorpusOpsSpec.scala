@@ -251,7 +251,10 @@ class CorpusOpsSpec extends SparkSpec {
   test("thresholdSweep: survival curve is monotone and consistent with direct pair counts") {
     import graft.pipeline.DedupOps
     val ts = Seq(0.3, 0.5, 0.7, 0.9)
-    val sweep = DedupOps.thresholdSweep(docs, thresholds = ts).collect()
+    // ONE collect serves every assertion below — a second thresholdSweep
+    // call would re-run the eager pair mining + union-find
+    val rows = DedupOps.thresholdSweep(docs, thresholds = ts).collect()
+    val sweep = rows
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(sweep.map(_._1).toSeq == ts)
     // counts never increase as the threshold rises
@@ -271,8 +274,7 @@ class CorpusOpsSpec extends SparkSpec {
     // equals the non-representative member count of GraphOps components
     // over the surviving pair graph (the production removal bill,
     // distinct from the pairwise n_docs_flagged)
-    val removed = DedupOps.thresholdSweep(docs, thresholds = ts).collect()
-      .map(r => (r.getDouble(0), r.getLong(3))).toMap
+    val removed = rows.map(r => (r.getDouble(0), r.getLong(3))).toMap
     val pairs = DedupOps.minhashPairs(docs, threshold = 0.05).persist()
     ts.foreach { t =>
       val comp = graft.pipeline.GraphOps.connectedComponents(
