@@ -152,11 +152,36 @@ object DedupOps {
   /** Exact dedup: group documents by content hash, keep the smallest
     * doc_id per group (one shuffle on the hash — the canonical exact-dedup
     * plan at any scale). */
+  /** HOT-BUCKET CAP for the band self-join: a band key held by m
+    * documents yields m²/2 candidate pairs, so ONE giant bucket — a
+    * 10⁸-copy template family at web scale — turns candidate generation
+    * quadratic no matter how good the banding is. Buckets past this
+    * bound are dropped: a family that large is either an exact-dup
+    * family (caught by [[dedupExact]], which runs FIRST in every
+    * composed pipeline here) or boilerplate-dominated similarity the
+    * verification's df-capped index would refuse to count anyway — the
+    * band-level twin of [[jaccardPairs]]' posting-list cap. The oracle
+    * applies the same cap inside the shared lshCte, so the replays
+    * can't drift; at the test SFs no bucket comes near the bound and
+    * every result is unchanged. */
+  val MaxBandBucket = 1000
+
+  /** `bands` minus the over-[[MaxBandBucket]] buckets. The hot-key list
+    * is tiny by construction (≤ N/maxBucket keys), so the filter is a
+    * broadcast anti-join — the hot bucket's rows never shuffle to one
+    * task; the count itself is a partial-agg groupBy (skew-safe). */
+  private[graft] def capBands(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = bands.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).select(col("bkey"))
+    bands.join(broadcast(hot), Seq("bkey"), "left_anti")
+  }
+
   /** Distinct banded candidate pairs (doc_a < doc_b) of an inverted
     * index — the one spelling of the bands-self-join scaffold shared by
-    * the pair miner and its precision diagnostic. */
+    * the pair miner and its precision diagnostic, hot buckets capped
+    * (see [[MaxBandBucket]]). */
   private[graft] def bandedCandidates(inv: DataFrame): DataFrame = {
-    val bands = minhashBandsFromInv(inv)
+    val bands = capBands(minhashBandsFromInv(inv), MaxBandBucket)
     bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -214,7 +239,9 @@ object DedupOps {
                        threshold: Double = 0.5): DataFrame = {
     require(threshold > 0, "incrementalPairs verification assumes a positive threshold")
     val inv = shingleRows(docs)
-    val bands = minhashBandsFromInv(inv)
+    // hot-bucket cap BEFORE the probe join: a giant index bucket would
+    // otherwise fan every arriving doc out by its full size
+    val bands = capBands(minhashBandsFromInv(inv), MaxBandBucket)
     val cands = bands.filter(col("doc_id") >= splitId)
       .select(col("doc_id").as("new_id"), col("bkey"))
       .join(bands.filter(col("doc_id") < splitId)

@@ -51,12 +51,16 @@ object TextQueries extends QueryModule {
        |    list_min(list_transform(hs, h ->
        |      (h * (j * 2 + 1) + j * 7919) % 1000000007))) AS sig
        |  FROM hashes),
-       |bands AS (
+       |bands0 AS (
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
        |    md5(CAST(b AS VARCHAR) || '|' ||
        |        array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4),
        |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
-       |  FROM sigs)""".stripMargin
+       |  FROM sigs),
+       |bhot AS (SELECT bkey FROM bands0 GROUP BY bkey
+       |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+       |bands AS (SELECT * FROM bands0
+       |  WHERE bkey NOT IN (SELECT bkey FROM bhot))""".stripMargin
 
   /** [[lshCteFor]] over the full documents table — the common spelling. */
   private[queries] val lshCte = lshCteFor("documents")
@@ -1264,12 +1268,16 @@ object TextQueries extends QueryModule {
          |    list_min(list_transform(hs, h ->
          |      (h * (j * 2 + 1) + j * 7919) % 1000000007))) AS sig
          |  FROM hashes),
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4),
          |          x -> CAST(x AS VARCHAR)), ',')))) AS bkey
          |  FROM sigs),
+         |bhot AS (SELECT bkey FROM bands0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands AS (SELECT * FROM bands0
+         |  WHERE bkey NOT IN (SELECT bkey FROM bhot)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
