@@ -577,7 +577,11 @@ object VectorOps {
   def lshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
-    val bands = signBandsRelational(emb)
+    // hot-bucket cap (DedupOps.MaxBandBucket): a sign-band bucket holds
+    // N/256 vectors on average at scale, and one duplicated-embedding
+    // family turns the self-join quadratic — same guard, same oracle
+    // replay as the MinHash side
+    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket)
     val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -881,7 +885,10 @@ object VectorOps {
     val flagged = emb.withColumn("is_eval", evalPred)
     val e = flagged.select(col("vec_id"), col("is_eval"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
-    val bands = signBandsRelational(emb)
+    // hot-bucket cap BEFORE the train x eval probe join (a hot bucket
+    // fans every eval member by the full train-side bucket); counted
+    // over BOTH sides, exactly as the oracle replays it
+    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket)
       .join(flagged.select(col("vec_id"), col("is_eval")), Seq("vec_id"))
     val cands = bands.filter(!col("is_eval"))
       .select(col("vec_id").as("train_id"), col("bkey"))

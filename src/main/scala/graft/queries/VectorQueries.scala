@@ -570,11 +570,14 @@ object VectorQueries extends QueryModule {
     "ann_lsh_pairs" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
-         |bands AS (
+         |vb0 AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
+         |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b
@@ -753,11 +756,14 @@ object VectorQueries extends QueryModule {
       s"""WITH q AS (SELECT vec_id, label = 0 AS is_eval, $qvSql AS qv
          |  FROM embeddings),
          |sg AS (SELECT vec_id, is_eval, qv, $sigSql AS sig FROM q),
-         |bands AS (
+         |vb0 AS (
          |  SELECT vec_id, is_eval, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
+         |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
          |  FROM bands a JOIN bands b ON a.bkey = b.bkey
@@ -799,11 +805,14 @@ object VectorQueries extends QueryModule {
          |    AS BIGINT) % 1000000 < 500000),
          |q AS (SELECT vec_id, label = 0 AS is_eval, $qvSql AS qv FROM esamp),
          |sg AS (SELECT vec_id, is_eval, qv, $sigSql AS sig FROM q),
-         |bands AS (
+         |vb0 AS (
          |  SELECT vec_id, is_eval, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
+         |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
          |  FROM bands a JOIN bands b ON a.bkey = b.bkey
@@ -909,11 +918,14 @@ object VectorQueries extends QueryModule {
     "dedup_embedding_cosine" ->
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
-         |bands AS (
+         |vb0 AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg),
+         |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b
@@ -933,11 +945,14 @@ object VectorQueries extends QueryModule {
     "embedding_pipeline" ->
       s"""WITH q0 AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |sg0 AS (SELECT vec_id, qv, $sigSql AS sig FROM q0),
-         |bands0 AS (
+         |vbp0 AS (
          |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
          |    md5(CAST(b AS VARCHAR) || '|' ||
          |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
          |  FROM sg0),
+         |vbph AS (SELECT bkey FROM vbp0 GROUP BY bkey
+         |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+         |bands0 AS (SELECT * FROM vbp0 WHERE bkey NOT IN (SELECT bkey FROM vbph)),
          |cands0 AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands0 a JOIN bands0 b
