@@ -320,6 +320,26 @@ object VectorOps {
         round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
   }
 
+  /** [[scoreCandidates]] with SEPARATE query and corpus frames — the
+    * serving-path scorer: external query vectors (not corpus members)
+    * score against corpus candidates. Same cosine arithmetic, same
+    * per-query top-k window (bounded by the candidate set). */
+  private[graft] def serveScore(queries: DataFrame, corpus: DataFrame,
+                                cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qe = queries.select(col("vec_id").as("q_id"), quant.as("qq"))
+      .withColumn("qn2", dot(col("qq"), col("qq")))
+    val ce = corpus.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+    cands.join(qe, Seq("q_id")).join(ce, Seq("vec_id"))
+      .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
   /** Integer-exact Lloyd fit on a deterministic sample — the k-means
     * coarse quantizer for [[ivfKmeansTopK]].
     *

@@ -307,6 +307,35 @@ object StreamingJobs {
         ()
     }
 
+  /** STREAMING ANN SERVING — the QUERY-side live path next to
+    * [[annIngest]]'s index side: each arriving micro-batch of (vec_id,
+    * embedding) query vectors is answered against the FROZEN persisted
+    * index — the plan-embedded centroid literal ranks each query's
+    * nprobe cells map-side (no shuffle), one equi-join on cell id pulls
+    * the candidates from the cells dirs (base ∪ appended batches), and
+    * the per-query top-k scores them against the corpus
+    * ([[graft.pipeline.VectorOps.serveScore]]). Stateless; per-batch
+    * work is O(|batch| · nprobe · cellSize) — independent of corpus
+    * size, which is what makes the serving path live. Batch dirs
+    * overwrite ⇒ exactly-once under replay. Output per batch: (q_id,
+    * vec_id, cosine, rk). */
+  def annServeStream(queries: DataFrame, cents: Array[Array[Long]],
+                     cellsDirs: Seq[String], corpus: DataFrame, k: Int,
+                     outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        import graft.pipeline.VectorOps
+        val spark = batch.sparkSession
+        val nprobe = VectorOps.defaultNprobe(cents.length)
+        val probes = VectorOps.kmeansRanked(batch, cents, maxRank = nprobe)
+          .select(col("vec_id").as("q_id"), col("cid"))
+        val cells = cellsDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        val cands = probes.join(cells, Seq("cid")).select(col("q_id"), col("vec_id"))
+        VectorOps.serveScore(batch, corpus, cands, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+    }
+
   /** STREAMING BPE TOKEN BILLING — the live twin of the frozen-tokenizer
     * encode ([[graft.pipeline.TextOps.bpeEncodeFrozen]]): each arriving
     * micro-batch of (doc_id, text) documents is billed against a FROZEN

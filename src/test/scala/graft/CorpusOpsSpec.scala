@@ -286,6 +286,27 @@ class CorpusOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("capBands drops exactly the over-cap buckets; minhashPairs still finds small-family dups") {
+    import spark.implicits._
+    import graft.pipeline.DedupOps
+    // hand band frame: bucket "hot" holds 4 docs, "cold" holds 2
+    val bands = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "hot"),
+      (5L, "cold"), (6L, "cold")).toDF("doc_id", "bkey")
+    val capped = DedupOps.capBands(bands, maxBucket = 3).collect()
+      .map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(capped == Set((5L, "cold"), (6L, "cold")))
+    // end-to-end: a small near-dup family (bucket size << cap) is
+    // unaffected by the cap — the pair miner still verifies it
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("chi2Shift: zero for identical distributions, exact hand value for a skewed source") {
     import spark.implicits._
     // two sources with the SAME token distribution sit exactly at the

@@ -291,6 +291,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot && streamed.size == 30)
   }
 
+  test("streaming ANN serving: per-batch frozen-index search equals the one-shot serve") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val dir = s"target/graft-tmp/ann_serve_spec_${System.nanoTime()}"
+    val mk = (id: Long) => (id, (0 until 64).map(i =>
+      (((id * 31 + i * 7) % 13) - 6).toFloat))
+    val corpus = (0L until 60L).map(mk).toDF("vec_id", "embedding")
+    // frozen index: centroids + persisted cells (the annIngest output shape)
+    val cents = VectorOps.kmeansCentroids(corpus)
+    VectorOps.kmeansRanked(corpus, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.annServeStream(in.toDF.toDF("vec_id", "embedding"),
+        cents, Seq(s"$dir/cells"), corpus, k = 3, outDir = s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData((1000L until 1003L).map(mk)) // external query vectors
+      q.processAllAvailable()
+      in.addData(Seq(mk(5L), mk(1004L)))      // one corpus member, one external
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out/batch_0", s"$dir/out/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // two micro-batches against the frozen index == one serve pass
+    val allQ = ((1000L until 1003L) ++ Seq(5L, 1004L)).map(mk)
+      .toDF("vec_id", "embedding")
+    val probes = VectorOps.kmeansRanked(allQ, cents,
+        maxRank = VectorOps.defaultNprobe(cents.length))
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val oneShot = VectorOps.serveScore(allQ, corpus,
+        probes.join(spark.read.parquet(s"$dir/cells"), Seq("cid"))
+          .select(col("q_id"), col("vec_id")), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed == oneShot)
+    // a corpus-member query finds ITSELF at rank 1 with cosine 1.0 —
+    // the serving path really reaches the member's own cell
+    assert(streamed.contains((5L, 5L, 1.0, 1)))
+    // every query answered, ranks within k
+    assert(streamed.map(_._1) == Set(1000L, 1001L, 1002L, 5L, 1004L))
+    assert(streamed.forall(_._4 <= 3))
+  }
+
   test("streaming BPE token billing: per-batch frozen encode equals the batch bill") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
