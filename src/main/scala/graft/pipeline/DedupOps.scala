@@ -167,9 +167,13 @@ object DedupOps {
   val MaxBandBucket = 1000
 
   /** `bands` minus the over-[[MaxBandBucket]] buckets. The hot-key list
-    * is tiny by construction (≤ N/maxBucket keys), so the filter is a
+    * is bounded by bands·N/maxBucket keys and in practice is a handful
+    * (each key represents a whole template family), so the filter is a
     * broadcast anti-join — the hot bucket's rows never shuffle to one
-    * task; the count itself is a partial-agg groupBy (skew-safe). */
+    * task; the count itself is a partial-agg groupBy (skew-safe). If a
+    * corpus ever materializes hot-key cardinality near the bound, drop
+    * the broadcast hint and let AQE pick the join side — the anti-join
+    * stays linear either way (a filter, never a pairing). */
   private[graft] def capBands(bands: DataFrame, maxBucket: Int): DataFrame = {
     val hot = bands.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket).select(col("bkey"))
