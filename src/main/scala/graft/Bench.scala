@@ -28,6 +28,21 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // Pre-fit the session-lifetime model fixtures (BPE full-corpus +
+    // train-split tokenizers, PCA) HERE so their one-time fit cost lands
+    // in warm-up instead of on whichever fixture-consuming query the
+    // queries map's hash order happens to run first — the r11 committed
+    // bench charged the full-corpus BPE fit to bpe_vocab_roundtrip purely
+    // by run order, a 3x phantom "regression" on an unchanged query.
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      graft.pipeline.BpeFixture.learnedState(docs, sfDir, nMerges = 20)
+      val sp = graft.pipeline.TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
+      graft.pipeline.BpeFixture.learnedState(
+        docs.filter(sp === "train"), s"train@$sfDir", nMerges = 20)
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.pipeline.PcaFixture.fitted(emb, sfDir, 8)
+    } catch { case e: Throwable => System.err.println(s"[bench] fixture warmup failed: $e") }
     // noop sink forces full evaluation of every column (count() would let
     // Catalyst prune unused projections, under-measuring the query).
     // optional trailing args: bench only these queries (local iteration)

@@ -168,16 +168,27 @@ object DedupOps {
 
   /** `bands` minus the over-[[MaxBandBucket]] buckets. The hot-key list
     * is bounded by bands·N/maxBucket keys and in practice is a handful
-    * (each key represents a whole template family), so the filter is a
-    * broadcast anti-join — the hot bucket's rows never shuffle to one
-    * task; the count itself is a partial-agg groupBy (skew-safe). If a
-    * corpus ever materializes hot-key cardinality near the bound, drop
-    * the broadcast hint and let AQE pick the join side — the anti-join
-    * stays linear either way (a filter, never a pairing). */
+    * (each key represents a whole template family); the count is a
+    * partial-agg groupBy (skew-safe) and the join side is left to AQE —
+    * the measured hot frame is tiny so AQE broadcasts it, but a
+    * degenerate corpus whose hot-key cardinality approaches the bound
+    * degrades to a shuffled anti-join automatically instead of OOMing
+    * the driver on a forced broadcast. The anti-join stays linear
+    * either way (a filter, never a pairing).
+    *
+    * Both the INPUT band relation and the capped result are persisted
+    * (caller-scoped via [[graft.CacheScope]]): the returned plan embeds
+    * `bands` twice (hot-key groupBy + anti-join) and every consumer
+    * self-joins the result, so without the caches the band-GENERATION
+    * subtree — a full-corpus projection scan on the sign-LSH side —
+    * re-evaluates up to ~6x per query (the round-11 bench regression).
+    * The band relation is O(bands·N) ids+keys, a vanishing fraction of
+    * corpus bytes, so the cache is cheap at any scale. */
   private[graft] def capBands(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val hot = bands.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
+    val b = graft.CacheScope.persist(bands)
+    val hot = b.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket).select(col("bkey"))
-    bands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    graft.CacheScope.persist(b.join(hot, Seq("bkey"), "left_anti"))
   }
 
   /** Distinct banded candidate pairs (doc_a < doc_b) of an inverted
@@ -640,9 +651,19 @@ object DedupOps {
     // BEFORE the collect (the [floor, min-threshold) band is the
     // densest part of the candidate distribution at scale, and the
     // driver never reads it)
-    val es = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val edgeFrame = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
       .filter(col("jaccard") >= thresholds.min)
-      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    // the driver-side union-find rests on the GraphOps dup-graph
+    // contract (pair graph ≪ corpus); count against the same 2M-edge
+    // bound connectedComponents uses BEFORE collecting so a
+    // boilerplate-heavy corpus fails loudly instead of OOMing the
+    // driver (pairs is persisted, so the count is a cached-scan pass)
+    val nEdges = edgeFrame.count()
+    require(nEdges <= 2000000L,
+      s"thresholdSweep: $nEdges verified pairs at >= ${thresholds.min} exceed " +
+        "the 2M driver union-find bound — raise the threshold floor or run " +
+        "dedup via clusteredComps' distributed path")
+    val es = edgeFrame.as[(Long, Long, Double)].collect().sortBy(-_._3)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = parent.getOrElseUpdate(x, x)
@@ -674,22 +695,43 @@ object DedupOps {
     * other ⇒ high clustering coefficient) or CHAINED (drifted
     * revisions: a~b~c but a≁c ⇒ low). One row: edge/triangle/wedge
     * counts and the global clustering coefficient 3·T / wedges.
-    * Triangles come from two equi-joins over the canonical (a < b)
-    * edge list (a<b<c enumerated exactly once); wedges are
-    * Σ_v C(deg v, 2) in exact integers (d·(d−1) is always even). All
-    * work is pair-graph-sized — a vanishing fraction of the corpus by
-    * the [[graft.pipeline.GraphOps]] contract — never corpus-scale.
+    * Triangles are counted on the DEGREE-ORIENTED edge list: every
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher, wedges are enumerated only as out-neighbor pairs of a
+    * common source, and a wedge closes iff the oriented edge between
+    * its (orientation-ordered) endpoints exists — each triangle counted
+    * exactly once from its minimum-(degree, id) vertex. Orientation
+    * bounds per-vertex out-degree by O(√E), so the wedge join does
+    * O(E^1.5) work instead of the unoriented O(Σ d²) — on a capped
+    * 1000-doc clique family that is ~3·10⁷ wedge rows instead of ~10⁹.
+    * Reported wedges stay the textbook Σ_v C(deg v, 2) in exact
+    * integers (d·(d−1) is always even). All work is pair-graph-sized —
+    * a vanishing fraction of the corpus by the
+    * [[graft.pipeline.GraphOps]] contract — never corpus-scale.
     * Output: (n_edges, n_triangles, n_wedges, clustering_coeff). */
   def triangleStats(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val e = graft.CacheScope.persist(
       minhashPairs(docs, threshold)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val tri = e.as("e1")
-      .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
-      .join(e.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient {a,b} from lower (deg, id) to higher; carry the head's
+    // (deg, id) so out-neighbor pairs below order without a re-join
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = graft.CacheScope.persist(
+      e.join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(aLower, col("a")).otherwise(col("b")).as("src"),
+          when(aLower, col("b")).otherwise(col("a")).as("dst"),
+          when(aLower, col("db")).otherwise(col("da")).as("dd")))
+    val tri = o.as("x")
+      .join(o.as("y"), col("x.src") === col("y.src") &&
+        (col("x.dd") < col("y.dd") ||
+          (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+      .join(o.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
     val wed = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri).crossJoin(wed)

@@ -26,13 +26,22 @@ object MultimodalOps {
   val FRAME_SIZE = 32 // bytes per synthetic frame = 2 md5 digests
   val FRAMES = 4
 
+  /** Record kinds by doc_id % 3 (oracles derive their kind predicates
+    * from indexOf over THIS list, so the stub geometry can't desync). */
+  val KINDS = Seq("image", "audio", "video")
+
+  /** Default shot-boundary threshold: ~the median of the uniform-byte
+    * expectation E|a−b| ≈ 85/byte × FRAME_SIZE bytes. Shared by the
+    * query registration and the DuckDB oracle. */
+  val SCENE_CUT_THRESHOLD = 2720L
+
   /** Synthesize the multimodal table from `documents`: payload =
     * concat(md5(doc_id:k) digests), kind/width/height from doc_id. */
   def mmTable(docs: DataFrame): DataFrame = {
     val chunks = FRAMES * FRAME_SIZE / 16 // md5 digest = 16 bytes
     docs.select(
       col("doc_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
+      element_at(typedlit(KINDS),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       unhex(concat_ws("", transform(sequence(lit(0), lit(chunks - 1)),
         k => md5(concat(col("doc_id").cast("string"), lit(":"), k.cast("string"))))))

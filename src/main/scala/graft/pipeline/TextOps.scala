@@ -525,6 +525,206 @@ object TextOps {
       (nMoji === 0 && nRepl === 0 && nCtrl === 0).as("is_clean"))
   }
 
+  /** Deterministic synthetic HTML wrappers for the markup-extraction
+    * gate (the corpus itself is already clean text): a full page with
+    * head/script/style/nav/footer chrome on doc_id % 3 = 0, inline
+    * markup with encoded entities on % 3 = 1, untouched text otherwise.
+    * Shared constants — the Spark injection and the DuckDB oracle both
+    * interpolate THESE strings, so the fixture geometry cannot desync
+    * (the mm_scene_cuts lesson). No single quotes (SQL literals), no
+    * pipe or dollar (stripMargin / interpolator safety). */
+  val HtmlPagePrefix: String = "<html><head><title>Synthetic Page</title>" +
+    "<script type=\"text/javascript\">var x = 1 < 2; track();</script>" +
+    "<style>.nav { color: red; }</style></head><body>" +
+    "<nav><a href=\"/\">Home</a> - <a href=\"/about\">About</a></nav>" +
+    "<div id=\"main\"><p>"
+  val HtmlPageSuffix: String =
+    "</p></div><footer>&copy; 2026 Example Corp - " +
+      "<a href=\"/tos\">Terms</a></footer></body></html>"
+  val HtmlInlinePrefix: String = "<div><p>"
+  val HtmlInlineSuffix: String = " &amp; more &lt;tags&gt;</p><br>" +
+    "<b>see also</b> &quot;quoted&quot;</div>"
+
+  /** Boilerplate block patterns, stripped WHOLE (tag and contents):
+    * head (title and anything else non-content), script, style, nav,
+    * footer — the chrome every main-text extractor drops before
+    * lang-ID/quality. Spelled per-tag because RE2 (the oracle's engine)
+    * has no backreferences; all patterns are RE2/Java-portable. */
+  val HtmlBlockPatterns: Seq[String] = Seq(
+    "(?s)<head>.*?</head>",
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<nav[^>]*>.*?</nav>",
+    "(?s)<footer[^>]*>.*?</footer>")
+
+  /** Any remaining tag, replaced by a space so adjacent words never
+    * concatenate. */
+  val HtmlTagPattern: String = "<[^>]*>"
+
+  /** Entity decode table, applied AFTER tag stripping (a decoded
+    * literal &lt;tag&gt; must surface as text, not get re-stripped);
+    * amp is decoded LAST so &amp;lt; cannot double-decode. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+    "&copy;" -> "(c)", "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+
+  /** Whitespace-run collapse pattern (both engines' \s cover the
+    * space/tab/newline set this corpus can contain). */
+  val WsPattern: String = "\\s+"
+
+  /** Wrap the corpus in the deterministic synthetic markup above:
+    * (all input columns, atext). */
+  def htmlInject(docs: DataFrame): DataFrame =
+    docs.withColumn("atext",
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit(HtmlPagePrefix), col("text"), lit(HtmlPageSuffix)))
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          concat(lit(HtmlInlinePrefix), col("text"), lit(HtmlInlineSuffix)))
+        .otherwise(col("text")))
+
+  /** HTML/MARKUP BOILERPLATE EXTRACTION — the gate upstream of lang-ID
+    * and quality in every web pipeline (CCNet/RefinedWeb shape): strip
+    * chrome blocks whole (head/script/style/nav/footer), strip remaining
+    * tags, decode entities, collapse whitespace; report markup mass.
+    * Pure per-row regex/replace work — embarrassingly parallel, no
+    * shuffle, whole-stage-codegen'd — and every pattern is RE2/Java-
+    * portable so the oracle replays the clean text byte-for-byte.
+    * Output: all input columns + (clean_text, raw_len, clean_len,
+    * n_tags, markup_ratio). */
+  def extractHtml(docs: DataFrame, raw: Column): DataFrame = {
+    val noBlocks = HtmlBlockPatterns.foldLeft(raw)((c, p) =>
+      regexp_replace(c, lit(p), lit(" ")))
+    val noTags = regexp_replace(noBlocks, lit(HtmlTagPattern), lit(" "))
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r)) }
+    val clean = trim(regexp_replace(decoded, lit(WsPattern), lit(" ")))
+    docs.select(col("*"),
+      length(raw).cast("long").as("raw_len"),
+      regexp_count(raw, lit(HtmlTagPattern)).cast("long").as("n_tags"),
+      clean.as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .withColumn("markup_ratio",
+        when(col("raw_len") > 0, round(lit(1.0)
+          - col("clean_len").cast("double") / col("raw_len") + lit(1e-9), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Deterministic synthetic URL fixture (the corpus carries `source`
+    * but no URL column): every document gets a messy-but-realistic URL
+    * whose noise axes — scheme case, www prefix, default vs explicit
+    * port, trailing slash, tracking params, param order, fragment —
+    * are all doc_id-modulus driven, so raw-distinct URLs collapse to
+    * shared canonical forms. Shared constants: the Spark injection and
+    * the DuckDB oracle both interpolate THESE pieces (the htmlInject
+    * convention). */
+  val UrlHostSuffix: String = ".Example.COM"
+  val UrlPathPrefix: String = "/articles/item"
+
+  /** A query param is TRACKING NOISE iff its name matches this (the
+    * utm_* / click-id / referrer families every canonicalizer strips);
+    * RE2/Java-portable, anchored. */
+  val UrlTrackingPattern: String = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+  /** URL component extraction patterns — group 1 is the component;
+    * shared by the Spark expressions and the DuckDB oracle (all
+    * RE2/Java-portable). */
+  val UrlSchemePattern: String = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  val UrlHostPortPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  val UrlPathPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  val UrlQueryPattern: String = "\\?([^#]*)"
+  val UrlBareHostPattern: String = "^([^:]*)"
+  val UrlPortTailPattern: String = ":([0-9]+)$"
+  val UrlWwwPattern: String = "^www\\."
+  val UrlTrailSlashPattern: String = "/+$"
+
+  /** Wrap the corpus in the deterministic URL fixture: all input
+    * columns + `url`. */
+  def urlInject(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m2 = pmod(id, lit(2L))
+    val m3 = pmod(id, lit(3L))
+    val m4 = pmod(id, lit(4L))
+    val m5 = pmod(id, lit(5L))
+    val m7 = pmod(id, lit(7L))
+    val scheme = when(m2 === 0, lit("https")).otherwise(lit("HTTP"))
+    val wpre = when(m3 === 0, lit("WWW.")).when(m3 === 1, lit("www."))
+      .otherwise(lit(""))
+    val port = when(m4 === 0, when(m2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(m4 === 1, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit(UrlPathPrefix), pmod(id, lit(40L)).cast("string"),
+      when(m5 === 0, lit("/")).otherwise(lit("")))
+    val query = concat(
+      when(m2 === 0, lit("utm_source=news&")).otherwise(lit("")),
+      lit("page="), m3.cast("string"),
+      when(m7 === 3, concat(lit("&gclid=g"), id.cast("string")))
+        .otherwise(lit("")),
+      when(m5 === 1, lit("&ref=home")).otherwise(lit("")))
+    val frag = when(m7 === 0, lit("#sec2")).otherwise(lit(""))
+    docs.withColumn("url", concat(scheme, lit("://"), wpre, col("source"),
+      lit(UrlHostSuffix), port, path, lit("?"), query, frag))
+  }
+
+  /** URL CANONICALIZATION — the cheapest first-pass dedup key in every
+    * web pipeline, applied BEFORE any MinHash: lowercase scheme+host,
+    * strip a `www.` prefix, drop the scheme's default port (keep
+    * explicit non-default ports), strip trailing path slashes (empty →
+    * "/"), drop tracking params, sort the surviving params, drop the
+    * fragment. Pure per-row regex/array expressions — no shuffle,
+    * RE2/Java-portable so the oracle replays the canonical string
+    * byte-for-byte. Output: all input columns + (host, canon_url). */
+  def urlCanonicalize(docs: DataFrame, url: Column): DataFrame = {
+    val scheme = lower(regexp_extract(url, UrlSchemePattern, 1))
+    val hostport = regexp_extract(url, UrlHostPortPattern, 1)
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, UrlBareHostPattern, 1)),
+      lit(UrlWwwPattern), lit(""))
+    val port = regexp_extract(hostport, UrlPortTailPattern, 1)
+    val defPort = when(scheme === "https", lit("443"))
+      .when(scheme === "http", lit("80")).otherwise(lit(""))
+    val portPart = when(port === "" || port === defPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(regexp_extract(url, UrlPathPattern, 1),
+      lit(UrlTrailSlashPattern), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val kept = array_join(array_sort(filter(
+      split(regexp_extract(url, UrlQueryPattern, 1), "&"),
+      x => length(x) > 0 && !x.rlike(UrlTrackingPattern))), "&")
+    docs.withColumn("host", host)
+      .withColumn("canon_url", concat(scheme, lit("://"), host, portPart, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
+  /** CANONICAL-URL EXACT DEDUP + PER-HOST CAP — the pre-MinHash gate:
+    * (1) collapse docs sharing a canonical URL (keeper = min doc_id);
+    * (2) cap surviving docs per host at `maxPerHost` by the
+    * content-independent ranked draw (the [[stratifiedSample]] shape),
+    * so one mega-domain can't dominate the corpus. Two windows, each
+    * partitioned by a data-scale key (canonical URL / host) — the host
+    * window ranks only survivors (duplicates sort last and report
+    * host_rank 0). Per-host survivor counts at web scale are bounded by
+    * the crawl's own per-domain page counts; a genuinely degenerate
+    * host (10⁸ pages) would take the [[vocabCoverage]] top-k-limit
+    * treatment, not a bigger sort. Output: (doc_id, url, host,
+    * canon_url, is_url_dup, host_rank, keep). */
+  def urlCanonicalDedup(docs: DataFrame, url: Column, maxPerHost: Int,
+                        salt: String = "urlcap"): DataFrame = {
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("is_url_dup"), col("draw"), col("doc_id"))
+    urlCanonicalize(docs, url)
+      .withColumn("is_url_dup", row_number().over(wDup) > 1)
+      .withColumn("draw", mdDraw6(salt))
+      .withColumn("host_rank",
+        when(col("is_url_dup"), lit(0L))
+          .otherwise(row_number().over(wHost).cast("long")))
+      .withColumn("keep",
+        !col("is_url_dup") && col("host_rank") <= maxPerHost)
+      .select(col("doc_id"), col("url"), col("host"), col("canon_url"),
+        col("is_url_dup"), col("host_rank"), col("keep"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query term set —
     * the lexical-search leg every retrieval pipeline keeps next to its
     * ANN index. One aggregation pass computes corpus stats (N, Σdl, per-

@@ -39,7 +39,15 @@ object CurationQueries extends QueryModule {
     "mixture_temperature" -> ((s, d) => TextOps.temperatureWeights(docs(s, d))),
     // measured LSH planning: integrate each (bands, rows) S-curve against
     // the corpus' own sampled pairwise-similarity histogram
-    "lsh_planner" -> ((s, d) => DedupOps.lshPlan(docs(s, d), sampleFrac = 0.5)))
+    "lsh_planner" -> ((s, d) => DedupOps.lshPlan(docs(s, d), sampleFrac = 0.5)),
+    // the cheapest first-pass web dedup, BEFORE any MinHash: canonicalize
+    // the (injected deterministic) URL — case, www, default port,
+    // trailing slash, tracking params, fragment — exact-dedup on the
+    // canonical form, then cap surviving docs per host at 4 by a
+    // deterministic ranked draw
+    "url_canonical_dedup" -> ((s, d) => TextOps.urlCanonicalDedup(
+      TextOps.urlInject(docs(s, d)),
+      org.apache.spark.sql.functions.col("url"), maxPerHost = 4)))
 
   def oracles: Map[String, String] = Map(
     "split_leakproof" -> {
@@ -148,5 +156,67 @@ object CurationQueries extends QueryModule {
          |    ELSE 1.0 END + 1e-9, 6) AS est_recall
          |FROM hist JOIN cfg ON hist.bin = cfg.bin
          |GROUP BY bands, rows_""".stripMargin
+    },
+
+    // fixture injection and every canonicalization regex interpolate the
+    // SAME TextOps constants the Spark side uses, so the two replays
+    // cannot desync (the htmlInject convention)
+    "url_canonical_dedup" -> {
+      val draw = s"${hex60Sql("md5('urlcap:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""WITH u AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+         |         WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+         |    source || '${TextOps.UrlHostSuffix}' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN
+         |           (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+         |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+         |    '${TextOps.UrlPathPrefix}' || CAST(doc_id % 40 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'utm_source=news&' ELSE '' END ||
+         |    'page=' || CAST(doc_id % 3 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 7 = 3
+         |      THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 1 THEN '&ref=home' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
+         |  FROM documents),
+         |p1 AS (SELECT doc_id, url,
+         |    lower(regexp_extract(url, '${TextOps.UrlSchemePattern}', 1)) AS scheme,
+         |    regexp_extract(url, '${TextOps.UrlHostPortPattern}', 1) AS hostport,
+         |    regexp_replace(regexp_extract(url, '${TextOps.UrlPathPattern}', 1),
+         |      '${TextOps.UrlTrailSlashPattern}', '') AS path0,
+         |    regexp_extract(url, '${TextOps.UrlQueryPattern}', 1) AS q
+         |  FROM u),
+         |p2 AS (SELECT doc_id, url, scheme,
+         |    regexp_replace(lower(regexp_extract(hostport,
+         |      '${TextOps.UrlBareHostPattern}', 1)),
+         |      '${TextOps.UrlWwwPattern}', '') AS host,
+         |    regexp_extract(hostport, '${TextOps.UrlPortTailPattern}', 1) AS port,
+         |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |      x -> len(x) > 0 AND NOT regexp_matches(x,
+         |        '${TextOps.UrlTrackingPattern}'))), '&') AS kept
+         |  FROM p1),
+         |c AS MATERIALIZED (SELECT doc_id, url, host,
+         |    scheme || '://' || host ||
+         |    CASE WHEN port = '' OR port = (CASE WHEN scheme = 'https' THEN '443'
+         |        WHEN scheme = 'http' THEN '80' ELSE '' END)
+         |      THEN '' ELSE ':' || port END ||
+         |    path || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+         |  FROM p2),
+         |r AS (SELECT doc_id, url, host, canon_url,
+         |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) > 1
+         |      AS is_url_dup,
+         |    $draw AS draw
+         |  FROM c),
+         |h AS (SELECT doc_id, url, host, canon_url, is_url_dup,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY is_url_dup, draw, doc_id) AS BIGINT) AS rh
+         |  FROM r)
+         |SELECT doc_id, url, host, canon_url, is_url_dup,
+         |  CASE WHEN is_url_dup THEN CAST(0 AS BIGINT) ELSE rh END AS host_rank,
+         |  NOT is_url_dup AND rh <= 4 AS keep
+         |FROM h""".stripMargin
     })
 }

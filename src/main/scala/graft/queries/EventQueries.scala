@@ -23,6 +23,10 @@ object EventQueries extends QueryModule {
   /** The canonical acquisition funnel over the synthetic event log. */
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
 
+  /** Time-to-convert quantiles, shared by the Spark registration and
+    * the oracle's UNNEST list so the two can't desync. */
+  private val FunnelPs = Seq(0.5, 0.9)
+
   private def evTs(s: SparkSession, d: String): DataFrame =
     ev(s, d).select(col("user_id"), col("event_type"),
       unix_timestamp(col("ts")).as("ts"))
@@ -45,7 +49,7 @@ object EventQueries extends QueryModule {
     // over converting users) via the distinct-gap cumulative histogram —
     // exact without a user-scale per-step sort
     "events_funnel_timing" -> ((s, d) =>
-      EventOps.funnelTiming(evTs(s, d), FunnelSteps)),
+      EventOps.funnelTiming(evTs(s, d), FunnelSteps, ps = FunnelPs)),
 
     // hot-key skew diagnostic: top-10 user_ids by event count with
     // share / cumulative share — the pre-join salting decision input
@@ -220,8 +224,9 @@ object EventQueries extends QueryModule {
          |    SUM(c) OVER (PARTITION BY step) AS n FROM h)
          |SELECT step, step_name, p,
          |  CAST(MAX(n) AS BIGINT) AS n_conv, MIN(gap) AS gap_q
-         |FROM cum CROSS JOIN (SELECT UNNEST([CAST('0.5' AS DOUBLE),
-         |  CAST('0.9' AS DOUBLE)]) AS p)
+         |FROM cum CROSS JOIN (SELECT UNNEST([${
+        FunnelPs.map(p => s"CAST('$p' AS DOUBLE)").mkString(",\n  ")
+      }]) AS p)
          |WHERE cum >= CAST(ceil(p * n) AS BIGINT)
          |GROUP BY step, step_name, p""".stripMargin
     },

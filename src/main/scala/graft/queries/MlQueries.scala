@@ -112,6 +112,21 @@ object MlQueries extends QueryModule {
     // reference's own fit is in-process sklearn over a dozens-of-rows
     // profiles table), the grid scoring is distributed with the broadcast
     // model — the split that survives a 1000-executor deployment.
+    //
+    // WHY THIS STAYS rows-only (the precise infeasibility bound, per the
+    // m3_gbt_fit_pinned feasibility question): a relational replay must
+    // statically unroll one split-search CTE group per POSSIBLE tree
+    // node, because the tree SHAPE is data-dependent — that is
+    // (2^maxDepth − 1) · nTrees groups = (2^10 − 1) · 3n ≈ 7·10^4 CTE
+    // stages at the production depth of 10 (m3_gbt_fit_pinned is
+    // feasible precisely because its depth is 2 → 3 groups/tree).
+    // Independently, each boosting round sums RESIDUALS of arbitrary
+    // parquet doubles across rows; past round 1 those are not exact
+    // binary rationals, so SUM order drifts between engines and
+    // hash-equality is unobtainable by construction (the pinned twin
+    // designs its fixture so every cross-row sum is exact). Both sides
+    // of the fit are therefore pinned by hash-green twins instead:
+    // m3_gbt_fit_pinned (fit chain) + m3_gbt_fixture_score (scoring).
     "m3_latency_gbt" -> ((s, d) => {
       import graft.models.{GbtLocal, LatencyGbt}
       // deterministic subsample to the reference's dozens-of-rows regime

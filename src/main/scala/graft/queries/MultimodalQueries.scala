@@ -46,15 +46,17 @@ object MultimodalQueries extends QueryModule {
       MultimodalOps.asRecords(
         MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))),
     // shot-boundary detection on video records: per consecutive frame
-    // pair the L1 byte delta, cut where it exceeds the ~median of the
-    // uniform-byte expectation (E|a-b| ≈ 85/byte × 32 bytes)
+    // pair the L1 byte delta, cut where it exceeds the shared default
+    // threshold (~median of the uniform-byte expectation)
     "mm_scene_cuts" -> ((s, d) =>
-      MultimodalOps.sceneCuts(mm(s, d), threshold = 2720L)))
+      MultimodalOps.sceneCuts(mm(s, d),
+        threshold = MultimodalOps.SCENE_CUT_THRESHOLD)))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
   private val bytesCte = {
-    val hexConcat = (0 until 8)
+    val totalBytes = MultimodalOps.FRAMES * MultimodalOps.FRAME_SIZE
+    val hexConcat = (0 until totalBytes / 16) // md5 digest = 16 bytes
       .map(k => s"md5(CAST(doc_id AS VARCHAR) || ':$k')").mkString(" || ")
     s"""WITH mm AS (
        |  SELECT doc_id, $hexConcat AS hex,
@@ -64,7 +66,7 @@ object MultimodalQueries extends QueryModule {
        |bytes AS (
        |  SELECT doc_id, ii.i AS i,
        |    CAST('0x' || substr(hex, 2*ii.i + 1, 2) AS INT) AS b
-       |  FROM mm CROSS JOIN (SELECT UNNEST(range(0, 128)) AS i) ii)""".stripMargin
+       |  FROM mm CROSS JOIN (SELECT UNNEST(range(0, $totalBytes)) AS i) ii)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -223,18 +225,25 @@ object MultimodalQueries extends QueryModule {
          |  CAST(SUM(nb) AS BIGINT) AS span_bytes
          |FROM mk GROUP BY doc_id, grp""".stripMargin,
 
-    // consecutive-frame L1 deltas joined on (doc, byte offset ± 32);
-    // video records are doc_id % 3 = 2 (kind list is 1-indexed). The
-    // self-join reads bytes twice — materialize a video-only copy so
-    // the md5 byte expansion runs once, not per join side
-    "mm_scene_cuts" ->
+    // consecutive-frame L1 deltas joined on (doc, byte offset ± frame
+    // size); every stub-geometry literal (frame size, video-kind
+    // modulus, threshold) interpolates the SHARED MultimodalOps
+    // constants the Spark side reads, so a geometry change can't desync
+    // the oracle silently. The self-join reads bytes twice —
+    // materialize a video-only copy so the md5 byte expansion runs
+    // once, not per join side
+    "mm_scene_cuts" -> {
+      val fs = MultimodalOps.FRAME_SIZE
+      val videoMod = MultimodalOps.KINDS.indexOf("video")
+      val thr = MultimodalOps.SCENE_CUT_THRESHOLD
       s"""$bytesCte,
          |vb AS MATERIALIZED (SELECT doc_id, i, b FROM bytes
-         |  WHERE doc_id % 3 = 2)
-         |SELECT a.doc_id, CAST(a.i // 32 AS INT) AS frame_idx,
+         |  WHERE doc_id % 3 = $videoMod)
+         |SELECT a.doc_id, CAST(a.i // $fs AS INT) AS frame_idx,
          |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) AS l1_delta,
-         |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) > 2720 AS is_cut
+         |  CAST(SUM(abs(a.b - p.b)) AS BIGINT) > $thr AS is_cut
          |FROM vb a JOIN vb p
-         |  ON a.doc_id = p.doc_id AND p.i = a.i - 32
-         |GROUP BY a.doc_id, a.i // 32""".stripMargin)
+         |  ON a.doc_id = p.doc_id AND p.i = a.i - $fs
+         |GROUP BY a.doc_id, a.i // $fs""".stripMargin
+    })
 }

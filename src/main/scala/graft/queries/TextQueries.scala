@@ -685,9 +685,41 @@ object TextQueries extends QueryModule {
     // Output: (doc_id, source, dsir_weight, dup_line_frac, span_frac,
     // shard, pos) — the curation signals ride along like
     // corpus_pipeline's quality column.
-    "curation_pipeline" -> ((s, d) => {
+    "curation_pipeline" -> ((s, d) => curationGates(docs(s, d))),
+
+    // MARKUP-EXTRACTION GATE — the step upstream of lang-ID in every
+    // web pipeline (CCNet/RefinedWeb shape), over deterministic
+    // synthetic page/inline-markup wrappers (the corpus itself is
+    // clean): strip chrome blocks, strip tags, decode entities,
+    // collapse whitespace; per-doc markup mass rides along
+    "text_extract_html" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val all = docs(s, d)
+      TextOps.extractHtml(TextOps.htmlInject(docs(s, d)), col("atext"))
+        .select(col("doc_id"), col("clean_text"), col("raw_len"),
+          col("clean_len"), col("n_tags"), col("markup_ratio"))
+    }),
+
+    // the curation flagship consuming EXTRACTED text: markup injected,
+    // stripped back out, then the same three gates + shard assignment
+    // run over the clean text — the end-to-end raw-web shape
+    "curation_pipeline_html" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cleaned = TextOps.extractHtml(TextOps.htmlInject(docs(s, d)),
+          col("atext"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("clean_text").as("text"))
+      curationGates(cleaned)
+    }))
+
+  /** The round-6 curation flagship body, parameterized on the corpus
+    * frame (doc_id, source, lang, text) so the raw-text and the
+    * extracted-HTML variants share one spelling:
+    *   1. DSIR gate: keep docs scoring >= 1.0 against the en target
+    *   2. line-dedup gate: drop docs > 20% boilerplate lines
+    *   3. repeated-span gate: drop docs with > 50% repeated-span tokens
+    *   4. deterministic shard + order assignment of the survivors */
+  private def curationGates(all: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
       val w = TextOps.dsirWeights(all, col("lang") === "en")
         .select(col("doc_id"), col("dsir_weight"))
       val ld = TextOps.lineDedup(all, window = 10)
@@ -709,7 +741,7 @@ object TextQueries extends QueryModule {
       TextOps.withShuffleShards(gated, nShards = 8)
         .select(col("doc_id"), col("source"), col("dsir_weight"),
           col("dup_line_frac"), col("span_frac"), col("shard"), col("pos"))
-    }))
+  }
 
   /** Fixed lexical query for the BM25 demo (terms from the synthetic
     * vocabulary with distinct frequencies). */
@@ -1855,11 +1887,21 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b),
          |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM scored
          |  WHERE jaccard >= 0.5),
-         |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
-         |  JOIN e e2 ON e1.b = e2.a
-         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-         |deg AS (SELECT v, COUNT(*) AS d FROM
+         |deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM
          |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |           THEN e.a ELSE e.b END AS src,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |           THEN e.b ELSE e.a END AS dst,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |           THEN db.d ELSE da.d END AS dd
+         |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |  FROM o x JOIN o y ON x.src = y.src
+         |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+         |  WHERE EXISTS (SELECT 1 FROM o z
+         |    WHERE z.src = x.dst AND z.dst = y.dst)),
          |wed AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
          |  AS n_wedges FROM deg),
          |ne AS (SELECT COUNT(*) AS n_edges FROM e)
@@ -2006,11 +2048,66 @@ object TextQueries extends QueryModule {
     // the round-6 flagship restated as one CTE chain: dsir weights,
     // line-dedup fractions, repeated-span token sums, three gates,
     // then shard/rank of the survivors
-    "curation_pipeline" ->
-      s"""WITH f AS (SELECT doc_id, lang = 'en' AS is_t,
+    "curation_pipeline" -> curationSqlFor("documents"),
+
+    // same chain over EXTRACTED text: inject the shared markup
+    // fixture, replay the strip/decode/collapse pipeline, then gate
+    "curation_pipeline_html" -> curationSqlFor("dclean",
+      s"""dclean AS MATERIALIZED (SELECT doc_id, source, lang,
+         |  ${extractCleanSql("atext")} AS text
+         |  FROM ($htmlInjectSql)),
+         |""".stripMargin),
+
+    // markup extraction replayed stage-for-stage: same injected
+    // fixture, same RE2-portable strip/decode chain, exact clean text
+    "text_extract_html" ->
+      s"""WITH t AS MATERIALIZED ($htmlInjectSql),
+         |c AS (SELECT doc_id,
+         |    CAST(length(atext) AS BIGINT) AS raw_len,
+         |    CAST(len(regexp_extract_all(atext, '${TextOps.HtmlTagPattern}')) AS BIGINT) AS n_tags,
+         |    ${extractCleanSql("atext")} AS clean_text
+         |  FROM t)
+         |SELECT doc_id, clean_text, raw_len,
+         |  CAST(length(clean_text) AS BIGINT) AS clean_len, n_tags,
+         |  CASE WHEN raw_len > 0
+         |    THEN ROUND(CAST(1 AS DOUBLE)
+         |      - CAST(length(clean_text) AS DOUBLE) / raw_len + 1e-9, 4)
+         |    ELSE CAST(0 AS DOUBLE) END AS markup_ratio
+         |FROM c""".stripMargin)
+
+  /** DuckDB spelling of the synthetic markup injection — interpolates
+    * the SAME [[TextOps]] fixture constants the Spark side wraps with,
+    * so the geometry cannot desync. */
+  private def htmlInjectSql: String =
+    "SELECT doc_id, source, lang, CASE " +
+      s"WHEN doc_id % 3 = 0 THEN '${TextOps.HtmlPagePrefix}' || text || " +
+      s"'${TextOps.HtmlPageSuffix}' " +
+      s"WHEN doc_id % 3 = 1 THEN '${TextOps.HtmlInlinePrefix}' || text || " +
+      s"'${TextOps.HtmlInlineSuffix}' " +
+      "ELSE text END AS atext FROM documents"
+
+  /** DuckDB replay of [[TextOps.extractHtml]]'s clean-text chain over
+    * raw column `raw`: block strips, tag strip, entity decode, collapse
+    * — each stage interpolating the shared pattern constants. */
+  private def extractCleanSql(raw: String): String = {
+    val noBlocks = TextOps.HtmlBlockPatterns.foldLeft(raw)((acc, p) =>
+      s"regexp_replace($acc, '$p', ' ', 'g')")
+    val noTags =
+      s"regexp_replace($noBlocks, '${TextOps.HtmlTagPattern}', ' ', 'g')"
+    val decoded = TextOps.HtmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+      val rl = if (r == "'") "chr(39)" else s"'$r'"
+      s"replace($acc, '$e', $rl)" }
+    s"trim(regexp_replace($decoded, '${TextOps.WsPattern}', ' ', 'g'))"
+  }
+
+  /** The curation flagship CTE chain parameterized on the corpus
+    * relation (doc_id, source, lang, text) — shared by the raw and the
+    * extracted-HTML variants; `prelude` injects extra leading CTEs. */
+  private def curationSqlFor(base: String, prelude: String = ""): String =
+      s"""WITH ${prelude}f AS (SELECT doc_id, lang = 'en' AS is_t,
          |    ${hex60Sql("md5(t)")} % 64 AS b
          |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-         |        FROM documents)),
+         |        FROM $base)),
          |tb AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
          |    COUNT(*) AS cr FROM f GROUP BY b),
          |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
@@ -2025,7 +2122,7 @@ object TextQueries extends QueryModule {
          |      / SUM(cnt) + 1e-9, 4) AS dsir_weight
          |  FROM dc JOIN ra USING (b) GROUP BY doc_id),
          |t2 AS (SELECT doc_id, string_split(text, ' ') AS ts,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM $base),
          |ln AS (SELECT doc_id, CAST(unnest(range(0,
          |    greatest((n + 9) // 10, 1))) AS BIGINT) AS pos, ts FROM t2),
          |lh AS (SELECT doc_id, pos,
@@ -2054,7 +2151,7 @@ object TextQueries extends QueryModule {
          |    SELECT doc_id, span, COUNT(*) AS cnt FROM sp2
          |    GROUP BY doc_id, span) GROUP BY doc_id),
          |tok AS (SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM $base),
          |gated AS (SELECT * FROM (
          |    SELECT tok.doc_id AS doc_id, source, dsir_weight, dup_line_frac,
          |      ROUND(CAST(COALESCE(rep_toks, 0) AS DOUBLE) / n_tokens + 1e-9, 4)
@@ -2069,5 +2166,5 @@ object TextQueries extends QueryModule {
          |  draw % 8 AS shard,
          |  CAST(row_number() OVER (PARTITION BY draw % 8
          |    ORDER BY draw, g2.doc_id) AS BIGINT) AS pos
-         |FROM gated g2 JOIN sh ON g2.doc_id = sh.doc_id""".stripMargin)
+         |FROM gated g2 JOIN sh ON g2.doc_id = sh.doc_id""".stripMargin
 }

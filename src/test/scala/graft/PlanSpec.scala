@@ -33,6 +33,7 @@ class PlanSpec extends SparkSpec {
     "dsir_weights" -> "broadcasts the 1-row (tt, tr) totals aggregate over the 64-row bucket table",
     "hybrid_rrf" -> "contains the bm25 1-row stats broadcast and the brute-force fixed-query-set baseline; fusion itself joins two <= 20-row legs",
     "curation_pipeline" -> "contains the dsir_weights 1-row totals broadcast over the 64-row bucket table",
+    "curation_pipeline_html" -> "same curationGates body as curation_pipeline (shared def) over extracted text: the dsir_weights 1-row totals broadcast",
     "ann_pq_recall" -> "contains the exact-L2 brute-force baseline (fixed query set, broadcast side bounded)",
     "isotonic_calibrate" -> "minimax triangle over the B distinct score bins (B = classifier score cardinality, tens): all non-equi joins are bin-frame self-joins, never data-scale",
     "orders_zorder" -> "broadcasts the 1-row min/max stats aggregate back over the rows (the scaling bounds)",
