@@ -176,19 +176,24 @@ object DedupOps {
     * the driver on a forced broadcast. The anti-join stays linear
     * either way (a filter, never a pairing).
     *
-    * Both the INPUT band relation and the capped result are persisted
-    * (caller-scoped via [[graft.CacheScope]]): the returned plan embeds
-    * `bands` twice (hot-key groupBy + anti-join) and every consumer
-    * self-joins the result, so without the caches the band-GENERATION
-    * subtree — a full-corpus projection scan on the sign-LSH side —
-    * re-evaluates up to ~6x per query (the round-11 bench regression).
-    * The band relation is O(bands·N) ids+keys, a vanishing fraction of
-    * corpus bytes, so the cache is cheap at any scale. */
-  private[graft] def capBands(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val b = graft.CacheScope.persist(bands)
+    * The capped RESULT is always persisted (caller-scoped via
+    * [[graft.CacheScope]]): every consumer self-joins it, so without
+    * the cache the whole subtree evaluates twice more. The INPUT band
+    * relation is persisted only when `persistInput` — the returned plan
+    * embeds `bands` twice (hot-key groupBy + anti-join), which matters
+    * when band GENERATION is expensive (the sign-LSH side: 64
+    * hyperplane dot products per vector — the round-11 ~6x-recompute
+    * bench regression) but is a net LOSS when the bands derive from an
+    * already-persisted inverted index (the MinHash side: materializing
+    * the O(bands·N) cache costs more than the cheap re-explode it
+    * saves — measured +1.4 s on dedup_pagerank). */
+  private[graft] def capBands(bands: DataFrame, maxBucket: Int,
+                              persistInput: Boolean = false): DataFrame = {
+    val b = if (persistInput) graft.CacheScope.persist(bands) else bands
     val hot = b.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket).select(col("bkey"))
-    graft.CacheScope.persist(b.join(hot, Seq("bkey"), "left_anti"))
+    val capped = b.join(hot, Seq("bkey"), "left_anti")
+    if (persistInput) graft.CacheScope.persist(capped) else capped
   }
 
   /** Distinct banded candidate pairs (doc_a < doc_b) of an inverted

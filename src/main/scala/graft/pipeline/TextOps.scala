@@ -1929,4 +1929,76 @@ object TextOps {
         round(col("s") / col("tot") + lit(1e-9), 6).as("weight"),
         floor(col("s") / col("tot") * budgetTokens).cast("long").as("budget_tokens"))
   }
+
+  /** DOMAIN REWEIGHTING by multiplicative weights (the DoReMi / Group-
+    * DRO shape, Xie et al. 2023): up-weight the domains where the
+    * reference LM finds the corpus hardest, iteratively — the
+    * principled alternative to fixed temperature mixing when a
+    * reference signal exists.
+    *
+    * Loss signal: per-source reference-LM OOV rate (the CCNet bill
+    * [[refLmScore]] already computes), in exact micro-units
+    * loss_micro = ⌊Σ n_oov · 10⁶ / Σ n_trans⌋. Update, `rounds` times
+    * with η = 1/4:
+    *   W'_d = ⌊W_d · (C + loss_d − Ā) / C⌋,  C = 4·10⁶,
+    *   Ā = ⌊Σ W·loss / Σ W⌋ (the current weighted average loss) —
+    * i.e. W ← W·(1 + η·excess), kept in FIXED-POINT INTEGERS so every
+    * operation is order-independent and the DuckDB oracle replays the
+    * trajectory bit-for-bit (a float exp() update would diverge across
+    * engines; the linearized multiplicative update is standard MW).
+    * All operands stay positive (loss, Ā ∈ [0, 10⁶] ⇒ factor ≥ 3·10⁶),
+    * so floor and truncating division agree across engines, and the
+    * magnitudes are overflow-safe: W ≤ 10⁹·1.25^rounds, W·factor ≤
+    * 5·10¹⁶ at the default 10 rounds.
+    *
+    * Scale shape: the corpus-scale work is ONE [[refLmScore]] pass +
+    * a per-source partial agg; the iteration then runs on the
+    * |domains|-row table in the driver — bounded by design (DoReMi
+    * mixes tens of domains, the same bounded-frame contract as the
+    * ≤512-centroid collects in [[graft.pipeline.VectorOps]]). Output
+    * per source: (source, n_docs, loss_micro, w_final, weight,
+    * budget_tokens) under a 10⁶-token budget. */
+  def domainReweight(docs: DataFrame, trainPred: Column,
+                     rounds: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "1..20 rounds (overflow bound)")
+    val spark = docs.sparkSession
+    val scored = refLmScore(docs, trainPred)
+    val perSrc = docs.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // decimal numerator: Σn_oov · 10⁶ stays exact even when a
+        // source's transition count itself approaches 2⁶³/10⁶. The cast
+        // is DECIMAL(28,0), NOT (38,0): Spark caps multiply results at
+        // precision 38 and silently ROUNDS past it, so a (38,0)·10⁶
+        // product loses its low digits (measured off-by-one vs the
+        // oracle); 28+7 digits stay exact under the cap
+        expr("(CAST(sum(n_oov) AS DECIMAL(28,0)) * 1000000) div sum(n_trans)")
+          .as("loss_micro"))
+      .orderBy(col("source"))
+      .collect()
+    val n = perSrc.length
+    val srcs = perSrc.map(_.getString(0))
+    val nd = perSrc.map(_.getLong(1))
+    val loss = perSrc.map(_.getLong(2))
+    val C = 4000000L
+    val w = Array.fill(n)(1000000000L)
+    for (_ <- 1 to rounds) {
+      var swl = 0L; var sw = 0L
+      var i = 0
+      while (i < n) { swl += w(i) * loss(i); sw += w(i); i += 1 }
+      val avg = swl / sw
+      i = 0
+      while (i < n) { w(i) = w(i) * (C + loss(i) - avg) / C; i += 1 }
+    }
+    val tw = w.sum
+    import spark.implicits._
+    srcs.indices.map { i =>
+      (srcs(i), nd(i), loss(i), w(i),
+        java.math.BigDecimal.valueOf(w(i).toDouble / tw + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+        w(i) * 1000000L / tw)
+    }.toDF("source", "n_docs", "loss_micro", "w_final", "weight",
+      "budget_tokens")
+  }
 }

@@ -601,7 +601,8 @@ object VectorOps {
     // N/256 vectors on average at scale, and one duplicated-embedding
     // family turns the self-join quadratic — same guard, same oracle
     // replay as the MinHash side
-    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket)
+    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket,
+      persistInput = true)
     val cands = bands.as("a").join(bands.as("b"), Seq("bkey"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -908,7 +909,8 @@ object VectorOps {
     // hot-bucket cap BEFORE the train x eval probe join (a hot bucket
     // fans every eval member by the full train-side bucket); counted
     // over BOTH sides, exactly as the oracle replays it
-    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket)
+    val bands = DedupOps.capBands(signBandsRelational(emb), DedupOps.MaxBandBucket,
+      persistInput = true)
       .join(flagged.select(col("vec_id"), col("is_eval")), Seq("vec_id"))
     val cands = bands.filter(!col("is_eval"))
       .select(col("vec_id").as("train_id"), col("bkey"))

@@ -47,7 +47,13 @@ object CurationQueries extends QueryModule {
     // deterministic ranked draw
     "url_canonical_dedup" -> ((s, d) => TextOps.urlCanonicalDedup(
       TextOps.urlInject(docs(s, d)),
-      org.apache.spark.sql.functions.col("url"), maxPerHost = 4)))
+      org.apache.spark.sql.functions.col("url"), maxPerHost = 4)),
+    // DoReMi-shape domain reweighting: 10 fixed-point multiplicative-
+    // weights rounds over the per-source reference-LM OOV loss (the
+    // curated slice = src0/src1, the quality_ref_ppl reference)
+    "mixture_domain_reweight" -> ((s, d) => TextOps.domainReweight(
+      docs(s, d),
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))))
 
   def oracles: Map[String, String] = Map(
     "split_leakproof" -> {
@@ -218,5 +224,41 @@ object CurationQueries extends QueryModule {
          |  CASE WHEN is_url_dup THEN CAST(0 AS BIGINT) ELSE rh END AS host_rank,
          |  NOT is_url_dup AND rh <= 4 AS keep
          |FROM h""".stripMargin
+    },
+
+    // the refLm fit/score CTEs are the quality_ref_ppl spelling with
+    // `source` carried through; the 10 multiplicative-weights rounds are
+    // unrolled as integer CTE stages (all operands positive, so floor
+    // and truncating division agree with the Spark driver's Long math)
+    "mixture_domain_reweight" -> {
+      val roundCtes = (1 to 10).map { r =>
+        val p = r - 1
+        s"""a$p AS (SELECT CAST(SUM(w * loss_micro) // SUM(w) AS BIGINT) AS ab FROM w$p),
+           |w$r AS MATERIALIZED (SELECT source, n_docs, loss_micro,
+           |  CAST((w * (4000000 + loss_micro - ab)) // 4000000 AS BIGINT) AS w
+           |  FROM w$p, a$p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+         |tr AS MATERIALIZED (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
+         |  FROM (SELECT doc_id, source, ts,
+         |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
+         |trn AS (SELECT * FROM tr WHERE source IN ('src0', 'src1')),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM trn GROUP BY a, b),
+         |p AS (SELECT tr.doc_id, tr.source,
+         |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tr LEFT JOIN c2 ON tr.a = c2.a AND tr.b = c2.b),
+         |ls AS MATERIALIZED (SELECT source,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST((CAST(SUM(oov) AS HUGEINT) * 1000000)
+         |      // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS loss_micro
+         |  FROM p GROUP BY source),
+         |w0 AS MATERIALIZED (SELECT source, n_docs, loss_micro,
+         |  CAST(1000000000 AS BIGINT) AS w FROM ls),
+         |$roundCtes,
+         |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w10)
+         |SELECT source, n_docs, loss_micro, w AS w_final,
+         |  ROUND(CAST(w AS DOUBLE) / tw + 1e-9, 6) AS weight,
+         |  CAST((w * 1000000) // tw AS BIGINT) AS budget_tokens
+         |FROM w10, tw""".stripMargin
     })
 }
