@@ -154,4 +154,88 @@ class CurationSpec extends SparkSpec {
       assert(fp >= 0.0); assert(rec >= 0.0 && rec <= 1.0)
     }
   }
+
+  test("extractHtml: recovers the wrapped text exactly, including decoded entities") {
+    val ex = TextOps.extractHtml(TextOps.htmlInject(docs), col("atext"))
+      .select(col("doc_id"), col("text"), col("clean_text"),
+        col("markup_ratio"), col("n_tags"),
+        pmod(col("doc_id"), lit(3L)).as("m3")).persist()
+    // full-page and untouched docs: extraction returns the original text
+    assert(ex.filter(col("m3") =!= 1 && col("clean_text") =!= col("text"))
+      .count() === 0L)
+    // inline-markup docs: original text + the decoded entity tail
+    // (&amp; -> &, &lt;tags&gt; -> <tags>, &quot; -> ")
+    val tail = " & more <tags> see also \"quoted\""
+    assert(ex.filter(col("m3") === 1 &&
+      col("clean_text") =!= concat(col("text"), lit(tail))).count() === 0L)
+    // markup mass: positive exactly on the wrapped docs, zero otherwise
+    assert(ex.filter(col("m3") =!= 2 && col("markup_ratio") <= 0.0).count() === 0L)
+    assert(ex.filter(col("m3") === 2 &&
+      (col("markup_ratio") =!= 0.0 || col("n_tags") =!= 0L)).count() === 0L)
+    ex.unpersist()
+  }
+
+  test("urlCanonicalize: case, www, default ports, tracking params, ordering, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, www stripped, default port dropped,
+      // tracking params dropped, survivors sorted, fragment dropped,
+      // trailing slash stripped
+      ("HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#f", "http://ex.com/a?a=1&b=2"),
+      ("https://ex.com:443/a", "https://ex.com/a"),
+      // explicit NON-default port survives
+      ("https://ex.com:8080/a/", "https://ex.com:8080/a"),
+      // root path: stripping the slash may not empty the path
+      ("https://ex.com/", "https://ex.com/"),
+      ("https://ex.com/p?utm_source=x&gclid=g1&fbclid=f&ref=h", "https://ex.com/p"),
+      ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"))
+    val got = TextOps.urlCanonicalize(
+        cases.map(_._1).toDF("url"), col("url"))
+      .select(col("url"), col("canon_url")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) => assert(got(u) === want, s"for $u") }
+  }
+
+  test("urlCanonicalDedup: one keeper per canonical URL, per-host cap holds") {
+    val r = TextOps.urlCanonicalDedup(
+      TextOps.urlInject(docs), col("url"), maxPerHost = 4).persist()
+    assert(r.count() === docs.count())
+    // exactly one non-dup row per canonical URL
+    val perCanon = r.groupBy("canon_url")
+      .agg(sum(when(col("is_url_dup"), 0L).otherwise(1L)).as("n_keepers"))
+    assert(perCanon.filter(col("n_keepers") =!= 1L).count() === 0L)
+    // kept rows: never dups, at most 4 per host, ranks within the cap
+    assert(r.filter(col("keep") && col("is_url_dup")).count() === 0L)
+    val perHost = r.filter(col("keep")).groupBy("host").agg(count(lit(1)).as("k"))
+    assert(perHost.filter(col("k") > 4).count() === 0L)
+    // dup rows report rank 0; kept ranks are 1..4
+    assert(r.filter(col("is_url_dup") && col("host_rank") =!= 0L).count() === 0L)
+    assert(r.filter(col("keep") &&
+      (col("host_rank") < 1L || col("host_rank") > 4L)).count() === 0L)
+    // the cap BITES on this fixture (hosts have > 4 canonical survivors)
+    assert(r.filter(!col("is_url_dup") && !col("keep")).count() > 0L)
+    r.unpersist()
+  }
+
+  test("domainReweight: weight ordering follows loss ordering and the budget is respected") {
+    val rw = TextOps.domainReweight(docs, col("source").isin("src0", "src1"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("loss_micro"),
+        r.getAs[Long]("w_final"), r.getAs[Double]("weight"),
+        r.getAs[Long]("budget_tokens")))
+    assert(rw.length === 20)
+    // the multiplicative update is monotone in the (fixed) loss: sorting
+    // by loss and by final weight must agree
+    val byLoss = rw.sortBy(r => (r._2, r._1)).map(_._1)
+    val byW = rw.sortBy(r => (r._3, r._1)).map(_._1)
+    assert(byLoss.toSeq === byW.toSeq)
+    // the reference slice (zero OOV against itself) ends at minimum weight
+    val minW = rw.map(_._3).min
+    assert(rw.filter(r => r._1 == "src0" || r._1 == "src1")
+      .forall(_._3 === minW))
+    // weights form a distribution; budget never over-allocates
+    val sumW = rw.map(_._4).sum
+    assert(math.abs(sumW - 1.0) < 1e-3)
+    assert(rw.map(_._5).sum <= 1000000L)
+  }
 }
