@@ -671,7 +671,8 @@ object TextOps {
     * "/"), drop tracking params, sort the surviving params, drop the
     * fragment. Pure per-row regex/array expressions — no shuffle,
     * RE2/Java-portable so the oracle replays the canonical string
-    * byte-for-byte. Output: all input columns + (host, canon_url). */
+    * byte-for-byte. Output: all input columns + (host, canon_path,
+    * canon_url). */
   def urlCanonicalize(docs: DataFrame, url: Column): DataFrame = {
     val scheme = lower(regexp_extract(url, UrlSchemePattern, 1))
     val hostport = regexp_extract(url, UrlHostPortPattern, 1)
@@ -690,8 +691,34 @@ object TextOps {
       split(regexp_extract(url, UrlQueryPattern, 1), "&"),
       x => length(x) > 0 && !x.rlike(UrlTrackingPattern))), "&")
     docs.withColumn("host", host)
+      .withColumn("canon_path", path)
       .withColumn("canon_url", concat(scheme, lit("://"), host, portPart, path,
         when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
+  /** ROBOTS-STYLE BLOCKLIST GATE — the policy filter every crawler runs
+    * next to canonicalization: drop documents whose canonical host is
+    * on the banned-domain list or whose canonical path falls under a
+    * banned prefix (the compiled form of robots.txt disallow rules /
+    * domain blocklists). Host rules take precedence over path rules in
+    * the reported reason. The rule set is policy-sized (thousands of
+    * entries at crawl scale — a broadcast join there; a literal
+    * expression here), the scan is one pass, per-row only. Output:
+    * (doc_id, host, canon_path, block_reason ∈ {host, path, NULL},
+    * keep). */
+  def urlBlocklistGate(docs: DataFrame, url: Column,
+                       blockedHosts: Seq[String],
+                       blockedPathPrefixes: Seq[String]): DataFrame = {
+    val c = urlCanonicalize(docs, url)
+    val pathHit = blockedPathPrefixes.foldLeft(lit(false))((acc, p) =>
+      acc || col("canon_path").startsWith(p))
+    c.withColumn("block_reason",
+        when(col("host").isin(blockedHosts: _*), lit("host"))
+          .when(pathHit, lit("path"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("block_reason").isNull)
+      .select(col("doc_id"), col("host"), col("canon_path"),
+        col("block_reason"), col("keep"))
   }
 
   /** CANONICAL-URL EXACT DEDUP + PER-HOST CAP — the pre-MinHash gate:

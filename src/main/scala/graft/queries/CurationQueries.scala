@@ -53,7 +53,67 @@ object CurationQueries extends QueryModule {
     // curated slice = src0/src1, the quality_ref_ppl reference)
     "mixture_domain_reweight" -> ((s, d) => TextOps.domainReweight(
       docs(s, d),
-      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))))
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
+    // robots-style policy gate on the canonical URL: banned domains +
+    // banned path prefixes (host rules win the reported reason)
+    "url_blocklist_gate" -> ((s, d) => TextOps.urlBlocklistGate(
+      TextOps.urlInject(docs(s, d)),
+      org.apache.spark.sql.functions.col("url"),
+      BlockedHosts, BlockedPathPrefixes)))
+
+  /** Blocklist fixture, shared by the query registration and the
+    * oracle interpolation (the htmlInject convention). */
+  private val BlockedHosts = Seq("src3.example.com", "src7.example.com")
+  private val BlockedPathPrefixes = Seq("/articles/item1")
+
+  /** DuckDB replay of the URL fixture injection + canonicalization —
+    * the u/p1/p2/c chain shared by the url_* oracles. Every literal
+    * interpolates the SAME TextOps constants the Spark side reads, so
+    * the two replays cannot desync. `c` exposes (doc_id, url, host,
+    * canon_path, canon_url). */
+  private def urlCanonCtes: String =
+    s"""u AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+       |         WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+       |    source || '${TextOps.UrlHostSuffix}' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |           (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+       |    '${TextOps.UrlPathPrefix}' || CAST(doc_id % 40 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
+       |    CASE WHEN doc_id % 2 = 0 THEN 'utm_source=news&' ELSE '' END ||
+       |    'page=' || CAST(doc_id % 3 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 7 = 3
+       |      THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 1 THEN '&ref=home' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '${TextOps.UrlSchemePattern}', 1)) AS scheme,
+       |    regexp_extract(url, '${TextOps.UrlHostPortPattern}', 1) AS hostport,
+       |    regexp_replace(regexp_extract(url, '${TextOps.UrlPathPattern}', 1),
+       |      '${TextOps.UrlTrailSlashPattern}', '') AS path0,
+       |    regexp_extract(url, '${TextOps.UrlQueryPattern}', 1) AS q
+       |  FROM u),
+       |p2 AS (SELECT doc_id, url, scheme,
+       |    regexp_replace(lower(regexp_extract(hostport,
+       |      '${TextOps.UrlBareHostPattern}', 1)),
+       |      '${TextOps.UrlWwwPattern}', '') AS host,
+       |    regexp_extract(hostport, '${TextOps.UrlPortTailPattern}', 1) AS port,
+       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+       |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |      x -> len(x) > 0 AND NOT regexp_matches(x,
+       |        '${TextOps.UrlTrackingPattern}'))), '&') AS kept
+       |  FROM p1),
+       |c AS MATERIALIZED (SELECT doc_id, url, host, path AS canon_path,
+       |    scheme || '://' || host ||
+       |    CASE WHEN port = '' OR port = (CASE WHEN scheme = 'https' THEN '443'
+       |        WHEN scheme = 'http' THEN '80' ELSE '' END)
+       |      THEN '' ELSE ':' || port END ||
+       |    path || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+       |  FROM p2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "split_leakproof" -> {
@@ -169,48 +229,7 @@ object CurationQueries extends QueryModule {
     // cannot desync (the htmlInject convention)
     "url_canonical_dedup" -> {
       val draw = s"${hex60Sql("md5('urlcap:' || CAST(doc_id AS VARCHAR))")} % 1000000"
-      s"""WITH u AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
-         |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
-         |         WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
-         |    source || '${TextOps.UrlHostSuffix}' ||
-         |    CASE WHEN doc_id % 4 = 0 THEN
-         |           (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-         |         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
-         |    '${TextOps.UrlPathPrefix}' || CAST(doc_id % 40 AS VARCHAR) ||
-         |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
-         |    CASE WHEN doc_id % 2 = 0 THEN 'utm_source=news&' ELSE '' END ||
-         |    'page=' || CAST(doc_id % 3 AS VARCHAR) ||
-         |    CASE WHEN doc_id % 7 = 3
-         |      THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 1 THEN '&ref=home' ELSE '' END ||
-         |    CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
-         |  FROM documents),
-         |p1 AS (SELECT doc_id, url,
-         |    lower(regexp_extract(url, '${TextOps.UrlSchemePattern}', 1)) AS scheme,
-         |    regexp_extract(url, '${TextOps.UrlHostPortPattern}', 1) AS hostport,
-         |    regexp_replace(regexp_extract(url, '${TextOps.UrlPathPattern}', 1),
-         |      '${TextOps.UrlTrailSlashPattern}', '') AS path0,
-         |    regexp_extract(url, '${TextOps.UrlQueryPattern}', 1) AS q
-         |  FROM u),
-         |p2 AS (SELECT doc_id, url, scheme,
-         |    regexp_replace(lower(regexp_extract(hostport,
-         |      '${TextOps.UrlBareHostPattern}', 1)),
-         |      '${TextOps.UrlWwwPattern}', '') AS host,
-         |    regexp_extract(hostport, '${TextOps.UrlPortTailPattern}', 1) AS port,
-         |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-         |    array_to_string(list_sort(list_filter(string_split(q, '&'),
-         |      x -> len(x) > 0 AND NOT regexp_matches(x,
-         |        '${TextOps.UrlTrackingPattern}'))), '&') AS kept
-         |  FROM p1),
-         |c AS MATERIALIZED (SELECT doc_id, url, host,
-         |    scheme || '://' || host ||
-         |    CASE WHEN port = '' OR port = (CASE WHEN scheme = 'https' THEN '443'
-         |        WHEN scheme = 'http' THEN '80' ELSE '' END)
-         |      THEN '' ELSE ':' || port END ||
-         |    path || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
-         |  FROM p2),
+      s"""WITH $urlCanonCtes,
          |r AS (SELECT doc_id, url, host, canon_url,
          |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) > 1
          |      AS is_url_dup,
@@ -224,6 +243,22 @@ object CurationQueries extends QueryModule {
          |  CASE WHEN is_url_dup THEN CAST(0 AS BIGINT) ELSE rh END AS host_rank,
          |  NOT is_url_dup AND rh <= 4 AS keep
          |FROM h""".stripMargin
+    },
+
+    // same canonicalization CTEs; rules interpolate the shared fixture
+    "url_blocklist_gate" -> {
+      val hostIn = BlockedHosts.map(h => s"'$h'").mkString(", ")
+      val pathHit = BlockedPathPrefixes
+        .map(p => s"canon_path LIKE '$p%'").mkString(" OR ")
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, host, canon_path,
+         |  CASE WHEN host IN ($hostIn) THEN 'host'
+         |       WHEN $pathHit THEN 'path'
+         |       ELSE NULL END AS block_reason,
+         |  (CASE WHEN host IN ($hostIn) THEN 'host'
+         |        WHEN $pathHit THEN 'path'
+         |        ELSE NULL END) IS NULL AS keep
+         |FROM c""".stripMargin
     },
 
     // the refLm fit/score CTEs are the quality_ref_ppl spelling with

@@ -217,6 +217,25 @@ class CurationSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("urlBlocklistGate: host rules beat path rules, non-matching docs keep") {
+    val g = TextOps.urlBlocklistGate(TextOps.urlInject(docs), col("url"),
+      Seq("src3.example.com", "src7.example.com"), Seq("/articles/item1"))
+      .persist()
+    assert(g.count() === docs.count())
+    // every blocked-host doc reports 'host' even when its path also matches
+    assert(g.filter(col("host").isin("src3.example.com", "src7.example.com") &&
+      col("block_reason") =!= "host").count() === 0L)
+    // path blocks only fire on the prefix, on non-blocked hosts
+    assert(g.filter(col("block_reason") === "path" &&
+      !col("canon_path").startsWith("/articles/item1")).count() === 0L)
+    // keep <=> no reason, and all three outcomes occur on the fixture
+    assert(g.filter(col("keep") =!= col("block_reason").isNull).count() === 0L)
+    assert(g.filter(col("block_reason") === "host").count() > 0L)
+    assert(g.filter(col("block_reason") === "path").count() > 0L)
+    assert(g.filter(col("keep")).count() > 0L)
+    g.unpersist()
+  }
+
   test("domainReweight: weight ordering follows loss ordering and the budget is respected") {
     val rw = TextOps.domainReweight(docs, col("source").isin("src0", "src1"))
       .collect()
