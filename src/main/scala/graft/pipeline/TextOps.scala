@@ -708,7 +708,17 @@ object TextOps {
     * keep). */
   def urlBlocklistGate(docs: DataFrame, url: Column,
                        blockedHosts: Seq[String],
-                       blockedPathPrefixes: Seq[String]): DataFrame = {
+                       blockedPathPrefixes: Seq[String]): DataFrame =
+    urlBlocklistFlags(docs, url, blockedHosts, blockedPathPrefixes)
+      .select(col("doc_id"), col("host"), col("canon_path"),
+        col("block_reason"), col("keep"))
+
+  /** Composable form of [[urlBlocklistGate]]: all input columns plus
+    * (host, canon_path, canon_url, block_reason, keep) — the shape the
+    * streaming web front-end filters on without dropping the payload. */
+  def urlBlocklistFlags(docs: DataFrame, url: Column,
+                        blockedHosts: Seq[String],
+                        blockedPathPrefixes: Seq[String]): DataFrame = {
     val c = urlCanonicalize(docs, url)
     val pathHit = blockedPathPrefixes.foldLeft(lit(false))((acc, p) =>
       acc || col("canon_path").startsWith(p))
@@ -717,8 +727,6 @@ object TextOps {
           .when(pathHit, lit("path"))
           .otherwise(lit(null).cast("string")))
       .withColumn("keep", col("block_reason").isNull)
-      .select(col("doc_id"), col("host"), col("canon_path"),
-        col("block_reason"), col("keep"))
   }
 
   /** CANONICAL-URL EXACT DEDUP + PER-HOST CAP — the pre-MinHash gate:

@@ -483,6 +483,17 @@ object StreamingJobs {
       .withColumn("__fp", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__fp")
+    curationSink(gated, merges, outDir, zThresh, minBaseline)
+  }
+
+  /** The billing + monitor sink shared by [[curationStream]] and
+    * [[webCurationStream]]: per batch, bill survivors against the
+    * frozen merge list (idempotent `bill/batch_id` dir) and fold the
+    * accepted volume into the compacted anomaly store. */
+  private def curationSink(gated: DataFrame, merges: Seq[(String, String)],
+                           outDir: String, zThresh: Double, minBaseline: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.pipeline.{EventOps, TextOps}
     gated.writeStream.outputMode("append").foreachBatch {
       (batch0: DataFrame, id: Long) =>
         // both legs consume the survivor set; persist so the gate+dedup
@@ -503,6 +514,59 @@ object StreamingJobs {
         } finally { batch.unpersist(); () }
         ()
     }
+  }
+
+  /** COMPOSED RAW-WEB CURATION JOB — [[curationStream]] with the crawl
+    * front-end in front of it, still ONE streaming query under ONE
+    * checkpoint (the streaming twin of the batch `curation_pipeline_html`
+    * flagship). Input: (ts, doc_id, source, url, atext) — the fetch URL
+    * plus raw markup. Stages, in production order (cheapest and most
+    * selective first — a blocked or already-seen URL never pays
+    * extraction, let alone tokenization):
+    *
+    *  0a. URL POLICY — [[graft.pipeline.TextOps.urlBlocklistFlags]]:
+    *      canonicalize (case/www/default-port/tracking-param/fragment
+    *      noise collapses), drop banned hosts and path prefixes.
+    *      Row-local, stateless.
+    *  0b. URL DEDUP — `dropDuplicatesWithinWatermark` on the CANONICAL
+    *      url: recrawls and tracking-param variants of an already-
+    *      ingested page are dropped by keyed state (one row per
+    *      in-watermark canonical URL) before the document is extracted.
+    *  0c. EXTRACTION — [[graft.pipeline.TextOps.extractHtml]]: strip
+    *      chrome blocks and tags, decode entities; the extracted text
+    *      REPLACES `text`, so stages 1-4 see exactly what the batch
+    *      pipeline's gates see.
+    *  1-4. [[curationStream]]'s lang/quality gate → content-fingerprint
+    *      dedup → frozen-BPE billing → accepted-volume anomaly monitor,
+    *      via the shared sink.
+    *
+    * TWO keyed-state stores live under the one checkpoint (canonical
+    * URL, then content fingerprint — Spark's chained-stateful-operator
+    * support in append mode); both are evicted by the SAME watermark.
+    * Batch parity and restored-state drops (a post-restart recrawl AND
+    * a post-restart content mirror) are pinned in StreamingSpec. */
+  def webCurationStream(docs: DataFrame, merges: Seq[(String, String)],
+                        outDir: String,
+                        blockedHosts: Seq[String] = Nil,
+                        blockedPathPrefixes: Seq[String] = Nil,
+                        lang: String = "en", minQuality: Double = 0.6,
+                        watermark: String = "1 hour", zThresh: Double = 2.5,
+                        minBaseline: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.pipeline.TextOps
+    val front = TextOps.urlBlocklistFlags(docs, col("url"),
+        blockedHosts, blockedPathPrefixes)
+      .filter(col("keep"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+    val extracted = TextOps.extractHtml(front, col("atext"))
+      .select(col("ts"), col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    val gated = TextOps.gateProjection(extracted)
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+      .withColumn("__fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("__fp")
+    curationSink(gated, merges, outDir, zThresh, minBaseline)
   }
 
   /** STREAMING REFERENCE-LM QUALITY SCORING — each arriving micro-batch

@@ -551,6 +551,102 @@ class StreamingSpec extends SparkSpec {
     assert(streamAlerts.map(a => (a._1, a._2)) == Set(("s0", (h0 + 6) * 3600))) // the spike hour
   }
 
+  test("composed raw-web curation stream: url policy -> url dedup state -> extract -> " +
+       "gate -> content dedup state equals the batch chain across a stop/restart") {
+    // the crawl-ingest twin: ONE query, ONE checkpoint, TWO keyed-state
+    // stores (canonical URL, then content fingerprint). The restart
+    // between the batches proves BOTH stores restore: a post-restart
+    // recrawl (same canonical URL, different raw form AND different
+    // content) is dropped by URL state, and a post-restart content
+    // mirror (new URL, same extracted text) is dropped by fp state.
+    import graft.pipeline.TextOps
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.types._
+    val base = s"target/graft-tmp/web_curation_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("url", StringType), StructField("atext", StringType)))
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val hosts = Seq("bad.example.com")
+    val prefixes = Seq("/spam")
+    def start(): StreamingQuery =
+      StreamingJobs.webCurationStream(
+          spark.readStream.schema(schema).parquet(s"$base/src"),
+          merges, s"$base/out", hosts, prefixes,
+          watermark = "30 days", minBaseline = 3)
+        .option("checkpointLocation", s"$base/ckpt").start()
+    val h0 = 3000L
+    def text(w: String) =
+      s"the $w resonance of ${w}like systems generates coherent harmonic structures"
+    def chrome(t: String) =
+      "<html><head><title>x</title><script>var x=1;</script></head><body>" +
+        s"<nav>Home | About</nav><p>$t</p><footer>(c) site</footer></body></html>"
+    def doc(id: Long, url: String, atext: String) =
+      (ts(h0 * 3600 + id), id, "s0", url, atext)
+    // canonical targets: c1 = https://s0.example.com/a/1?p=1
+    //                    c2 = http://s0.example.com/b?q=2
+    val b1 = Seq(
+      doc(1L, "https://WWW.S0.Example.com:443/a/1?utm_source=x&p=1", text("alpha")),
+      doc(2L, "http://s0.example.com/b?q=2&utm_campaign=z", chrome(text("beta"))),
+      doc(4L, "https://bad.example.com/x", text("gamma")),       // host block
+      doc(5L, "https://s0.example.com/spam/offer", text("delta")), // path block
+      doc(6L, "https://s0.example.com/de", "der die das und ist von mit ein"))
+    val b2 = Seq(
+      doc(10L, "https://s0.example.com/c", text("epsilon")),
+      // recrawl of c1 after the restart: different raw spelling AND
+      // different content — only restored URL state can drop it
+      doc(11L, "HTTPS://s0.example.com/a/1/?p=1#frag", text("zeta")),
+      // content mirror of doc 1 at a NEW canonical URL: passes URL
+      // dedup, dropped by restored content-fingerprint state
+      doc(12L, "https://s0.example.com/mirror", s"<p>${text("alpha")}</p>"),
+      // recrawl of c2 (tracking-param variant), same batch as 11
+      doc(14L, "http://www.s0.example.com:80/b/?q=2&gclid=g3", chrome(text("eta"))),
+      doc(13L, "https://s0.example.com/low", "the the the the the the"))
+    b1.toDF("ts", "doc_id", "source", "url", "atext")
+      .write.mode("append").parquet(s"$base/src")
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    b2.toDF("ts", "doc_id", "source", "url", "atext")
+      .write.mode("append").parquet(s"$base/src")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // batch replay of the same chain over the UNION of the input
+    // (first-arrival order matches min-doc_id order by construction)
+    val all = (b1 ++ b2).toDF("ts", "doc_id", "source", "url", "atext")
+    val wUrl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    val urlSurv = TextOps.urlBlocklistFlags(all, col("url"), hosts, prefixes)
+      .filter(col("keep"))
+      .withColumn("__rn", row_number().over(wUrl)).filter(col("__rn") === 1)
+    val extracted = TextOps.extractHtml(urlSurv, col("atext"))
+      .select(col("ts"), col("doc_id"), col("source"),
+        col("clean_text").as("text"))
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val surv = TextOps.gateProjection(extracted)
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.6)
+      .withColumn("__rn", row_number().over(wFp)).filter(col("__rn") === 1)
+    val batchBill = TextOps.bpeEncodeWith(surv,
+        TextOps.applyMerges(TextOps.charWords(surv), merges))
+      .join(surv.select(col("doc_id"), col("source"), col("quality")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_words"), col("bpe_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamBill = spark.read.parquet(s"$base/out/bill/batch_*")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"))).toSet
+    assert(streamBill == batchBill)
+    // exactly the policy/dedup/gate survivors are billed: blocked hosts
+    // and paths (4, 5), the recrawls (11, 14), the mirror (12) and the
+    // gated docs (6, 13) never reach billing
+    assert(streamBill.map(_._1) == Set(1L, 2L, 10L))
+  }
+
   test("rescaler manages the curation stream: dedup state and billing stay exactly-once across a rescale") {
     // the reference's optimize/rescale machinery applied to the
     // LLM-pipeline flagship instead of a toy job: the curation query is
