@@ -215,6 +215,59 @@ object TextOps {
       qualityCol.as("quality"))
   }
 
+  /** The stop-word set of the Gopher-rules gate's "contains at least K
+    * distinct function words" rule — the corpus's English marker list
+    * (Gopher's own 8-word set shares only "the"/"a"-class coverage with
+    * this synthetic vocabulary, so the rule would be vacuously false). */
+  val GopherStopWords: Seq[String] = langMarkers.toMap.apply("en")
+
+  /** GOPHER-RULES QUALITY GATE — the published HARD-THRESHOLD rule set
+    * (Rae et al. 2021, appendix A; the Dolma/RefinedWeb lineage) as a
+    * gate with per-rule verdicts and a first-failure reason, distinct
+    * from the soft [[qualityCol]] blend: (1) word count within
+    * [minWords, maxWords]; (2) mean word length within [minMeanLen,
+    * maxMeanLen]; (3) distinct-word ratio ≥ minDistinctPct% (the
+    * repetition rule); (4) at least minStopDistinct distinct stop
+    * words. Every ratio test is an INTEGER CROSS-MULTIPLICATION
+    * (sum_len ≥ k·n_words, n_distinct·100 ≥ pct·n_words) — no division
+    * anywhere, so any ANSI engine replays the verdicts bit-for-bit.
+    * One per-row projection pass, no shuffle. Thresholds default to
+    * values that bite on this corpus's 10-99-word regime; web-scale
+    * deployments pass Gopher's own (50, 100000, 3, 10, …). Output:
+    * (doc_id, n_words, n_distinct, n_stop_distinct, r_word_count,
+    * r_mean_word_len, r_distinct_ratio, r_stop_words, fail_reason,
+    * keep). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 20, maxWords: Int = 80,
+                  minMeanLen: Int = 4, maxMeanLen: Int = 5,
+                  minDistinctPct: Int = 45,
+                  minStopDistinct: Int = 2): DataFrame = {
+    val ts = tokens
+    docs.select(col("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long")
+          .as("__sum_len"),
+        size(array_distinct(ts)).cast("long").as("n_distinct"),
+        size(array_distinct(filter(ts, t => t.isInCollection(GopherStopWords))))
+          .cast("long").as("n_stop_distinct"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len",
+        col("__sum_len") >= lit(minMeanLen.toLong) * col("n_words") &&
+          col("__sum_len") <= lit(maxMeanLen.toLong) * col("n_words"))
+      .withColumn("r_distinct_ratio",
+        col("n_distinct") * 100 >= lit(minDistinctPct.toLong) * col("n_words"))
+      .withColumn("r_stop_words", col("n_stop_distinct") >= minStopDistinct)
+      .withColumn("fail_reason",
+        when(!col("r_word_count"), lit("word_count"))
+          .when(!col("r_mean_word_len"), lit("mean_word_len"))
+          .when(!col("r_distinct_ratio"), lit("distinct_ratio"))
+          .when(!col("r_stop_words"), lit("stop_words"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("fail_reason").isNull)
+      .drop("__sum_len")
+  }
+
   /** One-scan GATE projection: every `docs` column plus `pred_lang` and
     * `quality` — the fused form [[graft.queries.TextQueries]]'s
     * corpus_pipeline gates on, so language-ID and quality-scoring never

@@ -285,6 +285,7 @@ object TextQueries extends QueryModule {
       DedupOps.contamination(dd.filter(sp =!= "test"), sp === "val")
     }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
+    "quality_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
@@ -931,6 +932,40 @@ object TextQueries extends QueryModule {
          |      + 0.2 * least(1.0, mean_len / 8) + 0.2 * distinct_ratio
          |      + 1e-9, 4) AS quality
          |FROM m""".stripMargin
+    },
+
+    // Gopher hard-threshold gate: every ratio test is integer
+    // cross-multiplication, so the verdicts replay bit-for-bit; the
+    // thresholds and stop-word list interpolate the SAME constants the
+    // Spark registration reads (defaults of TextOps.gopherRules)
+    "quality_gopher_rules" -> {
+      val stop = TextOps.GopherStopWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_distinct,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |      t -> list_contains($stop, t)))) AS BIGINT) AS n_stop_distinct
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_words, n_distinct, n_stop_distinct,
+         |    (n_words >= 20 AND n_words <= 80) AS r_word_count,
+         |    (sum_len >= 4 * n_words AND sum_len <= 5 * n_words)
+         |      AS r_mean_word_len,
+         |    (n_distinct * 100 >= 45 * n_words) AS r_distinct_ratio,
+         |    (n_stop_distinct >= 2) AS r_stop_words
+         |  FROM b)
+         |SELECT doc_id, n_words, n_distinct, n_stop_distinct,
+         |  r_word_count, r_mean_word_len, r_distinct_ratio, r_stop_words,
+         |  CASE WHEN NOT r_word_count THEN 'word_count'
+         |       WHEN NOT r_mean_word_len THEN 'mean_word_len'
+         |       WHEN NOT r_distinct_ratio THEN 'distinct_ratio'
+         |       WHEN NOT r_stop_words THEN 'stop_words'
+         |       ELSE NULL END AS fail_reason,
+         |  (r_word_count AND r_mean_word_len AND r_distinct_ratio
+         |    AND r_stop_words) AS keep
+         |FROM r""".stripMargin
     },
 
     "corpus_source_stats" -> {

@@ -186,6 +186,34 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: verdicts match a driver recomputation and every rule fires on the fixture") {
+    val got = TextOps.gopherRules(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        Option(r.getString(8)), r.getBoolean(9))).toMap
+    val stop = TextOps.GopherStopWords.toSet
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val (id, ws) = (r.getLong(0), r.getString(1).split(" ", -1).toSeq)
+      val (n, sumLen) = (ws.length.toLong, ws.map(_.length.toLong).sum)
+      val nd = ws.distinct.length.toLong
+      val nsd = ws.filter(stop).distinct.length.toLong
+      val rules = Seq(
+        "word_count" -> (n >= 20 && n <= 80),
+        "mean_word_len" -> (sumLen >= 4 * n && sumLen <= 5 * n),
+        "distinct_ratio" -> (nd * 100 >= 45 * n),
+        "stop_words" -> (nsd >= 2))
+      val reason = rules.collectFirst { case (nm, ok) if !ok => nm }
+      assert(got(id) === ((n, nd, nsd, rules(0)._2, rules(1)._2,
+        rules(2)._2, rules(3)._2, reason, reason.isEmpty)), s"doc $id")
+    }
+    // the gate is non-vacuous: each rule is the FIRST failure somewhere,
+    // and keepers exist
+    val reasons = got.values.flatMap(_._8).toSet
+    assert(reasons === Set("word_count", "mean_word_len",
+      "distinct_ratio", "stop_words"))
+    assert(got.values.exists(_._9))
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
