@@ -59,7 +59,58 @@ object CurationQueries extends QueryModule {
     "url_blocklist_gate" -> ((s, d) => TextOps.urlBlocklistGate(
       TextOps.urlInject(docs(s, d)),
       org.apache.spark.sql.functions.col("url"),
-      BlockedHosts, BlockedPathPrefixes)))
+      BlockedHosts, BlockedPathPrefixes)),
+
+    // END-TO-END WEB-INGEST FUNNEL FLAGSHIP — the batch twin of
+    // StreamingJobs.webCurationStream's stage order, reported as the
+    // per-source funnel every crawl pipeline publishes: URL blocklist →
+    // canonical-URL dedup + per-host cap → HTML extraction → Gopher
+    // rules, with each document attributed to the FIRST gate that
+    // dropped it and the kept token volume summed. Every stage is a
+    // per-row pass or a data-scale-keyed window; extraction and
+    // tokenization run only on URL survivors (production order — a
+    // blocked or duplicate URL never pays them).
+    "web_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val injected = TextOps.urlInject(TextOps.htmlInject(docs(s, d)))
+      // read twice (dedup leg + stage classification): one scan, cached
+      val flags = graft.CacheScope.persist(
+        TextOps.urlBlocklistFlags(injected, col("url"),
+            BlockedHosts, BlockedPathPrefixes)
+          .select(col("doc_id"), col("source"), col("url"), col("atext"),
+            col("block_reason")))
+      val ded = TextOps.urlCanonicalDedup(
+          flags.filter(col("block_reason").isNull), col("url"), maxPerHost = 4)
+        .select(col("doc_id"), col("is_url_dup"), col("keep").as("url_keep"))
+      val staged = flags.join(ded, Seq("doc_id"), "left")
+      val surv = staged.filter(col("block_reason").isNull &&
+        !col("is_url_dup") && col("url_keep"))
+      val gph = TextOps.gopherRules(
+          TextOps.extractHtml(surv.select(col("doc_id"), col("atext")),
+              col("atext"))
+            .select(col("doc_id"), col("clean_text").as("text")))
+        .select(col("doc_id"), col("n_words"), col("keep").as("g_keep"))
+      staged.join(gph, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("block_reason").isNotNull, lit("url_blocked"))
+            .when(col("is_url_dup"), lit("url_dup"))
+            .when(!col("url_keep"), lit("host_capped"))
+            .when(!col("g_keep"), lit("gopher_failed"))
+            .otherwise(lit("kept")))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("stage") === "url_blocked", 1L).otherwise(0L))
+            .as("n_url_blocked"),
+          sum(when(col("stage") === "url_dup", 1L).otherwise(0L))
+            .as("n_url_dup"),
+          sum(when(col("stage") === "host_capped", 1L).otherwise(0L))
+            .as("n_host_capped"),
+          sum(when(col("stage") === "gopher_failed", 1L).otherwise(0L))
+            .as("n_gopher_failed"),
+          sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("stage") === "kept", col("n_words")).otherwise(0L))
+            .as("tokens_kept"))
+    }))
 
   /** Blocklist fixture, shared by the query registration and the
     * oracle interpolation (the htmlInject convention). */
@@ -243,6 +294,68 @@ object CurationQueries extends QueryModule {
          |  CASE WHEN is_url_dup THEN CAST(0 AS BIGINT) ELSE rh END AS host_rank,
          |  NOT is_url_dup AND rh <= 4 AS keep
          |FROM h""".stripMargin
+    },
+
+    // the funnel flagship: urlCanonCtes + the blocklist rules + the
+    // dedup/cap windows (the url_canonical_dedup spelling over the
+    // non-blocked subset) + the shared HTML-extraction and
+    // Gopher-verdict CTE builders, classified to the FIRST failing gate
+    "web_pipeline" -> {
+      val hostIn = BlockedHosts.map(h => s"'$h'").mkString(", ")
+      val pathHit = BlockedPathPrefixes
+        .map(p => s"canon_path LIKE '$p%'").mkString(" OR ")
+      val draw = s"${hex60Sql("md5('urlcap:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      s"""WITH $urlCanonCtes,
+         |fb AS (SELECT doc_id, host, canon_path, canon_url,
+         |    CASE WHEN host IN ($hostIn) THEN 'host'
+         |         WHEN $pathHit THEN 'path' ELSE NULL END AS block_reason
+         |  FROM c),
+         |nb AS (SELECT doc_id, host, canon_url FROM fb
+         |  WHERE block_reason IS NULL),
+         |rr AS (SELECT doc_id, host,
+         |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) > 1
+         |      AS is_url_dup,
+         |    $draw AS draw
+         |  FROM nb),
+         |hh AS (SELECT doc_id, is_url_dup,
+         |    CASE WHEN is_url_dup THEN 0
+         |         ELSE row_number() OVER (PARTITION BY host
+         |                ORDER BY is_url_dup, draw, doc_id) END AS host_rank
+         |  FROM rr),
+         |sv AS (SELECT doc_id FROM hh WHERE NOT is_url_dup AND host_rank <= 4),
+         |gx AS MATERIALIZED (SELECT t.doc_id,
+         |    ${TextQueries.extractCleanSql("atext")} AS text
+         |  FROM (${TextQueries.htmlInjectSql}) t JOIN sv ON t.doc_id = sv.doc_id),
+         |${TextQueries.gopherVerdictSql("gx")},
+         |gk AS (SELECT doc_id, n_words,
+         |    (r_word_count AND r_mean_word_len AND r_distinct_ratio
+         |      AND r_stop_words) AS g_keep
+         |  FROM gr),
+         |st AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN fb.block_reason IS NOT NULL THEN 'url_blocked'
+         |         WHEN hh.is_url_dup THEN 'url_dup'
+         |         WHEN hh.host_rank > 4 THEN 'host_capped'
+         |         WHEN NOT gk.g_keep THEN 'gopher_failed'
+         |         ELSE 'kept' END AS stage,
+         |    gk.n_words
+         |  FROM documents d
+         |  JOIN fb ON d.doc_id = fb.doc_id
+         |  LEFT JOIN hh ON d.doc_id = hh.doc_id
+         |  LEFT JOIN gk ON d.doc_id = gk.doc_id)
+         |SELECT source, COUNT(*) AS n_raw,
+         |  CAST(SUM(CASE WHEN stage = 'url_blocked' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_url_blocked,
+         |  CAST(SUM(CASE WHEN stage = 'url_dup' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_url_dup,
+         |  CAST(SUM(CASE WHEN stage = 'host_capped' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_host_capped,
+         |  CAST(SUM(CASE WHEN stage = 'gopher_failed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gopher_failed,
+         |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN stage = 'kept' THEN n_words ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM st GROUP BY source""".stripMargin
     },
 
     // same canonicalization CTEs; rules interpolate the shared fixture

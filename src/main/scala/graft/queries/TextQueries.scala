@@ -939,23 +939,7 @@ object TextQueries extends QueryModule {
     // thresholds and stop-word list interpolate the SAME constants the
     // Spark registration reads (defaults of TextOps.gopherRules)
     "quality_gopher_rules" -> {
-      val stop = TextOps.GopherStopWords
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_len,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-         |      AS n_distinct,
-         |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
-         |      t -> list_contains($stop, t)))) AS BIGINT) AS n_stop_distinct
-         |  FROM documents),
-         |r AS (SELECT doc_id, n_words, n_distinct, n_stop_distinct,
-         |    (n_words >= 20 AND n_words <= 80) AS r_word_count,
-         |    (sum_len >= 4 * n_words AND sum_len <= 5 * n_words)
-         |      AS r_mean_word_len,
-         |    (n_distinct * 100 >= 45 * n_words) AS r_distinct_ratio,
-         |    (n_stop_distinct >= 2) AS r_stop_words
-         |  FROM b)
+      s"""WITH ${gopherVerdictSql("documents")}
          |SELECT doc_id, n_words, n_distinct, n_stop_distinct,
          |  r_word_count, r_mean_word_len, r_distinct_ratio, r_stop_words,
          |  CASE WHEN NOT r_word_count THEN 'word_count'
@@ -965,7 +949,7 @@ object TextQueries extends QueryModule {
          |       ELSE NULL END AS fail_reason,
          |  (r_word_count AND r_mean_word_len AND r_distinct_ratio
          |    AND r_stop_words) AS keep
-         |FROM r""".stripMargin
+         |FROM gr""".stripMargin
     },
 
     "corpus_source_stats" -> {
@@ -2110,10 +2094,37 @@ object TextQueries extends QueryModule {
          |    ELSE CAST(0 AS DOUBLE) END AS markup_ratio
          |FROM c""".stripMargin)
 
+  /** DuckDB replay of [[TextOps.gopherRules]]'s verdict chain over the
+    * relation `base(doc_id, text)`: two CTEs `gb` (integer counters)
+    * and `gr` (the four cross-multiplied rule verdicts). The thresholds
+    * and stop-word list interpolate the SAME constants the Spark
+    * registration reads (the gopherRules defaults) — shared by the
+    * quality_gopher_rules oracle and [[CurationQueries]]'s web_pipeline
+    * funnel so the two replays cannot desync. */
+  private[queries] def gopherVerdictSql(base: String): String = {
+    val stop = TextOps.GopherStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""gb AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_distinct,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stop, t)))) AS BIGINT) AS n_stop_distinct
+       |  FROM $base),
+       |gr AS (SELECT doc_id, n_words, n_distinct, n_stop_distinct,
+       |    (n_words >= 20 AND n_words <= 80) AS r_word_count,
+       |    (sum_len >= 4 * n_words AND sum_len <= 5 * n_words)
+       |      AS r_mean_word_len,
+       |    (n_distinct * 100 >= 45 * n_words) AS r_distinct_ratio,
+       |    (n_stop_distinct >= 2) AS r_stop_words
+       |  FROM gb)""".stripMargin
+  }
+
   /** DuckDB spelling of the synthetic markup injection — interpolates
     * the SAME [[TextOps]] fixture constants the Spark side wraps with,
     * so the geometry cannot desync. */
-  private def htmlInjectSql: String =
+  private[queries] def htmlInjectSql: String =
     "SELECT doc_id, source, lang, CASE " +
       s"WHEN doc_id % 3 = 0 THEN '${TextOps.HtmlPagePrefix}' || text || " +
       s"'${TextOps.HtmlPageSuffix}' " +
@@ -2124,7 +2135,7 @@ object TextQueries extends QueryModule {
   /** DuckDB replay of [[TextOps.extractHtml]]'s clean-text chain over
     * raw column `raw`: block strips, tag strip, entity decode, collapse
     * — each stage interpolating the shared pattern constants. */
-  private def extractCleanSql(raw: String): String = {
+  private[queries] def extractCleanSql(raw: String): String = {
     val noBlocks = TextOps.HtmlBlockPatterns.foldLeft(raw)((acc, p) =>
       s"regexp_replace($acc, '$p', ' ', 'g')")
     val noTags =

@@ -236,6 +236,24 @@ class CurationSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("web_pipeline funnel: stages partition the corpus and every gate fires") {
+    val f = graft.queries.CurationQueries.queries("web_pipeline")(
+      spark, "/root/testdata/sf0.001").persist()
+    // each source's stage counts sum back to its raw count — every doc
+    // is attributed to exactly ONE gate (or kept)
+    assert(f.filter(col("n_raw") =!= col("n_url_blocked") + col("n_url_dup") +
+      col("n_host_capped") + col("n_gopher_failed") + col("n_kept"))
+      .count() === 0L)
+    val tot = f.agg(sum("n_raw"), sum("n_url_blocked"), sum("n_url_dup"),
+      sum("n_host_capped"), sum("n_gopher_failed"), sum("n_kept"),
+      sum("tokens_kept")).head
+    assert(tot.getLong(0) === docs.count())
+    // non-vacuous: every gate drops something, survivors carry tokens
+    (1 to 5).foreach(i => assert(tot.getLong(i) > 0L, s"stage $i vacuous"))
+    assert(tot.getLong(6) > 0L)
+    f.unpersist()
+  }
+
   test("domainReweight: weight ordering follows loss ordering and the budget is respected") {
     val rw = TextOps.domainReweight(docs, col("source").isin("src0", "src1"))
       .collect()
