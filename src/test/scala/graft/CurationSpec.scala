@@ -196,6 +196,18 @@ class CurationSpec extends SparkSpec {
     cases.foreach { case (u, want) => assert(got(u) === want, s"for $u") }
   }
 
+  test("urlCanonicalize is idempotent: the canonical form is its own fixed point") {
+    // a second canonicalization pass over canon_url must be a no-op —
+    // the property that lets crawl snapshots mix raw and pre-canonical
+    // URLs in one dedup key space (checked over the whole fixture)
+    val once = TextOps.urlCanonicalize(TextOps.urlInject(docs), col("url"))
+      .select(col("doc_id"), col("canon_url"))
+    val twice = TextOps.urlCanonicalize(
+        once.withColumnRenamed("canon_url", "u"), col("u"))
+      .select(col("doc_id"), col("u"), col("canon_url"))
+    assert(twice.filter(col("canon_url") =!= col("u")).count() === 0L)
+  }
+
   test("urlCanonicalDedup: one keeper per canonical URL, per-host cap holds") {
     val r = TextOps.urlCanonicalDedup(
       TextOps.urlInject(docs), col("url"), maxPerHost = 4).persist()
