@@ -1259,6 +1259,36 @@ object TextOps {
       .drop("draw")
   }
 
+  /** SHARD MANIFEST — the integrity artifact every published dataset
+    * ships next to its shards: per shard, document and token counts,
+    * the doc_id range, and an ORDER-INDEPENDENT content checksum (the
+    * per-document 60-bit md5 integers summed exactly in decimal, then
+    * reduced mod 2^60) that a consumer recomputes shard-locally to
+    * detect corruption, truncation, or a re-shuffle that lost rows. At
+    * 100 TB the recheck is embarrassingly parallel per shard — a
+    * partial-agg groupBy on the shard key, no global sort, no driver
+    * state; commutative addition makes the checksum independent of row
+    * order and partitioning by construction. All integer arithmetic →
+    * any ANSI engine replays it bit-for-bit. Output: (shard, n_docs,
+    * n_tokens, content_sum, min_doc_id, max_doc_id). */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    // the [[withShuffleShards]] shard key WITHOUT its pos window: the
+    // manifest needs no within-shard order, so the per-shard sort (16
+    // partitions — fine for a dataloader, wrong for a 100 TB integrity
+    // sweep) is skipped; this is per-row projection + partial agg only
+    docs.select(pmod(mdDraw6("shard"), lit(nShards.toLong)).as("shard"),
+        col("doc_id"), h.as("__h"),
+        size(tokens).cast("long").as("__n"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("content_sum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
   /** BPE VOCABULARY LEARNING — the tokenizer-training step of an LLM
     * data pipeline, as a verified distributed computation: starting from
     * characters, repeatedly (1) count adjacent symbol pairs over the

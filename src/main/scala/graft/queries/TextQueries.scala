@@ -665,6 +665,11 @@ object TextQueries extends QueryModule {
     "corpus_shuffle_shards" -> ((s, d) =>
       TextOps.shuffleShards(docs(s, d), nShards = 16)),
 
+    // per-shard integrity manifest: counts, doc_id range, and the
+    // order-independent mod-2^60 content checksum a consumer re-derives
+    // shard-locally to detect corruption or truncation
+    "shard_manifest" -> ((s, d) => TextOps.shardManifest(docs(s, d))),
+
     // hybrid retrieval: BM25 top-20 + cosine top-20 for query vector 0,
     // fused with reciprocal-rank fusion (k = 60)
     "hybrid_rrf" -> ((s, d) =>
@@ -2054,6 +2059,23 @@ object TextQueries extends QueryModule {
          |  CAST(row_number() OVER (PARTITION BY draw % 16
          |    ORDER BY draw, doc_id) AS BIGINT) AS pos
          |FROM d""".stripMargin,
+
+    // same draw/shard assignment; the checksum sums the 60-bit md5
+    // integers in HUGEINT (exact) before the mod-2^60 reduction, the
+    // decimal-sum twin of the Spark side
+    "shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    ${hex60Sql("md5('shard:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS draw
+         |  FROM documents),
+         |s AS (SELECT doc_id, draw % 16 AS shard,
+         |    ${hex60Sql("md5(text)")} AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM d)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+         |    AS content_sum,
+         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         |FROM s GROUP BY shard""".stripMargin,
 
     "stratified_sample" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -248,6 +248,27 @@ class CurationSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("shardManifest: totals reconcile and a one-doc corruption moves exactly its shard's checksum") {
+    val base = TextOps.shardManifest(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(base.size === 16)
+    assert(base.values.map(_._1).sum === docs.count())
+    assert(base.values.map(_._2).sum ===
+      docs.select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0))
+    // flip one document's content without changing its token count: the
+    // manifest must expose EXACTLY that doc's shard, and only via the
+    // checksum — the counts stay identical (silent-corruption shape)
+    val victim = docs.agg(min("doc_id")).head.getLong(0)
+    val corrupted = TextOps.shardManifest(
+        docs.withColumn("text", when(col("doc_id") === victim,
+          concat(col("text"), lit("X"))).otherwise(col("text")))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val moved = base.keySet.filter(s => base(s)._3 != corrupted(s)._3)
+    assert(moved.size === 1)
+    assert(base.forall { case (s, (nd, nt, _)) =>
+      corrupted(s)._1 == nd && corrupted(s)._2 == nt })
+  }
+
   test("web_pipeline funnel: stages partition the corpus and every gate fires") {
     val f = graft.queries.CurationQueries.queries("web_pipeline")(
       spark, "/root/testdata/sf0.001").persist()
