@@ -569,6 +569,43 @@ object StreamingJobs {
     curationSink(gated, merges, outDir, zThresh, minBaseline)
   }
 
+  /** STREAMING SHARD-MANIFEST ACCOUNTING — the ingest-time integrity
+    * ledger: each micro-batch's [[graft.pipeline.TextOps.shardManifest]]
+    * delta folds into a compacted per-shard store (the [[anomalyTick]]
+    * store/GC pattern — only `batch_{id-1}` is ever read, idempotent
+    * overwrite dirs ⇒ exactly-once under replay). The fold is exact
+    * BECAUSE the manifest was designed mergeable: counts and the
+    * mod-2^60 checksum are commutative sums, ranges are min/max — so
+    * the running store equals the one-shot manifest of everything
+    * ingested, regardless of how arrivals were batched (pinned in
+    * StreamingSpec). Per-batch state is the 16-row store, not the
+    * corpus. */
+  def manifestStream(docs: DataFrame, storeDir: String, nShards: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.pipeline.TextOps.shardManifest(batch, nShards)
+        val prev = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 1}")
+        val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged = (if (id > 0 && fs.exists(prev))
+            spark.read.parquet(prev.toString).unionByName(delta)
+          else delta)
+          .groupBy(col("shard")).agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            (sum(col("content_sum").cast("decimal(38,0)"))
+              % lit(1152921504606846976L)).cast("long").as("content_sum"),
+            min(col("min_doc_id")).as("min_doc_id"),
+            max(col("max_doc_id")).as("max_doc_id"))
+        merged.write.mode("overwrite").parquet(s"$storeDir/store/batch_$id")
+        if (id >= 2) {
+          val old = new org.apache.hadoop.fs.Path(s"$storeDir/store/batch_${id - 2}")
+          if (fs.exists(old)) { fs.delete(old, true); () }
+        }
+        ()
+    }
+
   /** STREAMING REFERENCE-LM QUALITY SCORING — each arriving micro-batch
     * of (doc_id, text) documents is scored under the FROZEN reference
     * bigram model ([[graft.pipeline.TextOps.refLmFit]]'s (c2, c1, V)

@@ -430,6 +430,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(r => r(1) == 30L * 3600 && r(2) == 60L))
   }
 
+  test("streaming shard manifest: folded per-batch deltas equal the one-shot manifest") {
+    // the checksum's mergeability is the contract: counts and the
+    // mod-2^60 sum fold across arbitrary batching into exactly the
+    // batch manifest of everything ingested
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"target/graft-tmp/manifest_stream_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (17L, "zeta eta theta iota"))
+    val b2 = Seq((3L, "kappa lambda"), (40L, "mu nu xi omicron pi"),
+      (55L, "rho sigma"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.manifestStream(in.toDF.toDF("doc_id", "text"), dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val streamed = rows(spark.read.parquet(s"$dir/store/batch_1"))
+    val oneShot = rows(TextOps.shardManifest((b1 ++ b2).toDF("doc_id", "text")))
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("streaming reference-LM scoring: frozen model equals the batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextOps
