@@ -34,6 +34,11 @@ object Bench {
     // queries map's hash order happens to run first — the r11 committed
     // bench charged the full-corpus BPE fit to bpe_vocab_roundtrip purely
     // by run order, a 3x phantom "regression" on an unchanged query.
+    // The fit cost does NOT vanish into warm-up silently: it is timed and
+    // reported as its own fixture_warmup_sec line in both JSON outputs,
+    // so cross-round totals stay comparable (the r12 headline drop was
+    // partly this accounting move — now the moved cost stays visible).
+    val tFix0 = System.nanoTime()
     try {
       val docs = Tables.documents(spark, sfDir)
       graft.pipeline.BpeFixture.learnedState(docs, sfDir, nMerges = 20)
@@ -43,6 +48,7 @@ object Bench {
       val emb = Tables.embeddings(spark, sfDir)
       graft.pipeline.PcaFixture.fitted(emb, sfDir, 8)
     } catch { case e: Throwable => System.err.println(s"[bench] fixture warmup failed: $e") }
+    val fixtureSec = (System.nanoTime() - tFix0) / 1e9
     // noop sink forces full evaluation of every column (count() would let
     // Catalyst prune unused projections, under-measuring the query).
     // optional trailing args: bench only these queries (local iteration)
@@ -91,8 +97,8 @@ object Bench {
     // front-truncated there and parsed as null), so print the total plus
     // the slowest 12 queries and point at bench.json for the full map.
     val slowest = results.toSeq.sortBy(-_._2).take(12)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"n":${results.size},"slowest":${qmap(slowest)},"full":"bench.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"n":${results.size},"reps":$reps,"fixture_warmup_sec":${r3(fixtureSec)},"slowest":${qmap(slowest)},"full":"bench.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"reps":$reps,"fixture_warmup_sec":${r3(fixtureSec)},"queries":${qmap(results)},"sf":"$sfDir"}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

@@ -176,11 +176,11 @@ object DedupOps {
     * the driver on a forced broadcast. The anti-join stays linear
     * either way (a filter, never a pairing).
     *
-    * The capped RESULT is always persisted (caller-scoped via
-    * [[graft.CacheScope]]): every consumer self-joins it, so without
-    * the cache the whole subtree evaluates twice more. The INPUT band
-    * relation is persisted only when `persistInput` — the returned plan
-    * embeds `bands` twice (hot-key groupBy + anti-join), which matters
+    * BOTH persists — the input band relation AND the capped result —
+    * are gated on `persistInput` (caller-scoped via
+    * [[graft.CacheScope]]). The returned plan embeds `bands` twice
+    * (hot-key groupBy + anti-join) and every consumer self-joins the
+    * capped frame, which matters
     * when band GENERATION is expensive (the sign-LSH side: 64
     * hyperplane dot products per vector — the round-11 ~6x-recompute
     * bench regression) but is a net LOSS when the bands derive from an

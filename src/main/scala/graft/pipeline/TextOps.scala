@@ -268,6 +268,50 @@ object TextOps {
       .drop("__sum_len")
   }
 
+  /** Banned-term fixture of the content-policy gate: drawn from the
+    * corpus vocabulary so the gate BITES on the test tables ("slow"
+    * stands in for a policy term), plus terms absent from the corpus
+    * ("crash", "exploit") pinning that whole-word matching never fires
+    * on substrings or absent entries. A production deployment passes
+    * its own wordlist (LDNOOBW-class, thousands of entries — still a
+    * literal `isInCollection` set compiled into the predicate, or a
+    * broadcast join at extreme list sizes, the urlBlocklistGate note). */
+  val PolicyBannedTerms: Seq[String] = Seq("slow", "crash", "exploit")
+
+  /** TOXICITY/NSFW WORDLIST GATE — the content-policy filter every
+    * published web pipeline runs next to its quality rules (C4's banned
+    * wordlist, RefinedWeb's URL/content term scoring, the
+    * Gopher-lineage "sexually explicit word" thresholds): count
+    * whole-word banned-term hits over the SAME token split the Gopher
+    * gate reads, then verdict on (1) an absolute hit budget
+    * (`n_banned_hits` ≤ maxHits — the C4-style hard rule, relaxed from
+    * "any hit" so mild incidental usage survives) and (2) a density
+    * bound spelled as an INTEGER CROSS-MULTIPLICATION
+    * (n_banned_hits·1000 ≤ maxPerMille·n_words) — no division, so any
+    * ANSI engine replays the verdicts bit-for-bit (the [[gopherRules]]
+    * recipe). One per-row projection pass, no shuffle. First-failure
+    * reason attribution: hit_count wins over density. Output: (doc_id,
+    * n_words, n_banned_hits, n_banned_distinct, r_hit_count,
+    * r_density, fail_reason, keep). */
+  def policyGate(docs: DataFrame,
+                 banned: Seq[String] = PolicyBannedTerms,
+                 maxHits: Int = 3, maxPerMille: Int = 60): DataFrame = {
+    val ts = tokens
+    val hits = filter(ts, t => t.isInCollection(banned))
+    docs.select(col("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        size(hits).cast("long").as("n_banned_hits"),
+        size(array_distinct(hits)).cast("long").as("n_banned_distinct"))
+      .withColumn("r_hit_count", col("n_banned_hits") <= maxHits)
+      .withColumn("r_density",
+        col("n_banned_hits") * 1000 <= lit(maxPerMille.toLong) * col("n_words"))
+      .withColumn("fail_reason",
+        when(!col("r_hit_count"), lit("hit_count"))
+          .when(!col("r_density"), lit("density"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("fail_reason").isNull)
+  }
+
   /** One-scan GATE projection: every `docs` column plus `pred_lang` and
     * `quality` — the fused form [[graft.queries.TextQueries]]'s
     * corpus_pipeline gates on, so language-ID and quality-scoring never
@@ -687,7 +731,7 @@ object TextOps {
   val UrlQueryPattern: String = "\\?([^#]*)"
   val UrlBareHostPattern: String = "^([^:]*)"
   val UrlPortTailPattern: String = ":([0-9]+)$"
-  val UrlWwwPattern: String = "^www\\."
+  val UrlWwwPattern: String = "^(www\\.)+"
   val UrlTrailSlashPattern: String = "/+$"
 
   /** Wrap the corpus in the deterministic URL fixture: all input
@@ -719,7 +763,10 @@ object TextOps {
 
   /** URL CANONICALIZATION — the cheapest first-pass dedup key in every
     * web pipeline, applied BEFORE any MinHash: lowercase scheme+host,
-    * strip a `www.` prefix, drop the scheme's default port (keep
+    * strip ALL leading `www.` prefixes in one anchored `(www\.)+` match
+    * (a single-prefix strip would make `www.www.ex.com` canonicalize
+    * differently on a second pass, breaking the idempotence contract
+    * CurationSpec pins), drop the scheme's default port (keep
     * explicit non-default ports), strip trailing path slashes (empty →
     * "/"), drop tracking params, sort the surviving params, drop the
     * fragment. Pure per-row regex/array expressions — no shuffle,

@@ -64,12 +64,14 @@ object CurationQueries extends QueryModule {
     // END-TO-END WEB-INGEST FUNNEL FLAGSHIP — the batch twin of
     // StreamingJobs.webCurationStream's stage order, reported as the
     // per-source funnel every crawl pipeline publishes: URL blocklist →
-    // canonical-URL dedup + per-host cap → HTML extraction → Gopher
-    // rules, with each document attributed to the FIRST gate that
-    // dropped it and the kept token volume summed. Every stage is a
-    // per-row pass or a data-scale-keyed window; extraction and
-    // tokenization run only on URL survivors (production order — a
-    // blocked or duplicate URL never pays them).
+    // canonical-URL dedup + per-host cap → HTML extraction →
+    // content-policy wordlist gate → Gopher rules, with each document
+    // attributed to the FIRST gate that dropped it and the kept token
+    // volume summed. Every stage is a per-row pass or a
+    // data-scale-keyed window; extraction and tokenization run only on
+    // URL survivors, and the Gopher counters only on policy survivors
+    // (production order — a blocked, duplicate, or policy-banned URL
+    // never pays the downstream stage).
     "web_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val injected = TextOps.urlInject(TextOps.htmlInject(docs(s, d)))
@@ -85,16 +87,23 @@ object CurationQueries extends QueryModule {
       val staged = flags.join(ded, Seq("doc_id"), "left")
       val surv = staged.filter(col("block_reason").isNull &&
         !col("is_url_dup") && col("url_keep"))
+      // extracted text is read by BOTH content gates: one extraction, cached
+      val ext = graft.CacheScope.persist(
+        TextOps.extractHtml(surv.select(col("doc_id"), col("atext")),
+            col("atext"))
+          .select(col("doc_id"), col("clean_text").as("text")))
+      val pol = TextOps.policyGate(ext)
+        .select(col("doc_id"), col("keep").as("p_keep"))
       val gph = TextOps.gopherRules(
-          TextOps.extractHtml(surv.select(col("doc_id"), col("atext")),
-              col("atext"))
-            .select(col("doc_id"), col("clean_text").as("text")))
+          ext.join(pol.filter(col("p_keep")).select("doc_id"), Seq("doc_id")))
         .select(col("doc_id"), col("n_words"), col("keep").as("g_keep"))
-      staged.join(gph, Seq("doc_id"), "left")
+      staged.join(pol, Seq("doc_id"), "left")
+        .join(gph, Seq("doc_id"), "left")
         .withColumn("stage",
           when(col("block_reason").isNotNull, lit("url_blocked"))
             .when(col("is_url_dup"), lit("url_dup"))
             .when(!col("url_keep"), lit("host_capped"))
+            .when(!col("p_keep"), lit("policy_blocked"))
             .when(!col("g_keep"), lit("gopher_failed"))
             .otherwise(lit("kept")))
         .groupBy(col("source")).agg(
@@ -105,6 +114,8 @@ object CurationQueries extends QueryModule {
             .as("n_url_dup"),
           sum(when(col("stage") === "host_capped", 1L).otherwise(0L))
             .as("n_host_capped"),
+          sum(when(col("stage") === "policy_blocked", 1L).otherwise(0L))
+            .as("n_policy_blocked"),
           sum(when(col("stage") === "gopher_failed", 1L).otherwise(0L))
             .as("n_gopher_failed"),
           sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
@@ -326,7 +337,11 @@ object CurationQueries extends QueryModule {
          |gx AS MATERIALIZED (SELECT t.doc_id,
          |    ${TextQueries.extractCleanSql("atext")} AS text
          |  FROM (${TextQueries.htmlInjectSql}) t JOIN sv ON t.doc_id = sv.doc_id),
-         |${TextQueries.gopherVerdictSql("gx")},
+         |${TextQueries.policyVerdictSql("gx")},
+         |pk AS (SELECT doc_id, (r_hit_count AND r_density) AS p_keep FROM pv),
+         |px AS (SELECT gx.* FROM gx JOIN pk ON gx.doc_id = pk.doc_id
+         |  WHERE pk.p_keep),
+         |${TextQueries.gopherVerdictSql("px")},
          |gk AS (SELECT doc_id, n_words,
          |    (r_word_count AND r_mean_word_len AND r_distinct_ratio
          |      AND r_stop_words) AS g_keep
@@ -335,12 +350,14 @@ object CurationQueries extends QueryModule {
          |    CASE WHEN fb.block_reason IS NOT NULL THEN 'url_blocked'
          |         WHEN hh.is_url_dup THEN 'url_dup'
          |         WHEN hh.host_rank > 4 THEN 'host_capped'
+         |         WHEN NOT pk.p_keep THEN 'policy_blocked'
          |         WHEN NOT gk.g_keep THEN 'gopher_failed'
          |         ELSE 'kept' END AS stage,
          |    gk.n_words
          |  FROM documents d
          |  JOIN fb ON d.doc_id = fb.doc_id
          |  LEFT JOIN hh ON d.doc_id = hh.doc_id
+         |  LEFT JOIN pk ON d.doc_id = pk.doc_id
          |  LEFT JOIN gk ON d.doc_id = gk.doc_id)
          |SELECT source, COUNT(*) AS n_raw,
          |  CAST(SUM(CASE WHEN stage = 'url_blocked' THEN 1 ELSE 0 END) AS BIGINT)
@@ -349,6 +366,8 @@ object CurationQueries extends QueryModule {
          |    AS n_url_dup,
          |  CAST(SUM(CASE WHEN stage = 'host_capped' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_host_capped,
+         |  CAST(SUM(CASE WHEN stage = 'policy_blocked' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_policy_blocked,
          |  CAST(SUM(CASE WHEN stage = 'gopher_failed' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_gopher_failed,
          |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)

@@ -286,6 +286,10 @@ object TextQueries extends QueryModule {
     }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "quality_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
+    // content-policy wordlist gate: whole-word banned-term counts +
+    // integer-exact hit-budget/density verdicts with first-failure
+    // reason (the gopherRules recipe; C4/RefinedWeb-lineage filter)
+    "quality_policy_gate" -> ((s, d) => TextOps.policyGate(docs(s, d))),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
@@ -955,6 +959,21 @@ object TextQueries extends QueryModule {
          |  (r_word_count AND r_mean_word_len AND r_distinct_ratio
          |    AND r_stop_words) AS keep
          |FROM gr""".stripMargin
+    },
+
+    // content-policy gate: hit counts and both verdicts are integer
+    // arithmetic over the shared token split; the banned list and
+    // thresholds interpolate the SAME constants the Spark registration
+    // reads (defaults of TextOps.policyGate)
+    "quality_policy_gate" -> {
+      s"""WITH ${policyVerdictSql("documents")}
+         |SELECT doc_id, n_words, n_banned_hits, n_banned_distinct,
+         |  r_hit_count, r_density,
+         |  CASE WHEN NOT r_hit_count THEN 'hit_count'
+         |       WHEN NOT r_density THEN 'density'
+         |       ELSE NULL END AS fail_reason,
+         |  (r_hit_count AND r_density) AS keep
+         |FROM pv""".stripMargin
     },
 
     "corpus_source_stats" -> {
@@ -2141,6 +2160,29 @@ object TextQueries extends QueryModule {
        |    (n_distinct * 100 >= 45 * n_words) AS r_distinct_ratio,
        |    (n_stop_distinct >= 2) AS r_stop_words
        |  FROM gb)""".stripMargin
+  }
+
+  /** DuckDB replay of [[TextOps.policyGate]]'s verdict chain over the
+    * relation `base(doc_id, text)`: CTEs `pb` (integer counters) and
+    * `pv` (the two cross-multiplied rule verdicts). Banned list and
+    * thresholds interpolate the SAME constants the Spark registration
+    * reads — shared by the quality_policy_gate oracle and
+    * [[CurationQueries]]'s web_pipeline funnel. */
+  private[queries] def policyVerdictSql(base: String): String = {
+    val banned = TextOps.PolicyBannedTerms
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""pb AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($banned, t))) AS BIGINT) AS n_banned_hits,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+       |      t -> list_contains($banned, t)))) AS BIGINT)
+       |      AS n_banned_distinct
+       |  FROM $base),
+       |pv AS (SELECT doc_id, n_words, n_banned_hits, n_banned_distinct,
+       |    (n_banned_hits <= 3) AS r_hit_count,
+       |    (n_banned_hits * 1000 <= 60 * n_words) AS r_density
+       |  FROM pb)""".stripMargin
   }
 
   /** DuckDB spelling of the synthetic markup injection — interpolates

@@ -214,6 +214,40 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got.values.exists(_._9))
   }
 
+  test("policyGate: verdicts match a driver recomputation, both rules fire, matching is whole-word") {
+    val got = TextOps.policyGate(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), Option(r.getString(6)),
+        r.getBoolean(7))).toMap
+    val banned = TextOps.PolicyBannedTerms.toSet
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val (id, ws) = (r.getLong(0), r.getString(1).split(" ", -1).toSeq)
+      val hits = ws.filter(banned)
+      val (n, nh, nd) = (ws.length.toLong, hits.length.toLong,
+        hits.distinct.length.toLong)
+      val rHit = nh <= 3
+      val rDen = nh * 1000 <= 60 * n
+      val reason = if (!rHit) Some("hit_count")
+        else if (!rDen) Some("density") else None
+      assert(got(id) === ((n, nh, nd, rHit, rDen, reason, reason.isEmpty)),
+        s"doc $id")
+    }
+    // non-vacuous on the fixture: both reasons occur AND keepers exist
+    val reasons = got.values.flatMap(_._6).toSet
+    assert(reasons === Set("hit_count", "density"))
+    assert(got.values.exists(_._7))
+    // whole-word only: a term absent from the corpus ("exploit",
+    // "crash") never fires, and substring-adjacent words ("slower"
+    // would be, if the corpus had it) can't count — pinned by an
+    // explicit micro-fixture
+    import spark.implicits._
+    val micro = Seq((1L, "slow slower crashing exploit0 slow"),
+      (2L, "crash exploit")).toDF("doc_id", "text")
+    val m = TextOps.policyGate(micro).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m === Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap

@@ -188,7 +188,11 @@ class CurationSpec extends SparkSpec {
       // root path: stripping the slash may not empty the path
       ("https://ex.com/", "https://ex.com/"),
       ("https://ex.com/p?utm_source=x&gclid=g1&fbclid=f&ref=h", "https://ex.com/p"),
-      ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"))
+      ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"),
+      // repeated www prefixes strip to a fixed point in ONE pass — the
+      // idempotence contract below must hold for hosts the fixture
+      // never produces, not just the happy path
+      ("https://www.WWW.ex.com/p", "https://ex.com/p"))
     val got = TextOps.urlCanonicalize(
         cases.map(_._1).toDF("url"), col("url"))
       .select(col("url"), col("canon_url")).collect()
@@ -275,15 +279,15 @@ class CurationSpec extends SparkSpec {
     // each source's stage counts sum back to its raw count — every doc
     // is attributed to exactly ONE gate (or kept)
     assert(f.filter(col("n_raw") =!= col("n_url_blocked") + col("n_url_dup") +
-      col("n_host_capped") + col("n_gopher_failed") + col("n_kept"))
-      .count() === 0L)
+      col("n_host_capped") + col("n_policy_blocked") + col("n_gopher_failed") +
+      col("n_kept")).count() === 0L)
     val tot = f.agg(sum("n_raw"), sum("n_url_blocked"), sum("n_url_dup"),
-      sum("n_host_capped"), sum("n_gopher_failed"), sum("n_kept"),
-      sum("tokens_kept")).head
+      sum("n_host_capped"), sum("n_policy_blocked"), sum("n_gopher_failed"),
+      sum("n_kept"), sum("tokens_kept")).head
     assert(tot.getLong(0) === docs.count())
     // non-vacuous: every gate drops something, survivors carry tokens
-    (1 to 5).foreach(i => assert(tot.getLong(i) > 0L, s"stage $i vacuous"))
-    assert(tot.getLong(6) > 0L)
+    (1 to 6).foreach(i => assert(tot.getLong(i) > 0L, s"stage $i vacuous"))
+    assert(tot.getLong(7) > 0L)
     f.unpersist()
   }
 
