@@ -516,13 +516,64 @@ object StreamingJobs {
     }
   }
 
+  /** One raw-web document between the URL front-end and extraction:
+    * the payload [[hostCapStream]] carries through its keyed state. */
+  final case class WebDoc(ts: java.sql.Timestamp, doc_id: Long,
+                          source: String, host: String, atext: String,
+                          draw: Long)
+
+  /** STREAMING PER-HOST CAP — the live twin of
+    * [[graft.pipeline.TextOps.urlCanonicalDedup]]'s host window: keyed
+    * state holds ONE counter per host (O(1) — never the documents), and
+    * a document is admitted iff its host's cumulative admission count is
+    * still below `maxPerHost`, so a single mega-domain cannot dominate
+    * the ingested corpus no matter how long the stream runs. Runs
+    * BETWEEN canonical-URL dedup and extraction — a capped document
+    * never pays extraction, the same production stage order as the
+    * batch `web_pipeline`.
+    *
+    * Within a batch, documents are processed in (draw, doc_id) order —
+    * the SAME content-independent ranked draw (salt `urlcap`) the batch
+    * host window sorts by — so admission is deterministic under shuffle
+    * and, when each host's globally lowest-draw survivors arrive no
+    * later than its higher-draw ones (the single-batch case trivially,
+    * and any timeline StreamingSpec pins), the admitted set equals the
+    * batch `urlCanonicalDedup(maxPerHost)` keep set exactly. Across
+    * arbitrary batch splits the contract degrades to first-arrival (a
+    * late low-draw page finds its host already full) — the same
+    * documented first-arrival deviation as [[funnelStream]] and
+    * [[nearDupCandidates]]; the CAP ITSELF is never violated.
+    *
+    * Input: (ts, doc_id, source, host, atext). State per host never
+    * expires (`NoTimeout`): a host capped in January must still be
+    * capped in June, and the state is 8 bytes/host — |hosts| × O(1) is
+    * the smallest ledger any per-domain throttle can carry. */
+  def hostCapStream(docs: DataFrame, maxPerHost: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col("ts"), col("doc_id"), col("source"), col("host"),
+        col("atext"), graft.pipeline.TextOps.mdDraw6("urlcap").as("draw"))
+      .as[WebDoc]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[WebDoc], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[WebDoc]
+          it.toSeq.sortBy(d => (d.draw, d.doc_id)).foreach { d =>
+            if (n < maxPerHost) { n += 1; out += d }
+          }
+          state.update(n)
+          out.iterator
+      }.toDF()
+  }
+
   /** COMPOSED RAW-WEB CURATION JOB — [[curationStream]] with the crawl
     * front-end in front of it, still ONE streaming query under ONE
     * checkpoint (the streaming twin of the batch `curation_pipeline_html`
     * flagship). Input: (ts, doc_id, source, url, atext) — the fetch URL
     * plus raw markup. Stages, in production order (cheapest and most
-    * selective first — a blocked or already-seen URL never pays
-    * extraction, let alone tokenization):
+    * selective first — a blocked, already-seen, or host-capped URL never
+    * pays extraction, let alone tokenization):
     *
     *  0a. URL POLICY — [[graft.pipeline.TextOps.urlBlocklistFlags]]:
     *      canonicalize (case/www/default-port/tracking-param/fragment
@@ -532,7 +583,13 @@ object StreamingJobs {
     *      url: recrawls and tracking-param variants of an already-
     *      ingested page are dropped by keyed state (one row per
     *      in-watermark canonical URL) before the document is extracted.
-    *  0c. EXTRACTION — [[graft.pipeline.TextOps.extractHtml]]: strip
+    *  0c. PER-HOST CAP — [[hostCapStream]]: at most `maxPerHost`
+    *      admitted documents per canonical host over the stream's
+    *      LIFETIME (one counter per host), enforcing the same
+    *      mega-domain throttle as the batch funnel's
+    *      `urlCanonicalDedup(maxPerHost)` window. Duplicates never
+    *      consume cap slots — they were dropped in 0b.
+    *  0d. EXTRACTION — [[graft.pipeline.TextOps.extractHtml]]: strip
     *      chrome blocks and tags, decode entities; the extracted text
     *      REPLACES `text`, so stages 1-4 see exactly what the batch
     *      pipeline's gates see.
@@ -540,15 +597,20 @@ object StreamingJobs {
     *      dedup → frozen-BPE billing → accepted-volume anomaly monitor,
     *      via the shared sink.
     *
-    * TWO keyed-state stores live under the one checkpoint (canonical
-    * URL, then content fingerprint — Spark's chained-stateful-operator
-    * support in append mode); both are evicted by the SAME watermark.
-    * Batch parity and restored-state drops (a post-restart recrawl AND
-    * a post-restart content mirror) are pinned in StreamingSpec. */
+    * THREE keyed-state stores live under the one checkpoint (canonical
+    * URL, host counter, then content fingerprint — Spark's
+    * chained-stateful-operator support in append mode); the dedup
+    * stores are evicted by the SAME watermark (re-asserted after the
+    * cap, whose typed transform drops the event-time tag), the host
+    * counters deliberately never expire. Batch parity and
+    * restored-state drops (a post-restart recrawl, a post-restart
+    * mega-host page, AND a post-restart content mirror) are pinned in
+    * StreamingSpec. */
   def webCurationStream(docs: DataFrame, merges: Seq[(String, String)],
                         outDir: String,
                         blockedHosts: Seq[String] = Nil,
                         blockedPathPrefixes: Seq[String] = Nil,
+                        maxPerHost: Int = 4,
                         lang: String = "en", minQuality: Double = 0.6,
                         watermark: String = "1 hour", zThresh: Double = 2.5,
                         minBaseline: Int = 12)
@@ -559,7 +621,9 @@ object StreamingJobs {
       .filter(col("keep"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
-    val extracted = TextOps.extractHtml(front, col("atext"))
+    val capped = hostCapStream(front, maxPerHost)
+      .withWatermark("ts", watermark)
+    val extracted = TextOps.extractHtml(capped, col("atext"))
       .select(col("ts"), col("doc_id"), col("source"),
         col("clean_text").as("text"))
     val gated = TextOps.gateProjection(extracted)

@@ -601,6 +601,9 @@ class StreamingSpec extends SparkSpec {
       StreamingJobs.webCurationStream(
           spark.readStream.schema(schema).parquet(s"$base/src"),
           merges, s"$base/out", hosts, prefixes,
+          // cap high: THIS test isolates the two dedup stores (doc 12's
+          // mirror must reach the content-fp state, not die at the cap)
+          maxPerHost = 100,
           watermark = "30 days", minBaseline = 3)
         .option("checkpointLocation", s"$base/ckpt").start()
     val h0 = 3000L
@@ -671,6 +674,81 @@ class StreamingSpec extends SparkSpec {
     // and paths (4, 5), the recrawls (11, 14), the mirror (12) and the
     // gated docs (6, 13) never reach billing
     assert(streamBill.map(_._1) == Set(1L, 2L, 10L))
+  }
+
+  test("streaming per-host cap: admitted set equals the batch urlCanonicalDedup(maxPerHost) " +
+       "survivors on the same timeline, including across a stop/restart") {
+    // the r12 parity gap: batch web_pipeline capped survivors per host,
+    // the streaming twin didn't. hostCapStream closes it — one counter
+    // per host under the same checkpoint as the two dedup stores. The
+    // fixture's doc_ids are chosen so each host's globally lowest-draw
+    // survivors arrive in batch 1 (mdDraw6("urlcap") values noted per
+    // doc), the regime where the stream's first-arrival admission
+    // provably equals the batch ranked-draw window; the restart between
+    // batches proves the host counters RESTORE (a post-restart page on
+    // a full host is dropped with no in-batch sibling to count against).
+    import graft.pipeline.TextOps
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.types._
+    val base = s"target/graft-tmp/web_hostcap_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("url", StringType), StructField("atext", StringType)))
+    val merges = Seq("t" -> "h", "th" -> "e")
+    def start(): StreamingQuery =
+      StreamingJobs.webCurationStream(
+          spark.readStream.schema(schema).parquet(s"$base/src"),
+          merges, s"$base/out", Nil, Nil, maxPerHost = 2,
+          watermark = "30 days", minBaseline = 3)
+        .option("checkpointLocation", s"$base/ckpt").start()
+    val h0 = 3000L
+    def text(w: String) =
+      s"the $w resonance of ${w}like systems generates coherent harmonic structures"
+    def doc(id: Long, url: String, w: String) =
+      (ts(h0 * 3600 + id), id, "s0", url, text(w))
+    // draws (salt urlcap): 3→89150, 24→329044, 21→614273 (host a);
+    //                      25→154258, 22→619295 (host b)
+    val b1 = Seq(
+      doc(3L, "https://sa.example.com/p3", "alpha"),
+      doc(24L, "https://sa.example.com/p24", "beta"),
+      doc(21L, "https://sa.example.com/p21", "gamma"), // 3rd-lowest draw: capped IN-batch
+      doc(25L, "https://sb.example.com/p25", "delta"),
+      doc(22L, "https://sb.example.com/p22", "epsilon"))
+    // draws: 20→709166 (host a), 11→734879 (host b) — both higher than
+    // every batch-1 survivor of their host, so batch ranked-draw and
+    // stream first-arrival agree on dropping them
+    val b2 = Seq(
+      doc(20L, "https://sa.example.com/p20", "zeta"),   // host a full: restored counter drops it
+      doc(11L, "https://sb.example.com/p11", "eta"),    // host b full: restored counter drops it
+      // recrawl of p3 (tracking variant): dropped by restored URL state
+      // BEFORE the cap — duplicates never consume cap slots. Its id is
+      // HIGHER than the original's so the batch twin's min-doc_id dedup
+      // also keeps doc 3 (first-arrival == min-id on this timeline)
+      doc(26L, "HTTPS://WWW.sa.example.com:443/p3?utm_source=x", "theta"))
+    b1.toDF("ts", "doc_id", "source", "url", "atext")
+      .write.mode("append").parquet(s"$base/src")
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    b2.toDF("ts", "doc_id", "source", "url", "atext")
+      .write.mode("append").parquet(s"$base/src")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamIds = spark.read.parquet(s"$base/out/bill/batch_*")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // batch twin over the UNION of the timeline: the ranked-draw window
+    val batchIds = TextOps.urlCanonicalDedup(
+        (b1 ++ b2).toDF("ts", "doc_id", "source", "url", "atext"),
+        col("url"), maxPerHost = 2)
+      .filter(col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamIds == batchIds)
+    assert(streamIds == Set(3L, 24L, 25L, 22L))
+    assert(!streamIds.contains(21L)) // capped within batch 1
+    assert(!streamIds.contains(20L)) // capped by RESTORED host-a counter
+    assert(!streamIds.contains(11L)) // capped by RESTORED host-b counter
+    assert(!streamIds.contains(26L)) // URL dup: dropped before the cap
   }
 
   test("rescaler manages the curation stream: dedup state and billing stay exactly-once across a rescale") {
