@@ -706,6 +706,83 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** The hard-strip subset of [[HtmlBlockPatterns]]: elements whose
+    * CONTENT is never text (head/script/style). nav/footer are absent
+    * deliberately — the block extractor drops them by SCORING, not by
+    * name. */
+  val HtmlHardStripPatterns: Seq[String] = HtmlBlockPatterns.take(3)
+
+  /** Block-boundary tags: splitting markup at these yields the candidate
+    * text blocks a density-based extractor scores (the trafilatura/
+    * jusText shape). RE2/Java-portable. */
+  val HtmlBlockSplitPattern: String =
+    "(?i)</?(?:p|div|section|article|main|li|ul|ol|h[1-6]|table|thead|" +
+      "tbody|tr|td|th|br|nav|header|footer|aside|blockquote)[^>]*>"
+
+  /** Anchor element with its visible text as group 1 (non-greedy — RE2
+    * and Java agree on lazy quantifiers; no backreferences). */
+  val HtmlAnchorPattern: String = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Legal/attribution boilerplate dropped even when link-light: blocks
+    * OPENING with a copyright marker (entity-decoded, so &copy; has
+    * already become "(c)"). */
+  val HtmlBoilerplatePattern: String =
+    "(?i)^(\\(c\\)|copyright|all rights reserved)"
+
+  /** Minimum visible characters for a block to count as content. */
+  val BlockMinLen = 25
+
+  /** Link-density keep rule as an integer cross-multiplication (the
+    * gopherRules trick — no division, bit-exact in any engine): keep
+    * iff link_len · X <= len, i.e. density <= 1/X. */
+  val BlockLinkDensityX = 3
+
+  /** DOM-AWARE BLOCK EXTRACTION — the production-shape upgrade of
+    * [[extractHtml]] (trafilatura/jusText style): instead of stripping
+    * chrome by tag NAME, split the page into candidate blocks at
+    * block-level boundaries and SCORE each block — visible length and
+    * link density — keeping only content-dense blocks. Navigation bars
+    * and link farms die because they are short and link-saturated, not
+    * because someone enumerated their tag; a copyright line dies by the
+    * boilerplate opener rule. Everything is per-row string/array
+    * expressions (split → transform → filter → array_join), no shuffle,
+    * whole-stage codegen — and every pattern is RE2/Java-portable so
+    * the DuckDB oracle replays clean_text byte-for-byte.
+    *
+    * Keep rule, integer-exact: len(t) >= [[BlockMinLen]] AND
+    * link_len · [[BlockLinkDensityX]] <= len(t) AND t does not open
+    * with a copyright marker. link_len is the visible anchor-text mass
+    * of the block (anchors joined, tags stripped, whitespace collapsed
+    * — the same normalization the block text gets).
+    *
+    * Output: all input columns + (n_blocks, n_kept, clean_text). */
+  def extractBlocks(docs: DataFrame, raw: Column): DataFrame = {
+    val pre = HtmlHardStripPatterns.foldLeft(raw)((c, p) =>
+      regexp_replace(c, lit(p), lit(" ")))
+    def btext(b: Column): Column = {
+      val noTags = regexp_replace(b, lit(HtmlTagPattern), lit(" "))
+      val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+        replace(c, lit(e), lit(r)) }
+      trim(regexp_replace(decoded, lit(WsPattern), lit(" ")))
+    }
+    def linkLen(b: Column): Column =
+      length(trim(regexp_replace(
+        regexp_replace(
+          array_join(regexp_extract_all(b, lit(HtmlAnchorPattern), lit(1)), " "),
+          lit(HtmlTagPattern), lit(" ")),
+        lit(WsPattern), lit(" ")))).cast("long")
+    val blocks = transform(split(pre, HtmlBlockSplitPattern),
+      b => struct(btext(b).as("t"), linkLen(b).as("l")))
+    val kept = filter(blocks, s =>
+      length(s("t")) >= BlockMinLen &&
+        s("l") * BlockLinkDensityX <= length(s("t")) &&
+        !s("t").rlike(HtmlBoilerplatePattern))
+    docs.select(col("*"),
+      size(filter(blocks, s => length(s("t")) > 0)).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, s => s("t")), " ").as("clean_text"))
+  }
+
   /** Deterministic synthetic URL fixture (the corpus carries `source`
     * but no URL column): every document gets a messy-but-realistic URL
     * whose noise axes — scheme case, www prefix, default vs explicit

@@ -709,12 +709,24 @@ object TextQueries extends QueryModule {
           col("clean_len"), col("n_tags"), col("markup_ratio"))
     }),
 
+    // DOM-AWARE BLOCK EXTRACTION (r13) — the density-scored upgrade of
+    // text_extract_html: split at block boundaries, score each block on
+    // visible length + link density + boilerplate opener, keep only
+    // content; nav/footer die by SCORE, not by tag name
+    "text_extract_blocks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.extractBlocks(TextOps.htmlInject(docs(s, d)), col("atext"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("clean_text"))
+    }),
+
     // the curation flagship consuming EXTRACTED text: markup injected,
-    // stripped back out, then the same three gates + shard assignment
-    // run over the clean text — the end-to-end raw-web shape
+    // block-extracted back out (extractBlocks — the density-scored
+    // production path since r13), then the same three gates + shard
+    // assignment run over the clean text — the end-to-end raw-web shape
     "curation_pipeline_html" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val cleaned = TextOps.extractHtml(TextOps.htmlInject(docs(s, d)),
+      val cleaned = TextOps.extractBlocks(TextOps.htmlInject(docs(s, d)),
           col("atext"))
         .select(col("doc_id"), col("source"), col("lang"),
           col("clean_text").as("text"))
@@ -2111,12 +2123,27 @@ object TextQueries extends QueryModule {
     "curation_pipeline" -> curationSqlFor("documents"),
 
     // same chain over EXTRACTED text: inject the shared markup
-    // fixture, replay the strip/decode/collapse pipeline, then gate
+    // fixture, replay the block-split/score/keep extraction, then gate
     "curation_pipeline_html" -> curationSqlFor("dclean",
-      s"""dclean AS MATERIALIZED (SELECT doc_id, source, lang,
-         |  ${extractCleanSql("atext")} AS text
+      s"""bsrc AS (SELECT doc_id, source, lang,
+         |  ${blockStructsSql("atext")} AS bs
          |  FROM ($htmlInjectSql)),
+         |dclean AS MATERIALIZED (SELECT doc_id, source, lang,
+         |  COALESCE(array_to_string(list_transform($blocksKeptSql, s -> s.t), ' '), '') AS text
+         |  FROM bsrc),
          |""".stripMargin),
+
+    // the block extractor replayed stage-for-stage: same injected
+    // fixture, same split/score/keep chain, exact clean text
+    "text_extract_blocks" ->
+      s"""WITH t AS MATERIALIZED ($htmlInjectSql),
+         |b0 AS (SELECT doc_id, ${blockStructsSql("atext")} AS bs FROM t),
+         |b1 AS (SELECT doc_id, bs, $blocksKeptSql AS kept FROM b0)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(bs, s -> length(s.t) > 0)) AS BIGINT) AS n_blocks,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(list_transform(kept, s -> s.t), ' '), '') AS clean_text
+         |FROM b1""".stripMargin,
 
     // markup extraction replayed stage-for-stage: same injected
     // fixture, same RE2-portable strip/decode chain, exact clean text
@@ -2199,6 +2226,35 @@ object TextQueries extends QueryModule {
   /** DuckDB replay of [[TextOps.extractHtml]]'s clean-text chain over
     * raw column `raw`: block strips, tag strip, entity decode, collapse
     * — each stage interpolating the shared pattern constants. */
+  /** DuckDB replay of [[TextOps.extractBlocks]]'s per-block struct list
+    * over a raw-markup column: hard-strip head/script/style, split at
+    * block boundaries, and for each block compute (t = visible text via
+    * the shared tag-strip/entity-decode/ws-collapse chain, l = visible
+    * anchor-text mass under the SAME normalization). Interpolates the
+    * same TextOps constants the Spark expressions read. */
+  private def blockStructsSql(raw: String): String = {
+    val pre = TextOps.HtmlHardStripPatterns.foldLeft(raw)((acc, p) =>
+      s"regexp_replace($acc, '$p', ' ', 'g')")
+    val noTags = s"regexp_replace(b, '${TextOps.HtmlTagPattern}', ' ', 'g')"
+    val decoded = TextOps.HtmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+      val rl = if (r == "'") "chr(39)" else s"'$r'"
+      s"replace($acc, '$e', $rl)" }
+    val bt = s"trim(regexp_replace($decoded, '${TextOps.WsPattern}', ' ', 'g'))"
+    // COALESCE: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+    val ll = "CAST(length(trim(regexp_replace(regexp_replace(" +
+      s"COALESCE(array_to_string(regexp_extract_all(b, '${TextOps.HtmlAnchorPattern}', 1), ' '), ''), " +
+      s"'${TextOps.HtmlTagPattern}', ' ', 'g'), '${TextOps.WsPattern}', ' ', 'g'))) AS BIGINT)"
+    s"list_transform(regexp_split_to_array($pre, '${TextOps.HtmlBlockSplitPattern}'), " +
+      s"b -> {'t': $bt, 'l': $ll})"
+  }
+
+  /** The keep rule over a struct list named `bs` — integer-exact, the
+    * same three conditions as the Spark filter. */
+  private def blocksKeptSql: String =
+    s"list_filter(bs, s -> length(s.t) >= ${TextOps.BlockMinLen} AND " +
+      s"s.l * ${TextOps.BlockLinkDensityX} <= length(s.t) AND " +
+      s"NOT regexp_matches(s.t, '${TextOps.HtmlBoilerplatePattern}'))"
+
   private[queries] def extractCleanSql(raw: String): String = {
     val noBlocks = TextOps.HtmlBlockPatterns.foldLeft(raw)((acc, p) =>
       s"regexp_replace($acc, '$p', ' ', 'g')")

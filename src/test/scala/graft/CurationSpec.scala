@@ -175,6 +175,41 @@ class CurationSpec extends SparkSpec {
     ex.unpersist()
   }
 
+  test("extractBlocks: content kept; nav dies by link density, footer by boilerplate opener, stubs by length") {
+    import spark.implicits._
+    val long = "the quick brown fox jumps over the lazy dog again and again"
+    val page = "<html><head><title>x</title><script>var a=1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> - <a href=\"/about\">About</a></nav>" +
+      s"<div><p>$long</p></div>" +
+      "<ul><li><a href=\"/1\">One link</a></li><li><a href=\"/2\">Two link</a></li></ul>" +
+      "<footer>&copy; 2026 Example Corporation - All rights reserved " +
+      "<a href=\"/tos\">Terms</a></footer></body></html>"
+    val got = TextOps.extractBlocks(
+        Seq((1L, page)).toDF("doc_id", "atext"), col("atext"))
+      .select(col("n_blocks"), col("n_kept"), col("clean_text"))
+      .collect().head
+    // only the content paragraph survives: nav (link-saturated), the li
+    // stubs (short), and the footer (long and link-light, but opens with
+    // the decoded copyright marker) are all scored out
+    assert(got.getString(2) === long)
+    assert(got.getLong(1) === 1L)
+    assert(got.getLong(0) >= 4L) // ...but they all COUNTED as blocks
+    // a long paragraph with light linking is kept, anchor text inline
+    val linky = s"<p>$long with a <a href=\"x\">single link</a> inside</p>"
+    val g2 = TextOps.extractBlocks(
+        Seq((2L, linky)).toDF("doc_id", "atext"), col("atext"))
+      .select(col("clean_text")).collect().head.getString(0)
+    assert(g2.startsWith(long) && g2.endsWith("single link inside"))
+    // a link farm of comparable length dies by density alone
+    val farm = "<p>" +
+      (1 to 8).map(i => s"<a href=\"/$i\">link number $i</a>").mkString(" ") +
+      "</p>"
+    val g3 = TextOps.extractBlocks(
+        Seq((3L, farm)).toDF("doc_id", "atext"), col("atext"))
+      .select(col("n_kept")).collect().head.getLong(0)
+    assert(g3 === 0L)
+  }
+
   test("urlCanonicalize: case, www, default ports, tracking params, ordering, fragments") {
     import spark.implicits._
     val cases = Seq(
