@@ -39,7 +39,12 @@ object Bench {
     // so cross-round totals stay comparable (the r12 headline drop was
     // partly this accounting move — now the moved cost stays visible).
     val tFix0 = System.nanoTime()
-    try {
+    // SPARK_GRAFT_SKIP_FIXTURES=1 skips the BPE/PCA fixture fits: scale
+    // probes of non-fixture queries (e.g. the URL funnel on a 100x /tmp
+    // corpus) would otherwise pay a corpus-sized tokenizer fit they
+    // never read. fixture_warmup_sec then reports ~0 honestly.
+    val skipFixtures = sys.env.get("SPARK_GRAFT_SKIP_FIXTURES").contains("1")
+    try if (!skipFixtures) {
       val docs = Tables.documents(spark, sfDir)
       graft.pipeline.BpeFixture.learnedState(docs, sfDir, nMerges = 20)
       val sp = graft.pipeline.TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
