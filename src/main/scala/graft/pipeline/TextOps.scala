@@ -178,6 +178,64 @@ object TextOps {
         round(col("n_tokens").cast("double") / col("tot") + lit(1e-9), 6).as("share"))
   }
 
+  /** UNIMAX MIXTURE ALLOCATION — the budget-constrained, epoch-capped
+    * language-sampling allocator (UniMax, Chung et al. ICLR 2023; the
+    * mT5/PaLM-era successor to temperature sampling): given a token
+    * budget B = budgetFactor · Σ n_lang and a per-language cap of
+    * maxEpochs · n_lang tokens, water-fill the budget uniformly across
+    * languages, capping each language at its epoch ceiling and
+    * redistributing the excess to the rest. Closed form via the ascending
+    * cap order: language i (1-based, caps sorted ascending) is CAPPED iff
+    * c_i · (L − i + 1) ≤ B − Σ_{j<i} c_j (the condition is prefix-
+    * monotone), the rest split the remainder evenly.
+    *
+    * Shape: one lang groupBy (partial-agg shuffle over the corpus scan),
+    * then the whole allocator runs as ARRAY expressions on the single
+    * collected-to-a-row language list (languages are bounded — the m2/m10
+    * bounded-frame pattern; deliberately NOT an unpartitioned window, so
+    * the WarnProbe global-window gate stays clean). All the waterfill
+    * arithmetic is BIGINT-exact — prefix sums via slice folds, the one
+    * division at the end — so the DuckDB oracle replays it bit-for-bit.
+    * Output: (lang, n_tokens, cap, capped, alloc, epochs). */
+  def unimaxAllocation(docs: DataFrame, maxEpochs: Int = 4,
+                       budgetFactor: Int = 3): DataFrame = {
+    // Σ caps = maxEpochs·total > budget = budgetFactor·total ⇒ at least
+    // one language stays uncapped, so the remainder division is safe
+    require(budgetFactor < maxEpochs,
+      s"budgetFactor ($budgetFactor) must be < maxEpochs ($maxEpochs)")
+    val counts = docs.groupBy(col("lang"))
+      .agg(sum(size(tokens)).cast("long").as("n"))
+    val packed = counts.agg(
+      sort_array(collect_list(struct((col("n") * maxEpochs).as("c"),
+        col("lang"), col("n")))).as("xs"),
+      sum(col("n")).as("tot"), count(lit(1)).as("nl"))
+    val b = (col("tot") * budgetFactor).as("b")
+    def cumBefore(i: Column): Column = // Σ c over the first i-1 entries
+      aggregate(slice(col("xs"), lit(1), i - 1), lit(0L), (a, x) => a + x("c"))
+    val withThr = packed.select(col("xs"), col("nl"), b)
+      // thr = largest 1-based index whose prefix-monotone cap condition
+      // holds (0 when the budget caps nobody)
+      .withColumn("thr", coalesce(array_max(filter(
+        transform(col("xs"), (x, i0) =>
+          when(x("c") * (col("nl") - (i0 + 1) + 1) <= col("b") - cumBefore(i0 + 1),
+            i0 + 1)),
+        f => f.isNotNull)), lit(0)))
+      .withColumn("sthr",
+        aggregate(slice(col("xs"), lit(1), col("thr")), lit(0L), (a, x) => a + x("c")))
+    withThr.select(explode(transform(col("xs"), (x, i0) => struct(
+        x("lang").as("lang"), x("n").as("n_tokens"), x("c").as("cap"),
+        (i0 + 1 <= col("thr")).as("capped"),
+        when(i0 + 1 <= col("thr"), x("c").cast("double"))
+          .otherwise((col("b") - col("sthr")).cast("double")
+            / (col("nl") - col("thr")).cast("double")).as("alloc0"))))
+        .as("r"))
+      .select(col("r.lang").as("lang"), col("r.n_tokens").as("n_tokens"),
+        col("r.cap").as("cap"), col("r.capped").as("capped"),
+        round(col("r.alloc0") + lit(1e-9), 4).as("alloc"),
+        round(col("r.alloc0") / col("r.n_tokens").cast("double") + lit(1e-9), 4)
+          .as("epochs"))
+  }
+
   /** Quality score: blend of length, stopword ratio, token length and
     * lexical diversity — the standard cheap pre-filter for web-scale corpus
     * cleaning (length/punct/stopword-ratio heuristics). */

@@ -486,6 +486,13 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"), col("bpe_tokens").as("n_tokens")))
     }),
 
+    // UNIMAX ALLOCATION (r13) — the budget-constrained epoch-capped
+    // language-sampling waterfill (UniMax, ICLR 2023): caps every
+    // language at 4 epochs, splits a 3x-corpus token budget uniformly
+    // over the rest; closed-form prefix-monotone allocator over the
+    // bounded language list, BIGINT-exact until the one final division
+    "mixture_unimax" -> ((s, d) => TextOps.unimaxAllocation(docs(s, d))),
+
     // GPT-2-style pretokenization (category-run segmentation): the token
     // unit a BPE tokenizer budgets with, vs whitespace words
     "text_pretokenize" -> ((s, d) => TextOps.pretokenStats(docs(s, d))),
@@ -1633,6 +1640,37 @@ object TextQueries extends QueryModule {
         |  ROUND(CAST(tokens_total AS DOUBLE)
         |    / CAST(n_packs * 256 AS DOUBLE) + 1e-9, 6) AS packed_util
         |FROM per CROSS JOIN pk""".stripMargin,
+
+    // the UniMax waterfill replayed over the same bounded language
+    // list: BIGINT prefix sums (order-free because integer), the
+    // prefix-monotone cap condition, one final double division
+    "mixture_unimax" -> {
+      val cumBefore = "COALESCE(list_sum(list_transform(xs[1:i-1], s -> s.c)), 0)"
+      val alloc = """CASE WHEN i <= thr THEN CAST(xs[i].c AS DOUBLE)
+        |      ELSE CAST(b - sthr AS DOUBLE) / CAST(nl - thr AS DOUBLE) END"""
+        .stripMargin
+      s"""WITH c AS (SELECT lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang),
+         |p AS (SELECT
+         |    list({'c': n * 4, 'lang': lang, 'n': n} ORDER BY n * 4, lang) AS xs,
+         |    CAST(SUM(n) AS BIGINT) * 3 AS b, COUNT(*) AS nl FROM c),
+         |t1 AS (SELECT xs, b, nl,
+         |    COALESCE(list_max(list_filter(list_transform(range(1, nl + 1),
+         |      i -> CASE WHEN xs[i].c * (nl - i + 1) <= b - $cumBefore
+         |           THEN i END), f -> f IS NOT NULL)), 0) AS thr
+         |  FROM p),
+         |t2 AS (SELECT xs, b, nl, thr,
+         |    COALESCE(list_sum(list_transform(xs[1:thr], s -> s.c)), 0) AS sthr
+         |  FROM t1),
+         |rows_ AS (SELECT xs, b, nl, thr, sthr,
+         |    UNNEST(range(1, nl + 1)) AS i FROM t2)
+         |SELECT xs[i].lang AS lang, xs[i].n AS n_tokens, xs[i].c AS cap,
+         |  i <= thr AS capped,
+         |  ROUND($alloc + 1e-9, 4) AS alloc,
+         |  ROUND(($alloc) / CAST(xs[i].n AS DOUBLE) + 1e-9, 4) AS epochs
+         |FROM rows_""".stripMargin
+    },
 
     // same shingle-min spelling as text_fingerprints — the native
     // expression must land on the identical value

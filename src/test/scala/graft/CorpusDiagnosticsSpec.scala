@@ -261,4 +261,29 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }.map { case (k, v) => k -> v.length.toLong }
     assert(m == expected)
   }
+
+  test("unimaxAllocation: waterfill caps small languages at their epoch ceiling, " +
+       "splits the remainder, and conserves the budget exactly") {
+    import spark.implicits._
+    // hand-solved: caps 400/800/4000, budget 3·1300 = 3900;
+    // i=1: 400·3 ≤ 3900 capped; i=2: 800·2 ≤ 3500 capped;
+    // i=3: 4000·1 ≤ 2700 fails → thr=2, c gets 3900−1200 = 2700
+    def doc(lang: String, n: Int) = (lang, (1 to n).map(i => s"w$i").mkString(" "))
+    val d = Seq(doc("a", 100), doc("b", 200), doc("c", 1000))
+      .toDF("lang", "text")
+    val got = TextOps.unimaxAllocation(d, maxEpochs = 4, budgetFactor = 3)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("cap"), r.getAs[Boolean]("capped"),
+          r.getAs[Double]("alloc"), r.getAs[Double]("epochs")))).toMap
+    assert(got("a") === ((400L, true, 400.0, 4.0)))
+    assert(got("b") === ((800L, true, 800.0, 4.0)))
+    assert(got("c") === ((4000L, false, 2700.0, 2.7)))
+    // budget conservation: allocations sum to exactly budgetFactor·total
+    assert(got.values.map(_._3).sum === 3900.0)
+    // degenerate guard: a budget at or above the epoch cap is a
+    // contract violation (division by zero otherwise), not a result
+    intercept[IllegalArgumentException] {
+      TextOps.unimaxAllocation(d, maxEpochs = 4, budgetFactor = 4)
+    }
+  }
 }
