@@ -29,6 +29,12 @@ package graft.models
   */
 object GbtLocal {
 
+  /** The reference's max_depth (analytics/app/latency/models.py:28-54)
+    * — shared by [[fit]]'s default and the recursive DuckDB oracle's
+    * per-tree iteration stride (maxDepth split levels + 1 boundary), so
+    * a depth change cannot silently desync the replay. */
+  val DefaultMaxDepth = 10
+
   /** Binary tree node; `feat < 0` marks a leaf carrying `value`. */
   final case class Node(feat: Int, thr: Double, value: Double,
                         left: Node, right: Node) extends Serializable {
@@ -126,7 +132,7 @@ object GbtLocal {
     * residuals and advances F by lr·tree (squared loss ⇒ the gradient IS
     * the residual, and leaf means are the exact line-search optimum). */
   def fit(xs: Array[Array[Double]], y: Array[Double], nTrees: Int,
-          maxDepth: Int = 10, lr: Double = 0.1): Model = {
+          maxDepth: Int = DefaultMaxDepth, lr: Double = 0.1): Model = {
     require(xs.nonEmpty && xs.length == y.length, "non-empty, aligned train set")
     val n = y.length
     val init = { var s = 0.0; var i = 0; while (i < n) { s += y(i); i += 1 }; s / n }

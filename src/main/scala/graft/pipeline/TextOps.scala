@@ -351,9 +351,16 @@ object TextOps {
     * reason attribution: hit_count wins over density. Output: (doc_id,
     * n_words, n_banned_hits, n_banned_distinct, r_hit_count,
     * r_density, fail_reason, keep). */
+  /** Default hit-budget / density thresholds for [[policyGate]] —
+    * shared constants so the DuckDB verdict replay
+    * (TextQueries.policyVerdictSql) cannot desync from the defaults. */
+  val PolicyMaxHits = 3
+  val PolicyMaxPerMille = 60
+
   def policyGate(docs: DataFrame,
                  banned: Seq[String] = PolicyBannedTerms,
-                 maxHits: Int = 3, maxPerMille: Int = 60): DataFrame = {
+                 maxHits: Int = PolicyMaxHits,
+                 maxPerMille: Int = PolicyMaxPerMille): DataFrame = {
     val ts = tokens
     val hits = filter(ts, t => t.isInCollection(banned))
     docs.select(col("doc_id"),
@@ -764,11 +771,16 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
-  /** The hard-strip subset of [[HtmlBlockPatterns]]: elements whose
-    * CONTENT is never text (head/script/style). nav/footer are absent
-    * deliberately — the block extractor drops them by SCORING, not by
-    * name. */
-  val HtmlHardStripPatterns: Seq[String] = HtmlBlockPatterns.take(3)
+  /** The hard-strip set for the block extractor: elements whose CONTENT
+    * is never text (head/script/style), spelled explicitly rather than
+    * positionally off [[HtmlBlockPatterns]] so reordering that list can
+    * never silently change what gets hard-stripped. nav/footer are
+    * absent deliberately — the block extractor drops them by SCORING,
+    * not by name. */
+  val HtmlHardStripPatterns: Seq[String] = Seq(
+    "(?s)<head>.*?</head>",
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>")
 
   /** Block-boundary tags: splitting markup at these yields the candidate
     * text blocks a density-based extractor scores (the trafilatura/
@@ -778,8 +790,10 @@ object TextOps {
       "tbody|tr|td|th|br|nav|header|footer|aside|blockquote)[^>]*>"
 
   /** Anchor element with its visible text as group 1 (non-greedy — RE2
-    * and Java agree on lazy quantifiers; no backreferences). */
-  val HtmlAnchorPattern: String = "(?is)<a[^>]*>(.*?)</a>"
+    * and Java agree on lazy quantifiers; no backreferences). The tag
+    * name is boundary-anchored — `<a>` or `<a ...>`, never `<abbr>` /
+    * `<address>` / `<audio>`, whose text is content, not link mass. */
+  val HtmlAnchorPattern: String = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
 
   /** Legal/attribution boilerplate dropped even when link-light: blocks
     * OPENING with a copyright marker (entity-decoded, so &copy; has
@@ -823,12 +837,13 @@ object TextOps {
         replace(c, lit(e), lit(r)) }
       trim(regexp_replace(decoded, lit(WsPattern), lit(" ")))
     }
+    // the anchor mass gets EXACTLY the block-text normalization (tag
+    // strip, entity decode, whitespace collapse) so the density compares
+    // like with like — entity-heavy anchors must not overcount
     def linkLen(b: Column): Column =
-      length(trim(regexp_replace(
-        regexp_replace(
-          array_join(regexp_extract_all(b, lit(HtmlAnchorPattern), lit(1)), " "),
-          lit(HtmlTagPattern), lit(" ")),
-        lit(WsPattern), lit(" ")))).cast("long")
+      length(btext(
+        array_join(regexp_extract_all(b, lit(HtmlAnchorPattern), lit(1)), " ")))
+        .cast("long")
     val blocks = transform(split(pre, HtmlBlockSplitPattern),
       b => struct(btext(b).as("t"), linkLen(b).as("l")))
     // staged projections: the block array (the whole split+regex chain)
@@ -986,13 +1001,22 @@ object TextOps {
     * treatment, not a bigger sort. Output: (doc_id, url, host,
     * canon_url, is_url_dup, host_rank, keep). */
   def urlCanonicalDedup(docs: DataFrame, url: Column, maxPerHost: Int,
-                        salt: String = "urlcap"): DataFrame = {
+                        salt: String = "urlcap"): DataFrame =
+    urlCapWindows(urlCanonicalize(docs, url), maxPerHost, salt)
+
+  /** The dedup + host-cap windows of [[urlCanonicalDedup]] over a frame
+    * that ALREADY carries (doc_id, url, host, canon_url) — so a caller
+    * that just canonicalized for the blocklist gate (the web_pipeline
+    * funnel) does not pay the ~8-regex canonicalization chain a second
+    * time. */
+  def urlCapWindows(canon: DataFrame, maxPerHost: Int,
+                    salt: String = "urlcap"): DataFrame = {
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canon_url")).orderBy(col("doc_id"))
     val wHost = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("is_url_dup"), col("draw"), col("doc_id"))
-    urlCanonicalize(docs, url)
+    canon
       .withColumn("is_url_dup", row_number().over(wDup) > 1)
       .withColumn("draw", mdDraw6(salt))
       .withColumn("host_rank",

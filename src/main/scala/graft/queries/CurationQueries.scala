@@ -67,7 +67,16 @@ object CurationQueries extends QueryModule {
     // canonical-URL dedup + per-host cap → HTML extraction →
     // content-policy wordlist gate → Gopher rules, with each document
     // attributed to the FIRST gate that dropped it and the kept token
-    // volume summed. Every stage is a per-row pass or a
+    // volume summed.
+    //
+    // EXTRACTION TIER CHOICE (deliberate): the funnel uses the cheap
+    // pattern-strip extractHtml — at crawl volume the gates only need
+    // text good enough for a keep/drop verdict, and extraction here runs
+    // on every URL survivor. The density-scored TextOps.extractBlocks is
+    // the CURATION-tier extractor (curation_pipeline_html), applied to
+    // documents that already earned the deeper pass — the same two-tier
+    // split production pipelines run (fast rule extraction at ingest,
+    // quality extraction before the corpus store). Every stage is a per-row pass or a
     // data-scale-keyed window; extraction and tokenization run only on
     // URL survivors, and the Gopher counters only on policy survivors
     // (production order — a blocked, duplicate, or policy-banned URL
@@ -75,14 +84,16 @@ object CurationQueries extends QueryModule {
     "web_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val injected = TextOps.urlInject(TextOps.htmlInject(docs(s, d)))
-      // read twice (dedup leg + stage classification): one scan, cached
+      // read twice (dedup leg + stage classification): one scan, cached —
+      // host/canon_url ride along so the dedup leg reuses the blocklist
+      // gate's canonicalization instead of running the regex chain twice
       val flags = graft.CacheScope.persist(
         TextOps.urlBlocklistFlags(injected, col("url"),
             BlockedHosts, BlockedPathPrefixes)
           .select(col("doc_id"), col("source"), col("url"), col("atext"),
-            col("block_reason")))
-      val ded = TextOps.urlCanonicalDedup(
-          flags.filter(col("block_reason").isNull), col("url"), maxPerHost = 4)
+            col("host"), col("canon_url"), col("block_reason")))
+      val ded = TextOps.urlCapWindows(
+          flags.filter(col("block_reason").isNull), maxPerHost = 4)
         .select(col("doc_id"), col("is_url_dup"), col("keep").as("url_keep"))
       val staged = flags.join(ded, Seq("doc_id"), "left")
       val surv = staged.filter(col("block_reason").isNull &&

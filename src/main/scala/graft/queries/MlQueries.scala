@@ -39,10 +39,9 @@ object MlQueries extends QueryModule {
     * (reference analytics/app/latency/models.py:28-54). The fit is fully
     * deterministic, so rendering the fitted trees into SQL (the
     * NNLS/TwresRelational pattern) yields a DuckDB oracle that re-scores
-    * every row independently — the distributed SCORING path gets a
-    * cell-by-cell oracle while the data-dependent fit of
-    * `m3_latency_gbt` proper stays rows-only by documented
-    * infeasibility. */
+    * every row independently — the distributed SCORING path gets its own
+    * cell-by-cell oracle alongside the recursive fit replay that makes
+    * `m3_latency_gbt` proper hash-green ([[gbtRecOracle]]). */
   private val gbtFixtureXs: Array[Array[Double]] = Array(
     Array(2, 50), Array(2, 100), Array(2, 200), Array(2, 400),
     Array(4, 50), Array(4, 100), Array(4, 200), Array(4, 400),
@@ -143,6 +142,12 @@ object MlQueries extends QueryModule {
         .collect()
       val xs = train.map(r => Array(r.getDouble(0), r.getDouble(1)))
       val ys = train.map(_.getDouble(2))
+      // the recursive oracle replays EXACTLY MaxTrees boosting stages;
+      // below this train size numTrees would fall under the cap and the
+      // hash would mismatch with no diagnostic — fail loudly instead
+      require(train.length * LatencyGbt.EstimatorFactor >= LatencyGbt.MaxTrees,
+        s"m3_latency_gbt oracle premise: train size ${train.length} puts " +
+          s"numTrees under the MaxTrees=${LatencyGbt.MaxTrees} cap")
       val model = GbtLocal.fit(xs, ys, LatencyGbt.numTrees(train.length))
       val bc = s.sparkContext.broadcast(model)
       val score = udf((so: Double, thr: Double) => bc.value.predict(Array(so, thr)))
@@ -318,7 +323,9 @@ object MlQueries extends QueryModule {
     val dlr = "CAST('0.1' AS DOUBLE)"
     val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
     val flt = "FILTER (WHERE kind = 't' AND v IS NULL)"
-    val iters = 11 * LatencyGbt.MaxTrees
+    val depth = graft.models.GbtLocal.DefaultMaxDepth
+    val stride = depth + 1
+    val iters = stride * LatencyGbt.MaxTrees
     // candidate positions where x strictly increases → one ordered prefix
     // fold per candidate (sl) → the gain/threshold struct, staged so the
     // slice fold runs once per candidate
@@ -364,21 +371,21 @@ object MlQueries extends QueryModule {
        |  SELECT 0 AS it, * FROM st0
        |  UNION ALL
        |  SELECT it + 1, kind, pos, f0, f1, y,
-       |    CASE WHEN lvl = 10 THEN f + $dlr * COALESCE(v, s/n) ELSE f END AS f,
-       |    CASE WHEN lvl = 10 THEN y - (f + $dlr * COALESCE(v, s/n)) ELSE r END AS r,
-       |    CASE WHEN lvl = 10 THEN 1
+       |    CASE WHEN lvl = $depth THEN f + $dlr * COALESCE(v, s/n) ELSE f END AS f,
+       |    CASE WHEN lvl = $depth THEN y - (f + $dlr * COALESCE(v, s/n)) ELSE r END AS r,
+       |    CASE WHEN lvl = $depth THEN 1
        |         WHEN v IS NULL AND pk.f >= 0 THEN
        |           2*nd + CASE WHEN (CASE pk.f WHEN 0 THEN f0 ELSE f1 END) <= pk.thr
        |                       THEN 0 ELSE 1 END
        |         ELSE nd END AS nd,
-       |    CASE WHEN lvl = 10 THEN NULL
+       |    CASE WHEN lvl = $depth THEN NULL
        |         WHEN v IS NULL AND pk.f = -1 THEN s/n
        |         ELSE v END AS v
        |  FROM (
-       |    SELECT *, it % 11 AS lvl,
-       |      CASE WHEN lvl0 < 10 THEN $pick END AS pk
+       |    SELECT *, it % $stride AS lvl,
+       |      CASE WHEN lvl0 < $depth THEN $pick END AS pk
        |    FROM (
-       |      SELECT *, it % 11 AS lvl0,
+       |      SELECT *, it % $stride AS lvl0,
        |        CAST(list_reduce(lsp, (a,b) -> a + b) AS DOUBLE) AS s
        |      FROM (
        |        SELECT it, kind, pos, f0, f1, y, f, r, nd, v,

@@ -2245,8 +2245,8 @@ object TextQueries extends QueryModule {
        |      AS n_banned_distinct
        |  FROM $base),
        |pv AS (SELECT doc_id, n_words, n_banned_hits, n_banned_distinct,
-       |    (n_banned_hits <= 3) AS r_hit_count,
-       |    (n_banned_hits * 1000 <= 60 * n_words) AS r_density
+       |    (n_banned_hits <= ${TextOps.PolicyMaxHits}) AS r_hit_count,
+       |    (n_banned_hits * 1000 <= ${TextOps.PolicyMaxPerMille} * n_words) AS r_density
        |  FROM pb)""".stripMargin
   }
 
@@ -2273,15 +2273,21 @@ object TextQueries extends QueryModule {
   private def blockStructsSql(raw: String): String = {
     val pre = TextOps.HtmlHardStripPatterns.foldLeft(raw)((acc, p) =>
       s"regexp_replace($acc, '$p', ' ', 'g')")
-    val noTags = s"regexp_replace(b, '${TextOps.HtmlTagPattern}', ' ', 'g')"
-    val decoded = TextOps.HtmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
-      val rl = if (r == "'") "chr(39)" else s"'$r'"
-      s"replace($acc, '$e', $rl)" }
-    val bt = s"trim(regexp_replace($decoded, '${TextOps.WsPattern}', ' ', 'g'))"
+    // the shared block-text normalization: tag strip, entity decode
+    // (chr(39) for the quote), whitespace collapse — applied to the
+    // block AND to its anchor mass, exactly like the Spark btext
+    def btChain(expr: String): String = {
+      val noTags = s"regexp_replace($expr, '${TextOps.HtmlTagPattern}', ' ', 'g')"
+      val decoded = TextOps.HtmlEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+        val rl = if (r == "'") "chr(39)" else s"'$r'"
+        s"replace($acc, '$e', $rl)" }
+      s"trim(regexp_replace($decoded, '${TextOps.WsPattern}', ' ', 'g'))"
+    }
+    val bt = btChain("b")
     // COALESCE: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
-    val ll = "CAST(length(trim(regexp_replace(regexp_replace(" +
-      s"COALESCE(array_to_string(regexp_extract_all(b, '${TextOps.HtmlAnchorPattern}', 1), ' '), ''), " +
-      s"'${TextOps.HtmlTagPattern}', ' ', 'g'), '${TextOps.WsPattern}', ' ', 'g'))) AS BIGINT)"
+    val ll = "CAST(length(" + btChain(
+      s"COALESCE(array_to_string(regexp_extract_all(b, '${TextOps.HtmlAnchorPattern}', 1), ' '), '')") +
+      ") AS BIGINT)"
     s"list_transform(regexp_split_to_array($pre, '${TextOps.HtmlBlockSplitPattern}'), " +
       s"b -> {'t': $bt, 'l': $ll})"
   }

@@ -213,7 +213,6 @@ def main():
 
     # ---- python expected
     pool = con.sql(f"SELECT expid, scaleout, avglat, avgthr FROM ({PRO}) WHERE isbckpres = 0")
-    n_pool = con.sql("SELECT COUNT(*) FROM pool", alias="x") if False else None
     rows = pool.fetchall()
     n_pool = len(rows)
     mod = max(1, n_pool // TRAIN_TARGET)
