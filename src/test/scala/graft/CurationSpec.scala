@@ -208,6 +208,31 @@ class CurationSpec extends SparkSpec {
         Seq((3L, farm)).toDF("doc_id", "atext"), col("atext"))
       .select(col("n_kept")).collect().head.getLong(0)
     assert(g3 === 0L)
+    // anchor-tag boundary: <abbr>/<address> text is CONTENT, not link
+    // mass — a lazy "<a[^>]*>" would swallow the sentence up to the
+    // first </a> and score the block out
+    val abbr = s"<p>Contact our <abbr>HQ</abbr> office about $long " +
+      "at <a href=\"/x\">go</a> now</p>"
+    val g4 = TextOps.extractBlocks(
+        Seq((4L, abbr)).toDF("doc_id", "atext"), col("atext"))
+      .select(col("n_kept"), col("clean_text")).collect().head
+    assert(g4.getLong(0) === 1L)
+    assert(g4.getString(1).contains("HQ office"))
+    // entity-symmetric density: the anchor mass is entity-decoded like
+    // the block text, so &amp;-heavy anchors don't overcount
+    val amp = "<p>" + ("&amp; " * 12) + "<a href=\"/y\">" +
+      ("Fish &amp; Chips " * 3) + "</a></p>"
+    val la = TextOps.extractBlocks(
+        Seq((5L, amp)).toDF("doc_id", "atext"), col("atext"))
+    // decoded anchor text is 38 chars ("Fish & Chips " x3, trimmed)
+    // inside a 62-char block: 3*38 > 62 either way here, so assert the
+    // SYMMETRY directly instead: block text and anchor text both decode
+    val row = TextOps.extractBlocks(
+        Seq((6L, "<p>" + ("pad " * 20) + "<a>A &amp; B</a></p>"))
+          .toDF("doc_id", "atext"), col("atext"))
+      .select(col("clean_text")).collect().head.getString(0)
+    assert(row.endsWith("A & B")) // kept: 3*len("A & B")=15 <= len(text)
+    assert(la.count() === 1L)
   }
 
   test("urlCanonicalize: case, www, default ports, tracking params, ordering, fragments") {
