@@ -1267,6 +1267,40 @@ object TextOps {
         round(col("n_dup_lines").cast("double") / col("n_lines") + lit(1e-9), 4))
   }
 
+  /** LINE-LEVEL CORPUS SCRUB — the REMOVAL form of [[lineDedup]] (the
+    * CCNet line-dedup pass as production runs it): every line keeps its
+    * corpus-wide FIRST occurrence (min (doc_id, pos) — the same keeper
+    * rule lineDedup reports against) and later duplicates are DROPPED
+    * from the reconstructed text, so the output is the scrubbed corpus
+    * itself, not just the fraction report. Same plan shape as lineDedup
+    * (line explode → first-occurrence partial agg on the line hash →
+    * join back) plus one per-doc ordered re-join: the collect_list
+    * payload is each document's own kept lines — bounded by the
+    * document, never the corpus. A document made entirely of seen lines
+    * reconstructs to the empty string (dropped by any downstream length
+    * gate). Output: (doc_id, n_lines, n_dup_lines, kept_tokens,
+    * clean_text). */
+  def lineScrub(docs: DataFrame, window: Int = 10): DataFrame = {
+    require(window > 0, "positive line window")
+    val lines = graft.CacheScope.persist(
+      chunkDocs(docs, window, window)
+        .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk_text"),
+          md5(col("chunk_text")).as("h"),
+          col("n_tokens").as("line_toks")))
+    val firsts = lines.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    lines.join(firsts, Seq("h"))
+      .withColumn("dup", struct(col("doc_id"), col("pos")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("dup"), 0L).otherwise(col("line_toks"))).as("kept_tokens"),
+        array_join(transform(
+          sort_array(collect_list(when(!col("dup"),
+            struct(col("pos"), col("chunk_text"))))),
+          x => x("chunk_text")), " ").as("clean_text"))
+  }
+
   /** REPEATED-SUBSTRING SPANS (the token-level flavor of suffix-array
     * substring dedup — Lee et al. 2021, arXiv 2107.06499): every sliding
     * `k`-token gram that occurs more than once in the corpus marks its

@@ -641,6 +641,10 @@ object TextQueries extends QueryModule {
     // each line's globally first occurrence, per-doc survival stats
     "line_dedup" -> ((s, d) => TextOps.lineDedup(docs(s, d), window = 10)),
 
+    // the REMOVAL form (r13): corpus-wide first occurrence of every
+    // line kept, later duplicates dropped from the RECONSTRUCTED text
+    "text_line_scrub" -> ((s, d) => TextOps.lineScrub(docs(s, d), window = 10)),
+
     // encoding-artifact gate over text with deterministic synthetic
     // damage injected (the corpus itself is clean): mojibake sequences
     // on doc_id % 7, a U+FFFD on % 11, a C0 control char on % 13
@@ -2057,6 +2061,25 @@ object TextQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 0 ELSE line_toks END) AS BIGINT) AS kept_tokens,
         |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) + 1e-9, 4) AS dup_line_frac
+        |FROM mk GROUP BY doc_id""".stripMargin,
+
+    "text_line_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |ln AS (SELECT doc_id, CAST(unnest(range(0,
+        |    greatest((n + 9) // 10, 1))) AS BIGINT) AS pos, ts FROM t),
+        |lh AS (SELECT doc_id, pos,
+        |    array_to_string(list_slice(ts, pos * 10 + 1, pos * 10 + 10), ' ') AS lt,
+        |    CAST(len(list_slice(ts, pos * 10 + 1, pos * 10 + 10)) AS BIGINT) AS line_toks
+        |  FROM ln),
+        |mk AS (SELECT doc_id, pos, lt, line_toks,
+        |    row_number() OVER (PARTITION BY md5(lt) ORDER BY doc_id, pos) AS rn
+        |  FROM lh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 0 ELSE line_toks END) AS BIGINT) AS kept_tokens,
+        |  COALESCE(array_to_string(
+        |    list(lt ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS clean_text
         |FROM mk GROUP BY doc_id""".stripMargin,
 
     "dedup_spans" ->

@@ -235,6 +235,24 @@ class CurationSpec extends SparkSpec {
     assert(la.count() === 1L)
   }
 
+  test("lineScrub: first occurrence survives, later duplicates vanish from the reconstruction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w"),  // both lines first occurrences
+      (2L, "x y q r"),  // "x y" already seen in doc 1 -> scrubbed
+      (3L, "s t s t"),  // intra-doc repeat: second "s t" scrubbed
+      (4L, "x y")       // entirely seen -> empty reconstruction
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineScrub(d, window = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) === ((2L, 0L, 4L, "x y z w")))
+    assert(got(2L) === ((2L, 1L, 2L, "q r")))
+    assert(got(3L) === ((2L, 1L, 2L, "s t")))
+    assert(got(4L) === ((1L, 1L, 0L, "")))
+  }
+
   test("urlCanonicalize: case, www, default ports, tracking params, ordering, fragments") {
     import spark.implicits._
     val cases = Seq(
