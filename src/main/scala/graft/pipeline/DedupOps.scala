@@ -536,6 +536,36 @@ object DedupOps {
         col("canonical_id"), (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
+  /** SOFT DEDUPLICATION WEIGHTS — the keep-everything alternative to
+    * [[canonicalDocs]]'s removal (SoftDeDup, arXiv 2401.00396 /
+    * wimbd-style duplicate-count reweighting): instead of dropping a
+    * near-duplicate, down-weight its training loss by how duplicated it
+    * is. Every document carries its near-dup cluster size (`dup_count`,
+    * 1 for the unclustered majority) and the weight 1/dup_count — a
+    * cluster's members then contribute ONE document's worth of gradient
+    * in total, preserving coverage while removing the memorization
+    * pressure hard removal trades away. The weight is one IEEE division
+    * of exact integers (correctly rounded, engine-identical); cluster
+    * sizes are a partial-agg groupBy on comp_id (cluster-bounded keys,
+    * skew-safe) joined back by equi-join — no window, no all-pairs, so
+    * the pass stays linear at any corpus size beyond the pair mining it
+    * shares with every other cluster consumer (`sharedComps`). Output:
+    * (doc_id, comp_id, dup_count, soft_weight). */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.5,
+                       sharedComps: Option[DataFrame] = None): DataFrame = {
+    // comps feeds two consumers (size agg + member join): one mining pass
+    val comps = graft.CacheScope.persist(
+      sharedComps.getOrElse(clusteredComps(docs, threshold)))
+    val sizes = comps.groupBy(col("comp_id")).agg(count(lit(1)).as("dup_count"))
+    docs.select(col("doc_id"))
+      .join(comps.join(sizes, Seq("comp_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_id"), col("doc_id")).as("comp_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"))
+      .withColumn("soft_weight",
+        round(lit(1.0) / col("dup_count") + lit(1e-9), 6))
+  }
+
   /** Pairwise-similarity HISTOGRAM of a deterministic sub-corpus: exact
     * shingle-Jaccard of every co-occurring pair (df-capped inverted index,
     * as [[jaccardPairs]]) binned into tenths. The bin is computed in

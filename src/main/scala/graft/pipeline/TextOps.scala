@@ -1339,6 +1339,112 @@ object TextOps {
         (col("n_grams") + (k - 1)).as("span_tokens"))
   }
 
+  /** REPEATED-SUBSTRING SCRUB — the REMOVAL form of [[repeatedSpans]]
+    * (the trim an ExactSubstr dedup pass applies — Lee et al. 2021,
+    * arXiv 2107.06499 §4.2): a token is DROPPED when every `k`-gram
+    * covering it is a NON-FIRST occurrence of a corpus-repeated gram
+    * (keeper = corpus-wide min (doc_id, p) per gram hash, the same
+    * skew-safe min-struct keeper rule [[lineScrub]] uses — never a
+    * window over the gram hash). Requiring ALL covering grams to be
+    * dup occurrences keeps the k−1 boundary tokens on each side of a
+    * removed region — conservative trimming, so the first occurrence
+    * and its surrounding context always survive verbatim. Work is
+    * n·k coverage rows (k constant) through partial-agg groupBys; the
+    * reconstruction collect is each document's own kept tokens —
+    * bounded by the document, never the corpus. Documents shorter than
+    * `k` tokens hold no gram and pass through unchanged. Output:
+    * (doc_id, n_tokens, n_dropped, clean_text). */
+  def spanScrub(docs: DataFrame, k: Int = 5): DataFrame = {
+    val ts = tokens
+    val base = docs.select(col("doc_id"), ts.as("ts"), size(ts).as("n"))
+    // gram frame feeds the keeper aggregation AND the join back: one
+    // explode, scope-persisted
+    val grams = graft.CacheScope.persist(base.filter(col("n") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("p"), col("ts"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(concat_ws(" ",
+          (0 until k).map(i => element_at(col("ts"), col("p").cast("int") + i)): _*))
+          .as("h")))
+    val firsts = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("occ"))
+    val dupg = grams.join(firsts, Seq("h"))
+      .select(col("doc_id"), col("p"),
+        (col("occ") >= 2 &&
+          struct(col("doc_id"), col("p")) =!= col("first")).as("dup"))
+    // token i is covered by grams p in [i-k+1, i]; min over the flag =
+    // "all covering grams are dup occurrences" (bool_and as min-int,
+    // mergeable at any multiplicity)
+    val cov = dupg
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("i"),
+        col("dup"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(when(col("dup"), 1L).otherwise(0L)).as("alldup"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    toks.join(cov, Seq("doc_id", "i"), "left")
+      .withColumn("drop", coalesce(col("alldup"), lit(0L)) === 1L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(!col("drop"),
+            struct(col("i"), col("tok"))))),
+          x => x("tok")), " ").as("clean_text"))
+  }
+
+  /** PER-SOURCE TF-IDF KEYWORD EXTRACTION: the top-`topK` terms that
+    * characterize each source — tf (term occurrences within the source)
+    * times a RATIONAL idf (N+1)/(df+1), the same transcendental-free
+    * trade [[bm25]] and [[dsirWeights]] make so both engines land the
+    * identical double (int→double conversions, one division, one
+    * multiplication — each correctly rounded IEEE). Terms appearing in
+    * more than `maxDfPct`% of the corpus' documents are cut first (the
+    * document-frequency stopword rule, integer cross-multiplied), which
+    * is what keeps tf·idf keyword-shaped without a log; the production
+    * default is 50%. The top-k is TWO-PHASE against
+    * vocabulary-scale window skew: phase 1 ranks inside (source,
+    * hash-bucket of the term) — `fanout` bounded partitions per source
+    * — and phase 2 re-ranks the ≤ fanout·topK phase-1 survivors per
+    * source (a superset of the global top-k by construction, so the
+    * result is EXACTLY the single-window answer while no partition ever
+    * holds a source's whole vocabulary). Output: (source, term, tf, df,
+    * score, rk ≤ topK). */
+  def tfidfTerms(docs: DataFrame, topK: Int = 10,
+                 fanout: Int = 64, maxDfPct: Int = 50): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // one token explode feeds both the df and tf aggregations
+    val tok = graft.CacheScope.persist(
+      docs.select(col("doc_id"), col("source"), explode(tokens).as("t")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dft = tok.select(col("t"), col("doc_id")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tft = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val sc = tft.join(dft, Seq("t")).crossJoin(broadcast(n))
+      .filter(col("df") * 100 <= col("n") * maxDfPct)
+      .select(col("source"), col("t").as("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) +
+          lit(1e-9), 6).as("score"))
+    val bucket = conv(substring(md5(col("term")), 1, 15), 16, 10)
+      .cast("long") % fanout
+    val ord: Seq[Column] = Seq(col("score").desc, col("tf").desc, col("term"))
+    val phase1 = sc
+      .withColumn("rk1", row_number().over(
+        W.partitionBy(col("source"), bucket).orderBy(ord: _*)))
+      .filter(col("rk1") <= topK)
+    phase1
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("source")).orderBy(ord: _*)).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, arXiv 2302.03169):
     * score each document by how much its hashed-unigram profile looks
     * like a target slice (here the `lang = 'en'` documents) relative to

@@ -31,6 +31,10 @@ object CurationQueries extends QueryModule {
     // asymmetric containment |A∩B|/|A| over the banded candidates — flags
     // documents SUBSUMED in a bigger one, which symmetric Jaccard misses
     "text_containment" -> ((s, d) => DedupOps.containmentPairs(docs(s, d))),
+    // SOFT dedup: keep every document, down-weight its loss by its
+    // near-dup cluster size (1/dup_count) — the reweighting alternative
+    // to dedup_canonical's removal
+    "dedup_soft_weights" -> ((s, d) => DedupOps.softDedupWeights(docs(s, d))),
     // tokenizer sizing: cumulative token-mass coverage of the top-k word
     // types at power-of-two checkpoints
     "vocab_coverage_curve" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
@@ -215,6 +219,20 @@ object CurationQueries extends QueryModule {
          |SELECT doc_id, comp_id, quality, canonical_id,
          |  doc_id = canonical_id AS is_canonical
          |FROM k""".stripMargin,
+
+    // cluster sizes over the shared component closure; the unclustered
+    // majority left-joins to dup_count 1 / weight 1.0
+    "dedup_soft_weights" ->
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$componentsCtes,
+         |sz AS (SELECT comp_id, COUNT(*) AS dup_count FROM comps GROUP BY comp_id),
+         |jw AS (SELECT c.doc_id, c.comp_id, s.dup_count
+         |       FROM comps c JOIN sz s USING (comp_id))
+         |SELECT d.doc_id, COALESCE(jw.comp_id, d.doc_id) AS comp_id,
+         |  COALESCE(jw.dup_count, 1) AS dup_count,
+         |  ROUND(CAST(1 AS DOUBLE) / COALESCE(jw.dup_count, 1) + 1e-9, 6)
+         |    AS soft_weight
+         |FROM documents d LEFT JOIN jw USING (doc_id)""".stripMargin,
 
     "text_containment" ->
       s"""$lshCte,

@@ -665,6 +665,19 @@ object TextQueries extends QueryModule {
     // 5-gram grams occurring >= 2x corpus-wide, merged into maximal runs
     "dedup_spans" -> ((s, d) => TextOps.repeatedSpans(docs(s, d), k = 5)),
 
+    // the REMOVAL form of dedup_spans (ExactSubstr trim): tokens whose
+    // every covering 5-gram is a non-first repeated occurrence are
+    // dropped from the reconstructed text
+    "text_span_scrub" -> ((s, d) => TextOps.spanScrub(docs(s, d), k = 5)),
+
+    // per-source tf-idf keywords: rational idf, df-stopword cut,
+    // two-phase top-k against vocabulary-scale window skew. The df cut
+    // registers at 79% (not the 50% production default): the synthetic
+    // corpus draws from a 31-word vocabulary whose dfs cluster at
+    // 75-80% of N, so 50% would leave one survivor and never exercise
+    // the ranking — 79% drops the 8 most common terms and ranks the rest
+    "text_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(docs(s, d), maxDfPct = 79)),
+
     // DSIR-style importance weights against the lang='en' target slice
     // (hashed-unigram features, rational-ratio variant)
     "dsir_weights" -> ((s, d) =>
@@ -2102,6 +2115,54 @@ object TextQueries extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
         |  CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
         |FROM sp GROUP BY doc_id, span""".stripMargin,
+
+    // removal form of dedup_spans: the oracle ranks occurrences with a
+    // window over the gram hash (fine for an oracle; the engine uses
+    // the skew-safe min(struct) keeper — dup iff rn > 1)
+    "text_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id, CAST(unnest(range(1, n - 4 + 1)) AS BIGINT) AS p, ts
+        |  FROM t WHERE n >= 5),
+        |gh AS (SELECT doc_id, p,
+        |    md5(concat_ws(' ', ts[p], ts[p+1], ts[p+2], ts[p+3], ts[p+4])) AS h
+        |  FROM g),
+        |mk AS (SELECT doc_id, p,
+        |    (row_number() OVER (PARTITION BY h ORDER BY doc_id, p)) > 1 AS dup
+        |  FROM gh),
+        |cov AS (SELECT doc_id, p + ii AS i, dup
+        |  FROM mk CROSS JOIN (SELECT unnest(range(0, 5)) AS ii)),
+        |ad AS (SELECT doc_id, i, MIN(CASE WHEN dup THEN 1 ELSE 0 END) AS alldup
+        |  FROM cov GROUP BY 1, 2),
+        |tk0 AS (SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT) AS i, ts
+        |  FROM t),
+        |tk AS (SELECT doc_id, i, ts[i] AS tok FROM tk0),
+        |j AS (SELECT tk.doc_id, tk.i, tk.tok, COALESCE(ad.alldup, 0) AS alldup
+        |  FROM tk LEFT JOIN ad ON tk.doc_id = ad.doc_id AND tk.i = ad.i)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN alldup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(array_to_string(
+        |    list(tok ORDER BY i) FILTER (WHERE alldup = 0), ' '), '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // the oracle's single per-source window IS the two-phase result:
+    // phase-1 buckets only shed never-top-k terms
+    "text_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |dft AS (SELECT t, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT t, doc_id FROM tok) GROUP BY t),
+        |tft AS (SELECT source, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT source, t AS term, tf, df,
+        |    ROUND(CAST(tf AS DOUBLE) * (CAST((SELECT n FROM nn) + 1 AS DOUBLE)
+        |      / (df + 1)) + 1e-9, 6) AS score
+        |  FROM tft JOIN dft USING (t)
+        |  WHERE df * 100 <= (SELECT n FROM nn) * 79),
+        |rnk AS (SELECT source, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, tf DESC, term) AS BIGINT) AS rk FROM sc)
+        |SELECT source, term, tf, df, score, rk FROM rnk WHERE rk <= 10""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH f AS (SELECT doc_id, lang = 'en' AS is_t,

@@ -390,4 +390,77 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(sumW - 1.0) < 1e-3)
     assert(rw.map(_._5).sum <= 1000000L)
   }
+
+  test("softDedupWeights: a cluster contributes one document's worth of weight; singletons keep 1.0") {
+    import spark.implicits._
+    val d = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // hand-built component closure: {1,2} clustered, 3 a singleton comp,
+    // 4 and 5 never mined at all
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "comp_id")
+    val got = DedupOps.softDedupWeights(d, sharedComps = Some(comps)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("comp_id"), r.getAs[Long]("dup_count"),
+          r.getAs[Double]("soft_weight")))).toMap
+    assert(got.size === 5)
+    assert(got(1L) === ((1L, 2L, 0.5)))
+    assert(got(2L) === ((1L, 2L, 0.5)))
+    assert(got(3L) === ((3L, 1L, 1.0)))
+    assert(got(4L) === ((4L, 1L, 1.0)))
+    assert(got(5L) === ((5L, 1L, 1.0)))
+    // and on the real corpus: every doc keeps a row, every component's
+    // members sum to ~1.0 total weight (coverage preserved, pressure
+    // removed), and clustered docs are strictly down-weighted
+    val w = DedupOps.softDedupWeights(docs).persist()
+    assert(w.count() === docs.count())
+    val offComp = w.groupBy("comp_id").agg(sum("soft_weight").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-4)
+    assert(offComp.count() === 0L)
+    assert(w.filter(col("dup_count") > 1 && col("soft_weight") >= 1.0)
+      .count() === 0L)
+    w.unpersist()
+  }
+
+  test("spanScrub: repeated region trimmed to its k-1 boundary, first occurrence and short docs intact") {
+    import spark.implicits._
+    val rep = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, rep),                                          // first occurrence
+      (2L, rep + " x1 x2 x3 x4 x5"),                      // repeat + fresh tail
+      (3L, "p q")                                         // shorter than k
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanScrub(d, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    // doc 1 holds every keeper gram: untouched
+    assert(got(1L) === ((10L, 0L, rep)))
+    // doc 2: tokens w1..w6 are covered ONLY by dup grams -> dropped;
+    // w7..w10 are covered by the first non-dup gram (w7..x1) -> the
+    // conservative k-1 boundary survives with the fresh tail
+    assert(got(2L) === ((15L, 6L, "w7 w8 w9 w10 x1 x2 x3 x4 x5")))
+    // doc 3 has no 5-gram: passes through unchanged
+    assert(got(3L) === ((2L, 0L, "p q")))
+  }
+
+  test("tfidfTerms: df-stopword cut is exact and the two-phase top-k equals the single-window answer") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "cat dog"), (2L, "A", "cat fish"), (3L, "B", "dog dog bird")
+    ).toDF("doc_id", "source", "text")
+    // N=3, df: cat 2, dog 2, fish 1, bird 1; at maxDfPct=50 only df=1
+    // survives (2*100 > 3*50); score = tf * (4/2) = 2.0
+    val got = TextOps.tfidfTerms(d, topK = 10, maxDfPct = 50).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSet
+    assert(got === Set(("A", "fish", 1L, 1L, 2.0, 1L),
+      ("B", "bird", 1L, 1L, 2.0, 1L)))
+    // fanout=1 makes phase 1 THE per-source window — the bucketed
+    // two-phase must reproduce it exactly on the real corpus
+    val fast = TextOps.tfidfTerms(docs, maxDfPct = 79)
+    val ref = TextOps.tfidfTerms(docs, fanout = 1, maxDfPct = 79)
+    assert(fast.exceptAll(ref).count() === 0L)
+    assert(ref.exceptAll(fast).count() === 0L)
+    assert(fast.count() > 0L)
+  }
 }
