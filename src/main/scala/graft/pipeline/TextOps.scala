@@ -1586,6 +1586,51 @@ object TextOps {
         row_number().over(wOut).cast("long").as("fused_rank"))
   }
 
+  /** POSITIONAL PHRASE SEARCH — exact phrase match over the corpus the
+    * way a search engine answers it: intersect POSTING LISTS
+    * positionally instead of scanning text. One posexplode mines
+    * (doc_id, position) postings for ONLY the phrase's terms (at
+    * production scale this is a lookup into the prebuilt inverted
+    * index; the plan from the postings on is identical), then the
+    * terms intersect RAREST-FIRST: candidate starts begin as the
+    * least-frequent term's postings and every further term is one
+    * skew-safe equi-join on (doc_id, start) that can only SHRINK the
+    * candidate set — the classic df-ordered AND-intersection, never a
+    * per-document scan and never a window. The df ranking is a
+    * phrase-length-sized collect (bounded by the query, not the
+    * corpus). Repeated terms in the phrase join once per distinct
+    * offset, which is exactly the positional constraint. Output: one
+    * row per match — (doc_id, pos, snippet), snippet = the match with
+    * `ctx` tokens of context each side, clipped at document edges. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   ctx: Int = 2): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val L = phrase.length
+    val base = graft.CacheScope.persist(
+      docs.select(col("doc_id"), tokens.as("ts"), size(tokens).as("n")))
+    // postings restricted to the phrase's vocabulary before any shuffle
+    val post = graft.CacheScope.persist(base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("i0", "t")))
+      .filter(col("t").isin(phrase.distinct: _*))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("p"), col("t")))
+    val dfs = post.groupBy(col("t")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest term first; ties by phrase offset for determinism
+    val order = phrase.zipWithIndex
+      .sortBy { case (t, i) => (dfs.getOrElse(t, 0L), i) }
+    val starts = order.map { case (t, off) =>
+      post.filter(col("t") === t)
+        .select(col("doc_id"), (col("p") - off).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("start").as("pos"),
+        array_join(slice(col("ts"),
+          greatest(col("start") - ctx, lit(1L)).cast("int"),
+          (least(col("start") + (L - 1 + ctx), col("n").cast("long")) -
+            greatest(col("start") - ctx, lit(1L)) + 1L).cast("int")), " ")
+          .as("snippet"))
+  }
+
   /** DETERMINISTIC SHARD + ORDER ASSIGNMENT (the "global shuffle" a
     * pretraining dataloader consumes): every document draws a 60-bit
     * md5 value; shard = draw mod `nShards`, position = rank of the draw

@@ -1165,6 +1165,41 @@ object VectorOps {
         coalesce(col("comp_id"), col("vec_id")).as("cluster_id"))
   }
 
+  /** CLUSTER-BALANCED SAMPLING — the semantic rebalancing pass a
+    * curation pipeline runs after clustering (the DCLM / SemDeDup
+    * family's "sample evenly across clusters"): at most `quota`
+    * vectors survive per [[semanticClusters]] cluster, chosen by a
+    * deterministic md5 draw (stable under reruns, content-independent
+    * within the cluster), so over-represented semantic neighborhoods
+    * stop dominating the mixture while singletons always survive. The
+    * per-cluster top-k is TWO-PHASE like `TextOps.tfidfTerms`: phase 1
+    * ranks inside (cluster, vec_id-bucket) — `fanout` bounded
+    * partitions — and phase 2 re-ranks the ≤ fanout·quota survivors,
+    * so the result is EXACTLY the single-window answer while no
+    * partition ever holds a whole cluster (a giant near-dup cluster is
+    * precisely the input this operator exists for). `cluster_n` ships
+    * with each survivor as the rebalancing diagnostic. Output:
+    * (vec_id, cluster_id, cluster_n, rk ≤ quota). */
+  def clusterBalancedSample(emb: DataFrame, quota: Int = 8,
+                            fanout: Int = 32, salt: String = "cbs"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // the cluster assignment feeds the size agg AND the ranking
+    val cl = graft.CacheScope.persist(semanticClusters(emb))
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
+    val drawn = cl.withColumn("draw",
+      graft.pipeline.TextOps.mdDraw6On(salt, col("vec_id")))
+    val phase1 = drawn.withColumn("rk1", row_number().over(
+        W.partitionBy(col("cluster_id"), pmod(col("vec_id"), lit(fanout.toLong)))
+          .orderBy(col("draw"), col("vec_id"))))
+      .filter(col("rk1") <= quota)
+    phase1.withColumn("rk", row_number().over(
+        W.partitionBy(col("cluster_id")).orderBy(col("draw"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rk") <= quota)
+      .join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_n"), col("rk"))
+  }
+
   /** EMBEDDING CENTROID DRIFT — the embedding-space twin of the
     * tokenizer vocabulary-drift monitor: per label, the cosine between
     * the mean embeddings of the two deterministic md5 corpus halves.

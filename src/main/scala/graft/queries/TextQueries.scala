@@ -514,6 +514,12 @@ object TextQueries extends QueryModule {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(docs(s, d), Bm25Terms)),
 
+    // positional phrase search: rarest-first posting-list intersection
+    // for a fixed 3-token phrase, one row per match with a +-2-token
+    // snippet
+    "search_phrase" -> ((s, d) =>
+      TextOps.phraseSearch(docs(s, d), PhraseTerms)),
+
     // per-source approximate-distinct vocabulary via the KMV sketch,
     // with the exact count kept as the honesty diagnostic
     "corpus_kmv_distinct" -> ((s, d) =>
@@ -793,6 +799,11 @@ object TextQueries extends QueryModule {
     * vocabulary with distinct frequencies). */
   private val Bm25Terms = Seq("query", "join", "window")
 
+  /** Fixed phrase for the positional-search demo: each term occurs
+    * ~900× in the corpus, the exact phrase only a handful of times —
+    * the posting-intersection shape the operator exists for. */
+  private val PhraseTerms = Seq("stream", "table", "hash")
+
   /** Exact double literal in SQL: same contract as GbtLocal.dlit — the
     * shortest-round-trip decimal string parsed back as DOUBLE
     * reproduces the identical bits in Spark and DuckDB, and the cast
@@ -849,6 +860,24 @@ object TextQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
+
+    // the oracle scans every start position; the engine's posting
+    // intersection must produce the identical match set and snippets
+    "search_phrase" -> {
+      val L = PhraseTerms.length
+      val eqs = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"ts[p + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |pp AS (SELECT doc_id, CAST(unnest(range(1, n - $L + 2)) AS BIGINT) AS p,
+         |    ts, n
+         |  FROM t WHERE n >= $L),
+         |m AS (SELECT doc_id, p AS pos, ts, n FROM pp WHERE $eqs)
+         |SELECT doc_id, pos,
+         |  array_to_string(ts[greatest(pos - 2, 1):least(pos + ${L - 1 + 2}, n)],
+         |    ' ') AS snippet
+         |FROM m""".stripMargin
+    },
 
     // lexical + semantic legs ranked, full-outer fused with RRF; the
     // fused rank orders by the ROUNDED score (both engines identical)

@@ -342,6 +342,11 @@ object VectorQueries extends QueryModule {
     "semantic_clusters" -> ((s, d) =>
       VectorOps.semanticClusters(Tables.embeddings(s, d), k = 3)),
 
+    // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
+    // deterministic md5 draw, two-phase bucketed top-k
+    "sample_cluster_balanced" -> ((s, d) =>
+      VectorOps.clusterBalancedSample(Tables.embeddings(s, d), quota = 8)),
+
     // all-but-the-top isotropy correction: the corpus with its dominant
     // direction removed, long form — the fitted (μ, v, ‖v‖²) ship as
     // plan literals, zero shuffles
@@ -405,6 +410,24 @@ object VectorQueries extends QueryModule {
        |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM sc)
        |  WHERE rk <= 3)""".stripMargin
 
+  /** Shared oracle chain `sc2(vec_id, cluster_id)` — the full
+    * semantic-clusters spelling (kmeans cells → same-cell kNN → mutual
+    * edges → reachability closure), factored for the cluster-consumer
+    * oracles. Must be opened with `WITH RECURSIVE`. */
+  private val semClusterCtes: String =
+    s"""q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |${kmeansCtes(4)},
+       |$knnCtes,
+       |mut AS (SELECT a.src AS a, a.dst AS b FROM knn a
+       |        JOIN knn b ON a.src = b.dst AND a.dst = b.src),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM mut) n
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN mut e ON r.b = e.a),
+       |comps AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |sc2 AS (SELECT q.vec_id, COALESCE(c.cluster_id, q.vec_id) AS cluster_id
+       |  FROM q LEFT JOIN comps c ON q.vec_id = c.vec_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "emb_centroid_drift" ->
       s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv,
@@ -434,18 +457,24 @@ object VectorQueries extends QueryModule {
          |SELECT src, dst, ROUND(c + 1e-9, 6) AS cosine, rk FROM knn""".stripMargin,
 
     "semantic_clusters" ->
-      s"""WITH RECURSIVE q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-         |${kmeansCtes(4)},
-         |$knnCtes,
-         |mut AS (SELECT a.src AS a, a.dst AS b FROM knn a
-         |        JOIN knn b ON a.src = b.dst AND a.dst = b.src),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM mut) n
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN mut e ON r.b = e.a),
-         |comps AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
-         |SELECT q.vec_id, COALESCE(c.cluster_id, q.vec_id) AS cluster_id
-         |FROM q LEFT JOIN comps c ON q.vec_id = c.vec_id""".stripMargin,
+      s"""WITH RECURSIVE $semClusterCtes
+         |SELECT vec_id, cluster_id FROM sc2""".stripMargin,
+
+    // per-cluster deterministic draw ranked in ONE window (fine for an
+    // oracle; the engine's two-phase bucketed top-k must equal it)
+    "sample_cluster_balanced" ->
+      s"""WITH RECURSIVE $semClusterCtes,
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_n FROM sc2 GROUP BY 1),
+         |dr AS (SELECT vec_id, cluster_id,
+         |    ${TextQueries.hex60Sql("md5('cbs:' || CAST(vec_id AS VARCHAR))")}
+         |      % 1000000 AS draw
+         |  FROM sc2),
+         |rk AS (SELECT vec_id, cluster_id,
+         |    CAST(row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY draw, vec_id) AS BIGINT) AS rk
+         |  FROM dr)
+         |SELECT rk.vec_id, rk.cluster_id, sz.cluster_n, rk.rk
+         |FROM rk JOIN sz USING (cluster_id) WHERE rk <= 8""".stripMargin,
 
     "emb_pca_power" ->
       s"""WITH ${pcaCtes(8)}

@@ -130,4 +130,25 @@ class KmeansIvfSpec extends SparkSpec {
     val nonSingleton = out.groupBy(_._2).count(_._2.size > 1)
     assert(nonSingleton >= 8, s"only $nonSingleton multi-member clusters")
   }
+
+  test("clusterBalancedSample: quota enforced, singletons survive, two-phase equals the single window") {
+    val quota = 4
+    val got = VectorOps.clusterBalancedSample(clustered, quota = quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // never more than quota survivors per cluster, ranks are 1..min(n, quota)
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.length <= quota, s"cluster $c over quota")
+      assert(rows.map(_._4).sorted.toSeq ===
+        (1 to rows.length).map(_.toLong), s"cluster $c ranks not dense")
+      assert(rows.length === math.min(rows.head._3, quota.toLong).toInt)
+    }
+    // every cluster is represented (small ones whole, big ones capped)
+    val clusters = VectorOps.semanticClusters(clustered).collect()
+      .map(_.getLong(1)).toSet
+    assert(got.map(_._2).toSet === clusters)
+    // the bucketed two-phase is exactly the one-window answer
+    val ref = VectorOps.clusterBalancedSample(clustered, quota = quota, fanout = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === ref.toSet)
+  }
 }

@@ -214,6 +214,26 @@ class PropertySpec extends SparkSpec {
     assert(got(3) == 0.0, "no query term -> zero score")
   }
 
+  test("phraseSearch: positional intersection finds exactly the literal matches, snippets clip at edges") {
+    import graft.pipeline.TextOps
+    val df = Seq(
+      (1L, "a b c a b"),   // "b c" at 2; "a b" at 1 and 4
+      (2L, "b c a"),       // "b c" at 1
+      (3L, "x y"),         // no phrase terms at all
+      (4L, "a b a b a")    // overlapping repeated-term matches
+    ).toDF("doc_id", "text")
+    val bc = TextOps.phraseSearch(df, Seq("b", "c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // ctx=2: snippets clip at both document edges
+    assert(bc === Set((1L, 2L, "a b c a b"), (2L, 1L, "b c a")))
+    // a repeated term in the phrase constrains BOTH its offsets
+    val aba = TextOps.phraseSearch(df, Seq("a", "b", "a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aba === Set((4L, 1L), (4L, 3L)))
+    // a phrase with an absent term matches nothing
+    assert(TextOps.phraseSearch(df, Seq("a", "zz")).count() === 0L)
+  }
+
   test("charLmScore: repetitive docs score high, anomalous chars score low") {
     import graft.pipeline.TextOps
     val df = Seq(
