@@ -53,7 +53,8 @@ class PlanSpec extends SparkSpec {
     "dedup_cluster_sizes" -> "singleton row = crossJoin of the 1-row corpus total with the 1-row clustered-mass aggregate",
     "m1_acf" -> "broadcasts the 1-row mean and 1-row denominator aggregates over the (bounded, series-sized) centered frame",
     "text_chi2_shift" -> "broadcasts the 16-row top-token frame and the 1-row corpus total over the |sources|-row per-source frame — all sides bounded",
-    "dedup_triangles" -> "crossJoin of three 1-row aggregates (edge / triangle / wedge counts)")
+    "dedup_triangles" -> "crossJoin of three 1-row aggregates (edge / triangle / wedge counts)",
+    "text_tfidf_terms" -> "broadcasts the 1-row corpus doc-count over the (source, term) score frame — the bm25/chi2 stats-broadcast shape")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
