@@ -2062,6 +2062,43 @@ object TextOps {
     tokenStats(docs).join(
       bpe.select(col("doc_id"), col("bpe_tokens")), Seq("doc_id"))
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — the fairness diagnostic every
+    * multilingual tokenizer report carries: per language, how many BPE
+    * tokens the frozen vocabulary spends per whitespace word
+    * (`fertility`) and, the verdict column, how that compares to the
+    * whole corpus: `premium` = lang fertility / corpus fertility — a
+    * language the vocabulary under-serves reads ≫ 1 and bills more
+    * tokens for the same text, skewing both cost and the effective
+    * mixture (the [[bpeCompressionStats]] axis is per-SOURCE
+    * compression; this one is the cross-language equity ratio that
+    * motivates vocabulary refits and UniMax-style reweighting). One
+    * partial-agg groupBy on the (bounded) language key over exact
+    * BIGINT sums, one 1-row corpus-total broadcast; the premium is
+    * computed as a ratio of exact DECIMAL(38,0) cross-products
+    * (overflow-safe at production token counts) converted once to
+    * double — engine-identical. `bpe` is [[bpeEncodeWith]]'s output
+    * (shared fitted vocabulary — no refit). Output: (lang, n_docs,
+    * n_words, bpe_tokens, fertility, premium). */
+  def bpeFertility(docs: DataFrame, bpe: DataFrame): DataFrame = {
+    val perLang = docs.select(col("doc_id"), col("lang"))
+      .join(bpe.select(col("doc_id"), col("n_words"), col("bpe_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+    val tot = perLang.agg(sum(col("n_words")).as("tot_words"),
+      sum(col("bpe_tokens")).as("tot_tokens"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("n_words") + lit(1e-9), 4)
+          .as("fertility"),
+        round((col("bpe_tokens").cast("decimal(38,0)") * col("tot_words"))
+            .cast("double") /
+          (col("n_words").cast("decimal(38,0)") * col("tot_tokens"))
+            .cast("double") + lit(1e-9), 4).as("premium"))
+  }
+
   /** GPT-2-style pretokenizer: segment text into maximal runs of a single
     * character class — letters, digits, or other (punctuation/symbols).
     * This is the category-split every byte-pair-encoding tokenizer runs

@@ -234,6 +234,12 @@ object TextQueries extends QueryModule {
       val dd = docs(s, d)
       TextOps.tokenStatsBpe(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
     }),
+    // tokenizer fertility per language under the shared frozen vocab:
+    // BPE tokens per word and chars per token, the fairness diagnostic
+    "bpe_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.bpeFertility(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
+    }),
     // the train-tokenizer/encode-val contract: merges learned ONLY on
     // the train split, frozen, replayed over the val split (val-only
     // words start from characters like any production encode of unseen
@@ -1282,6 +1288,29 @@ object TextQueries extends QueryModule {
          |SELECT grp, doc_id, n_tokens, cum0 // 512 AS pack_id,
          |  ((cum0 + n_tokens - 1) // 512) > (cum0 // 512) AS straddles
          |FROM c""".stripMargin,
+
+    // per-lang exact sums over the same encode replay, the corpus
+    // total as a 1-row cross join; the premium is a HUGEINT
+    // cross-product ratio converted once to double
+    "bpe_fertility" ->
+      s"""${bpeCtes(20)},
+         |$docWordCtes,
+         |bt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(len(syms)) AS BIGINT) AS bpe_tokens
+         |       FROM wxx JOIN w20 USING (w) GROUP BY doc_id),
+         |pl AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(bt.n_words) AS BIGINT) AS n_words,
+         |    CAST(SUM(bt.bpe_tokens) AS BIGINT) AS bpe_tokens
+         |  FROM documents d JOIN bt ON d.doc_id = bt.doc_id
+         |  GROUP BY d.lang),
+         |tt AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tot_words,
+         |    CAST(SUM(bpe_tokens) AS BIGINT) AS tot_tokens FROM pl)
+         |SELECT lang, n_docs, n_words, bpe_tokens,
+         |  ROUND(CAST(bpe_tokens AS DOUBLE) / n_words + 1e-9, 4) AS fertility,
+         |  ROUND(CAST(CAST(bpe_tokens AS HUGEINT) * tot_words AS DOUBLE)
+         |    / CAST(CAST(n_words AS HUGEINT) * tot_tokens AS DOUBLE)
+         |    + 1e-9, 4) AS premium
+         |FROM pl CROSS JOIN tt""".stripMargin,
 
     // base per-row stats joined with the encode replay's budget column
     "text_token_stats_bpe" ->

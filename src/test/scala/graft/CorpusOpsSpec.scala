@@ -212,6 +212,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).sum === billTot)
   }
 
+  test("bpeFertility: totals reconcile with the bill; premium is the corpus-relative ratio") {
+    val (_, wsyms) = TextOps.bpeLearnState(docs, nMerges = 20)
+    val bill = TextOps.bpeEncodeWith(docs, wsyms)
+    val out = TextOps.bpeFertility(docs, bill).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // every document lands in exactly one language slice
+    assert(out.map(_._2).sum === docs.count())
+    val billTot = bill.agg(sum(col("bpe_tokens"))).head.getLong(0)
+    assert(out.map(_._4).sum === billTot)
+    val totWords = out.map(_._3).sum
+    out.foreach { case (lang, _, w, t, fert, prem) =>
+      assert(fert >= 1.0 - 1e-9, s"$lang fertility below the per-word floor")
+      // premium recomputed from the exact sums matches the column
+      val want = (t.toDouble * totWords) / (w.toDouble * billTot)
+      assert(math.abs(prem - want) < 1e-3, s"$lang premium $prem vs $want")
+    }
+    // premiums bracket 1: some language is above corpus mean iff
+    // another is below (word-weighted mean premium is exactly 1)
+    val wMean = out.map(r => r._3.toDouble * r._6).sum / totWords
+    assert(math.abs(wMean - 1.0) < 1e-2)
+  }
+
   test("bpeOovRate: train split has zero OOV by construction; rates reconcile") {
     val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
     val trainVocab = TextOps.bpeLearnState(
