@@ -120,6 +120,30 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"global-window whitelist entries no longer needed: $stale")
   }
 
+  test("rank-filter top-k queries get map-side WindowGroupLimit pruning") {
+    // Spark's InferWindowGroupLimit turns `row_number() <= k` filters
+    // into partial (pre-shuffle) + final group limits — the built-in
+    // half of the repo's skew story: each map task forwards at most k
+    // rows per key it sees, so a hot key's reduce input is bounded by
+    // maps x k even BEFORE the hand-bucketed two-phase bounds it by
+    // fanout x k. Pin that the optimization actually fires on the
+    // representative top-k surfaces (a conf/threshold regression or a
+    // rank-expression rewrite that breaks the pattern fails here, not
+    // at 100 TB).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val expectGroupLimit = Seq("text_topk_per_source", "text_tfidf_terms",
+      "sample_cluster_balanced")
+    val missing = expectGroupLimit.filter { name =>
+      !SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.contains("WindowGroupLimit")
+    }
+    assert(missing.isEmpty,
+      s"no WindowGroupLimit in: $missing — rank-limit filter no longer " +
+        "recognized; check the filter sits directly on the row_number " +
+        "column and spark.sql.optimizer.windowGroupLimitThreshold")
+  }
+
   test("IVF search construction with a threaded count runs zero jobs") {
     // Building a search plan must not execute anything: with knownN
     // supplied, cellBits needs no count() action, so the only job is the
