@@ -641,6 +641,35 @@ object TextOps {
           (col("j") - col("start") + 1).cast("int")), " ")).as("chunk_md5"))
   }
 
+  /** CDC STORAGE-DEDUP RATIO per source — what a content-addressed
+    * chunk store would save: [[cdcChunks]]' content-defined chunks
+    * grouped by hash WITHIN each source, then one source-level
+    * summary. `dedup_ratio` = stored token mass / unique token mass —
+    * the factor a chunked blob store shrinks that source by (1.0 = no
+    * chunk ever repeats; a template-heavy source reads well above).
+    * Two partial-agg groupBys — (source, chunk_md5) then source — all
+    * counts exact BIGINT sums, the ratio one IEEE division rounded the
+    * repo way. CDC (not fixed windows) is what makes the ratio
+    * meaningful: an insertion early in a near-dup document shifts
+    * fixed-window boundaries corpus-wide but re-synchronizes
+    * content-defined ones, so shared tails still dedup. Output:
+    * (source, n_chunks, n_distinct, total_tokens, unique_tokens,
+    * dedup_ratio). */
+  def cdcDedupRatio(docs: DataFrame, maskBits: Int = 4): DataFrame =
+    cdcChunks(docs, maskBits)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("n_tok")).as("total_tokens"),
+        sum(col("n_tok")).as("unique_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        col("total_tokens"), col("unique_tokens"),
+        round(col("total_tokens").cast("double") / col("unique_tokens")
+          + lit(1e-9), 4).as("dedup_ratio"))
+
   /** PII pattern table: (name, Java+RE2-portable regex, replacement tag).
     * Patterns deliberately avoid constructs the two engines treat
     * differently (backreferences, lookaround, lazy quantifiers) — plain

@@ -207,6 +207,37 @@ object TextQueries extends QueryModule {
       |wx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM tk),
       |wxx AS (SELECT doc_id, pos, ts[pos] AS w FROM wx)""".stripMargin
 
+  /** Shared oracle chain `chunks(doc_id, chunk_id, start_tok, n_tokens,
+    * chunk_md5)` — the [[TextOps.cdcChunks]] spelling (rolling-hash
+    * boundaries → lag/row_number segmentation), factored for the chunk
+    * consumers. */
+  private lazy val cdcChunkCtes: String = {
+    val pows = (0 until TextOps.CdcW)
+      .scanLeft(1L)((a, _) => a * 131L % TextOps.HashP)
+      .take(TextOps.CdcW).reverse
+    val terms = pows.zipWithIndex.map { case (p, i) =>
+      val off = TextOps.CdcW - 1 - i
+      s"""(ascii(substr(ts[j - $off], 1, 1)) * 131 + length(ts[j - $off]) * 31
+         | + ascii(right(ts[j - $off], 1))) * CAST($p AS BIGINT)""".stripMargin
+    }.mkString("\n      + ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |pj AS (SELECT doc_id, CAST(j AS BIGINT) AS j, ts FROM (
+       |    SELECT doc_id, ts, UNNEST(range(4, n + 1)) AS j FROM t WHERE n >= 4)),
+       |bj AS (SELECT doc_id, j FROM pj
+       |  WHERE (($terms) % ${TextOps.HashP}) % 16 = 0),
+       |ends AS (SELECT doc_id, j FROM bj UNION SELECT doc_id, n AS j FROM t),
+       |mk AS (SELECT doc_id, j,
+       |    COALESCE(lag(j) OVER (PARTITION BY doc_id ORDER BY j) + 1, 1) AS start,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT)
+       |      AS chunk_id
+       |  FROM ends),
+       |chunks AS (SELECT mk.doc_id, chunk_id, CAST(start AS BIGINT) AS start_tok,
+       |  j - start + 1 AS n_tokens,
+       |  md5(array_to_string(list_slice(ts, start, j), ' ')) AS chunk_md5
+       |FROM mk JOIN t ON mk.doc_id = t.doc_id)""".stripMargin
+  }
+
   /** DuckDB replay of [[TextOps.bpeEncode]]: the learn chain's final
     * word table joined back onto the positional token stream, regrouped
     * per document. */
@@ -552,6 +583,9 @@ object TextQueries extends QueryModule {
     // hash hits a zero residue mod 16 (edit-resilient, re-synchronizing
     // — the storage/corpus-dedup chunker; expected chunk ~16 tokens)
     "text_cdc_chunks" -> ((s, d) => TextOps.cdcChunks(docs(s, d))),
+
+    // per-source content-addressed storage savings over the CDC chunks
+    "cdc_dedup_ratio" -> ((s, d) => TextOps.cdcDedupRatio(docs(s, d))),
 
     // tokenizer VOCABULARY DRIFT: merges learned independently on the
     // two deterministic corpus halves, compared rank by rank — the
@@ -1994,32 +2028,27 @@ object TextQueries extends QueryModule {
         |    AS chunk_text
         |FROM u""".stripMargin,
 
-    "text_cdc_chunks" -> {
-      val pows = (0 until TextOps.CdcW)
-        .scanLeft(1L)((a, _) => a * 131L % TextOps.HashP)
-        .take(TextOps.CdcW).reverse
-      val terms = pows.zipWithIndex.map { case (p, i) =>
-        val off = TextOps.CdcW - 1 - i
-        s"""(ascii(substr(ts[j - $off], 1, 1)) * 131 + length(ts[j - $off]) * 31
-           | + ascii(right(ts[j - $off], 1))) * CAST($p AS BIGINT)""".stripMargin
-      }.mkString("\n      + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-         |pj AS (SELECT doc_id, CAST(j AS BIGINT) AS j, ts FROM (
-         |    SELECT doc_id, ts, UNNEST(range(4, n + 1)) AS j FROM t WHERE n >= 4)),
-         |bj AS (SELECT doc_id, j FROM pj
-         |  WHERE (($terms) % ${TextOps.HashP}) % 16 = 0),
-         |ends AS (SELECT doc_id, j FROM bj UNION SELECT doc_id, n AS j FROM t),
-         |mk AS (SELECT doc_id, j,
-         |    COALESCE(lag(j) OVER (PARTITION BY doc_id ORDER BY j) + 1, 1) AS start,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT)
-         |      AS chunk_id
-         |  FROM ends)
-         |SELECT mk.doc_id, chunk_id, CAST(start AS BIGINT) AS start_tok,
-         |  j - start + 1 AS n_tokens,
-         |  md5(array_to_string(list_slice(ts, start, j), ' ')) AS chunk_md5
-         |FROM mk JOIN t ON mk.doc_id = t.doc_id""".stripMargin
-    },
+    "text_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_md5
+         |FROM chunks""".stripMargin,
+
+    // chunks keyed by (source, hash) then source — the content-
+    // addressed store's savings factor per source
+    "cdc_dedup_ratio" ->
+      s"""WITH $cdcChunkCtes,
+         |sc3 AS (SELECT d.source, c.chunk_md5,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(MAX(c.n_tokens) AS BIGINT) AS n_tok
+         |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+         |  GROUP BY d.source, c.chunk_md5)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(cnt * n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_tok) AS BIGINT) AS unique_tokens,
+         |  ROUND(CAST(SUM(cnt * n_tok) AS DOUBLE) / SUM(n_tok) + 1e-9, 4)
+         |    AS dedup_ratio
+         |FROM sc3 GROUP BY source""".stripMargin,
 
     "text_pii_scrub" -> {
       // concat() instead of ||: stripMargin would eat a line-leading ||

@@ -162,6 +162,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(0).getLong(got(0).fieldIndex("bpe_tokens")) === 7L)
   }
 
+  test("cdcDedupRatio: totals reconcile with the chunk table and repeats raise exactly the ratio") {
+    import spark.implicits._
+    val out = TextOps.cdcDedupRatio(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // chunk totals reconcile with the raw chunk table per source
+    val raw = TextOps.cdcChunks(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("c"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { case (src, nc, nd, tot, uniq, ratio) =>
+      assert((nc, tot) === raw(src))
+      assert(nd <= nc && uniq <= tot)
+      assert(ratio >= 1.0 - 1e-9)
+    }
+    // a duplicated document doubles its chunks' counts but not the
+    // unique mass: one source, one doc repeated 3x plus a fresh doc
+    val rep = (1 to 40).map(i => s"c$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, rep, "s"), (2L, rep, "s"), (3L, rep, "s"), (4L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val one = TextOps.cdcDedupRatio(d).collect().head
+    val (nc, nd, tot, uniq) =
+      (one.getLong(1), one.getLong(2), one.getLong(3), one.getLong(4))
+    // rep's chunks appear 3x, other's once: stored mass 3*40 + 40,
+    // unique mass 40 + 40 -> ratio exactly 2.0
+    assert(tot === uniq + 2 * 40L)
+    assert(nc - nd > 0L, "duplicated chunks must exist")
+    assert(one.getDouble(5) === 2.0)
+  }
+
   test("cdcChunks: chunks tile each document; boundaries re-synchronize after an edit") {
     import spark.implicits._
     val chunks = TextOps.cdcChunks(docs).collect()
