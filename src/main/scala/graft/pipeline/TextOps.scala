@@ -641,6 +641,31 @@ object TextOps {
           (col("j") - col("start") + 1).cast("int")), " ")).as("chunk_md5"))
   }
 
+  /** CORPUS SNAPSHOT DIFF — the change-data-capture pass between two
+    * crawl/ingest versions: per document, whether it was `added`,
+    * `removed`, `changed` (same id, different content fingerprint) or
+    * `unchanged`. ONE full-outer equi-join on the document id — the
+    * id is the corpus' natural uniform key, so the join is skew-free
+    * at any scale — comparing md5 CONTENT fingerprints computed
+    * per-row on each side (at 100 TB the stored manifest fingerprint
+    * replaces the re-hash; the join is identical). Downstream
+    * consumers re-process exactly the `added`+`changed` slice instead
+    * of the corpus: the incremental-ingest contract. Output: (doc_id,
+    * source, status) — source from whichever side has the row. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val a = oldDocs.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("fp_a"))
+    val b = newDocs.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** CDC STORAGE-DEDUP RATIO per source — what a content-addressed
     * chunk store would save: [[cdcChunks]]' content-defined chunks
     * grouped by hash WITHIN each source, then one source-level

@@ -587,6 +587,19 @@ object TextQueries extends QueryModule {
     // per-source content-addressed storage savings over the CDC chunks
     "cdc_dedup_ratio" -> ((s, d) => TextOps.cdcDedupRatio(docs(s, d))),
 
+    // snapshot CDC: old = 90% draw of the corpus, new = 95% draw with
+    // 10% of texts edited — every status occurs and the diff is the
+    // added+changed re-process slice an incremental ingest consumes
+    "corpus_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dd = docs(s, d)
+      val oldSnap = dd.filter(TextOps.mdDraw6("snapold") < 900000L)
+      val newSnap = dd.filter(TextOps.mdDraw6("snapnew") < 950000L)
+        .withColumn("text", when(TextOps.mdDraw6("snapedit") < 100000L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      TextOps.snapshotDiff(oldSnap, newSnap)
+    }),
+
     // tokenizer VOCABULARY DRIFT: merges learned independently on the
     // two deterministic corpus halves, compared rank by rank — the
     // distribution-shift monitor that tells a pipeline when yesterday's
@@ -2032,6 +2045,28 @@ object TextQueries extends QueryModule {
       s"""WITH $cdcChunkCtes
          |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_md5
          |FROM chunks""".stripMargin,
+
+    // the same deterministic snapshot construction, full-outer joined
+    // on doc_id with md5 content fingerprints
+    "corpus_snapshot_diff" ->
+      s"""WITH oldd AS (SELECT doc_id, source, md5(text) AS fp_a FROM documents
+         |  WHERE ${hex60Sql("md5('snapold:' || CAST(doc_id AS VARCHAR))")}
+         |    % 1000000 < 900000),
+         |newd AS (SELECT doc_id, source,
+         |    md5(CASE WHEN
+         |      ${hex60Sql("md5('snapedit:' || CAST(doc_id AS VARCHAR))")}
+         |        % 1000000 < 100000
+         |      THEN text || ' v2' ELSE text END) AS fp_b
+         |  FROM documents
+         |  WHERE ${hex60Sql("md5('snapnew:' || CAST(doc_id AS VARCHAR))")}
+         |    % 1000000 < 950000)
+         |SELECT COALESCE(oldd.doc_id, newd.doc_id) AS doc_id,
+         |  COALESCE(newd.source, oldd.source) AS source,
+         |  CASE WHEN fp_a IS NULL THEN 'added'
+         |       WHEN fp_b IS NULL THEN 'removed'
+         |       WHEN fp_a = fp_b THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM oldd FULL OUTER JOIN newd ON oldd.doc_id = newd.doc_id""".stripMargin,
 
     // chunks keyed by (source, hash) then source — the content-
     // addressed store's savings factor per source

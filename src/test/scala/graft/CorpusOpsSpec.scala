@@ -162,6 +162,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(0).getLong(got(0).fieldIndex("bpe_tokens")) === 7L)
   }
 
+  test("snapshotDiff: the four statuses partition the id union; added+changed is the re-process slice") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same text", "s"), (2L, "will change", "s"),
+      (3L, "will vanish", "s")).toDF("doc_id", "text", "source")
+    val newSnap = Seq((1L, "same text", "s"), (2L, "did change", "s"),
+      (4L, "brand new", "s")).toDF("doc_id", "text", "source")
+    val got = TextOps.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // and on the deterministic corpus snapshots: statuses partition the
+    // union and every status occurs (the query construction guarantees
+    // all four bands are non-empty at the fixture draw rates)
+    val q = graft.queries.TextQueries.queries("corpus_snapshot_diff")(
+      spark, "/root/testdata/sf0.001")
+    val counts = q.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("added", "removed", "changed", "unchanged"))
+    assert(counts.values.forall(_ > 0L))
+  }
+
   test("cdcDedupRatio: totals reconcile with the chunk table and repeats raise exactly the ratio") {
     import spark.implicits._
     val out = TextOps.cdcDedupRatio(docs).collect()
