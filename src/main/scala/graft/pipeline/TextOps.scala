@@ -377,6 +377,98 @@ object TextOps {
       .withColumn("keep", col("fail_reason").isNull)
   }
 
+  /** C4 line-gate fixture geometry: the corpus has no line structure or
+    * punctuation, so (like [[htmlInject]]/[[urlInject]]) a deterministic
+    * renderer manufactures the artifacts the gate must catch. Tokens are
+    * grouped into lines of [[C4LineTokens]]; line (doc_id + i) % 5
+    * selects the terminal: 0–2 → '.', 3 → '?', 4 → none (a
+    * no-terminal line the gate drops). Three artifact lines append on
+    * doc_id moduli: a lorem-ipsum line (line-clean but page-fatal), a
+    * "please enable javascript" line (the C4 javascript line rule), and
+    * a code line whose '{' is page-fatal. All constants are shared with
+    * the DuckDB inject replay so the two geometries cannot desync. */
+  val C4LineTokens = 8
+  val C4LoremLine = "lorem ipsum dolor sit amet consectetur."
+  val C4JsLine = "please enable javascript to view this page."
+  val C4BraceLine = "function init() { return 0; }"
+
+  /** Render the corpus into newline-structured pages with deterministic
+    * C4-violating artifacts: (all input columns, ltext). */
+  def c4Inject(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("*"), tokens.as("__ts"))
+      .withColumn("__nl",
+        expr(s"(size(__ts) + ${C4LineTokens - 1}) div $C4LineTokens"))
+    val lineArr = transform(sequence(lit(0L), col("__nl") - 1), i =>
+      concat(
+        array_join(slice(col("__ts"),
+          (i * C4LineTokens + 1).cast("int"), lit(C4LineTokens)), " "),
+        when(pmod(col("doc_id") + i, lit(5L)) === 4, lit(""))
+          .when(pmod(col("doc_id") + i, lit(5L)) === 3, lit("?"))
+          .otherwise(lit("."))))
+    staged.select(docs.columns.map(col) :+ concat(
+      array_join(lineArr, "\n"),
+      when(pmod(col("doc_id"), lit(13L)) === 0, lit("\n" + C4LoremLine))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(19L)) === 0, lit("\n" + C4JsLine))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17L)) === 0, lit("\n" + C4BraceLine))
+        .otherwise(lit(""))).as("ltext"): _*)
+  }
+
+  /** Default line/page thresholds for [[c4Rules]] — shared with the
+    * DuckDB verdict replay so the two cannot desync. */
+  val C4MinLineWords = 5
+  val C4MinLines = 3
+
+  /** C4 LINE-LEVEL RULE SET (Raffel et al. 2020, the published cleanup
+    * behind the C4 corpus — distinct from the doc-level [[gopherRules]]
+    * thresholds): per LINE, keep only lines that end in a terminal
+    * punctuation mark ('.', '!', '?', '"'), carry at least
+    * `minLineWords` words, and do not mention javascript; per PAGE,
+    * drop any page containing "lorem ipsum" or a curly brace, or
+    * retaining fewer than `minLines` clean lines. The output is the
+    * RECONSTRUCTED page (kept lines re-joined), so the gate composes
+    * with downstream curation exactly like [[extractBlocks]]. Pure
+    * per-row split/filter/join expressions — zero shuffle, whole-stage
+    * codegen; the line array and the kept array are staged as aliases
+    * in their own projections (multiply-referenced non-cheap aliases
+    * survive CollapseProject — the extractBlocks lesson) so each lambda
+    * chain evaluates once per row. First-failure attribution: lorem →
+    * brace → too_few_lines. Output: (doc_id, n_lines, n_kept_lines,
+    * r_min_lines, r_no_lorem, r_no_brace, fail_reason, keep,
+    * clean_text). */
+  def c4Rules(docs: DataFrame, raw: Column,
+              minLineWords: Int = C4MinLineWords,
+              minLines: Int = C4MinLines): DataFrame = {
+    val lineKeep = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    docs.select(col("doc_id"),
+        split(raw, "\n").as("__lines"),
+        (!lower(raw).contains("lorem ipsum")).as("r_no_lorem"),
+        (!raw.contains("{")).as("r_no_brace"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        filter(col("__lines"), lineKeep).as("__kept"),
+        col("r_no_lorem"), col("r_no_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        (size(col("__kept")) >= minLines).as("r_min_lines"),
+        col("r_no_lorem"), col("r_no_brace"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+      .withColumn("fail_reason",
+        when(!col("r_no_lorem"), lit("lorem_ipsum"))
+          .when(!col("r_no_brace"), lit("brace"))
+          .when(!col("r_min_lines"), lit("too_few_lines"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("fail_reason").isNull)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("r_min_lines"), col("r_no_lorem"), col("r_no_brace"),
+        col("fail_reason"), col("keep"), col("clean_text"))
+  }
+
   /** One-scan GATE projection: every `docs` column plus `pred_lang` and
     * `quality` — the fused form [[graft.queries.TextQueries]]'s
     * corpus_pipeline gates on, so language-ID and quality-scoring never

@@ -327,6 +327,15 @@ object TextQueries extends QueryModule {
     // integer-exact hit-budget/density verdicts with first-failure
     // reason (the gopherRules recipe; C4/RefinedWeb-lineage filter)
     "quality_policy_gate" -> ((s, d) => TextOps.policyGate(docs(s, d))),
+    // C4 line-level rule set (Raffel et al. 2020) over the deterministic
+    // line/artifact renderer: per-line terminal-punctuation + min-words
+    // + javascript rules, page-level lorem/brace/min-clean-lines rules,
+    // reconstructed page out — the published C4 cleanup, distinct from
+    // the doc-level Gopher thresholds
+    "quality_c4_rules" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.c4Rules(TextOps.c4Inject(docs(s, d)), col("ltext"))
+    }),
     "text_lang_id"     -> ((s, d) => TextOps.langId(docs(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
@@ -1092,6 +1101,37 @@ object TextQueries extends QueryModule {
          |       ELSE NULL END AS fail_reason,
          |  (r_hit_count AND r_density) AS keep
          |FROM pv""".stripMargin
+    },
+
+    // C4 line gate replayed stage-for-stage: same inject geometry
+    // (shared constants), same per-line keep lambda, same page verdict
+    // order, exact reconstructed clean_text
+    "quality_c4_rules" -> {
+      val mw = TextOps.C4MinLineWords
+      val ml = TextOps.C4MinLines
+      s"""WITH inj AS MATERIALIZED ($c4InjectSql),
+         |ln AS (SELECT doc_id, string_split(ltext, chr(10)) AS lines,
+         |    NOT contains(lower(ltext), 'lorem ipsum') AS r_no_lorem,
+         |    NOT contains(ltext, '{') AS r_no_brace
+         |  FROM inj),
+         |k AS (SELECT doc_id, len(lines) AS n_lines,
+         |    list_filter(lines, l ->
+         |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+         |        OR ends_with(l, '"'))
+         |      AND len(string_split(l, ' ')) >= $mw
+         |      AND NOT contains(lower(l), 'javascript')) AS kept,
+         |    r_no_lorem, r_no_brace
+         |  FROM ln)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  len(kept) >= $ml AS r_min_lines, r_no_lorem, r_no_brace,
+         |  CASE WHEN NOT r_no_lorem THEN 'lorem_ipsum'
+         |       WHEN NOT r_no_brace THEN 'brace'
+         |       WHEN len(kept) < $ml THEN 'too_few_lines'
+         |       ELSE NULL END AS fail_reason,
+         |  (r_no_lorem AND r_no_brace AND len(kept) >= $ml) AS keep,
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+         |FROM k""".stripMargin
     },
 
     "corpus_source_stats" -> {
@@ -2459,6 +2499,33 @@ object TextQueries extends QueryModule {
   /** DuckDB spelling of the synthetic markup injection — interpolates
     * the SAME [[TextOps]] fixture constants the Spark side wraps with,
     * so the geometry cannot desync. */
+  /** DuckDB spelling of the C4 line/artifact renderer — interpolates
+    * the SAME [[TextOps]] fixture constants (line width, terminal
+    * cycle, artifact lines, moduli) the Spark side renders with, so
+    * the geometry cannot desync. */
+  private[queries] def c4InjectSql: String = {
+    val w = TextOps.C4LineTokens
+    // NOTE: this string is interpolated INSIDE other stripMargin
+    // oracles, whose stripMargin runs AGAIN over these lines — so no
+    // line here may open with '|' (a leading '||' concat would lose a
+    // pipe); every concat operator sits at line END
+    s"""SELECT doc_id, array_to_string(list_transform(range(0, nl), i ->
+       |    array_to_string(toks[i*$w+1 : i*$w+$w], ' ') ||
+       |    CASE WHEN (doc_id + i) % 5 = 4 THEN ''
+       |         WHEN (doc_id + i) % 5 = 3 THEN '?' ELSE '.' END),
+       |  chr(10)) ||
+       |  CASE WHEN doc_id % 13 = 0
+       |       THEN chr(10) || '${TextOps.C4LoremLine}' ELSE '' END ||
+       |  CASE WHEN doc_id % 19 = 0
+       |       THEN chr(10) || '${TextOps.C4JsLine}' ELSE '' END ||
+       |  CASE WHEN doc_id % 17 = 0
+       |       THEN chr(10) || '${TextOps.C4BraceLine}' ELSE '' END
+       |  AS ltext
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |      (len(string_split(text, ' ')) + ${w - 1}) // $w AS nl
+       |      FROM documents)""".stripMargin
+  }
+
   private[queries] def htmlInjectSql: String =
     "SELECT doc_id, source, lang, CASE " +
       s"WHEN doc_id % 3 = 0 THEN '${TextOps.HtmlPagePrefix}' || text || " +

@@ -248,6 +248,43 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(m === Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("c4Rules: every line and page rule fires on a micro-fixture; corpus render is non-vacuous") {
+    import spark.implicits._
+    // one page per rule: line no-terminal, line too-short, line
+    // javascript, page lorem, page brace, clean page
+    val micro = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta.\nshort line here.\nno terminal punct at all\nclean words make a full line!"),
+      (2L, "good long line with five words.\nmore good words fill this line.\nthird clean line of five words?\nlorem ipsum dolor sit amet."),
+      (3L, "good long line with five words.\nplease enable javascript to view this.\nbrace free but only two clean { lines."),
+      (4L, "first clean line of five words.\nsecond clean line of five words.\nthird clean line of five words \"")
+    ).toDF("doc_id", "ltext")
+    val got = TextOps.c4Rules(micro, col("ltext")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(6)), r.getBoolean(7), r.getString(8))).toMap
+    // page 1: 4 lines; "short line here." has 3 words (< 5) and the
+    // no-terminal line both drop -> 2 kept -> too_few_lines
+    assert(got(1L) === ((4L, 2L, Some("too_few_lines"), false,
+      "alpha beta gamma delta epsilon zeta.\nclean words make a full line!")))
+    // page 2: the lorem line is line-clean (counts as kept) but kills
+    // the page; lorem wins first-failure attribution
+    assert(got(2L)._2 === 4L)
+    assert(got(2L)._3 === Some("lorem_ipsum"))
+    // page 3: javascript line dropped at LINE level; '{' kills the page
+    // (brace outranks too_few_lines)
+    assert(got(3L)._3 === Some("brace"))
+    // page 4: three clean lines (one ends in '"') -> keeps
+    assert(got(4L) === ((3L, 3L, None, true,
+      "first clean line of five words.\nsecond clean line of five words.\nthird clean line of five words \"")))
+
+    // corpus render: every failure reason occurs AND keepers exist,
+    // so the oracle check is non-vacuous on all branches
+    val rendered = TextOps.c4Rules(TextOps.c4Inject(docs), col("ltext"))
+      .select(col("fail_reason"), col("keep")).collect()
+    val reasons = rendered.flatMap(r => Option(r.getString(0))).toSet
+    assert(reasons === Set("lorem_ipsum", "brace", "too_few_lines"))
+    assert(rendered.exists(_.getBoolean(1)))
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
