@@ -1357,6 +1357,41 @@ object TextOps {
         round(min(col("p")) + lit(1e-9), 8).as("min_p"))
   }
 
+  /** CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et al. 2020 —
+    * the published output shape of the CCNet pipeline): every document
+    * scored under the frozen reference LM ([[refLmScore]], the
+    * train-on-wiki/score-the-web split), then split PER SOURCE into
+    * score terciles — head (most reference-like third), middle, tail.
+    * The bucket rule is integer-exact on the per-source rank:
+    * rk·3 ≤ n → head, rk·3 ≤ 2n → middle, else tail, ordered by the
+    * ROUNDED score (6 dp — already cross-engine exact, quality_ref_ppl
+    * is hash-green) descending with doc_id tie-break, so both engines
+    * assign identical buckets. One window partitioned by `source` (a
+    * data-scale key) over the fit-small/score-distributed refLM pass.
+    * At extreme per-source sizes the exact rank's in-partition sort is
+    * the cost; the sampled-boundary variant ([[sampledQuantiles]]'s
+    * recipe: estimate tercile EDGES on a hash sample, bucket row-local)
+    * drops the sort at the price of boundary error — CCNet itself ships
+    * the sampled form. Output: (source, bucket, n_docs, n_trans,
+    * min_avg_p, max_avg_p). */
+  def pplBuckets(docs: DataFrame, trainPred: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wo = w.orderBy(col("avg_p").desc, col("doc_id"))
+    refLmScore(docs, trainPred)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trans")).as("n_trans"),
+        min(col("avg_p")).as("min_avg_p"),
+        max(col("avg_p")).as("max_avg_p"))
+  }
+
   /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
     * statistics over the whole corpus): explode each document's adjacent
     * token pairs, count per bigram, keep the k most frequent (ties by

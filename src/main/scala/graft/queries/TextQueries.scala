@@ -582,6 +582,12 @@ object TextQueries extends QueryModule {
     "quality_ref_ppl" -> ((s, d) => TextOps.refLmScore(docs(s, d),
       org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
 
+    // CCNet head/middle/tail buckets: per-source score terciles of the
+    // frozen-reference-LM pass, integer-exact rank rule over the
+    // rounded (cross-engine exact) score
+    "quality_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(docs(s, d),
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
+
     // overlapping token-window chunks (32-token windows every 24) — the
     // retrieval/embedding prep step; chunk boundaries are pure (n,
     // window, stride) arithmetic so the oracle replays them exactly
@@ -2046,26 +2052,26 @@ object TextQueries extends QueryModule {
          |        LEFT JOIN rem ON th.threshold = rem.threshold""".stripMargin,
 
     "quality_ref_ppl" ->
-      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
-         |tr AS (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
-         |  FROM (SELECT doc_id, source, ts,
-         |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
-         |trn AS (SELECT * FROM tr WHERE source IN ('src0', 'src1')),
-         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM trn GROUP BY a, b),
-         |c1 AS (SELECT a, COUNT(*) AS c1 FROM trn GROUP BY a),
-         |vv AS (SELECT COUNT(*) AS v FROM
-         |  (SELECT a FROM trn UNION SELECT b FROM trn)),
-         |p AS (SELECT tr.doc_id,
-         |    CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
-         |      / (COALESCE(c1.c1, 0) + (SELECT v FROM vv)) AS p,
-         |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
-         |  FROM tr LEFT JOIN c2 ON tr.a = c2.a AND tr.b = c2.b
-         |          LEFT JOIN c1 ON tr.a = c1.a)
-         |SELECT doc_id, COUNT(*) AS n_trans,
-         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
-         |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 6) AS avg_p,
-         |  ROUND(MIN(p) + 1e-9, 8) AS min_p
-         |FROM p GROUP BY doc_id""".stripMargin,
+      s"""WITH $refPplCtes
+         |SELECT doc_id, n_trans, n_oov, avg_p, min_p FROM ppl""".stripMargin,
+
+    // the refLM pass bucketed per source: same rank rule and tie-break
+    // as the Spark window (rounded score desc, doc_id asc)
+    "quality_ppl_buckets" ->
+      s"""WITH $refPplCtes,
+         |ps AS (SELECT ppl.*, d.source,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY avg_p DESC, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY d.source) AS n
+         |  FROM ppl JOIN (SELECT doc_id, source FROM documents) d
+         |    USING (doc_id)),
+         |bk AS (SELECT *, CASE WHEN rk * 3 <= n THEN 'head'
+         |    WHEN rk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM ps)
+         |SELECT source, bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_trans) AS BIGINT) AS n_trans,
+         |  MIN(avg_p) AS min_avg_p, MAX(avg_p) AS max_avg_p
+         |FROM bk GROUP BY source, bucket""".stripMargin,
 
     "text_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
@@ -2499,6 +2505,34 @@ object TextQueries extends QueryModule {
   /** DuckDB spelling of the synthetic markup injection — interpolates
     * the SAME [[TextOps]] fixture constants the Spark side wraps with,
     * so the geometry cannot desync. */
+  /** DuckDB replay of the frozen-reference-LM scoring pass
+    * ([[TextOps.refLmScore]] with the src0/src1 train split): CTE chain
+    * ending in `ppl(doc_id, n_trans, n_oov, avg_p, min_p)` — shared by
+    * the quality_ref_ppl oracle and the CCNet bucket oracle so the two
+    * replays cannot desync. Lines never open with '|' (this string is
+    * re-stripMargin'd by its consumers — the c4InjectSql note). */
+  private[queries] def refPplCtes: String =
+    s"""s AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |tr AS (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
+       |  FROM (SELECT doc_id, source, ts,
+       |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
+       |trn AS (SELECT * FROM tr WHERE source IN ('src0', 'src1')),
+       |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM trn GROUP BY a, b),
+       |c1 AS (SELECT a, COUNT(*) AS c1 FROM trn GROUP BY a),
+       |vv AS (SELECT COUNT(*) AS v FROM
+       |  (SELECT a FROM trn UNION SELECT b FROM trn)),
+       |p AS (SELECT tr.doc_id,
+       |    CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+       |      / (COALESCE(c1.c1, 0) + (SELECT v FROM vv)) AS p,
+       |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tr LEFT JOIN c2 ON tr.a = c2.a AND tr.b = c2.b
+       |          LEFT JOIN c1 ON tr.a = c1.a),
+       |ppl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_trans,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 6) AS avg_p,
+       |  ROUND(MIN(p) + 1e-9, 8) AS min_p
+       |FROM p GROUP BY doc_id)""".stripMargin
+
   /** DuckDB spelling of the C4 line/artifact renderer — interpolates
     * the SAME [[TextOps]] fixture constants (line width, terminal
     * cycle, artifact lines, moduli) the Spark side renders with, so

@@ -285,6 +285,32 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(rendered.exists(_.getBoolean(1)))
   }
 
+  test("pplBuckets: exact tercile sizes per source and head>=middle>=tail score ordering") {
+    val rows = TextOps.pplBuckets(docs, col("source").isin("src0", "src1"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    val perSrc = rows.keys.groupBy(_._1)
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { case (src, _) =>
+      val n = Seq("head", "middle", "tail")
+        .map(b => rows.get((src, b)).map(_._1).getOrElse(0L)).sum
+      // integer tercile rule: head = floor(n/3), middle = floor(2n/3) -
+      // floor(n/3), tail = the rest
+      assert(rows.get((src, "head")).map(_._1).getOrElse(0L) === n / 3, src)
+      assert(rows.get((src, "middle")).map(_._1).getOrElse(0L)
+        === 2 * n / 3 - n / 3, src)
+      // buckets are score-ordered: min(head) >= max(middle) >= ... with
+      // ties allowed at the boundary (rank tie-break on doc_id)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2)) {
+        (rows.get((src, hi)), rows.get((src, lo))) match {
+          case (Some((_, minHi, _)), Some((_, _, maxLo))) =>
+            assert(minHi >= maxLo, s"$src $hi vs $lo")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
