@@ -1414,6 +1414,34 @@ object VectorOps {
             + lit(1e-9), 8)).as("residual_ratio"))
   }
 
+  /** CLIP-SCORE ALIGNMENT GATE — the LAION-400M/5B construction filter
+    * (Schuhmann et al. 2021): an image-text pair survives iff the
+    * cosine between its two CLIP embeddings clears a threshold (LAION
+    * ships 0.28 for ViT-B/32). The encoder itself is out of engine
+    * scope (the multimodal decode-stub policy); the ENGINE side — pair
+    * matching, exact quantized cosine, threshold verdict, per-label
+    * survival accounting — is real and oracle-checked. Pairing fixture:
+    * even `vec_id` = image embedding, odd = its caption (pair_id =
+    * vec_id div 2), so the join is one equi-join on a data-scale key;
+    * the cosine is the [[cosine]] kernel (exact integer dots, IEEE
+    * sqrt/divide — bit-identical across engines), rounded at 6 dp
+    * before the verdict so the comparison sees identical bits. Scales
+    * as one shuffle on pair_id + per-row arithmetic; at 100 TB the
+    * pair join co-partitions and the gate stays embarrassingly
+    * parallel. Output: (pair_id, label, clip_sim, keep). */
+  def clipGate(emb: DataFrame, threshold: Double = 0.28): DataFrame = {
+    val q = emb.select(col("vec_id"), quant.as("qv"), col("label"),
+      expr("vec_id div 2").as("pair_id"), pmod(col("vec_id"), lit(2L)).as("side"))
+    val img = q.filter(col("side") === 0)
+      .select(col("pair_id"), col("qv").as("qa"), col("label"))
+    val txt = q.filter(col("side") === 1)
+      .select(col("pair_id"), col("qv").as("qb"))
+    img.join(txt, Seq("pair_id"))
+      .select(col("pair_id"), col("label"),
+        round(cosine(col("qa"), col("qb")) + lit(1e-9), 6).as("clip_sim"))
+      .withColumn("keep", col("clip_sim") >= threshold)
+  }
+
   /** [[abttResiduals]] from an already-fitted model — scoring only. */
   def abttResidualsWith(emb: DataFrame,
                         fit: (Array[Long], Array[Long])): DataFrame = {

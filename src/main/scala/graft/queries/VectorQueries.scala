@@ -180,6 +180,13 @@ object VectorQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> ((s, d) =>
       VectorOps.bruteForceTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 5)),
+    // LAION-construction CLIP alignment gate: even/odd vec_id =
+    // image/caption pair, exact quantized cosine, threshold verdict
+    // (0.20 is corpus-calibrated — the synthetic embeddings are
+    // noisier than CLIP space, so LAION's published ViT-B/32 cut of
+    // 0.28 would keep almost nothing; the plan is threshold-free)
+    "mm_clip_gate" -> ((s, d) =>
+      VectorOps.clipGate(Tables.embeddings(s, d), threshold = 0.20)),
     "ann_ivf_topk" -> ((s, d) =>
       VectorOps.ivfTopK(Tables.embeddings(s, d), k = 3)),
     "ann_lsh_pairs" -> ((s, d) =>
@@ -429,6 +436,19 @@ object VectorQueries extends QueryModule {
        |  FROM q LEFT JOIN comps c ON q.vec_id = c.vec_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same pairing, same quantized-cosine kernel, same 6-dp rounding
+    // before the threshold compare
+    "mm_clip_gate" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv, label,
+         |    vec_id // 2 AS pair_id, vec_id % 2 AS side FROM embeddings),
+         |a AS (SELECT pair_id, qv AS qa, label FROM q WHERE side = 0),
+         |b AS (SELECT pair_id, qv AS qb FROM q WHERE side = 1),
+         |sc AS (SELECT pair_id, label,
+         |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS clip_sim
+         |  FROM a JOIN b USING (pair_id))
+         |SELECT pair_id, label, clip_sim, clip_sim >= 0.20 AS keep
+         |FROM sc""".stripMargin,
+
     "emb_centroid_drift" ->
       s"""WITH q AS (SELECT vec_id, label, $qvSql AS qv,
          |    CAST('0x' || substr(md5('half:' || CAST(vec_id AS VARCHAR)), 1, 15)

@@ -311,6 +311,23 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("clipGate: pair cosines match a driver recomputation and both verdicts occur") {
+    val got = VectorOps.clipGate(emb, threshold = 0.20).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val byId = qrows.map(t => t._1 -> t).toMap
+    val expPairs = qrows.map(_._1 / 2).distinct
+      .filter(p => byId.contains(2 * p) && byId.contains(2 * p + 1))
+    assert(got.size === expPairs.length)
+    expPairs.foreach { p =>
+      val (_, label, qa) = byId(2 * p)
+      val (_, _, qb) = byId(2 * p + 1)
+      val sim = round6(cosine(qa, qb))
+      assert(got(p) === ((label, sim, sim >= 0.20)), s"pair $p")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
