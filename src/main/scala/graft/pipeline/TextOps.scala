@@ -1392,6 +1392,97 @@ object TextOps {
         max(col("avg_p")).as("max_avg_p"))
   }
 
+  /** Winnowing defaults — gram width, window width, posting-list df
+    * cap, and the shared-fingerprint pair threshold; shared with the
+    * DuckDB replay so the two selections cannot desync. */
+  val WinnowK = 5
+  val WinnowW = 4
+  val WinnowDfCap = 50
+  val WinnowMinShared = 2
+
+  /** Per-document WINNOWED FINGERPRINT SELECTION (Schleimer et al.
+    * 2003, the MOSS algorithm — the guarantee-bearing alternative to
+    * MinHash for SUB-document overlap): hash every k-token gram, slide
+    * a w-window over the hash sequence, select each window's minimum
+    * (ties to the RIGHTMOST — robust winnowing, so a run of equal
+    * hashes selects once), dedupe selections. Any shared substring of
+    * ≥ w + k − 1 tokens is GUARANTEED to share a fingerprint — the
+    * detection floor is a parameter, not a probability (the contrast
+    * with the minhash family).
+    *
+    * Shape note (learned the hard way): the first cut did the whole
+    * selection as ROW-LOCAL nested array lambdas — transform over
+    * windows of element_at into a transform-built hash array. Nested
+    * higher-order lambdas are interpreted, and single-referenced
+    * aliases collapse INTO the lambda, so every element access
+    * re-evaluated the gram-hash array and the token split underneath
+    * it: O(grams²·w·k) string work per document — minutes on 500 docs.
+    * This spelling is the [[repeatedSpans]] shape instead: explode
+    * gram ROWS (the array becomes an attribute, evaluated once), then
+    * one doc_id-partitioned sliding window whose min-struct —
+    * struct(h, −pos), lexicographic in both engines — is the
+    * rightmost-tie argmin. One data-scale-keyed shuffle, O(w) per row.
+    * Output rows: (doc_id, n_grams, h, np) — distinct selections;
+    * [[winnowingStats]] and [[winnowingPairs]] consume them. */
+  def winnowedFps(docs: DataFrame, k: Int = WinnowK,
+                  w: Int = WinnowW): DataFrame = {
+    val ts = tokens
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p")).rowsBetween(0, w - 1)
+    docs.select(col("doc_id"), ts.as("__ts"), size(ts).as("__n"))
+      .filter(col("__n") >= k)
+      .select(col("doc_id"), (col("__n") - (k - 1)).cast("long").as("n_grams"),
+        explode(sequence(lit(1), col("__n") - (k - 1))).as("p"), col("__ts"))
+      .select(col("doc_id"), col("n_grams"), col("p"),
+        conv(substring(md5(concat_ws(" ",
+          (0 until k).map(i => element_at(col("__ts"), col("p") + i)): _*)),
+          1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("sel", min(struct(col("h"),
+        (-col("p")).cast("long").as("np"))).over(wnd))
+      .filter(col("p") <= greatest(col("n_grams") - (w - 1), lit(1L)))
+      .select(col("doc_id"), col("n_grams"),
+        col("sel.h").as("h"), col("sel.np").as("np"))
+      .distinct()
+  }
+
+  /** Winnowing density diagnostic: selected-fingerprint count and the
+    * selection density (expected ≈ 2/(w+1) — the paper's bound; a
+    * density far above it flags degenerate/repetitive text).
+    * Output: (doc_id, n_grams, n_fps, density). */
+  def winnowingStats(docs: DataFrame, k: Int = WinnowK,
+                     w: Int = WinnowW): DataFrame =
+    winnowedFps(docs, k, w)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_fps"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        round(col("n_fps").cast("double") / col("n_grams") + lit(1e-9), 4)
+          .as("density"))
+
+  /** MOSS-style overlap pairs over the winnowed sets: explode the
+    * per-doc fingerprints, df-cap the posting lists (a fingerprint in
+    * more than `dfCap` docs is boilerplate, not evidence — the capped
+    * posting-list recipe of the dedup family, so no hot hash ever
+    * drives a quadratic bucket), equi-join postings, keep pairs sharing
+    * ≥ `minShared` fingerprints. Candidate work is Σ df² over capped
+    * lists — linear in corpus size at fixed cap. Output: (doc_a, doc_b,
+    * shared_fps). */
+  def winnowingPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+                     dfCap: Int = WinnowDfCap,
+                     minShared: Int = WinnowMinShared): DataFrame = {
+    val fp = winnowedFps(docs, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val fpp = graft.CacheScope.persist(fp)
+    val kept = fpp.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("h"))
+    val fk = graft.CacheScope.persist(fpp.join(kept, Seq("h")))
+    fk.select(col("h"), col("doc_id").as("doc_a"))
+      .join(fk.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
     * statistics over the whole corpus): explode each document's adjacent
     * token pairs, count per bigram, keep the k most frequent (ties by

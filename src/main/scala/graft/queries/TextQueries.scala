@@ -321,6 +321,13 @@ object TextQueries extends QueryModule {
       val sp = TextOps.splitCol(valFrac = 0.1, testFrac = 0.05)
       DedupOps.contamination(dd.filter(sp =!= "test"), sp === "val")
     }),
+    // winnowing (MOSS) fingerprint selection: window-min over k-gram
+    // hashes with rightmost ties — guaranteed detection of any shared
+    // run >= w+k-1 tokens (vs the minhash family's probabilistic catch)
+    "text_winnowing" -> ((s, d) => TextOps.winnowingStats(docs(s, d))),
+    // MOSS-style overlap pairs over the winnowed sets: df-capped
+    // posting lists, >= minShared shared fingerprints
+    "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(docs(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "quality_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
     // content-policy wordlist gate: whole-word banned-term counts +
@@ -2073,6 +2080,24 @@ object TextQueries extends QueryModule {
          |  MIN(avg_p) AS min_avg_p, MAX(avg_p) AS max_avg_p
          |FROM bk GROUP BY source, bucket""".stripMargin,
 
+    "text_winnowing" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, MAX(n_grams) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fps,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_grams) + 1e-9, 4) AS density
+         |FROM fps GROUP BY doc_id""".stripMargin,
+
+    "dedup_winnowing" ->
+      s"""WITH $winnowCtes,
+         |fe AS (SELECT DISTINCT doc_id, h FROM fps),
+         |kept AS (SELECT h FROM fe GROUP BY h
+         |  HAVING COUNT(*) <= ${TextOps.WinnowDfCap}),
+         |fk AS (SELECT fe.* FROM fe JOIN kept USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS shared_fps
+         |FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= ${TextOps.WinnowMinShared}""".stripMargin,
+
     "text_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -2505,6 +2530,33 @@ object TextQueries extends QueryModule {
   /** DuckDB spelling of the synthetic markup injection — interpolates
     * the SAME [[TextOps]] fixture constants the Spark side wraps with,
     * so the geometry cannot desync. */
+  /** DuckDB replay of the winnowed-fingerprint selection
+    * ([[TextOps.winnowedFps]]): same gram hash (md5 → 60-bit int), same
+    * rightmost-tie window argmin (explicit list_reduce ratchet — the
+    * lexicographic struct-min twin), ending in
+    * `fps(doc_id, n_grams, fps)`. Lines never open with '|' (the
+    * c4InjectSql re-stripMargin note). */
+  private[queries] def winnowCtes: String = {
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, n - ${k - 1} + 1), p ->
+       |    ${hex60Sql(s"md5(array_to_string(ts[p:p+${k - 1}], ' '))")}) AS h
+       |  FROM t WHERE n >= $k),
+       |sel AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+       |    list_transform(
+       |      range(1, greatest(len(h) - ${w - 1}, 1) + 1), j ->
+       |      list_reduce(list_transform(range(j, j + least($w, len(h))), p ->
+       |        {'h': h[p], 'np': CAST(-p AS BIGINT)}),
+       |        (a, b) -> CASE WHEN b.h < a.h OR (b.h = a.h AND b.np < a.np)
+       |                  THEN b ELSE a END)) AS raw
+       |  FROM g),
+       |fps AS MATERIALIZED (SELECT doc_id, n_grams, u.h AS h, u.np AS np
+       |  FROM (SELECT doc_id, n_grams, UNNEST(raw) AS u FROM sel)
+       |  GROUP BY ALL)""".stripMargin
+  }
+
   /** DuckDB replay of the frozen-reference-LM scoring pass
     * ([[TextOps.refLmScore]] with the src0/src1 train split): CTE chain
     * ending in `ppl(doc_id, n_trans, n_oov, avg_p, min_p)` — shared by

@@ -328,6 +328,46 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("winnowing: selection matches a driver recomputation and the shared-run guarantee holds") {
+    import spark.implicits._
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    // driver recomputation of the robust-winnowing selection
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def select(text: String): Set[(Long, Long)] = {
+      val ts = text.split(" ", -1)
+      val hs = (0 to ts.length - k).map(i =>
+        java.lang.Long.parseLong(md5hex(ts.slice(i, i + k).mkString(" ")).take(15), 16))
+      val m = hs.length
+      (1 to math.max(m - w + 1, 1)).map { j =>
+        val wl = math.min(w, m)
+        (j until j + wl).map(p => (hs(p - 1), -p.toLong)).min
+      }.toSet
+    }
+    val got = TextOps.winnowedFps(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(2), r.getLong(3))).toSet }
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.filter(_._2.split(" ", -1).length >= k).foreach { case (id, tx) =>
+      assert(got(id) === select(tx), s"doc $id")
+    }
+    // the guarantee: two docs sharing a run of >= w+k-1 tokens share a
+    // winnowed fingerprint — pinned on a planted fixture
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // w+k-1 = 8 tokens
+    val fx = Seq(
+      (1L, s"one two $shared three four five six seven eight"),
+      (2L, s"red green blue $shared yellow purple orange pink brown")
+    ).toDF("doc_id", "text")
+    val fsets = TextOps.winnowedFps(fx).collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fsets(1L) intersect fsets(2L)).nonEmpty)
+    // and the pair miner surfaces overlap pairs on the real corpus
+    assert(TextOps.winnowingPairs(docs).count() > 0)
+  }
+
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
     val m = DedupOps.sourcePairMatrix(docs).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
