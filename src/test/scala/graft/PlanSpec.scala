@@ -55,7 +55,8 @@ class PlanSpec extends SparkSpec {
     "text_chi2_shift" -> "broadcasts the 16-row top-token frame and the 1-row corpus total over the |sources|-row per-source frame — all sides bounded",
     "dedup_triangles" -> "crossJoin of three 1-row aggregates (edge / triangle / wedge counts)",
     "text_tfidf_terms" -> "broadcasts the 1-row corpus doc-count over the (source, term) score frame — the bm25/chi2 stats-broadcast shape",
-    "bpe_fertility" -> "broadcasts the 1-row corpus token/word totals over the |langs|-row per-language frame")
+    "bpe_fertility" -> "broadcasts the 1-row corpus token/word totals over the |langs|-row per-language frame",
+    "quality_ppl_buckets" -> "inherits quality_ref_ppl's 1-row vocabulary-size (V) broadcast — the bucket window adds no new join")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
