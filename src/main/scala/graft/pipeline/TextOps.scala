@@ -1483,6 +1483,35 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Incremental-ingest form of [[winnowingPairs]] (the
+    * dedup_incremental shape for the guarantee-bearing family): the
+    * arriving batch (doc_id ≥ splitId) is screened against the OLDER
+    * corpus's fingerprint index only — never a corpus self-pair pass.
+    * The df cap is applied to the INDEX postings before the probe join,
+    * so a boilerplate fingerprint can't fan every arriving doc out by
+    * its document frequency. In production the old index (fp + kept) is
+    * the build-once/append-many persisted artifact ([[graft.pipeline
+    * .VectorOps]] ivfKmeansAppend note) and per-batch cost is
+    * O(|batch| · fps/doc); recomputing it here is the test-form of the
+    * same plan. Output: (new_id, old_id, shared_fps). */
+  def winnowingIncremental(docs: DataFrame, splitId: Long,
+                           k: Int = WinnowK, w: Int = WinnowW,
+                           dfCap: Int = WinnowDfCap,
+                           minShared: Int = WinnowMinShared): DataFrame = {
+    val fp = graft.CacheScope.persist(
+      winnowedFps(docs, k, w).select(col("doc_id"), col("h")).distinct())
+    val old = fp.filter(col("doc_id") < splitId)
+    val kept = old.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("h"))
+    fp.filter(col("doc_id") >= splitId)
+      .select(col("h"), col("doc_id").as("new_id"))
+      .join(old.join(kept, Seq("h"))
+        .select(col("h"), col("doc_id").as("old_id")), Seq("h"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Corpus-wide top-k token bigrams by occurrence count (vocabulary
     * statistics over the whole corpus): explode each document's adjacent
     * token pairs, count per bigram, keep the k most frequent (ties by

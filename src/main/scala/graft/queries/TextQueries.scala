@@ -328,6 +328,14 @@ object TextQueries extends QueryModule {
     // MOSS-style overlap pairs over the winnowed sets: df-capped
     // posting lists, >= minShared shared fingerprints
     "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(docs(s, d))),
+    // ingest form: newest fifth screened against the older index only
+    // (O(batch) probes; the dedup_incremental shape)
+    "dedup_winnowing_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val split = (dd.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head.getLong(0) * 4) / 5
+      TextOps.winnowingIncremental(dd, split)
+    }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "quality_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
     // content-policy wordlist gate: whole-word banned-term counts +
@@ -2086,6 +2094,20 @@ object TextQueries extends QueryModule {
          |  CAST(COUNT(*) AS BIGINT) AS n_fps,
          |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_grams) + 1e-9, 4) AS density
          |FROM fps GROUP BY doc_id""".stripMargin,
+
+    "dedup_winnowing_incremental" ->
+      s"""WITH $winnowCtes,
+         |fe AS (SELECT DISTINCT doc_id, h FROM fps),
+         |sp AS (SELECT MAX(doc_id) * 4 // 5 AS s FROM documents),
+         |old AS (SELECT * FROM fe WHERE doc_id < (SELECT s FROM sp)),
+         |kept AS (SELECT h FROM old GROUP BY h
+         |  HAVING COUNT(*) <= ${TextOps.WinnowDfCap}),
+         |ok AS (SELECT old.* FROM old JOIN kept USING (h))
+         |SELECT n.doc_id AS new_id, ok.doc_id AS old_id,
+         |  COUNT(*) AS shared_fps
+         |FROM (SELECT * FROM fe WHERE doc_id >= (SELECT s FROM sp)) n
+         |JOIN ok ON n.h = ok.h
+         |GROUP BY 1, 2 HAVING COUNT(*) >= ${TextOps.WinnowMinShared}""".stripMargin,
 
     "dedup_winnowing" ->
       s"""WITH $winnowCtes,

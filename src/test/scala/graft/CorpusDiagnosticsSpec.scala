@@ -366,6 +366,25 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert((fsets(1L) intersect fsets(2L)).nonEmpty)
     // and the pair miner surfaces overlap pairs on the real corpus
     assert(TextOps.winnowingPairs(docs).count() > 0)
+
+    // incremental form: driver recomputation of the newest-fifth probe
+    // against the older index (df cap applied to the INDEX postings)
+    val split = texts.keys.max * 4 / 5
+    val fsetsAll = texts.filter(_._2.split(" ", -1).length >= k)
+      .map { case (id, tx) => id -> select(tx).map(_._1) }
+    val oldF = fsetsAll.filter(_._1 < split)
+    val dfh = oldF.toSeq.flatMap(_._2).groupBy(identity)
+      .collect { case (h, os) if os.size <= TextOps.WinnowDfCap => h }.toSet
+    val expInc = (for {
+      (nid, nf) <- fsetsAll.toSeq if nid >= split
+      (oid, of) <- oldF.toSeq
+      shared = (nf intersect of intersect dfh).size
+      if shared >= TextOps.WinnowMinShared
+    } yield (nid, oid) -> shared.toLong).toMap
+    val gotInc = TextOps.winnowingIncremental(docs, split).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotInc === expInc)
+    assert(gotInc.nonEmpty)
   }
 
   test("sourcePairMatrix: pair counts reconcile with the verified pair set") {
