@@ -1357,6 +1357,62 @@ object TextOps {
         round(min(col("p")) + lit(1e-9), 8).as("min_p"))
   }
 
+  /** STUPID BACKOFF word-bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the LM smoothing DESIGNED
+    * for MapReduce-scale corpora: no discount normalization, no held-out
+    * pass, just raw relative frequencies and a fixed backoff penalty, so
+    * the whole frozen model is two count tables a distributed fit
+    * produces in two partial-agg groupBys). Complements [[refLmScore]]
+    * (add-one smoothing): where add-one flattens every unseen context to
+    * 1/V, stupid backoff FALLS BACK to the unigram relative frequency
+    * scaled by the published constant α = 0.4.
+    *
+    * Score per transition (a → b), model frozen on the `trainPred`
+    * reference slice:
+    *   - bigram seen:   S = c2(a,b) / c1(a)
+    *   - else, b seen:  S = (2·cu(b)) / (5·N)     (α = 2/5 exactly)
+    *   - else (OOV):    S = 0, billed in `n_oov`
+    * Every score is ONE IEEE division of exact integers (the α scaling
+    * is folded into integer numerator/denominator BEFORE the divide), so
+    * both engines compute identical bits; the per-doc mean is
+    * decimal-summed ([[graft.queries.Sql.decSum]]) — order-free.
+    *
+    * Scale shape: identical to [[refLmScoreWith]] — the model tables are
+    * bounded by the reference slice and broadcast; the corpus pays one
+    * transition explode + one partial-agg groupBy(doc_id). Output:
+    * (doc_id, n_trans, n_backoff, n_oov, avg_s, min_s). */
+  def stupidBackoffScore(docs: DataFrame, trainPred: Column): DataFrame = {
+    val train = wordTransitions(docs.filter(trainPred))
+    val c2 = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    // unigram counts over EVERY train token (not just transition slots):
+    // the final token of each reference doc still counts as evidence
+    val cu = docs.filter(trainPred)
+      .select(explode(tokens).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cu"))
+    val ndf = docs.filter(trainPred).agg(sum(size(tokens)).as("nn"))
+    wordTransitions(docs)
+      .join(broadcast(c2), Seq("a", "b"), "left")
+      .join(broadcast(c1), Seq("a"), "left")
+      .join(broadcast(cu), Seq("b"), "left")
+      .crossJoin(broadcast(ndf))
+      .withColumn("s",
+        when(col("c2").isNotNull, col("c2").cast("double") / col("c1"))
+          .when(col("cu").isNotNull,
+            (col("cu") * 2L).cast("double") / (col("nn") * 5L))
+          .otherwise(lit(0.0)))
+      .withColumn("bko",
+        when(col("c2").isNull && col("cu").isNotNull, 1L).otherwise(0L))
+      .withColumn("oov",
+        when(col("c2").isNull && col("cu").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("bko")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"),
+        round(graft.queries.Sql.decAvg(col("s")) + lit(1e-9), 6).as("avg_s"),
+        round(min(col("s")) + lit(1e-9), 8).as("min_s"))
+  }
+
   /** CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et al. 2020 —
     * the published output shape of the CCNet pipeline): every document
     * scored under the frozen reference LM ([[refLmScore]], the
@@ -1390,6 +1446,131 @@ object TextOps {
         sum(col("n_trans")).as("n_trans"),
         min(col("avg_p")).as("min_avg_p"),
         max(col("avg_p")).as("max_avg_p"))
+  }
+
+  // ------------------------------------------------------- linear classifier
+
+  /** Hashed-feature linear-classifier constants — shared with the DuckDB
+    * replay so the two trainings cannot desync. `ClsScale` is the
+    * fixed-point unit: probabilities live in [0, ClsScale] as integers. */
+  val ClsBuckets = 4096
+  val ClsIters = 16
+  val ClsScale = 1000000L
+  val ClsEtaNum = 1L
+  val ClsEtaDen = 2L
+
+  /** Markers injected per document by [[injectLangMarkers]]. */
+  val MarkerInjectK = 3
+
+  /** Deterministic LANGUAGE-MARKER INJECTION — the classifier twin of the
+    * [[mojibake]]/C4/HTML injectors: the synthetic corpus draws every
+    * document's tokens from ONE shared vocabulary regardless of `lang`
+    * (measured: every candidate label's Bayes accuracy is the majority
+    * class), so to exercise a LEARNED gate the fixture must plant the
+    * signal real corpora carry — function words. Each document gets
+    * [[MarkerInjectK]] of its own language's [[langMarkers]] prepended,
+    * rotation-selected by doc_id (position (doc_id + i) mod |markers|),
+    * so the planted evidence is deterministic, varies across documents,
+    * and never includes another language's markers. Only 'the'/'a'
+    * collide with the base vocabulary (measured) — at most 2 of en's 3
+    * picks, never all, so every English document carries at least one
+    * distinctive marker. */
+  def injectLangMarkers(docs: DataFrame): DataFrame = {
+    val m = typedlit(langMarkers.toMap)
+    val arr = element_at(m, col("lang"))
+    val pref = concat_ws(" ", (0 until MarkerInjectK).map(i =>
+      element_at(arr,
+        ((col("doc_id") + i) % size(arr)).cast("int") + 1)): _*)
+    docs.withColumn("text", concat(pref, lit(" "), col("text")))
+  }
+
+  /** Per-document hashed bag-of-words feature row for the fastText-shape
+    * classifier: (doc_id, lang, y, is_train, bs) where `bs` is the bias
+    * feature −1 prepended to the SORTED DISTINCT md5-hash buckets of the
+    * document's tokens (binary presence features — bounded magnitudes, so
+    * every fixed-point quantity below has an auditable overflow bound).
+    * The train split is the content-independent [[mdDraw6]] draw. */
+  def classifierFeatures(docs: DataFrame, labelPred: Column,
+                         trainSalt: String = "clsft",
+                         trainFrac: Double = 0.5): DataFrame = {
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClsBuckets
+    docs.select(col("doc_id"), col("lang"),
+      when(labelPred, 1L).otherwise(0L).as("y"),
+      when(mdDraw6(trainSalt) < drawThreshold(trainFrac), 1L).otherwise(0L)
+        .as("is_train"),
+      concat(array(lit(-1L)),
+        array_sort(array_distinct(transform(tokens, bucket)))).as("bs"))
+  }
+
+  /** Fixed-point rational sigmoid over a materialized `m` margin column:
+    * σ̃(m) = S/2 + m·S / (2·(S + |m|)) — the "fast sigmoid"
+    * m/(1+|m|) shifted into [0, S]. Rational, so it is EXACT integer
+    * arithmetic in both engines (`div` and DuckDB's `//` both truncate
+    * toward zero — verified); no transcendental ever enters the fit. */
+  private def clsProbExpr(m: String): String =
+    s"${ClsScale / 2}L + ($m * ${ClsScale}L) div (2L * (${ClsScale}L + abs($m)))"
+
+  /** FASTTEXT-SHAPE LINEAR CLASSIFIER FIT (Joulin et al. 2016, "Bag of
+    * Tricks for Efficient Text Classification" — the hashed-feature
+    * linear model every published web pipeline reaches for when it needs
+    * a learned quality/language gate): logistic regression over
+    * [[classifierFeatures]], trained by full-batch gradient descent kept
+    * ENTIRELY IN FIXED-POINT INTEGERS — margins are integer sums of
+    * integer weights, the sigmoid is rational ([[clsProbExpr]]), the
+    * update divides integer gradient sums by the integer train count —
+    * so the whole trajectory is bit-replayable in DuckDB, the same way
+    * [[graft.queries.TextQueries]]'s DoReMi reweighting trajectory is.
+    *
+    * Scale shape: each of the [[ClsIters]] iterations is one pass over
+    * the persisted feature relation — a row-local margin fold (the
+    * weights ride the plan as a [[ClsBuckets]]+1 literal array, the
+    * emb_pca_power pattern) and ONE partial-agg groupBy(bucket) whose
+    * result is the (ClsBuckets+1)-row gradient collected to the driver.
+    * Nothing driver-side ever scales with the corpus; the train count n
+    * enters only as a divisor. Overflow bounds (long): |update| ≤ η·S →
+    * |w| ≤ T·η·S ≈ 3.2e7, |margin| ≤ (D+1)·|w| ≈ 2.1e9, the sigmoid
+    * numerator ≤ 2.1e15, a gradient sum ≤ n·S — safe past 1e12 train
+    * docs. */
+  def classifierFit(feats: DataFrame): Array[Long] = {
+    val n = feats.filter(col("is_train") === 1L).count()
+    require(n > 0, "classifierFit: empty train split")
+    var w = Array.fill(ClsBuckets + 1)(0L)
+    for (_ <- 1 to ClsIters) {
+      val wl = typedlit(w.toSeq)
+      val grads = feats.filter(col("is_train") === 1L)
+        .withColumn("m", aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + element_at(wl, (b + lit(2L)).cast("int"))))
+        .withColumn("e", expr(clsProbExpr("m")) - col("y") * ClsScale)
+        .select(explode(col("bs")).as("b"), col("e"))
+        .groupBy(col("b")).agg(sum(col("e")).as("g"))
+        .collect()
+      val nw = w.clone()
+      grads.foreach { r =>
+        val b = r.getLong(0); val g = r.getLong(1)
+        nw((b + 1).toInt) = w((b + 1).toInt) - (g * ClsEtaNum) / (n * ClsEtaDen)
+      }
+      w = nw
+    }
+    w
+  }
+
+  /** Score every document under a fitted weight vector: margin (exact
+    * integer), calibrated probability (ONE IEEE divide of the fixed-point
+    * sigmoid by S, then the shared rounding), and the 0/1 verdict at
+    * p ≥ 1/2 — compared in INTEGERS (2·p̃ ≥ S), so no float boundary can
+    * flip a verdict across engines. Row-local given the literal weights:
+    * zero shuffles, whole-stage codegen. */
+  def classifierScore(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val wl = typedlit(w.toSeq)
+    feats
+      .withColumn("margin", aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(wl, (b + lit(2L)).cast("int"))))
+      .withColumn("p6", expr(clsProbExpr("margin")))
+      .select(col("doc_id"), col("lang"), col("y"), col("is_train"),
+        col("margin"),
+        round(col("p6").cast("double") / ClsScale + lit(1e-9), 6).as("prob"),
+        when(col("p6") * 2L >= ClsScale, 1L).otherwise(0L).as("pred"))
   }
 
   /** Winnowing defaults — gram width, window width, posting-list df

@@ -603,6 +603,29 @@ object TextQueries extends QueryModule {
     "quality_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(docs(s, d),
       org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
 
+    // Stupid Backoff scoring (Brants et al. 2007): the MapReduce-scale
+    // smoothing — raw bigram relative frequency, α=0.4 unigram fallback,
+    // zero for true OOV — frozen on the same curated slice as the refLM,
+    // with per-doc backoff and OOV bills
+    "quality_sb_score" -> ((s, d) => TextOps.stupidBackoffScore(docs(s, d),
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
+
+    // fastText-shape hashed-feature logistic regression (Joulin et al.
+    // 2016) predicting lang == 'en' over the marker-injected corpus
+    // (see TextOps.injectLangMarkers — the corpus itself is
+    // label-signal-free by construction), trained by fixed-point
+    // full-batch GD on the md5 half-split, scored corpus-wide; the whole
+    // gradient trajectory is integer-exact so the oracle replays the
+    // TRAINING, not just the scoring. Eval-split accuracy 95.6% at
+    // sf0.01 (train 99.6%) — pinned ≥ 0.9 in ClassifierSpec.
+    "classifier_langid" -> ((s, d) => {
+      val feats = graft.CacheScope.persist(
+        TextOps.classifierFeatures(
+          TextOps.injectLangMarkers(docs(s, d)),
+          org.apache.spark.sql.functions.col("lang") === "en"))
+      TextOps.classifierScore(feats, TextOps.classifierFit(feats))
+    }),
+
     // overlapping token-window chunks (32-token windows every 24) — the
     // retrieval/embedding prep step; chunk boundaries are pure (n,
     // window, stride) arithmetic so the oracle replays them exactly
@@ -2070,6 +2093,45 @@ object TextQueries extends QueryModule {
       s"""WITH $refPplCtes
          |SELECT doc_id, n_trans, n_oov, avg_p, min_p FROM ppl""".stripMargin,
 
+    // the classifier TRAINING replayed end-to-end: 8 unrolled GD
+    // iteration CTE groups (margin fold → fixed-point sigmoid error →
+    // gradient groupBy → weight update), then the final scoring pass
+    "classifier_langid" -> classifierOracle,
+
+    // stupid backoff: same transition stream and train slice as the
+    // refLM replay; every score one IEEE division of exact integers
+    // (α = 2/5 folded into the integer numerator/denominator first)
+    "quality_sb_score" ->
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |tr AS (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
+         |  FROM (SELECT doc_id, source, ts,
+         |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
+         |trn AS (SELECT * FROM tr WHERE source IN ('src0', 'src1')),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM trn GROUP BY a, b),
+         |c1 AS (SELECT a, COUNT(*) AS c1 FROM trn GROUP BY a),
+         |cu AS (SELECT t AS b, COUNT(*) AS cu FROM (
+         |  SELECT UNNEST(ts) AS t FROM s WHERE source IN ('src0', 'src1'))
+         |  GROUP BY t),
+         |nt AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS nn FROM s
+         |  WHERE source IN ('src0', 'src1')),
+         |p AS (SELECT tr.doc_id,
+         |    CASE WHEN c2.c2 IS NOT NULL THEN CAST(c2.c2 AS DOUBLE) / c1.c1
+         |         WHEN cu.cu IS NOT NULL
+         |           THEN CAST(cu.cu * 2 AS DOUBLE) / ((SELECT nn FROM nt) * 5)
+         |         ELSE CAST(0 AS DOUBLE) END AS sc,
+         |    CASE WHEN c2.c2 IS NULL AND cu.cu IS NOT NULL THEN 1 ELSE 0 END AS bko,
+         |    CASE WHEN c2.c2 IS NULL AND cu.cu IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tr LEFT JOIN c2 ON tr.a = c2.a AND tr.b = c2.b
+         |          LEFT JOIN c1 ON tr.a = c1.a
+         |          LEFT JOIN cu ON tr.b = cu.b)
+         |SELECT doc_id, COUNT(*) AS n_trans,
+         |  CAST(SUM(bko) AS BIGINT) AS n_backoff,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  ROUND(${Sql.decAvgSql("sc")} + 1e-9, 6) AS avg_s,
+         |  ROUND(MIN(sc) + 1e-9, 8) AS min_s
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     // the refLM pass bucketed per source: same rank rule and tie-break
     // as the Spark window (rounded score desc, doc_id asc)
     "quality_ppl_buckets" ->
@@ -2606,6 +2668,68 @@ object TextQueries extends QueryModule {
        |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 6) AS avg_p,
        |  ROUND(MIN(p) + 1e-9, 8) AS min_p
        |FROM p GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of the WHOLE [[TextOps.classifierFit]] training run +
+    * [[TextOps.classifierScore]]: features/split/label CTEs, then one CTE
+    * group per GD iteration — margin = integer sum of the previous
+    * iteration's weights over the doc's buckets, error = fixed-point
+    * rational sigmoid minus the scaled label, gradient = per-bucket error
+    * sum, update = truncating integer division by the train count (both
+    * engines truncate toward zero) — then the final corpus-wide scoring
+    * pass. Every intermediate is a BIGINT, so the trajectory is
+    * bit-identical to the Spark fit by construction. */
+  private def classifierOracle: String = {
+    val d = TextOps.ClsBuckets
+    val s = TextOps.ClsScale
+    val thr = TextOps.drawThreshold(0.5)
+    val prob = (m: String) => s"$s // 2 + ($m * $s) // (2 * ($s + abs($m)))"
+    // the marker injection, interpolated from the SAME langMarkers /
+    // MarkerInjectK constants the Spark side injects with
+    val mcase = TextOps.langMarkers.map { case (l, ws) =>
+      s"WHEN '$l' THEN [${ws.map(w => s"'$w'").mkString(", ")}]"
+    }.mkString(" ")
+    val iters = (1 to TextOps.ClsIters).map { i =>
+      s"""mg$i AS (SELECT fx.doc_id, fx.y, CAST(SUM(w.w) AS BIGINT) AS m
+         |  FROM fx JOIN w${i - 1} w USING (b) WHERE fx.is_train = 1
+         |  GROUP BY fx.doc_id, fx.y),
+         |er$i AS (SELECT doc_id, (${prob("m")}) - y * $s AS e FROM mg$i),
+         |gr$i AS (SELECT fx.b, CAST(SUM(er.e) AS BIGINT) AS g
+         |  FROM fx JOIN er$i er USING (doc_id) WHERE fx.is_train = 1
+         |  GROUP BY fx.b),
+         |w$i AS MATERIALIZED (SELECT w.b,
+         |    w.w - (COALESCE(g.g, 0) * ${TextOps.ClsEtaNum}) //
+         |      ((SELECT n FROM nt) * ${TextOps.ClsEtaDen}) AS w
+         |  FROM w${i - 1} w LEFT JOIN gr$i g USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH inj AS (SELECT doc_id, lang,
+       |    array_to_string(list_transform(range(0, ${TextOps.MarkerInjectK}),
+       |      i -> ml[CAST((doc_id + i) % len(ml) AS INT) + 1]), ' ')
+       |      || ' ' || text AS text
+       |  FROM (SELECT doc_id, lang, text,
+       |        CASE lang $mcase END AS ml FROM documents)),
+       |ft AS MATERIALIZED (SELECT doc_id, lang,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN ${hex60Sql("md5('clsft:' || CAST(doc_id AS VARCHAR))")}
+       |      % ${TextOps.DrawMod} < $thr THEN 1 ELSE 0 END AS is_train,
+       |    list_prepend(CAST(-1 AS BIGINT), list_sort(list_distinct(
+       |      list_transform(string_split(text, ' '),
+       |        t -> ${hex60Sql("md5(t)")} % $d)))) AS bs
+       |  FROM inj),
+       |fx AS MATERIALIZED (SELECT doc_id, y, is_train, UNNEST(bs) AS b FROM ft),
+       |nt AS (SELECT COUNT(*) AS n FROM ft WHERE is_train = 1),
+       |w0 AS (SELECT UNNEST(range(-1, $d)) AS b, CAST(0 AS BIGINT) AS w),
+       |$iters,
+       |mfin AS (SELECT fx.doc_id, CAST(SUM(w.w) AS BIGINT) AS margin
+       |  FROM fx JOIN w${TextOps.ClsIters} w USING (b) GROUP BY fx.doc_id),
+       |pf AS (SELECT ft.doc_id, ft.lang, ft.y, ft.is_train, m.margin,
+       |    ${prob("m.margin")} AS p6
+       |  FROM ft JOIN mfin m USING (doc_id))
+       |SELECT doc_id, lang, CAST(y AS BIGINT) AS y,
+       |  CAST(is_train AS BIGINT) AS is_train, margin,
+       |  ROUND(CAST(p6 AS DOUBLE) / $s + 1e-9, 6) AS prob,
+       |  CAST(CASE WHEN p6 * 2 >= $s THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM pf""".stripMargin
+  }
 
   /** DuckDB spelling of the C4 line/artifact renderer — interpolates
     * the SAME [[TextOps]] fixture constants (line width, terminal
