@@ -204,6 +204,55 @@ object VectorOps {
     recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
   }
 
+  /** SQ8 SCALAR-QUANTIZATION SEARCH + RECALL — the third point on the
+    * compression-accuracy curve next to PQ ([[pqTopK]]) and matryoshka
+    * truncation: every component re-coded to ONE BYTE against the
+    * corpus's per-dimension [min, max] range (the faiss
+    * ScalarQuantizer/QT_8bit recipe), a 4× scan-bandwidth cut at full
+    * dimensionality — where PQ trades dimensions for codebooks and
+    * matryoshka just drops dimensions.
+    *
+    * Exactness: code = ((x − mn)·255) div (mx − mn) — nonnegative
+    * integer division, identical truncation in both engines — and
+    * scoring DECODES to the midpoint x̂ = mn + (code + ½)·Δ/255 kept as
+    * the INTEGER numerator X = 510·mn + (2·code + 1)·(mx − mn) over the
+    * constant denominator 510, so the decoded cosine is exact integer
+    * dots + one final IEEE divide/sqrt — bit-identical across engines
+    * (bounds: |X| ≤ ~1.5e6, n2 ≤ 64·X² ≈ 1.4e14 — Long-safe).
+    *
+    * Scale shape: the range stats are ONE 64-row partial-agg broadcast
+    * (two scans of the corpus total); coding is row-local. The
+    * evaluation search is the fixed-query brute scan the other recall
+    * diagnostics use; a production serve would run the same decoded
+    * dot inside the IVF cell join with codes at ¼ the bytes. Output:
+    * (q_id, hits, recall@k) vs the exact full-precision ranking. */
+  def sq8Recall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val ex = emb.select(col("vec_id"), quant.as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val stats = ex.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val coded = ex.join(broadcast(stats), Seq("i"))
+      .withColumn("xd", when(col("mx") > col("mn"),
+          lit(510L) * col("mn") +
+            (expr("((x - mn) * 255L) div (mx - mn)") * 2L + 1L) *
+              (col("mx") - col("mn")))
+        .otherwise(lit(510L) * col("mn")))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("xd")))),
+        s => s.getField("xd")).as("dq"))
+    val e = coded.withColumn("n2", dot(col("dq"), col("dq")))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("dq").as("qq"), col("n2").as("qn2"))
+    import org.apache.spark.sql.expressions.Window
+    val approx = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", cosinePre(col("qq"), col("dq"), col("qn2"), col("n2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
+  }
+
   /** Smallest b ≥ 1 (capped at `maxBits`) with 2^b · targetCellSize ≥ n —
     * exact integer arithmetic so the DuckDB oracle (same search over
     * range(1,17)) picks the identical b; a floating ceil(log2(…)) could

@@ -178,9 +178,63 @@ object RelationalQueries extends QueryModule {
       Tables.series(s, d).groupBy(col("ts")).agg(
         max(when(col("sid") === sids.head, col("value"))).as(sids.head),
         sids.tail.map(t => max(when(col("sid") === t, col("value"))).as(t)): _*)
+    }),
+
+    // K-ANONYMITY / L-DIVERSITY AUDIT (Sweeney 2002; Machanavajjhala et
+    // al. 2007) over the customer quasi-identifiers (nation, market
+    // segment, account-balance bucket): the privacy risk report a
+    // release pipeline runs BEFORE publishing. The generalization ladder
+    // (drop the finest QI per level) is computed as ONE Spark `rollup` —
+    // one pass, every level a grouping set, partial-agg all the way —
+    // instead of one scan per level. Per level: class count, the
+    // smallest class (k of k-anonymity), rows/classes in classes below
+    // k = 5, and the worst-class distinct-sensitive-value count (l of
+    // l-diversity, sensitive = exact balance). All integer arithmetic
+    // except floor(balance/1000), one IEEE divide+floor identical in
+    // both engines. (QI columns are non-null in this schema; a nullable
+    // QI would need a sentinel before rollup, whose NULL means
+    // "generalized away".)
+    "privacy_k_anon" -> ((s, d) => {
+      val k = 5
+      val base = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal"),
+        col("c_acctbal").as("sens"))
+      val classes = base.rollup(col("nat"), col("seg"), col("bal"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("l"),
+          grouping_id().as("gid"))
+      classes.groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).as("min_class_size"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_classes_at_risk"),
+          min(col("l")).as("min_l_diversity"))
+        .select(col("gid").cast("long").as("gid"), col("n_classes"),
+          col("min_class_size"), col("n_rows_at_risk"),
+          col("n_classes_at_risk"), col("min_l_diversity"))
     }))
 
   def oracles: Map[String, String] = Map(
+    // ROLLUP replay with the grouping id assembled explicitly
+    // (GROUPING(nat)·4 + GROUPING(seg)·2 + GROUPING(bal)) to match
+    // Spark's first-column-most-significant grouping_id convention
+    "privacy_k_anon" ->
+      s"""WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+         |    c_mktsegment AS seg,
+         |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal,
+         |    c_acctbal AS sens FROM customer),
+         |cls AS (SELECT COUNT(*) AS sz, COUNT(DISTINCT sens) AS l,
+         |    GROUPING(nat) * 4 + GROUPING(seg) * 2 + GROUPING(bal) AS gid
+         |  FROM base GROUP BY ROLLUP (nat, seg, bal))
+         |SELECT CAST(gid AS BIGINT) AS gid,
+         |  COUNT(*) AS n_classes,
+         |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+         |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+         |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_at_risk,
+         |  CAST(MIN(l) AS BIGINT) AS min_l_diversity
+         |FROM cls GROUP BY gid""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${decSumSql("l_quantity")} AS sum_qty,

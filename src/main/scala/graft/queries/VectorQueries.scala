@@ -309,6 +309,13 @@ object VectorQueries extends QueryModule {
       VectorOps.matryoshkaRecall(Tables.embeddings(s, d), queryMaxId = 10,
         k = 3, prefixDim = 16)),
 
+    // SQ8 scalar-quantization eval: every component one byte against the
+    // corpus per-dimension range, scored by the exact-integer decoded
+    // midpoint cosine — the 4×-compression point on the accuracy curve
+    // next to PQ and matryoshka
+    "ann_sq8_recall" -> ((s, d) =>
+      VectorOps.sq8Recall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+
     // contrastive hard-negative mining: per anchor, top-5 most-similar
     // DIFFERENT-label vectors under a 0.95 near-dup ceiling
     "emb_hard_negatives" -> ((s, d) =>
@@ -823,6 +830,37 @@ object VectorQueries extends QueryModule {
          |JOIN q qa ON qa.vec_id = train_id
          |JOIN q qb ON qb.vec_id = eval_id
          |WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4""".stripMargin,
+
+    // SQ8 replay: per-dim [mn,mx] → byte code (nonnegative truncating
+    // division) → decoded-midpoint integer numerators → the same
+    // cross-join cosine ranking as the other recall oracles
+    "ann_sq8_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |exd AS (SELECT vec_id, UNNEST(qv) AS x,
+         |  UNNEST(range(1, len(qv) + 1)) AS i FROM q),
+         |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM exd GROUP BY i),
+         |cd AS (SELECT vec_id, i, CASE WHEN mx > mn
+         |    THEN 510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn)
+         |    ELSE 510 * mn END AS xd
+         |  FROM exd JOIN st USING (i)),
+         |dv AS (SELECT vec_id, list(xd ORDER BY i) AS dq FROM cd GROUP BY vec_id),
+         |dqs AS (SELECT vec_id AS q_id, dq AS qq FROM dv WHERE vec_id < 10),
+         |asc_ AS (SELECT q_id, vec_id, ${cosSql("qq", "dq")} AS c
+         |  FROM dqs CROSS JOIN dv WHERE vec_id <> q_id),
+         |ar AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM asc_),
+         |approx AS (SELECT q_id, vec_id FROM ar WHERE rk <= 3),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |  FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     // full-dim exact top-3 vs prefix-16 cosine top-3, per query
     "ann_matryoshka_recall" ->
