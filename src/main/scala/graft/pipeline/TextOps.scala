@@ -1413,6 +1413,65 @@ object TextOps {
         round(min(col("s")) + lit(1e-9), 8).as("min_s"))
   }
 
+  /** LEAVE-ONE-SOURCE-OUT (jackknife) reference-LM scoring — the
+    * self-preference audit for corpus quality scores: a document scored
+    * under a model its own source helped fit gets an inflated score
+    * (its own transitions are in the count tables), so a per-source
+    * quality ranking built from [[refLmScore]]-style passes is biased
+    * toward big sources. The fix needs NO per-source refit: add-one
+    * bigram models are count tables, so the model excluding source s is
+    * pure subtraction — c2_loo = c2_total − c2(s), c1_loo likewise, and
+    * V_loo = V − (types appearing ONLY in s). One pass builds the total
+    * and per-source tables; every transition is then scored under both
+    * the full model and the model that never saw its own source.
+    *
+    * Scale shape: all model tables are vocabulary-bounded (c2 by bigram
+    * types, the per-source splits by types × |sources|) and broadcast;
+    * the corpus pays one transition explode and one partial-agg
+    * groupBy(source). Exactness: integer count arithmetic + the shared
+    * one-IEEE-division + decimal-mean recipe of [[refLmScoreWith]].
+    * Output per source: n_docs, n_trans, avg_p_full, avg_p_loo — the
+    * gap is the measured self-preference. */
+  def refLmLooBySource(docs: DataFrame): DataFrame = {
+    val ts = tokens
+    val tr = docs.select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("ab"))
+      .select(col("doc_id"), col("source"),
+        col("ab.a").as("a"), col("ab.b").as("b"))
+    val c2t = tr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2t"))
+    val c2s = tr.groupBy(col("a"), col("b"), col("source"))
+      .agg(count(lit(1)).as("c2s"))
+    val c1t = tr.groupBy(col("a")).agg(count(lit(1)).as("c1t"))
+    val c1s = tr.groupBy(col("a"), col("source")).agg(count(lit(1)).as("c1s"))
+    val tsrc = tr.select(col("a").as("t"), col("source"))
+      .union(tr.select(col("b").as("t"), col("source"))).distinct()
+    val vdf = tsrc.select(col("t")).distinct().agg(count(lit(1)).as("v"))
+    val excl = tsrc.groupBy(col("t"))
+      .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
+      .filter(col("ns") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("vexcl"))
+    tr
+      .join(broadcast(c2t), Seq("a", "b"))
+      .join(broadcast(c2s), Seq("a", "b", "source"))
+      .join(broadcast(c1t), Seq("a"))
+      .join(broadcast(c1s), Seq("a", "source"))
+      .crossJoin(broadcast(vdf))
+      .join(broadcast(excl), Seq("source"), "left")
+      .withColumn("p_full",
+        (col("c2t") + lit(1L)).cast("double") / (col("c1t") + col("v")))
+      .withColumn("p_loo",
+        (col("c2t") - col("c2s") + lit(1L)).cast("double") /
+          (col("c1t") - col("c1s") + col("v") - coalesce(col("vexcl"), lit(0L))))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_trans"),
+        round(graft.queries.Sql.decAvg(col("p_full")) + lit(1e-9), 6).as("avg_p_full"),
+        round(graft.queries.Sql.decAvg(col("p_loo")) + lit(1e-9), 6).as("avg_p_loo"))
+  }
+
   /** CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et al. 2020 —
     * the published output shape of the CCNet pipeline): every document
     * scored under the frozen reference LM ([[refLmScore]], the
@@ -1492,16 +1551,45 @@ object TextOps {
     * The train split is the content-independent [[mdDraw6]] draw. */
   def classifierFeatures(docs: DataFrame, labelPred: Column,
                          trainSalt: String = "clsft",
-                         trainFrac: Double = 0.5): DataFrame = {
-    val bucket = (t: Column) =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClsBuckets
+                         trainFrac: Double = 0.5): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       when(labelPred, 1L).otherwise(0L).as("y"),
       when(mdDraw6(trainSalt) < drawThreshold(trainFrac), 1L).otherwise(0L)
         .as("is_train"),
-      concat(array(lit(-1L)),
-        array_sort(array_distinct(transform(tokens, bucket)))).as("bs"))
+      clsBucketArr.as("bs"))
+
+  /** Bias feature −1 + sorted distinct hashed buckets of `text` — the
+    * one feature spelling shared by the fit, the batch scorer, and the
+    * streaming gate. */
+  private def clsBucketArr: Column = {
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClsBuckets
+    concat(array(lit(-1L)), array_sort(array_distinct(transform(tokens, bucket))))
   }
+
+  /** Margin/probability/verdict columns over a frame carrying `bs` —
+    * the scoring core of [[classifierScore]] and [[classifierGate]]. */
+  private def clsScoreOn(withBs: DataFrame, w: Array[Long]): DataFrame = {
+    val wl = typedlit(w.toSeq)
+    withBs
+      .withColumn("margin", aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(wl, (b + lit(2L)).cast("int"))))
+      .withColumn("p6", expr(clsProbExpr("margin")))
+      .withColumn("prob",
+        round(col("p6").cast("double") / ClsScale + lit(1e-9), 6))
+      .withColumn("pred",
+        when(col("p6") * 2L >= ClsScale, 1L).otherwise(0L))
+  }
+
+  /** SERVE-PATH classifier gate: score raw (doc_id, text) rows under
+    * frozen weights — no label, no split, nothing but the text column;
+    * the form an ingest stream applies per batch
+    * ([[graft.streaming.StreamingJobs.classifierGateStream]]).
+    * Row-local given the literal weight array: zero shuffles, zero
+    * state. */
+  def classifierGate(docs: DataFrame, w: Array[Long]): DataFrame =
+    clsScoreOn(docs.select(col("doc_id"), clsBucketArr.as("bs")), w)
+      .select(col("doc_id"), col("margin"), col("prob"), col("pred"))
 
   /** Fixed-point rational sigmoid over a materialized `m` margin column:
     * σ̃(m) = S/2 + m·S / (2·(S + |m|)) — the "fast sigmoid"
@@ -1561,17 +1649,10 @@ object TextOps {
     * p ≥ 1/2 — compared in INTEGERS (2·p̃ ≥ S), so no float boundary can
     * flip a verdict across engines. Row-local given the literal weights:
     * zero shuffles, whole-stage codegen. */
-  def classifierScore(feats: DataFrame, w: Array[Long]): DataFrame = {
-    val wl = typedlit(w.toSeq)
-    feats
-      .withColumn("margin", aggregate(col("bs"), lit(0L),
-        (acc, b) => acc + element_at(wl, (b + lit(2L)).cast("int"))))
-      .withColumn("p6", expr(clsProbExpr("margin")))
+  def classifierScore(feats: DataFrame, w: Array[Long]): DataFrame =
+    clsScoreOn(feats, w)
       .select(col("doc_id"), col("lang"), col("y"), col("is_train"),
-        col("margin"),
-        round(col("p6").cast("double") / ClsScale + lit(1e-9), 6).as("prob"),
-        when(col("p6") * 2L >= ClsScale, 1L).otherwise(0L).as("pred"))
-  }
+        col("margin"), col("prob"), col("pred"))
 
   /** Winnowing defaults — gram width, window width, posting-list df
     * cap, and the shared-fingerprint pair threshold; shared with the

@@ -603,6 +603,12 @@ object TextQueries extends QueryModule {
     "quality_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(docs(s, d),
       org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
 
+    // leave-one-source-out jackknife refLM scoring: every transition
+    // scored under the full model AND the model that never saw its own
+    // source (pure count subtraction, no refit) — the measured
+    // self-preference gap per source
+    "quality_ppl_loo" -> ((s, d) => TextOps.refLmLooBySource(docs(s, d))),
+
     // Stupid Backoff scoring (Brants et al. 2007): the MapReduce-scale
     // smoothing — raw bigram relative frequency, α=0.4 unigram fallback,
     // zero for true OOV — frozen on the same curated slice as the refLM,
@@ -2092,6 +2098,38 @@ object TextQueries extends QueryModule {
     "quality_ref_ppl" ->
       s"""WITH $refPplCtes
          |SELECT doc_id, n_trans, n_oov, avg_p, min_p FROM ppl""".stripMargin,
+
+    // jackknife replay: total + per-source count tables, exclusive-type
+    // counts for V_loo, both scores the shared one-division recipe
+    "quality_ppl_loo" ->
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |tr AS (SELECT doc_id, source, ts[i] AS a, ts[i + 1] AS b
+         |  FROM (SELECT doc_id, source, ts,
+         |        UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i FROM s)),
+         |c2t AS (SELECT a, b, COUNT(*) AS c2t FROM tr GROUP BY a, b),
+         |c2s AS (SELECT a, b, source, COUNT(*) AS c2s FROM tr GROUP BY a, b, source),
+         |c1t AS (SELECT a, COUNT(*) AS c1t FROM tr GROUP BY a),
+         |c1s AS (SELECT a, source, COUNT(*) AS c1s FROM tr GROUP BY a, source),
+         |tsrc AS (SELECT DISTINCT t, source FROM (
+         |  SELECT a AS t, source FROM tr UNION ALL SELECT b, source FROM tr)),
+         |vv AS (SELECT COUNT(DISTINCT t) AS v FROM tsrc),
+         |excl AS (SELECT source, COUNT(*) AS vexcl FROM (
+         |  SELECT t, MIN(source) AS source FROM tsrc
+         |  GROUP BY t HAVING COUNT(*) = 1) GROUP BY source),
+         |p AS (SELECT tr.doc_id, tr.source,
+         |    CAST(c2t.c2t + 1 AS DOUBLE) / (c1t.c1t + (SELECT v FROM vv)) AS p_full,
+         |    CAST(c2t.c2t - c2s.c2s + 1 AS DOUBLE) /
+         |      (c1t.c1t - c1s.c1s + (SELECT v FROM vv) - COALESCE(excl.vexcl, 0)) AS p_loo
+         |  FROM tr JOIN c2t ON tr.a = c2t.a AND tr.b = c2t.b
+         |    JOIN c2s ON tr.a = c2s.a AND tr.b = c2s.b AND tr.source = c2s.source
+         |    JOIN c1t ON tr.a = c1t.a
+         |    JOIN c1s ON tr.a = c1s.a AND tr.source = c1s.source
+         |    LEFT JOIN excl ON tr.source = excl.source)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_trans,
+         |  ROUND(${Sql.decAvgSql("p_full")} + 1e-9, 6) AS avg_p_full,
+         |  ROUND(${Sql.decAvgSql("p_loo")} + 1e-9, 6) AS avg_p_loo
+         |FROM p GROUP BY source""".stripMargin,
 
     // the classifier TRAINING replayed end-to-end: 8 unrolled GD
     // iteration CTE groups (margin fold → fixed-point sigmoid error →

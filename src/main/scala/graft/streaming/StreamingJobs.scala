@@ -748,4 +748,22 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
         ()
     }
+
+  /** FROZEN-CLASSIFIER ingest gate — the LEARNED twin of the refLM gate
+    * above: weights fitted offline ([[graft.pipeline.TextOps
+    * .classifierFit]]), frozen into the plan as a literal array, every
+    * arriving batch scored row-local ([[graft.pipeline.TextOps
+    * .classifierGate]]). Stateless and shuffle-free per trigger —
+    * per-batch cost is O(batch), independent of everything the stream
+    * has already seen; idempotent batch dirs give exactly-once output.
+    * StreamingSpec pins the streamed union equal to the one-shot batch
+    * gate over the same documents. */
+  def classifierGateStream(docs: DataFrame, w: Array[Long],
+                           scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        graft.pipeline.TextOps.classifierGate(batch, w)
+          .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
+        ()
+    }
 }

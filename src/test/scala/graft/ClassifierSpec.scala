@@ -87,6 +87,36 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(trn.getAs[Double]("avg_s") - (0.5 + 1.0 + 0.5) / 3) < 1e-6)
   }
 
+  test("classifierGateStream: frozen weights equal the batch gate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"target/graft-tmp/cls_gate_spec_${System.nanoTime()}"
+    val feats = TextOps.classifierFeatures(
+      TextOps.injectLangMarkers(docs), col("lang") === "en").persist()
+    val w = TextOps.classifierFit(feats)
+    feats.unpersist()
+    val arriving = TextOps.injectLangMarkers(docs)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.classifierGateStream(
+        in.toDF.toDF("doc_id", "text"), w, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(arriving.take(arriving.size / 2))
+      q.processAllAvailable()
+      in.addData(arriving.drop(arriving.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/batch_0", s"$dir/batch_1")
+      .collect().map(_.toSeq).toSet
+    import spark.implicits._
+    val oneShot = TextOps.classifierGate(
+        arriving.toDF("doc_id", "text"), w)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot && streamed.size == arriving.size)
+  }
+
   test("stupidBackoffScore: α is applied as one integer-folded division (2·cu)/(5·N)") {
     // single-token-vocab train: unigram q:1, N=1; eval transition
     // (a→q): a unseen as context → backoff to 0.4·(1/1) = 2/5 exactly
