@@ -253,6 +253,44 @@ object VectorOps {
     recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
   }
 
+  /** ISOLATION-FOREST OUTLIER SCREEN over the embedding table — the
+    * unsupervised data-cleaning pass run before indexing/training (see
+    * [[graft.models.IsoLocal]] for the deterministic-fit design and the
+    * two documented monotone deviations). Fit-small/score-distributed,
+    * the m3 GBT split: each tree's ~[[graft.models.IsoLocal.Psi]]-row
+    * subsample is a content-independent md5 draw (adaptive threshold
+    * Psi·1e6/n — the m3 adaptive-modulus recipe, so the subsample stays
+    * reference-sized at ANY corpus scale), ONE collect gathers all
+    * trees' subsamples, the fitted cut table broadcasts, and scoring is
+    * one row-local pass. The top-k most isolable points surface via
+    * orderBy().limit() — TakeOrderedAndProject (per-partition heads +
+    * merge), never a global window. Output: (vec_id, path_sum,
+    * mean_path), smallest path first. */
+  def isoOutliers(emb: DataFrame, topK: Int = 20, dim: Int = 64): DataFrame = {
+    import graft.models.IsoLocal
+    import graft.models.IsoLocal.{Trees, Psi, DrawMod}
+    val e = emb.select(col("vec_id"), quant.as("q"))
+    val n = e.count()
+    require(n > 0, "isoOutliers: empty embedding table")
+    val thr = math.max(1L, Psi * DrawMod / n)
+    val drawCols = (0 until Trees).map(t =>
+      (graft.pipeline.TextOps.mdDraw6On(s"iso$t", col("vec_id")) < thr).as(s"s$t"))
+    val sub = e.select((col("vec_id") +: col("q") +: drawCols): _*)
+      .filter((0 until Trees).map(t => col(s"s$t")).reduce(_ || _))
+      .collect()
+    val samples = (0 until Trees).map { t =>
+      sub.filter(_.getBoolean(2 + t)).map(_.getSeq[Long](1).toArray)
+    }.toArray
+    val cuts = IsoLocal.fit(samples, dim)
+    val bc = e.sparkSession.sparkContext.broadcast(cuts)
+    val score = udf((v: Seq[Long]) => IsoLocal.pathSum(bc.value, v.toArray))
+    e.withColumn("path_sum", score(col("q")))
+      .select(col("vec_id"), col("path_sum"),
+        round(col("path_sum").cast("double") / Trees + lit(1e-9), 4).as("mean_path"))
+      .orderBy(col("path_sum"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** Smallest b ≥ 1 (capped at `maxBits`) with 2^b · targetCellSize ≥ n —
     * exact integer arithmetic so the DuckDB oracle (same search over
     * range(1,17)) picks the identical b; a floating ceil(log2(…)) could

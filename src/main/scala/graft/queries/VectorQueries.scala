@@ -316,6 +316,14 @@ object VectorQueries extends QueryModule {
     "ann_sq8_recall" -> ((s, d) =>
       VectorOps.sq8Recall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
 
+    // isolation-forest outlier screen: 8 md5-deterministic trees fitted
+    // on adaptive subsamples, every vector's path-length sum scored
+    // row-local under the broadcast cut table; the DuckDB oracle replays
+    // the WHOLE fit as one recursive CTE (min/max node stats are
+    // order-free — no pinned folds needed, unlike the GBT replay)
+    "emb_iso_outliers" -> ((s, d) =>
+      VectorOps.isoOutliers(Tables.embeddings(s, d), topK = 20)),
+
     // contrastive hard-negative mining: per anchor, top-5 most-similar
     // DIFFERENT-label vectors under a 0.95 near-dup ceiling
     "emb_hard_negatives" -> ((s, d) =>
@@ -831,6 +839,13 @@ object VectorQueries extends QueryModule {
          |JOIN q qb ON qb.vec_id = eval_id
          |WHERE ${cosSql("qa.qv", "qb.qv")} >= 0.4""".stripMargin,
 
+    // the isolation-forest FIT + scoring replayed as one recursive CTE:
+    // one iteration per depth level; subsample rows carry the fit
+    // (FILTERed min/max/count per (tree, node) window), every row
+    // carries its own traversal; node ids are path integers so depths
+    // never collide
+    "emb_iso_outliers" -> isoOracle,
+
     // SQ8 replay: per-dim [mn,mx] → byte code (nonnegative truncating
     // division) → decoded-midpoint integer numerators → the same
     // cross-join cosine ranking as the other recall oracles
@@ -1070,4 +1085,60 @@ object VectorQueries extends QueryModule {
          |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc)
          |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM mr WHERE rk <= 3""".stripMargin)
+
+  /** DuckDB replay of [[graft.pipeline.VectorOps.isoOutliers]]: the
+    * whole md5-deterministic isolation-forest fit AND every vector's
+    * traversal in ONE recursive CTE — one iteration per depth level.
+    * Every (tree, vector) pair is a state row; subsample membership
+    * (`is_s`, the same adaptive draw the Spark side collects by) marks
+    * the rows whose FILTERed per-(tree, node) window min/max/count
+    * define the node's cut; node ids are path integers (root 1,
+    * children 2n/2n+1), so a frozen leaf row (depth ld < it) can never
+    * share a node id with an active row (ids at different depths live
+    * in disjoint ranges). No cross-row sums exist — min/max are
+    * order-free — so unlike the GBT replay no order-pinned fold is
+    * needed anywhere. */
+  private def isoOracle: String = {
+    import graft.models.IsoLocal.{Trees, MaxDepth, Psi, DrawMod}
+    val h60 = (e: String) => s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+    val fDraw = h60(s"'iso:' || CAST(t AS VARCHAR) || ':' || CAST(nd AS VARCHAR) || ':f'")
+    val cDraw = h60(s"'iso:' || CAST(t AS VARCHAR) || ':' || CAST(nd AS VARCHAR) || ':c'")
+    val sDraw = h60(s"'iso' || CAST(t.t AS VARCHAR) || ':' || CAST(q.vec_id AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |q AS MATERIALIZED (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |nc AS (SELECT COUNT(*) AS n FROM q),
+       |thr AS (SELECT GREATEST(1, ($Psi * $DrawMod) // n) AS thr FROM nc),
+       |st0 AS MATERIALIZED (
+       |  SELECT t.t, q.vec_id,
+       |    $sDraw % $DrawMod < (SELECT thr FROM thr) AS is_s,
+       |    CAST(1 AS BIGINT) AS nd, CAST(NULL AS BIGINT) AS ld, q.qv
+       |  FROM q CROSS JOIN (SELECT UNNEST(range(0, $Trees)) AS t) t),
+       |rec AS (
+       |  SELECT 0 AS it, * FROM st0
+       |  UNION ALL
+       |  SELECT it + 1, t, vec_id, is_s,
+       |    CASE WHEN ld IS NOT NULL OR cutv IS NULL THEN nd
+       |         ELSE 2*nd + CASE WHEN qv[f + 1] <= cutv THEN 0 ELSE 1 END END,
+       |    CASE WHEN ld IS NOT NULL THEN ld
+       |         WHEN cutv IS NULL THEN it ELSE NULL END,
+       |    qv
+       |  FROM (
+       |    SELECT *, CASE WHEN sz >= 2 AND mn < mx
+       |        THEN mn + ((mx - mn) * ($cDraw % $DrawMod)) // $DrawMod END AS cutv
+       |    FROM (
+       |      SELECT it, t, vec_id, is_s, nd, ld, qv, f,
+       |        COUNT(*) FILTER (WHERE is_s AND ld IS NULL)
+       |          OVER (PARTITION BY t, nd) AS sz,
+       |        MIN(CASE WHEN is_s AND ld IS NULL THEN qv[f + 1] END)
+       |          OVER (PARTITION BY t, nd) AS mn,
+       |        MAX(CASE WHEN is_s AND ld IS NULL THEN qv[f + 1] END)
+       |          OVER (PARTITION BY t, nd) AS mx
+       |      FROM (SELECT *, ($fDraw % $DrawMod) % 64 AS f
+       |            FROM rec WHERE it < $MaxDepth)))),
+       |paths AS (SELECT vec_id, CAST(SUM(COALESCE(ld, $MaxDepth)) AS BIGINT) AS path_sum
+       |  FROM rec WHERE it = $MaxDepth GROUP BY vec_id)
+       |SELECT vec_id, path_sum,
+       |  ROUND(CAST(path_sum AS DOUBLE) / $Trees + 1e-9, 4) AS mean_path
+       |FROM paths ORDER BY path_sum, vec_id LIMIT 20""".stripMargin
+  }
 }
