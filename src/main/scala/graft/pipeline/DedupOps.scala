@@ -242,6 +242,42 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** B-BIT MINWISE HASHING diagnostic (Li & König, WWW 2010 — store ONE
+    * BIT per minhash instead of the full value, a 64× signature
+    * compression at petabyte index scale): for every verified near-dup
+    * pair, the exact Jaccard next to the full-signature estimate
+    * (matching minhashes / k) and the b = 1 estimate (2·bit-match/k − 1,
+    * clamped at 0 — the collision-corrected unbiased form). The three
+    * columns ARE the compression-accuracy trade the paper tabulates, on
+    * this corpus's own pairs.
+    *
+    * Shape: the shared inverted index feeds the verified pairs AND the
+    * relational signature (explode 16 affine permutations → partial-agg
+    * groupBy-min — [[minhashBandsFromInv]]'s spelling); pair comparison
+    * is a (pair × 16)-row equi-join. Integer arithmetic + one division
+    * per estimate → exact in both engines. */
+  def bbitMinhashEst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val inv = graft.CacheScope.persist(shingleRows(docs))
+    val exact = minhashPairs(docs, threshold, Some(inv))
+    val sig = inv
+      .select(col("doc_id"), (hex60(md5(col("s"))) % MOD).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min((col("h") * (col("j") * 2 + 1) + col("j") * 7919) % MOD).as("mh"))
+    exact
+      .join(sig.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mb")),
+        Seq("doc_b", "j"))
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("k_match"),
+        sum(when(col("ma") % 2 === col("mb") % 2, 1L).otherwise(0L)).as("b_match"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("k_match"), col("b_match"),
+        round(col("k_match").cast("double") / 16 + lit(1e-9), 4).as("est_full"),
+        round(greatest((col("b_match") * 2 - 16).cast("double") / 16, lit(0.0))
+          + lit(1e-9), 4).as("est_b1"))
+  }
+
   /** INCREMENTAL near-dup check — the steady-state ingest path: a batch
     * of arriving documents (`doc_id >= splitId`) is screened against the
     * already-indexed corpus (`doc_id < splitId`) WITHOUT re-pairing the

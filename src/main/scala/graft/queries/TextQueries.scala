@@ -355,6 +355,12 @@ object TextQueries extends QueryModule {
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d))),
     "dedup_exact"       -> ((s, d) => DedupOps.dedupExact(docs(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashPairs(docs(s, d))),
+
+    // b-bit minwise hashing (Li & König 2010): per verified pair, exact
+    // Jaccard vs full-signature estimate vs the 1-bit collision-corrected
+    // estimate — the 64× signature-compression accuracy trade measured
+    // on this corpus's own pairs
+    "dedup_bbit_minhash" -> ((s, d) => DedupOps.bbitMinhashEst(docs(s, d))),
     // steady-state ingest dedup: the newest fifth of the corpus (by
     // doc_id) screened against the older four-fifths' band index —
     // O(|batch|) work, never a corpus self-pair pass. The one-row max
@@ -1273,6 +1279,37 @@ object TextQueries extends QueryModule {
          |  JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // same sets/sigs chain + the verified-pair selection of the LSH
+    // oracle; the two estimates read the sig lists positionally
+    "dedup_bbit_minhash" ->
+      s"""$lshCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM cands
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b),
+         |pairs AS (SELECT doc_a, doc_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+         |  FROM scored WHERE jaccard >= 0.5),
+         |cmp AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    CAST(len(list_filter(range(1, 17),
+         |      j -> sa.sig[j] = sb.sig[j])) AS BIGINT) AS k_match,
+         |    CAST(len(list_filter(range(1, 17),
+         |      j -> sa.sig[j] % 2 = sb.sig[j] % 2)) AS BIGINT) AS b_match
+         |  FROM pairs p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, jaccard, k_match, b_match,
+         |  ROUND(CAST(k_match AS DOUBLE) / 16 + 1e-9, 4) AS est_full,
+         |  ROUND(GREATEST(CAST(b_match * 2 - 16 AS DOUBLE) / 16,
+         |    CAST(0 AS DOUBLE)) + 1e-9, 4) AS est_b1
+         |FROM cmp""".stripMargin,
 
     "bpe_learn" -> bpeOracle(20),
 
