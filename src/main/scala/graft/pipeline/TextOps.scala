@@ -1507,6 +1507,80 @@ object TextOps {
         max(col("avg_p")).as("max_avg_p"))
   }
 
+  // ------------------------------------------------------------- wordpiece
+
+  /** WordPiece parameters, shared with the DuckDB replay. */
+  val WpMaxPiece = 4
+  val WpTopV = 256
+
+  /** WORDPIECE-STYLE GREEDY TOKENIZATION (the BERT runtime: longest-match
+    * subword segmentation under a frequency-built vocabulary) — the
+    * second tokenizer family next to BPE, with the opposite design
+    * trade: BPE's vocabulary is LEARNED by iterative merges (sequential
+    * by nature — see [[bpeLearn]]'s per-round argmax), WordPiece's
+    * greedy RUNTIME needs only a ranked substring table, so the whole
+    * fit is two partial-agg groupBys + one top-k — no sequential rounds
+    * at all, the cheapest possible tokenizer to fit at corpus scale.
+    *
+    * Vocabulary: every single character of the corpus (the coverage
+    * guarantee) + the top [[WpTopV]] multi-character substrings
+    * (length 2..[[WpMaxPiece]]) of corpus words weighted by occurrence,
+    * ranked (count desc, piece asc) — deterministic ties. Encoding:
+    * greedy longest prefix match, one pass per DISTINCT word (the
+    * corpus-frequency join-back pays per type, not per token). The
+    * vocabulary is model-sized, broadcast; the oracle replays the fit
+    * relationally and the greedy walk as a recursive CTE.
+    *
+    * Output per source: word/type/piece counts, characters that fell
+    * outside the vocabulary (zero on the fit corpus by construction),
+    * and the fertility pieces/word — comparable across tokenizers with
+    * [[bpeFertility]]. */
+  def wordpieceStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val words = graft.CacheScope.persist(
+      docs.select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc")))
+    val wtot = words.groupBy(col("w")).agg(sum(col("wc")).as("cnt"))
+    val pieces = wtot
+      // greatest(len, 1): sequence(1, 0) would DESCEND in Spark (DuckDB's
+      // range(1, 1) is empty); the i + k − 1 ≤ len filter then drops the
+      // lone i = 1 row for an empty word on both engines identically
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), greatest(length(col("w")), lit(1)))).as("i"))
+      .select(col("w"), col("cnt"), col("i"),
+        explode(sequence(lit(1), lit(WpMaxPiece))).as("k"))
+      .filter(col("i") + col("k") - 1 <= length(col("w")))
+      .select(col("w").substr(col("i"), col("k")).as("p"), col("cnt"), col("k"))
+    val agg = pieces.groupBy(col("p"), col("k")).agg(sum(col("cnt")).as("cnt"))
+    val chars = agg.filter(col("k") === 1).select(col("p"))
+    val multi = agg.filter(col("k") > 1)
+      .orderBy(col("cnt").desc, col("p")).limit(WpTopV).select(col("p"))
+    val vocab = chars.union(multi).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(vocab)
+    val enc = udf((w: String) => {
+      var pos = 0; var n = 0L; var oov = 0L
+      while (pos < w.length) {
+        var k = math.min(WpMaxPiece, w.length - pos)
+        while (k > 1 && !bc.value.contains(w.substring(pos, pos + k))) k -= 1
+        if (k == 1 && !bc.value.contains(w.substring(pos, pos + 1))) oov += 1
+        n += 1; pos += k
+      }
+      Array(n, oov)
+    })
+    words
+      .withColumn("e", enc(col("w")))
+      .select(col("source"), col("wc"),
+        element_at(col("e"), 1).as("np"), element_at(col("e"), 2).as("no"))
+      .groupBy(col("source"))
+      .agg(sum(col("wc")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("wc") * col("np")).as("n_pieces"),
+        sum(col("wc") * col("no")).as("n_oov_chars"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words") + lit(1e-9), 6))
+  }
+
   // ------------------------------------------------------- linear classifier
 
   /** Hashed-feature linear-classifier constants — shared with the DuckDB

@@ -271,6 +271,12 @@ object TextQueries extends QueryModule {
       val dd = docs(s, d)
       TextOps.bpeFertility(dd, TextOps.bpeEncodeWith(dd, bpeState(s, d)._2))
     }),
+
+    // WordPiece greedy longest-match encode (the BERT runtime) under a
+    // frequency-built subword vocabulary — the second tokenizer family:
+    // the fit is two partial aggs + one top-k (no sequential merge
+    // rounds), the encode pays per distinct word
+    "wordpiece_stats" -> ((s, d) => TextOps.wordpieceStats(docs(s, d))),
     // the train-tokenizer/encode-val contract: merges learned ONLY on
     // the train split, frozen, replayed over the val split (val-only
     // words start from characters like any production encode of unseen
@@ -1310,6 +1316,52 @@ object TextQueries extends QueryModule {
          |  ROUND(GREATEST(CAST(b_match * 2 - 16 AS DOUBLE) / 16,
          |    CAST(0 AS DOUBLE)) + 1e-9, 4) AS est_b1
          |FROM cmp""".stripMargin,
+
+    // the WordPiece fit replayed relationally (substring explode → two
+    // partial aggs → top-V with the same (cnt desc, piece) tie-break)
+    // and the greedy longest-match walk as a recursive CTE over DISTINCT
+    // words — condition order mirrors the Scala loop exactly
+    "wordpiece_stats" -> {
+      val mp = TextOps.WpMaxPiece
+      val contains = (k: Int) =>
+        s"pos + ${k - 1} <= len(w) AND list_contains((SELECT vl FROM vv), substr(w, pos, $k))"
+      val kstep = (2 to mp).reverse.map(k =>
+        s"WHEN ${contains(k)} THEN $k").mkString(" ")
+      s"""WITH RECURSIVE
+         |wrd AS MATERIALIZED (SELECT source, w, COUNT(*) AS wc FROM (
+         |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY source, w),
+         |wt AS (SELECT w, CAST(SUM(wc) AS BIGINT) AS cnt FROM wrd GROUP BY w),
+         |pc AS (SELECT substr(w, i, k) AS p, k, cnt FROM (
+         |  SELECT w, cnt, UNNEST(range(1, len(w) + 1)) AS i FROM wt),
+         |  (SELECT UNNEST(range(1, $mp + 1)) AS k)
+         |  WHERE i + k - 1 <= len(w)),
+         |ag AS (SELECT p, k, SUM(cnt) AS cnt FROM pc GROUP BY p, k),
+         |ch AS (SELECT p FROM ag WHERE k = 1),
+         |ml AS (SELECT p FROM (SELECT p, row_number() OVER (
+         |    ORDER BY cnt DESC, p) AS rk FROM ag WHERE k > 1)
+         |  WHERE rk <= ${TextOps.WpTopV}),
+         |vv AS (SELECT list(DISTINCT p) AS vl FROM
+         |  (SELECT p FROM ch UNION SELECT p FROM ml)),
+         |dw AS (SELECT DISTINCT w FROM wrd),
+         |walk AS (
+         |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS no
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT w, pos + ks, np + 1,
+         |    no + CASE WHEN ks = 1 AND NOT
+         |      list_contains((SELECT vl FROM vv), substr(w, pos, 1))
+         |      THEN 1 ELSE 0 END
+         |  FROM (SELECT *, CASE $kstep ELSE 1 END AS ks
+         |        FROM walk WHERE pos <= len(w))),
+         |fin AS (SELECT w, np, no FROM walk WHERE pos = len(w) + 1)
+         |SELECT source, CAST(SUM(wc) AS BIGINT) AS n_words,
+         |  COUNT(*) AS n_distinct_words,
+         |  CAST(SUM(wc * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(wc * no) AS BIGINT) AS n_oov_chars,
+         |  ROUND(CAST(SUM(wc * np) AS DOUBLE) / SUM(wc) + 1e-9, 6) AS fertility
+         |FROM wrd JOIN fin USING (w) GROUP BY source""".stripMargin
+    },
 
     "bpe_learn" -> bpeOracle(20),
 
