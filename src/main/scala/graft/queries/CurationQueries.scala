@@ -25,6 +25,39 @@ object CurationQueries extends QueryModule {
     // split_leakage measures; this prevents it by construction)
     "split_leakproof" -> ((s, d) =>
       DedupOps.leakproofSplit(docs(s, d), valFrac = 0.1, testFrac = 0.05)),
+
+    // TRAINING MANIFEST — the artifact a trainer's dataloader actually
+    // consumes, composed from the shipped decision operators: mixture
+    // draw (src0 halved, src1 at 10%) → leakproof TRAIN split (cluster
+    // fate, no near-dup leaks) → GPT-style packing (budget 256, 8
+    // parallel groups) → per-PACK shard + in-shard order by md5 draw.
+    // One row per pack: where it lives (shard, pos) and what it holds
+    // (docs, tokens, boundary straddles). Every stage is the shared
+    // operator, so the manifest inherits their scale shapes: per-row
+    // gates, the pair-graph split, group-partitioned running sums, and
+    // a shard-partitioned rank window.
+    "training_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dd = docs(s, d)
+      val sampled = TextOps.sampleMixture(dd, Map("src0" -> 0.5, "src1" -> 0.1))
+      val train = DedupOps.leakproofSplit(dd, valFrac = 0.1, testFrac = 0.05)
+        .filter(col("split") === "train").select(col("doc_id"))
+      val counts = dd.select(col("doc_id"),
+        size(TextOps.tokens).cast("long").as("n_tokens"))
+      val kept = sampled.select(col("doc_id"))
+        .join(train, Seq("doc_id")).join(counts, Seq("doc_id"))
+      val packs = TextOps.packByCounts(kept, budget = 256, groups = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("draw"), col("grp"), col("pack_id"))
+      packs.groupBy(col("grp"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddles"))
+        .withColumn("draw", TextOps.mdDraw6On("manifest",
+          concat_ws("_", col("grp"), col("pack_id"))))
+        .withColumn("shard", pmod(col("draw"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .drop("draw")
+    }),
     // survivor selection: per near-dup cluster keep the best-quality doc
     // (ties to smallest doc_id); every clustered doc maps to its survivor
     "dedup_canonical" -> ((s, d) => DedupOps.canonicalDocs(docs(s, d))),
@@ -193,6 +226,47 @@ object CurationQueries extends QueryModule {
        |  FROM p2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the full dataloader-artifact composition: mixture gate + cluster
+    // train split + group-partitioned pack cumsum + per-pack shard/rank
+    "training_manifest" -> {
+      val splitDraw = s"${hex60Sql("md5('split:' || CAST(comp_id AS VARCHAR))")} % 1000000"
+      val mixDraw = s"${hex60Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000"
+      val packDraw = s"${hex60Sql(
+        "md5('manifest:' || CAST(grp AS VARCHAR) || '_' || CAST(pack_id AS VARCHAR))")} % 1000000"
+      s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$componentsCtes,
+         |alldocs AS (SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+         |  FROM documents d LEFT JOIN comps c USING (doc_id)),
+         |trn AS (SELECT doc_id FROM alldocs
+         |  WHERE $splitDraw >= ${TextOps.drawThreshold(0.15)}),
+         |mixr AS (SELECT doc_id FROM documents WHERE CASE source
+         |    WHEN 'src0' THEN $mixDraw < ${TextOps.drawThreshold(0.5)}
+         |    WHEN 'src1' THEN $mixDraw < ${TextOps.drawThreshold(0.1)}
+         |    ELSE TRUE END),
+         |cnt AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |kept AS (SELECT doc_id, n_tokens FROM mixr
+         |  JOIN trn USING (doc_id) JOIN cnt USING (doc_id)),
+         |pk AS (SELECT doc_id, n_tokens, doc_id % 8 AS grp,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM kept),
+         |pp AS (SELECT grp, CAST(cum0 // 256 AS BIGINT) AS pack_id, n_tokens,
+         |    ((cum0 + n_tokens - 1) // 256 > cum0 // 256) AS straddles FROM pk),
+         |ag AS (SELECT grp, pack_id, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_straddles
+         |  FROM pp GROUP BY grp, pack_id),
+         |sh AS (SELECT *, $packDraw AS draw FROM ag)
+         |SELECT grp, pack_id, n_docs, n_tokens, n_straddles,
+         |  draw % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY draw % 8
+         |    ORDER BY draw, grp, pack_id) AS BIGINT) AS pos
+         |FROM sh""".stripMargin
+    },
+
     "split_leakproof" -> {
       val draw = s"${hex60Sql("md5('split:' || CAST(comp_id AS VARCHAR))")} % 1000000"
       s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -766,4 +766,26 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
         ()
     }
+
+  /** FROZEN-FOREST anomaly gate: arriving embedding batches scored
+    * row-local under the offline-fitted isolation-forest cut table
+    * ([[graft.models.IsoLocal]]) — the vector-side twin of
+    * [[classifierGateStream]]. Stateless, shuffle-free, O(batch) per
+    * trigger; IsoForestSpec pins the streamed union equal to the
+    * one-shot batch scoring. */
+  def isoScoreStream(emb: DataFrame, cuts: graft.models.IsoLocal.Cuts,
+                     scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val bc = batch.sparkSession.sparkContext.broadcast(cuts)
+        val score = org.apache.spark.sql.functions.udf(
+          (v: Seq[Long]) => graft.models.IsoLocal.pathSum(bc.value, v.toArray))
+        batch.select(org.apache.spark.sql.functions.col("vec_id"),
+            graft.pipeline.VectorOps.quant.as("q"))
+          .withColumn("path_sum", score(org.apache.spark.sql.functions.col("q")))
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("path_sum"))
+          .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
+        ()
+    }
 }

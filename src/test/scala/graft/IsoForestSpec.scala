@@ -40,6 +40,33 @@ class IsoForestSpec extends SparkSpec {
     assert(c1.nonEmpty, "fit produced no cuts on a splittable sample")
   }
 
+  test("isoScoreStream: frozen cuts equal the batch scoring across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"target/graft-tmp/iso_score_spec_${System.nanoTime()}"
+    val rows = frame.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val vs = frame.select(VectorOps.quant.as("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cuts = IsoLocal.fit(Array.fill(IsoLocal.Trees)(vs.take(40)), dim = 8)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingJobs.isoScoreStream(
+        in.toDF.toDF("vec_id", "embedding"), cuts, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/batch_0", s"$dir/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = frame.select(col("vec_id"), VectorOps.quant.as("q")).collect()
+      .map(r => (r.getLong(0), IsoLocal.pathSum(cuts, r.getSeq[Long](1).toArray)))
+      .toSet
+    assert(streamed == oneShot && streamed.size == rows.length)
+  }
+
   test("path lengths are bounded by MaxDepth and nonnegative") {
     val e = frame.select(VectorOps.quant.as("q")).collect()
       .map(_.getSeq[Long](0).toArray)
