@@ -261,4 +261,69 @@ object MetricOps {
       .select(col("k"),
         round(col("num") / col("den") + lit(1e-9), 6).as("acf"))
   }
+
+  /** TIME-SERIES SIMILARITY SEARCH (the UCR-suite / Matrix-Profile
+    * family's bread-and-butter query, and the capability of the EDBT'19
+    * "Time Series Similarity Search for Streaming Data in Distributed
+    * Systems" line of work): given a query pattern — here the LAST
+    * `win` points of series `querySid` — rank every contiguous
+    * `win`-point window of every series by z-normalized similarity
+    * (Pearson correlation: scale/offset-invariant, so a series 10× the
+    * magnitude with the same shape still matches).
+    *
+    * FP discipline (the [[fitStats]] recipe, one level up): values are
+    * quantized EXACTLY (×10⁴ of the 4-decimal source) to longs, every
+    * moment is a DECIMAL(38,0) sum of long products, and the Pearson
+    * numerator/radicands stay in DECIMAL until ONE final
+    * correctly-rounded double cast each (decimal→double is
+    * correctly-rounded in both engines — verified) — so both engines
+    * compare identical doubles. Zero-variance windows are skipped (the
+    * acf convention); windows broken by missing hours fail the
+    * n = win ∧ span = (win−1)·step contiguity check instead of matching
+    * across a gap.
+    *
+    * Shape: one offset explode (×win) over the metric store, one
+    * partial-agg groupBy (sid, start) — the window moments — against a
+    * broadcast 1-row query-moment frame; top-k via TakeOrderedAndProject.
+    * The per-sid row_number window partitions by series id, the metric
+    * store's scale key. Output: (sid, start_pos, start_ts, corr). */
+  def tsSimilaritySearch(series: DataFrame, querySid: String = "click",
+                         win: Int = 24, step: Long = 3600L,
+                         topK: Int = 10): DataFrame = {
+    val sv = series.filter(col("value").isNotNull)
+      .select(col("sid"), col("ts"),
+        (col("value").cast(DecimalType(15, 4)) * 10000).cast("long").as("vi"))
+    val posed = sv.withColumn("pos",
+      row_number().over(Window.partitionBy(col("sid")).orderBy(col("ts"))).cast("long"))
+    val nq = posed.filter(col("sid") === querySid)
+      .agg(max(col("pos")).as("nn"))
+    val qry = posed.filter(col("sid") === querySid).crossJoin(broadcast(nq))
+      .filter(col("pos") > col("nn") - win)
+      .select((col("pos") - (col("nn") - win) - 1).as("o"), col("vi").as("qv"))
+    val qm = qry.agg(
+      sum(col("qv").cast(DecimalType(38, 0))).as("sy"),
+      sum((col("qv") * col("qv")).cast(DecimalType(38, 0))).as("syy"))
+    val ex = posed.crossJoin(broadcast(qry))
+      .filter(col("pos") - col("o") >= 1)
+      .select(col("sid"), (col("pos") - col("o")).as("start"), col("ts"),
+        col("vi"), col("qv"))
+    val wm = ex.groupBy(col("sid"), col("start"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("ts0"), max(col("ts")).as("ts1"),
+        sum(col("vi").cast(DecimalType(38, 0))).as("sx"),
+        sum((col("vi") * col("vi")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("vi") * col("qv")).cast(DecimalType(38, 0))).as("sxy"))
+    wm.crossJoin(broadcast(qm)).crossJoin(broadcast(nq))
+      .filter(col("n") === win && col("ts1") - col("ts0") === (win - 1) * step)
+      // the query window matches itself at r = 1 by definition — excluded
+      .filter(!(col("sid") === querySid && col("start") === col("nn") - (win - 1)))
+      .withColumn("d1", lit(win) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", lit(win) * col("syy") - col("sy") * col("sy"))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col("sid"), col("start").as("start_pos"), col("ts0").as("start_ts"),
+        round((lit(win) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(col("d1").cast("double") * col("d2").cast("double")) + lit(1e-9), 6)
+          .as("corr"))
+      .orderBy(col("corr").desc, col("sid"), col("start_pos"))
+      .limit(topK)
+  }
 }

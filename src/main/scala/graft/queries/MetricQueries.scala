@@ -38,6 +38,13 @@ object MetricQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_slope_intercept" -> ((s, d) => MetricOps.slopeIntercept(seriesDf(s, d))),
 
+    // z-normalized (Pearson) sliding-window similarity search: the last
+    // 24 hours of the click series ranked against every contiguous
+    // 24-point window of every series — scale/offset-invariant pattern
+    // matching over the metric store (the UCR-suite query shape)
+    "ts_similarity_search" -> ((s, d) =>
+      MetricOps.tsSimilaritySearch(seriesDf(s, d))),
+
     "m8_validity_regression" -> ((s, d) =>
       MetricOps.validityRegression(
         Tables.profiles(s, d).select(col("scaleout"),
@@ -103,6 +110,40 @@ object MetricQueries extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // same quantization (exact ×10⁴ longs), DECIMAL(38,0) moments, and
+    // the one-final-double-cast Pearson as the Spark side
+    "ts_similarity_search" ->
+      s"""WITH series AS ($SER),
+         |sv AS (SELECT sid, ts,
+         |    CAST(CAST(value AS DECIMAL(15,4)) * 10000 AS BIGINT) AS vi
+         |  FROM series WHERE value IS NOT NULL),
+         |posed AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY sid ORDER BY ts) AS BIGINT) AS pos FROM sv),
+         |nq AS (SELECT MAX(pos) AS nn FROM posed WHERE sid = 'click'),
+         |qry AS (SELECT pos - ((SELECT nn FROM nq) - 24) - 1 AS o, vi AS qv
+         |  FROM posed WHERE sid = 'click' AND pos > (SELECT nn FROM nq) - 24),
+         |qm AS (SELECT SUM(CAST(qv AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(qv*qv AS DECIMAL(38,0))) AS syy FROM qry),
+         |ex AS (SELECT p.sid, p.pos - q.o AS start, p.ts, p.vi, q.qv
+         |  FROM posed p, qry q WHERE p.pos - q.o >= 1),
+         |wm AS (SELECT sid, start, COUNT(*) AS n, MIN(ts) AS ts0, MAX(ts) AS ts1,
+         |    SUM(CAST(vi AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(vi*vi AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(vi*qv AS DECIMAL(38,0))) AS sxy
+         |  FROM ex GROUP BY sid, start),
+         |ok AS (SELECT wm.*, qm.sy, qm.syy FROM wm, qm
+         |  WHERE n = 24 AND ts1 - ts0 = 23 * 3600
+         |    AND NOT (sid = 'click' AND start = (SELECT nn FROM nq) - 23)),
+         |sc AS (SELECT sid, start, ts0,
+         |    24 * sxx - sx * sx AS d1, 24 * syy - sy * sy AS d2,
+         |    24 * sxy - sx * sy AS num
+         |  FROM ok)
+         |SELECT sid, CAST(start AS BIGINT) AS start_pos, ts0 AS start_ts,
+         |  ROUND(CAST(num AS DOUBLE) /
+         |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) + 1e-9, 6) AS corr
+         |FROM sc WHERE d1 > 0 AND d2 > 0
+         |ORDER BY corr DESC, sid, start LIMIT 10""".stripMargin,
+
     "m7_slope_intercept" ->
       s"""WITH series AS ($SER),
          |c AS (SELECT sid, ts - MIN(ts) OVER (PARTITION BY sid) AS x,
