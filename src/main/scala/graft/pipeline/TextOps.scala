@@ -1507,6 +1507,34 @@ object TextOps {
         max(col("avg_p")).as("max_avg_p"))
   }
 
+  /** Row-local KEEP verdict of [[gopherRules]] at its default
+    * thresholds, as a reusable Column (the [[qualityCol]] pattern) —
+    * lets a composed pass evaluate several gates in ONE scan instead of
+    * joining each gate's frame back on doc_id. Same integer
+    * cross-multiplied rules, value-identical to `gopherRules(...).keep`
+    * at the defaults (pinned in ClassifierSpec). */
+  val gopherKeepCol: Column = {
+    val ts = tokens
+    val n = size(ts).cast("long")
+    val sumLen = length(replace(col("text"), lit(" "), lit(""))).cast("long")
+    val nd = size(array_distinct(ts)).cast("long")
+    val nsd = size(array_distinct(filter(ts, t => t.isInCollection(GopherStopWords))))
+      .cast("long")
+    n >= 20 && n <= 80 &&
+      sumLen >= lit(4L) * n && sumLen <= lit(5L) * n &&
+      nd * 100 >= lit(45L) * n && nsd >= 2
+  }
+
+  /** Row-local KEEP verdict of [[policyGate]] at its default
+    * thresholds ([[PolicyMaxHits]]/[[PolicyMaxPerMille]]), as a
+    * reusable Column. */
+  val policyKeepCol: Column = {
+    val ts = tokens
+    val nh = size(filter(ts, t => t.isInCollection(PolicyBannedTerms))).cast("long")
+    nh <= PolicyMaxHits &&
+      nh * 1000 <= lit(PolicyMaxPerMille.toLong) * size(ts).cast("long")
+  }
+
   // ------------------------------------------------------------- wordpiece
 
   /** WordPiece parameters, shared with the DuckDB replay. */

@@ -615,6 +615,24 @@ object TextQueries extends QueryModule {
     "quality_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(docs(s, d),
       org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
 
+    // GATE AGREEMENT MATRIX: the four raw-corpus keep verdicts (langID,
+    // quality >= 0.6, Gopher rules, content policy) evaluated in ONE
+    // row-local scan, histogrammed by verdict combination — the
+    // redundancy/complementarity audit published web pipelines run
+    // before stacking gates (which rule actually bites, which pair
+    // always agrees). Zero shuffles except the 16-row groupBy.
+    "quality_gate_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.gateProjection(docs(s, d))
+        .select(
+          when(col("pred_lang") === "en", 1L).otherwise(0L).as("g_lang"),
+          when(col("quality") >= 0.6, 1L).otherwise(0L).as("g_quality"),
+          when(TextOps.gopherKeepCol, 1L).otherwise(0L).as("g_gopher"),
+          when(TextOps.policyKeepCol, 1L).otherwise(0L).as("g_policy"))
+        .groupBy(col("g_lang"), col("g_quality"), col("g_gopher"), col("g_policy"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // leave-one-source-out jackknife refLM scoring: every transition
     // scored under the full model AND the model that never saw its own
     // source (pure count subtraction, no refit) — the measured
@@ -2187,6 +2205,39 @@ object TextQueries extends QueryModule {
     "quality_ref_ppl" ->
       s"""WITH $refPplCtes
          |SELECT doc_id, n_trans, n_oov, avg_p, min_p FROM ppl""".stripMargin,
+
+    // the four verdicts from their canonical shared CTEs (quality,
+    // langID pred, gopher gr, policy pv) joined on doc_id, histogrammed
+    "quality_gate_matrix" -> {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH $qualityCte,
+         |${gopherVerdictSql("documents")},
+         |${policyVerdictSql("documents")},
+         |lsc AS (SELECT doc_id, $scores FROM documents),
+         |lmx AS (SELECT *, $m AS m FROM lsc),
+         |lp AS (SELECT doc_id, CASE $pred END AS pred_lang FROM lmx),
+         |bits AS (SELECT qq.doc_id,
+         |    CASE WHEN lp.pred_lang = 'en' THEN 1 ELSE 0 END AS g_lang,
+         |    CASE WHEN qq.quality >= 0.6 THEN 1 ELSE 0 END AS g_quality,
+         |    CASE WHEN gr.r_word_count AND gr.r_mean_word_len
+         |          AND gr.r_distinct_ratio AND gr.r_stop_words
+         |         THEN 1 ELSE 0 END AS g_gopher,
+         |    CASE WHEN pv.r_hit_count AND pv.r_density THEN 1 ELSE 0 END AS g_policy
+         |  FROM qq JOIN lp USING (doc_id) JOIN gr USING (doc_id)
+         |          JOIN pv USING (doc_id))
+         |SELECT CAST(g_lang AS BIGINT) AS g_lang,
+         |  CAST(g_quality AS BIGINT) AS g_quality,
+         |  CAST(g_gopher AS BIGINT) AS g_gopher,
+         |  CAST(g_policy AS BIGINT) AS g_policy,
+         |  COUNT(*) AS n_docs
+         |FROM bits GROUP BY g_lang, g_quality, g_gopher, g_policy""".stripMargin
+    },
 
     // jackknife replay: total + per-source count tables, exclusive-type
     // counts for V_loo, both scores the shared one-division recipe

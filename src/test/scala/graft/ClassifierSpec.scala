@@ -64,6 +64,15 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("gopherKeepCol/policyKeepCol equal their frame twins at default thresholds") {
+    val g = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
+    val gc = docs.select(col("doc_id"), TextOps.gopherKeepCol.as("k"))
+    assert(g.join(gc, "doc_id").filter(col("keep") =!= col("k")).count() === 0L)
+    val p = TextOps.policyGate(docs).select(col("doc_id"), col("keep"))
+    val pc = docs.select(col("doc_id"), TextOps.policyKeepCol.as("k"))
+    assert(p.join(pc, "doc_id").filter(col("keep") =!= col("k")).count() === 0L)
+  }
+
   test("stupidBackoffScore: bigram, backoff, and OOV paths score exactly") {
     // train doc (label t): transitions (x,y), (y,x), (x,z); unigrams
     // x:2 y:1 z:1, N = 4. eval doc: x->y seen (1/2), y->z backoff
