@@ -767,6 +767,61 @@ object StreamingJobs {
         ()
     }
 
+  /** One live-window pattern match: series id, window-end timestamp,
+    * z-normalized Pearson vs the frozen query pattern. */
+  case class PatternHit(sid: String, ts_end: Long, corr: Double)
+
+  /** STREAMING PATTERN MONITOR — the live twin of
+    * [[graft.metrics.MetricOps.tsSimilaritySearch]] (the EDBT'19
+    * streaming-similarity setting): each series keeps its LAST `win`
+    * quantized points as keyed state (O(win) per series — constant
+    * forever on an unbounded stream); every trigger re-scores the
+    * current window against the frozen query pattern and emits a
+    * [[PatternHit]] whenever the window is full and hour-contiguous.
+    * The Pearson arithmetic is the batch operator's exactly — integer
+    * moments (BigInt here, DECIMAL(38,0) there: both exact), one
+    * correctly-rounded double conversion per term, HALF_UP rounding —
+    * so a streamed hit is bit-equal to the batch correlation over the
+    * same points (pinned in ClassifierSpec's monitor test against the
+    * BATCH operator, a genuinely independent code path). Late
+    * duplicates of an already-held timestamp are dropped keep-first. */
+  def patternMonitorStream(points: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                           qv: Array[Long], win: Int = 24, step: Long = 3600L)
+      : org.apache.spark.sql.Dataset[PatternHit] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sy = qv.map(BigInt(_)).sum
+    val syy = qv.map(v => BigInt(v) * v).sum
+    points.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (sid: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[Seq[(Long, Long)]]) =>
+        val prev = state.getOption.getOrElse(Seq.empty)
+        val seen = prev.map(_._1).toSet
+        val fresh = it.map(r => (r._2, r._3)).toSeq
+          .filterNot(p => seen.contains(p._1))
+          .groupBy(_._1).map(_._2.head)
+        val merged = (prev ++ fresh).sortBy(_._1).takeRight(win)
+        state.update(merged)
+        if (merged.size == win &&
+            merged.last._1 - merged.head._1 == (win - 1) * step) {
+          val xs = merged.map(_._2)
+          val sx = xs.map(BigInt(_)).sum
+          val sxx = xs.map(v => BigInt(v) * v).sum
+          val sxy = xs.zip(qv).map { case (x, q) => BigInt(x) * q }.sum
+          val d1 = BigInt(win) * sxx - sx * sx
+          val d2 = BigInt(win) * syy - sy * sy
+          if (d1 > 0 && d2 > 0) {
+            val corr = (BigInt(win) * sxy - sx * sy).toDouble /
+              math.sqrt(d1.toDouble * d2.toDouble)
+            Iterator.single(PatternHit(sid, merged.last._1,
+              BigDecimal(corr + 1e-9)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          } else Iterator.empty
+        } else Iterator.empty
+    }
+  }
+
   /** FROZEN-FOREST anomaly gate: arriving embedding batches scored
     * row-local under the offline-fitted isolation-forest cut table
     * ([[graft.models.IsoLocal]]) — the vector-side twin of
