@@ -1453,11 +1453,20 @@ object TextOps {
       .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
       .filter(col("ns") === 1)
       .groupBy(col("source")).agg(count(lit(1)).as("vexcl"))
+    // the count tables are NOT broadcast-hinted: they are bounded by
+    // (bigram types × sources), which on a real corpus is far below the
+    // transition stream (vocabulary grows sublinearly) — AQE broadcasts
+    // them when they measure small — but on a vocabulary-degenerate
+    // corpus (the 100× disjoint-suffix fixture: vocab ~ corpus) a FORCED
+    // broadcast would OOM the driver where a shuffled equi-join just
+    // scales; measured at 100× docs: 278 s forced → shuffled holds
+    // linear. Only the 1-row V total and the |sources|-row exclusive
+    // counts are unconditionally tiny.
     tr
-      .join(broadcast(c2t), Seq("a", "b"))
-      .join(broadcast(c2s), Seq("a", "b", "source"))
-      .join(broadcast(c1t), Seq("a"))
-      .join(broadcast(c1s), Seq("a", "source"))
+      .join(c2t, Seq("a", "b"))
+      .join(c2s, Seq("a", "b", "source"))
+      .join(c1t, Seq("a"))
+      .join(c1s, Seq("a", "source"))
       .crossJoin(broadcast(vdf))
       .join(broadcast(excl), Seq("source"), "left")
       .withColumn("p_full",
