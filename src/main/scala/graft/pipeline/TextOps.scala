@@ -1572,8 +1572,13 @@ object TextOps {
     * outside the vocabulary (zero on the fit corpus by construction),
     * and the fertility pieces/word — comparable across tokenizers with
     * [[bpeFertility]]. */
-  def wordpieceStats(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** Shared SUBWORD FIT of the WordPiece and Unigram tokenizers:
+    * (source, w, wc) word-occurrence counts (scope-persisted — both the
+    * fit and the encode join-back read it) and the frequency vocabulary
+    * as (piece, cnt) rows — every single corpus character (coverage) +
+    * the top [[WpTopV]] multi-character substrings, ranked (cnt desc,
+    * piece asc). */
+  private def subwordFit(docs: DataFrame): (DataFrame, DataFrame) = {
     val words = graft.CacheScope.persist(
       docs.select(col("source"), explode(tokens).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc")))
@@ -1589,10 +1594,17 @@ object TextOps {
       .filter(col("i") + col("k") - 1 <= length(col("w")))
       .select(col("w").substr(col("i"), col("k")).as("p"), col("cnt"), col("k"))
     val agg = pieces.groupBy(col("p"), col("k")).agg(sum(col("cnt")).as("cnt"))
-    val chars = agg.filter(col("k") === 1).select(col("p"))
+    val chars = agg.filter(col("k") === 1).select(col("p"), col("cnt"))
     val multi = agg.filter(col("k") > 1)
-      .orderBy(col("cnt").desc, col("p")).limit(WpTopV).select(col("p"))
-    val vocab = chars.union(multi).distinct()
+      .orderBy(col("cnt").desc, col("p")).limit(WpTopV)
+      .select(col("p"), col("cnt"))
+    (words, chars.union(multi))
+  }
+
+  def wordpieceStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (words, vocabCnt) = subwordFit(docs)
+    val vocab = vocabCnt.select(col("p")).distinct()
       .collect().map(_.getString(0)).toSet
     val bc = spark.sparkContext.broadcast(vocab)
     val enc = udf((w: String) => {
@@ -1616,6 +1628,85 @@ object TextOps {
         sum(col("wc") * col("no")).as("n_oov_chars"))
       .withColumn("fertility",
         round(col("n_pieces").cast("double") / col("n_words") + lit(1e-9), 6))
+  }
+
+  /** UNIGRAM-LM VITERBI SEGMENTATION (the SentencePiece/Kudo-2018
+    * runtime — the third tokenizer family next to BPE's merge loop and
+    * WordPiece's greedy match): under a piece-probability model
+    * p(piece) = cnt/Σcnt over the SAME frequency vocabulary as
+    * [[wordpieceStats]], each word takes the segmentation maximizing
+    * Π p(pieceᵢ) — found by Viterbi DP over character positions.
+    * A frequency vocabulary is SUBSTRING-CLOSED (every substring of a
+    * kept piece is at least as frequent, so the top-V cut removes long
+    * pieces first) — under closure greedy longest-match already matches
+    * unigram on piece COUNT; where unigram differs is boundary CHOICE
+    * (likelihood prefers frequent pieces over long ones: aaab+bb vs
+    * aaa+bbb). Both segmenters run in one pass per DISTINCT word; the
+    * output counts boundary disagreements per source
+    * (`n_words_diffseg`, compared via the boundary BITMASK Σ 2^endpos —
+    * exact and collision-free for words ≤ 62 chars, positions past 62
+    * masked to 0 identically in both engines; non-vacuity pinned on a
+    * constructed corpus in ClassifierSpec).
+    *
+    * Cross-engine exactness without logs: every Viterbi value is a
+    * product of piece probabilities built by the SAME multiplication
+    * sequence in both engines (induction over positions: identical
+    * priors × identical one-division probabilities), so comparisons and
+    * ties (largest piece wins equal likelihood) resolve identically;
+    * probabilities stay ≥ ~1e-30 at word lengths here — no underflow.
+    * Scale shape: the fit is [[subwordFit]] (two partial aggs + one
+    * top-k); segmentation pays per distinct word under the broadcast
+    * model-sized vocabulary. */
+  def unigramStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val (words, vocabCnt) = subwordFit(docs)
+    val rows = vocabCnt.collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = rows.map(_._2).sum
+    val bc = spark.sparkContext.broadcast(rows.toMap)
+    val seg = udf((w: String) => {
+      val m = bc.value
+      val n = w.length
+      def bit(ii: Int): Long = if (ii <= 62) 1L << ii else 0L
+      val best = Array.fill(n + 1)(0.0); best(0) = 1.0
+      val np = Array.fill(n + 1)(0L)
+      val mk = Array.fill(n + 1)(0L)
+      var i = 1
+      while (i <= n) {
+        var bv = -1.0; var bk = 0
+        var k = 1
+        while (k <= math.min(WpMaxPiece, i)) {
+          m.get(w.substring(i - k, i)).foreach { c =>
+            val v = best(i - k) * (c.toDouble / total)
+            if (v >= bv) { bv = v; bk = k } // ties: the LONGEST piece wins
+          }
+          k += 1
+        }
+        if (bk == 0) { best(i) = 0.0; np(i) = np(i - 1) + 1; mk(i) = mk(i - 1) | bit(i) }
+        else { best(i) = bv; np(i) = np(i - bk) + 1; mk(i) = mk(i - bk) | bit(i) }
+        i += 1
+      }
+      var pos = 0; var g = 0L; var gm = 0L
+      while (pos < n) {
+        var k2 = math.min(WpMaxPiece, n - pos)
+        while (k2 > 1 && !m.contains(w.substring(pos, pos + k2))) k2 -= 1
+        g += 1; pos += k2; gm |= bit(pos)
+      }
+      Array(np(n), mk(n), g, gm)
+    })
+    words.withColumn("e", seg(col("w")))
+      .select(col("source"), col("wc"),
+        element_at(col("e"), 1).as("nu"), element_at(col("e"), 2).as("mu"),
+        element_at(col("e"), 3).as("ng"), element_at(col("e"), 4).as("mg"))
+      .groupBy(col("source"))
+      .agg(sum(col("wc")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("wc") * col("nu")).as("n_pieces_unigram"),
+        sum(col("wc") * col("ng")).as("n_pieces_greedy"),
+        sum(when(col("mu") =!= col("mg"), col("wc")).otherwise(0L))
+          .as("n_words_diffseg"))
+      .withColumn("fertility_unigram",
+        round(col("n_pieces_unigram").cast("double") / col("n_words")
+          + lit(1e-9), 6))
   }
 
   // ------------------------------------------------------- linear classifier

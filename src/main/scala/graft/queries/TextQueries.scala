@@ -277,6 +277,12 @@ object TextQueries extends QueryModule {
     // the fit is two partial aggs + one top-k (no sequential merge
     // rounds), the encode pays per distinct word
     "wordpiece_stats" -> ((s, d) => TextOps.wordpieceStats(docs(s, d))),
+
+    // Unigram-LM Viterbi segmentation (SentencePiece runtime) under the
+    // SAME frequency vocabulary — the third tokenizer family; per
+    // source, the likelihood-optimal piece counts next to greedy's, and
+    // how many word occurrences unigram segments SHORTER
+    "unigram_stats" -> ((s, d) => TextOps.unigramStats(docs(s, d))),
     // the train-tokenizer/encode-val contract: merges learned ONLY on
     // the train split, frozen, replayed over the val split (val-only
     // words start from characters like any production encode of unseen
@@ -1339,47 +1345,74 @@ object TextQueries extends QueryModule {
     // partial aggs → top-V with the same (cnt desc, piece) tie-break)
     // and the greedy longest-match walk as a recursive CTE over DISTINCT
     // words — condition order mirrors the Scala loop exactly
-    "wordpiece_stats" -> {
-      val mp = TextOps.WpMaxPiece
-      val contains = (k: Int) =>
-        s"pos + ${k - 1} <= len(w) AND list_contains((SELECT vl FROM vv), substr(w, pos, $k))"
-      val kstep = (2 to mp).reverse.map(k =>
-        s"WHEN ${contains(k)} THEN $k").mkString(" ")
+    "wordpiece_stats" ->
       s"""WITH RECURSIVE
-         |wrd AS MATERIALIZED (SELECT source, w, COUNT(*) AS wc FROM (
-         |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY source, w),
-         |wt AS (SELECT w, CAST(SUM(wc) AS BIGINT) AS cnt FROM wrd GROUP BY w),
-         |pc AS (SELECT substr(w, i, k) AS p, k, cnt FROM (
-         |  SELECT w, cnt, UNNEST(range(1, len(w) + 1)) AS i FROM wt),
-         |  (SELECT UNNEST(range(1, $mp + 1)) AS k)
-         |  WHERE i + k - 1 <= len(w)),
-         |ag AS (SELECT p, k, SUM(cnt) AS cnt FROM pc GROUP BY p, k),
-         |ch AS (SELECT p FROM ag WHERE k = 1),
-         |ml AS (SELECT p FROM (SELECT p, row_number() OVER (
-         |    ORDER BY cnt DESC, p) AS rk FROM ag WHERE k > 1)
-         |  WHERE rk <= ${TextOps.WpTopV}),
-         |vv AS (SELECT list(DISTINCT p) AS vl FROM
-         |  (SELECT p FROM ch UNION SELECT p FROM ml)),
-         |dw AS (SELECT DISTINCT w FROM wrd),
-         |walk AS (
-         |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS no
-         |  FROM dw
-         |  UNION ALL
-         |  SELECT w, pos + ks, np + 1,
-         |    no + CASE WHEN ks = 1 AND NOT
-         |      list_contains((SELECT vl FROM vv), substr(w, pos, 1))
-         |      THEN 1 ELSE 0 END
-         |  FROM (SELECT *, CASE $kstep ELSE 1 END AS ks
-         |        FROM walk WHERE pos <= len(w))),
-         |fin AS (SELECT w, np, no FROM walk WHERE pos = len(w) + 1)
+         |$subwordFitSql,
+         |$greedyWalkSql
          |SELECT source, CAST(SUM(wc) AS BIGINT) AS n_words,
          |  COUNT(*) AS n_distinct_words,
          |  CAST(SUM(wc * np) AS BIGINT) AS n_pieces,
          |  CAST(SUM(wc * no) AS BIGINT) AS n_oov_chars,
          |  ROUND(CAST(SUM(wc * np) AS DOUBLE) / SUM(wc) + 1e-9, 6) AS fertility
-         |FROM wrd JOIN fin USING (w) GROUP BY source""".stripMargin
-    },
+         |FROM wrd JOIN fin USING (w) GROUP BY source""".stripMargin,
+
+    // same fit; the Viterbi DP as a recursive CTE whose state carries
+    // the per-position best-likelihood and piece-count LISTS (candidate
+    // products and the longest-piece tie-break mirror the Scala loop),
+    // next to the greedy walk for the comparison columns
+    "unigram_stats" ->
+      s"""WITH RECURSIVE
+         |$subwordFitSql,
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vvc),
+         |vp AS MATERIALIZED (SELECT p,
+         |    CAST(cnt AS DOUBLE) / (SELECT t FROM tot) AS pr FROM vvc),
+         |uw AS (
+         |  SELECT w, 0 AS i, [CAST(1 AS DOUBLE)] AS bests,
+         |    [CAST(0 AS BIGINT)] AS nps, [CAST(0 AS BIGINT)] AS mks FROM dw
+         |  UNION ALL
+         |  SELECT w, i + 1,
+         |    list_append(bests, CASE WHEN bk = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE bv END),
+         |    list_append(nps, CASE WHEN bk = 0 THEN nps[i + 1] + 1
+         |      ELSE nps[i - bk + 2] + 1 END),
+         |    list_append(mks, (CASE WHEN bk = 0 THEN mks[i + 1]
+         |      ELSE mks[i - bk + 2] END) |
+         |      CASE WHEN i + 1 <= 62 THEN CAST(1 AS BIGINT) << (i + 1)
+         |           ELSE 0 END)
+         |  FROM (
+         |    SELECT w, i, bests, nps, mks, bv,
+         |      CASE WHEN v4 IS NOT NULL AND v4 = bv THEN 4
+         |           WHEN v3 IS NOT NULL AND v3 = bv THEN 3
+         |           WHEN v2 IS NOT NULL AND v2 = bv THEN 2
+         |           WHEN v1 IS NOT NULL AND v1 = bv THEN 1
+         |           ELSE 0 END AS bk
+         |    FROM (
+         |      SELECT *, GREATEST(COALESCE(v1, -1), COALESCE(v2, -1),
+         |          COALESCE(v3, -1), COALESCE(v4, -1)) AS bv
+         |      FROM (
+         |        SELECT s.w, s.i, s.bests, s.nps, s.mks,
+         |          bests[s.i + 1] * p1.pr AS v1,
+         |          CASE WHEN s.i + 1 >= 2 THEN bests[s.i] * p2.pr END AS v2,
+         |          CASE WHEN s.i + 1 >= 3 THEN bests[s.i - 1] * p3.pr END AS v3,
+         |          CASE WHEN s.i + 1 >= 4 THEN bests[s.i - 2] * p4.pr END AS v4
+         |        FROM (SELECT * FROM uw WHERE i < len(w)) s
+         |        LEFT JOIN vp p1 ON p1.p = substr(s.w, s.i + 1, 1)
+         |        LEFT JOIN vp p2 ON s.i + 1 >= 2 AND p2.p = substr(s.w, s.i, 2)
+         |        LEFT JOIN vp p3 ON s.i + 1 >= 3 AND p3.p = substr(s.w, s.i - 1, 3)
+         |        LEFT JOIN vp p4 ON s.i + 1 >= 4 AND p4.p = substr(s.w, s.i - 2, 4))))),
+         |ufin AS (SELECT w, nps[len(w) + 1] AS nu, mks[len(w) + 1] AS mu
+         |  FROM uw WHERE i = len(w)),
+         |$greedyWalkSql
+         |SELECT source, CAST(SUM(wc) AS BIGINT) AS n_words,
+         |  COUNT(*) AS n_distinct_words,
+         |  CAST(SUM(wc * nu) AS BIGINT) AS n_pieces_unigram,
+         |  CAST(SUM(wc * np) AS BIGINT) AS n_pieces_greedy,
+         |  CAST(SUM(CASE WHEN mu <> gm THEN wc ELSE 0 END) AS BIGINT)
+         |    AS n_words_diffseg,
+         |  ROUND(CAST(SUM(wc * nu) AS DOUBLE) / SUM(wc) + 1e-9, 6)
+         |    AS fertility_unigram
+         |FROM wrd JOIN ufin USING (w) JOIN fin USING (w)
+         |GROUP BY source""".stripMargin,
 
     "bpe_learn" -> bpeOracle(20),
 
@@ -2846,6 +2879,55 @@ object TextQueries extends QueryModule {
        |  ROUND(${Sql.decAvgSql("p")} + 1e-9, 6) AS avg_p,
        |  ROUND(MIN(p) + 1e-9, 8) AS min_p
        |FROM p GROUP BY doc_id)""".stripMargin
+
+  /** Shared subword-fit CTEs of the WordPiece/Unigram oracle replays:
+    * word counts (`wrd`), the (piece, cnt) frequency vocabulary `vvc`
+    * (all chars + top-V multi-char substrings, (cnt desc, piece)
+    * tie-break), its membership list `vv`, and the distinct-word frame
+    * `dw` — mirrors [[TextOps]]'s `subwordFit` CTE for CTE. */
+  private def subwordFitSql: String = {
+    val mp = TextOps.WpMaxPiece
+    s"""wrd AS MATERIALIZED (SELECT source, w, COUNT(*) AS wc FROM (
+       |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY source, w),
+       |wt AS (SELECT w, CAST(SUM(wc) AS BIGINT) AS cnt FROM wrd GROUP BY w),
+       |pc AS (SELECT substr(w, i, k) AS p, k, cnt FROM (
+       |  SELECT w, cnt, UNNEST(range(1, len(w) + 1)) AS i FROM wt),
+       |  (SELECT UNNEST(range(1, $mp + 1)) AS k)
+       |  WHERE i + k - 1 <= len(w)),
+       |ag AS (SELECT p, k, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pc GROUP BY p, k),
+       |vvc AS MATERIALIZED (SELECT p, cnt FROM ag WHERE k = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (
+       |      ORDER BY cnt DESC, p) AS rk FROM ag WHERE k > 1)
+       |  WHERE rk <= ${TextOps.WpTopV}),
+       |vv AS (SELECT list(DISTINCT p) AS vl FROM vvc),
+       |dw AS (SELECT DISTINCT w FROM wrd)""".stripMargin
+  }
+
+  /** The greedy longest-match walk over `dw`/`vv` (condition order =
+    * the Scala loop), ending in `fin(w, np, no)`. */
+  private def greedyWalkSql: String = {
+    val mp = TextOps.WpMaxPiece
+    val contains = (k: Int) =>
+      s"pos + ${k - 1} <= len(w) AND list_contains((SELECT vl FROM vv), substr(w, pos, $k))"
+    val kstep = (2 to mp).reverse.map(k =>
+      s"WHEN ${contains(k)} THEN $k").mkString(" ")
+    s"""walk AS (
+       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS no,
+       |    CAST(0 AS BIGINT) AS gm
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + ks, np + 1,
+       |    no + CASE WHEN ks = 1 AND NOT
+       |      list_contains((SELECT vl FROM vv), substr(w, pos, 1))
+       |      THEN 1 ELSE 0 END,
+       |    gm | CASE WHEN pos + ks - 1 <= 62
+       |      THEN CAST(1 AS BIGINT) << (pos + ks - 1) ELSE 0 END
+       |  FROM (SELECT *, CASE $kstep ELSE 1 END AS ks
+       |        FROM walk WHERE pos <= len(w))),
+       |fin AS (SELECT w, np, no, gm FROM walk WHERE pos = len(w) + 1)""".stripMargin
+  }
 
   /** DuckDB replay of the WHOLE [[TextOps.classifierFit]] training run +
     * [[TextOps.classifierScore]]: features/split/label CTEs, then one CTE

@@ -64,6 +64,23 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("unigramStats: likelihood can pick different boundaries than greedy (diffseg is not vacuous)") {
+    // 'aaa'/'bbb' are frequent standalone words, 'aaabbb' occurs once:
+    // greedy on it takes the LONGEST prefix 'aaab' then 'bb'; Viterbi
+    // prefers p(aaa)·p(bbb) >> p(aaab)·p(bb) — same piece count (2 = 2),
+    // different boundaries. The diffseg column must catch it.
+    val rows = (0 until 50).flatMap(i =>
+      Seq((i.toLong * 2, "aaa", "s"), (i.toLong * 2 + 1, "bbb", "s"))) :+
+      (999L, "aaabbb", "s")
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = TextOps.unigramStats(d).collect()(0)
+    assert(out.getAs[Long]("n_words_diffseg") === 1L,
+      s"expected exactly the planted word to diffseg, got $out")
+    // and the piece counts agree (substring-closed vocab: greedy is
+    // count-optimal, the disagreement is boundary choice only)
+    assert(out.getAs[Long]("n_pieces_unigram") === out.getAs[Long]("n_pieces_greedy"))
+  }
+
   test("gopherKeepCol/policyKeepCol equal their frame twins at default thresholds") {
     val g = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
     val gc = docs.select(col("doc_id"), TextOps.gopherKeepCol.as("k"))
