@@ -291,6 +291,30 @@ object VectorOps {
       .limit(topK)
   }
 
+  /** MEAN-RECIPROCAL-RANK diagnostic of the multi-probe search — the
+    * graded companion to recall@k: per query, WHERE the true nearest
+    * neighbor (exact top-1) lands in the approximate ranking. Recall@k
+    * only answers "inside the top k or not"; MRR bills a miss at rank 7
+    * differently from rank 2 — and reciprocal rank is RATIONAL (one
+    * IEEE division), where nDCG's log2 discount would break the
+    * exactness contract. rank_found = 0 marks the true neighbor absent
+    * from the approx top-`kApprox` entirely. Per-query rows; the mean
+    * is one aggregation away. */
+  def multiprobeMrr(emb: DataFrame, queryMaxId: Long,
+                    kApprox: Int = 10): DataFrame = {
+    val exact1 = bruteForceTopK(emb, queryMaxId, 1)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfMultiprobeTopK(emb, kApprox)
+      .filter(col("q_id") < queryMaxId)
+      .select(col("q_id"), col("vec_id"), col("rk"))
+    exact1.join(approx, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("vec_id").as("true_nn"),
+        coalesce(col("rk").cast("long"), lit(0L)).as("rank_found"),
+        round(when(col("rk").isNotNull,
+            lit(1.0).cast("double") / col("rk")).otherwise(lit(0.0))
+          + lit(1e-9), 6).as("rr"))
+  }
+
   /** Smallest b ≥ 1 (capped at `maxBits`) with 2^b · targetCellSize ≥ n —
     * exact integer arithmetic so the DuckDB oracle (same search over
     * range(1,17)) picks the identical b; a floating ceil(log2(…)) could

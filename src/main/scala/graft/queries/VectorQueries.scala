@@ -209,6 +209,10 @@ object VectorQueries extends QueryModule {
       VectorOps.ivfMultiprobeTopK(Tables.embeddings(s, d), k = 3)),
     "ann_multiprobe_recall" -> ((s, d) =>
       VectorOps.multiprobeRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+    // graded companion to recall@k: WHERE the exact top-1 lands in the
+    // multiprobe ranking (reciprocal rank — rational, unlike nDCG's log)
+    "ann_multiprobe_mrr" -> ((s, d) =>
+      VectorOps.multiprobeMrr(Tables.embeddings(s, d), queryMaxId = 10)),
     // k-means coarse quantizer: driver Lloyd fit on a deterministic
     // sample (integer-exact, replayed by the oracle CTE-for-CTE),
     // nprobe nearest cells per query — the cell strategy that follows
@@ -738,6 +742,42 @@ object VectorQueries extends QueryModule {
          |SELECT e.q_id, COALESCE(h, 0) AS hits,
          |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    // exact top-1 (er rk = 1) left-joined into the multiprobe full
+    // ranking; rr = one IEEE division of the found rank
+    "ann_multiprobe_mrr" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q WHERE vec_id < 10),
+         |esc AS (SELECT q_id, vec_id, ${cosSql("qq", "qv")} AS c
+         |        FROM qs CROSS JOIN q WHERE vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact1 AS (SELECT q_id, vec_id FROM er WHERE rk = 1),
+         |par AS (SELECT COALESCE(MIN(bb.b), 16) AS bits
+         |        FROM (SELECT UNNEST(range(1, 17)) AS b) bb
+         |        CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+         |        WHERE (1 << bb.b) * 50 >= nn.n OR bb.b = 16),
+         |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+         |cl AS (SELECT vec_id, qv,
+         |         array_to_string(list_slice(sig, 1, (SELECT bits FROM par)), ',') AS cell
+         |       FROM sg),
+         |pr AS (SELECT vec_id AS q_id, qv AS qqv,
+         |         unnest(list_transform(range(-1, bits), p ->
+         |           array_to_string(list_transform(range(1, bits + 1),
+         |             h -> CASE WHEN h - 1 = p THEN 1 - sig[h] ELSE sig[h] END), ','))) AS cell
+         |       FROM sg CROSS JOIN par),
+         |msc AS (SELECT a.q_id, b.vec_id, ${cosSql("a.qqv", "b.qv")} AS c
+         |        FROM pr a JOIN cl b ON a.cell = b.cell AND a.q_id <> b.vec_id),
+         |mr AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM msc),
+         |approx AS (SELECT q_id, vec_id, rk FROM mr
+         |  WHERE rk <= 10 AND q_id < 10)
+         |SELECT e.q_id, e.vec_id AS true_nn,
+         |  CAST(COALESCE(a.rk, 0) AS BIGINT) AS rank_found,
+         |  ROUND(CASE WHEN a.rk IS NOT NULL
+         |    THEN CAST(1 AS DOUBLE) / a.rk ELSE CAST(0 AS DOUBLE) END
+         |    + 1e-9, 6) AS rr
+         |FROM exact1 e LEFT JOIN approx a USING (q_id, vec_id)""".stripMargin,
 
     "ann_ivf_kmeans" -> kmeansTopkSql,
 
