@@ -273,7 +273,9 @@ object MetricOps {
     *
     * FP discipline (the [[fitStats]] recipe, one level up): values are
     * quantized EXACTLY (×10⁴ of the 4-decimal source) to longs, every
-    * moment is a DECIMAL(38,0) sum of long products, and the Pearson
+    * moment is a DECIMAL(38,0) sum of DECIMAL-cast-then-multiplied
+    * factors (a raw Long product would overflow past |value| ≈ 9.6e5,
+    * inside what the quantization admits), and the Pearson
     * numerator/radicands stay in DECIMAL until ONE final
     * correctly-rounded double cast each (decimal→double is
     * correctly-rounded in both engines — verified) — so both engines
@@ -300,9 +302,13 @@ object MetricOps {
     val qry = posed.filter(col("sid") === querySid).crossJoin(broadcast(nq))
       .filter(col("pos") > col("nn") - win)
       .select((col("pos") - (col("nn") - win) - 1).as("o"), col("vi").as("qv"))
+    // each factor is cast to DECIMAL BEFORE the multiply: a raw Long
+    // product of two ×10⁴-quantized values overflows past |value| ≈
+    // 9.6e5, well inside what DECIMAL(15,4) admits
     val qm = qry.agg(
       sum(col("qv").cast(DecimalType(38, 0))).as("sy"),
-      sum((col("qv") * col("qv")).cast(DecimalType(38, 0))).as("syy"))
+      sum(col("qv").cast(DecimalType(19, 0)) * col("qv").cast(DecimalType(19, 0)))
+        .as("syy"))
     val ex = posed.crossJoin(broadcast(qry))
       .filter(col("pos") - col("o") >= 1)
       .select(col("sid"), (col("pos") - col("o")).as("start"), col("ts"),
@@ -310,8 +316,10 @@ object MetricOps {
     val wm = ex.groupBy(col("sid"), col("start"))
       .agg(count(lit(1)).as("n"), min(col("ts")).as("ts0"), max(col("ts")).as("ts1"),
         sum(col("vi").cast(DecimalType(38, 0))).as("sx"),
-        sum((col("vi") * col("vi")).cast(DecimalType(38, 0))).as("sxx"),
-        sum((col("vi") * col("qv")).cast(DecimalType(38, 0))).as("sxy"))
+        sum(col("vi").cast(DecimalType(19, 0)) * col("vi").cast(DecimalType(19, 0)))
+          .as("sxx"),
+        sum(col("vi").cast(DecimalType(19, 0)) * col("qv").cast(DecimalType(19, 0)))
+          .as("sxy"))
     wm.crossJoin(broadcast(qm)).crossJoin(broadcast(nq))
       .filter(col("n") === win && col("ts1") - col("ts0") === (win - 1) * step)
       // the query window matches itself at r = 1 by definition — excluded

@@ -252,18 +252,26 @@ object DedupOps {
     * this corpus's own pairs.
     *
     * Shape: the shared inverted index feeds the verified pairs AND the
-    * relational signature (explode 16 affine permutations → partial-agg
-    * groupBy-min — [[minhashBandsFromInv]]'s spelling); pair comparison
-    * is a (pair × 16)-row equi-join. Integer arithmetic + one division
-    * per estimate → exact in both engines. */
+    * relational signature — the 16 permutation minima as MAP-SIDE
+    * aggregate columns of ONE groupBy(doc_id) (the
+    * [[minhashBandsFromInv]] lesson: exploding the permutations first
+    * shuffles 16× the shingle rows), unpivoted row-locally to
+    * (doc_id, j, mh) AFTER the aggregation; pair comparison is a
+    * (pair × 16)-row equi-join. Integer arithmetic + one division per
+    * estimate → exact in both engines. */
   def bbitMinhashEst(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val inv = graft.CacheScope.persist(shingleRows(docs))
     val exact = minhashPairs(docs, threshold, Some(inv))
     val sig = inv
       .select(col("doc_id"), (hex60(md5(col("s"))) % MOD).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min((col("h") * (col("j") * 2 + 1) + col("j") * 7919) % MOD).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg((0 until 16).map(j =>
+        min((col("h") * (2 * j + 1) + j * 7919L) % MOD).as(s"m$j")).head,
+        (1 until 16).map(j =>
+          min((col("h") * (2 * j + 1) + j * 7919L) % MOD).as(s"m$j")): _*)
+      .select(col("doc_id"), explode(array((0 until 16).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"m$j").as("mh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.j").as("j"), col("e.mh").as("mh"))
     exact
       .join(sig.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("ma")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mb")),

@@ -1434,13 +1434,18 @@ object TextOps {
     * gap is the measured self-preference. */
   def refLmLooBySource(docs: DataFrame): DataFrame = {
     val ts = tokens
-    val tr = docs.select(col("doc_id"), col("source"),
-        explode(zip_with(
-          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
-          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("ab"))
-      .select(col("doc_id"), col("source"),
-        col("ab.a").as("a"), col("ab.b").as("b"))
+    // the [[wordTransitions]] spelling with `source` carried along; the
+    // stream feeds SEVEN consumers (four count tables, the type/source
+    // frame twice, the scoring join) — scope-persist it so the corpus
+    // explode runs once, not per consumer
+    val tr = graft.CacheScope.persist(
+      docs.select(col("doc_id"), col("source"),
+          explode(zip_with(
+            slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+            slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("ab"))
+        .select(col("doc_id"), col("source"),
+          col("ab.a").as("a"), col("ab.b").as("b")))
     val c2t = tr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2t"))
     val c2s = tr.groupBy(col("a"), col("b"), col("source"))
       .agg(count(lit(1)).as("c2s"))
@@ -1471,9 +1476,15 @@ object TextOps {
       .join(broadcast(excl), Seq("source"), "left")
       .withColumn("p_full",
         (col("c2t") + lit(1L)).cast("double") / (col("c1t") + col("v")))
+      // a source holding the corpus's ENTIRE vocabulary exclusively (a
+      // single-source corpus) zeroes the LOO denominator — NULL, not
+      // Infinity, in BOTH engines (the oracle's NULLIF), so the per-doc
+      // mean goes NULL loudly instead of poisoning the decimal cast
+      .withColumn("__dloo",
+        col("c1t") - col("c1s") + col("v") - coalesce(col("vexcl"), lit(0L)))
       .withColumn("p_loo",
-        (col("c2t") - col("c2s") + lit(1L)).cast("double") /
-          (col("c1t") - col("c1s") + col("v") - coalesce(col("vexcl"), lit(0L))))
+        when(col("__dloo") > 0,
+          (col("c2t") - col("c2s") + lit(1L)).cast("double") / col("__dloo")))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_trans"),

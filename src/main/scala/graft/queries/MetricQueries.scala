@@ -123,13 +123,14 @@ object MetricQueries extends QueryModule {
          |qry AS (SELECT pos - ((SELECT nn FROM nq) - 24) - 1 AS o, vi AS qv
          |  FROM posed WHERE sid = 'click' AND pos > (SELECT nn FROM nq) - 24),
          |qm AS (SELECT SUM(CAST(qv AS DECIMAL(38,0))) AS sy,
-         |    SUM(CAST(qv*qv AS DECIMAL(38,0))) AS syy FROM qry),
+         |    SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS syy
+         |  FROM qry),
          |ex AS (SELECT p.sid, p.pos - q.o AS start, p.ts, p.vi, q.qv
          |  FROM posed p, qry q WHERE p.pos - q.o >= 1),
          |wm AS (SELECT sid, start, COUNT(*) AS n, MIN(ts) AS ts0, MAX(ts) AS ts1,
          |    SUM(CAST(vi AS DECIMAL(38,0))) AS sx,
-         |    SUM(CAST(vi*vi AS DECIMAL(38,0))) AS sxx,
-         |    SUM(CAST(vi*qv AS DECIMAL(38,0))) AS sxy
+         |    SUM(CAST(vi AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0))) AS sxx,
+         |    SUM(CAST(vi AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS sxy
          |  FROM ex GROUP BY sid, start),
          |ok AS (SELECT wm.*, qm.sy, qm.syy FROM wm, qm
          |  WHERE n = 24 AND ts1 - ts0 = 23 * 3600

@@ -659,7 +659,8 @@ object TextQueries extends QueryModule {
     // full-batch GD on the md5 half-split, scored corpus-wide; the whole
     // gradient trajectory is integer-exact so the oracle replays the
     // TRAINING, not just the scoring. Eval-split accuracy 95.6% at
-    // sf0.01 (train 99.6%) — pinned ≥ 0.9 in ClassifierSpec.
+    // sf0.01 (train 99.6%) — pinned ≥ 0.8 (the sf0.001 floor) in
+    // ClassifierSpec.
     "classifier_langid" -> ((s, d) => {
       val feats = graft.CacheScope.persist(
         TextOps.classifierFeatures(
@@ -2293,7 +2294,8 @@ object TextQueries extends QueryModule {
          |p AS (SELECT tr.doc_id, tr.source,
          |    CAST(c2t.c2t + 1 AS DOUBLE) / (c1t.c1t + (SELECT v FROM vv)) AS p_full,
          |    CAST(c2t.c2t - c2s.c2s + 1 AS DOUBLE) /
-         |      (c1t.c1t - c1s.c1s + (SELECT v FROM vv) - COALESCE(excl.vexcl, 0)) AS p_loo
+         |      NULLIF(c1t.c1t - c1s.c1s + (SELECT v FROM vv)
+         |        - COALESCE(excl.vexcl, 0), 0) AS p_loo
          |  FROM tr JOIN c2t ON tr.a = c2t.a AND tr.b = c2t.b
          |    JOIN c2s ON tr.a = c2s.a AND tr.b = c2s.b AND tr.source = c2s.source
          |    JOIN c1t ON tr.a = c1t.a

@@ -803,7 +803,10 @@ object StreamingJobs {
           .groupBy(_._1).map(_._2.head)
         val merged = (prev ++ fresh).sortBy(_._1).takeRight(win)
         state.update(merged)
-        if (merged.size == win &&
+        // emit only when the window CHANGED: a batch holding nothing but
+        // late duplicates (or points too old to enter) must not re-emit
+        // the same hit into the append sink
+        if (merged != prev && merged.size == win &&
             merged.last._1 - merged.head._1 == (win - 1) * step) {
           val xs = merged.map(_._2)
           val sx = xs.map(BigInt(_)).sum
@@ -829,12 +832,14 @@ object StreamingJobs {
     * trigger; IsoForestSpec pins the streamed union equal to the
     * one-shot batch scoring. */
   def isoScoreStream(emb: DataFrame, cuts: graft.models.IsoLocal.Cuts,
-                     scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                     scoreDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // broadcast the frozen cut table ONCE — a per-batch broadcast would
+    // leak one copy per trigger on an unbounded stream
+    val bc = emb.sparkSession.sparkContext.broadcast(cuts)
+    val score = org.apache.spark.sql.functions.udf(
+      (v: Seq[Long]) => graft.models.IsoLocal.pathSum(bc.value, v.toArray))
     emb.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
-        val bc = batch.sparkSession.sparkContext.broadcast(cuts)
-        val score = org.apache.spark.sql.functions.udf(
-          (v: Seq[Long]) => graft.models.IsoLocal.pathSum(bc.value, v.toArray))
         batch.select(org.apache.spark.sql.functions.col("vec_id"),
             graft.pipeline.VectorOps.quant.as("q"))
           .withColumn("path_sum", score(org.apache.spark.sql.functions.col("q")))
@@ -843,4 +848,5 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$scoreDir/batch_$id")
         ()
     }
+  }
 }

@@ -59,6 +59,13 @@ class PatternMonitorSpec extends SparkSpec {
       in.addData(pts.filter(_._2 >= t0 + 20 * 3600L).toSeq :+
         (("other", t0 + 25 * 3600L, 999999L)))
       q.processAllAvailable()
+      val afterB2 = spark.table(name).count()
+      // batch 3: ONLY a late duplicate — the unchanged window must not
+      // re-emit the same hit into the append sink
+      in.addData(Seq(("other", t0 + 26 * 3600L, 123L)))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === afterB2,
+        "an effectively-empty batch re-emitted a duplicate hit")
     } finally q.stop()
     val hits = spark.table(name)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
