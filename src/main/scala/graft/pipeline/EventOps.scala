@@ -432,6 +432,43 @@ object EventOps {
           .as("stickiness"))
   }
 
+  /** BOT / AUTOMATION DETECTION via inter-arrival regularity — the
+    * traffic-cleaning gate a pipeline runs before training on user
+    * events: scripted clients fire on timers, so their inter-event gaps
+    * have near-zero dispersion where humans are bursty. Per user:
+    * exact LOWER-MEDIAN gap and the MAD (median absolute deviation
+    * around it — both type-1 element selections, so integer-exact and
+    * engine-portable like [[graft.metrics.MetricOps.quantileP95]]),
+    * and the verdict mad·100 ≤ pct·median (integer cross-multiplied)
+    * at a minimum event count. All windows partition by user_id — the
+    * event table's scale key; per-user sorts are bounded by one user's
+    * activity. Output: (user_id, n_gaps, med_gap, mad_gap, is_bot). */
+  def botRegularity(events: DataFrame, minGaps: Int = 20,
+                    madPctMax: Int = 10): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        floor(unix_timestamp(col("ts"))) -
+          floor(unix_timestamp(lag(col("ts"), 1).over(wOrd))))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("event_id"), col("gap").cast("long").as("gap"))
+    val wg = Window.partitionBy(col("user_id"))
+    val meds = gaps
+      .withColumn("rn", row_number().over(wg.orderBy(col("gap"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wg))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("gap").as("med_gap"), col("n").as("n_gaps"))
+    gaps.join(meds, Seq("user_id"))
+      .withColumn("dev", abs(col("gap") - col("med_gap")))
+      .withColumn("rn", row_number().over(wg.orderBy(col("dev"), col("event_id"))))
+      .filter(col("rn") === expr("(n_gaps + 1) div 2"))
+      .select(col("user_id"), col("n_gaps"), col("med_gap"),
+        col("dev").as("mad_gap"),
+        when(col("n_gaps") >= minGaps &&
+            col("dev") * 100 <= lit(madPctMax.toLong) * col("med_gap"), 1L)
+          .otherwise(0L).as("is_bot"))
+  }
+
   def hotKeys(events: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))

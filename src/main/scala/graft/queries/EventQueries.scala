@@ -32,6 +32,12 @@ object EventQueries extends QueryModule {
       unix_timestamp(col("ts")).as("ts"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bot/automation screen: per-user inter-arrival median + MAD (exact
+    // type-1 selections), integer cross-multiplied regularity verdict —
+    // scripted clients fire on timers, humans are bursty
+    "events_bot_regularity" -> ((s, d) =>
+      EventOps.botRegularity(ev(s, d))),
+
     // per-user ordered funnel times: signup -> view -> click -> purchase,
     // each step counting only at-or-after the previous one (one shuffle)
     "events_funnel_users" -> ((s, d) =>
@@ -156,6 +162,32 @@ object EventQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the events_mad_outliers median recipe applied to per-user GAPS
+    "events_bot_regularity" ->
+      """WITH g0 AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) -
+        |      lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, gap FROM g0 WHERE gap IS NOT NULL),
+        |meds AS (SELECT user_id, gap AS med_gap, n AS n_gaps FROM (
+        |    SELECT user_id, gap, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY gap, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY user_id) AS n
+        |    FROM g) WHERE rn = (n + 1) // 2),
+        |d AS (SELECT g.user_id, m.n_gaps, m.med_gap,
+        |        abs(g.gap - m.med_gap) AS dev, g.event_id
+        |      FROM g JOIN meds m USING (user_id)),
+        |d2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                    ORDER BY dev, event_id) AS rn
+        |       FROM d)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, med_gap,
+        |  dev AS mad_gap,
+        |  CAST(CASE WHEN n_gaps >= 20 AND dev * 100 <= 10 * med_gap
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM d2 WHERE rn = (n_gaps + 1) // 2""".stripMargin,
+
     "events_mad_outliers" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events),
         |med AS (SELECT event_type, value AS med FROM (

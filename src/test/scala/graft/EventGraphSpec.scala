@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
 class EventGraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("botRegularity: a timer-regular user is flagged, a bursty one is not") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 7 fires every 60 s exactly; user 8 with wildly varied gaps
+    val bot = (0 until 30).map(i => (i.toLong, ts(i * 60L), 7L))
+    var t = 0L
+    val human = (100 until 130).map { i =>
+      t += 30 + (i * 53) % 200
+      (i.toLong, ts(t), 8L)
+    }
+    val d = (bot ++ human).toDF("event_id", "ts", "user_id")
+    val out = EventOps.botRegularity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (medB, madB, isBotB) = out(7L)
+    assert(medB === 60L && madB === 0L && isBotB === 1L)
+    val (_, madH, isBotH) = out(8L)
+    assert(isBotH === 0L && madH > 0L)
+  }
+
   test("sessionize: gap splits, tie never splits, exact value totals") {
     val gap = 100L
     val e = Seq(
