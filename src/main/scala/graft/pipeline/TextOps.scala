@@ -1382,15 +1382,20 @@ object TextOps {
     * transition explode + one partial-agg groupBy(doc_id). Output:
     * (doc_id, n_trans, n_backoff, n_oov, avg_s, min_s). */
   def stupidBackoffScore(docs: DataFrame, trainPred: Column): DataFrame = {
-    val train = wordTransitions(docs.filter(trainPred))
+    // the train slice feeds FOUR consumers (bigram + context counts via
+    // the transition stream, unigram counts, the token total) — scope-
+    // persist it so the reference-slice scan runs once, not per table
+    // (the refLmLooBySource convention)
+    val trainDocs = graft.CacheScope.persist(docs.filter(trainPred))
+    val train = graft.CacheScope.persist(wordTransitions(trainDocs))
     val c2 = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy(col("a")).agg(count(lit(1)).as("c1"))
     // unigram counts over EVERY train token (not just transition slots):
     // the final token of each reference doc still counts as evidence
-    val cu = docs.filter(trainPred)
+    val cu = trainDocs
       .select(explode(tokens).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cu"))
-    val ndf = docs.filter(trainPred).agg(sum(size(tokens)).as("nn"))
+    val ndf = trainDocs.agg(sum(size(tokens)).as("nn"))
     wordTransitions(docs)
       .join(broadcast(c2), Seq("a", "b"), "left")
       .join(broadcast(c1), Seq("a"), "left")

@@ -216,9 +216,12 @@ object VectorOps {
     * integer division, identical truncation in both engines — and
     * scoring DECODES to the midpoint x̂ = mn + (code + ½)·Δ/255 kept as
     * the INTEGER numerator X = 510·mn + (2·code + 1)·(mx − mn) over the
-    * constant denominator 510, so the decoded cosine is exact integer
-    * dots + one final IEEE divide/sqrt — bit-identical across engines
-    * (bounds: |X| ≤ ~1.5e6, n2 ≤ 64·X² ≈ 1.4e14 — Long-safe).
+    * constant denominator 510, clamped to 510·mx for the one code (255)
+    * whose midpoint would overshoot the per-dimension max — faiss
+    * reconstruction stays within [mn, mx] — so the decoded cosine is
+    * exact integer dots + one final IEEE divide/sqrt — bit-identical
+    * across engines (bounds: |X| ≤ ~1.5e6, n2 ≤ 64·X² ≈ 1.4e14 —
+    * Long-safe).
     *
     * Scale shape: the range stats are ONE 64-row partial-agg broadcast
     * (two scans of the corpus total); coding is row-local. The
@@ -232,10 +235,16 @@ object VectorOps {
     val stats = ex.groupBy(col("i"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     val coded = ex.join(broadcast(stats), Seq("i"))
+      // least(..., 510·mx): the top code (x = mx → 255) would otherwise
+      // decode to mn + 511·Δ/510 > mx — faiss reconstruction stays
+      // within [mn, mx], so clamp the one overshooting code to mx
+      // (codes ≤ 254 decode strictly inside the range already)
       .withColumn("xd", when(col("mx") > col("mn"),
-          lit(510L) * col("mn") +
-            (expr("((x - mn) * 255L) div (mx - mn)") * 2L + 1L) *
-              (col("mx") - col("mn")))
+          least(
+            lit(510L) * col("mn") +
+              (expr("((x - mn) * 255L) div (mx - mn)") * 2L + 1L) *
+                (col("mx") - col("mn")),
+            lit(510L) * col("mx")))
         .otherwise(lit(510L) * col("mn")))
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("xd")))),

@@ -39,14 +39,16 @@ object CurationQueries extends QueryModule {
     "training_manifest" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val dd = docs(s, d)
-      val sampled = TextOps.sampleMixture(dd, Map("src0" -> 0.5, "src1" -> 0.1))
-      val train = DedupOps.leakproofSplit(dd, valFrac = 0.1, testFrac = 0.05)
+      val sampled = TextOps.sampleMixture(dd, ManifestMix.toMap)
+      val train = DedupOps.leakproofSplit(dd,
+          valFrac = ManifestValFrac, testFrac = ManifestTestFrac)
         .filter(col("split") === "train").select(col("doc_id"))
       val counts = dd.select(col("doc_id"),
         size(TextOps.tokens).cast("long").as("n_tokens"))
       val kept = sampled.select(col("doc_id"))
         .join(train, Seq("doc_id")).join(counts, Seq("doc_id"))
-      val packs = TextOps.packByCounts(kept, budget = 256, groups = 8)
+      val packs = TextOps.packByCounts(kept,
+        budget = ManifestBudget, groups = ManifestGroups)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("draw"), col("grp"), col("pack_id"))
       packs.groupBy(col("grp"), col("pack_id"))
@@ -54,7 +56,7 @@ object CurationQueries extends QueryModule {
           sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddles"))
         .withColumn("draw", TextOps.mdDraw6On("manifest",
           concat_ws("_", col("grp"), col("pack_id"))))
-        .withColumn("shard", pmod(col("draw"), lit(8L)))
+        .withColumn("shard", pmod(col("draw"), lit(ManifestShards)))
         .withColumn("pos", row_number().over(w).cast("long"))
         .drop("draw")
     }),
@@ -176,6 +178,17 @@ object CurationQueries extends QueryModule {
   private val BlockedHosts = Seq("src3.example.com", "src7.example.com")
   private val BlockedPathPrefixes = Seq("/articles/item1")
 
+  /** training_manifest composition constants — interpolated by BOTH the
+    * Spark registration and the DuckDB oracle (the WpTopV / PolicyMaxHits
+    * shared-constant convention) so an edit to either side cannot
+    * silently desync. */
+  private val ManifestMix = Seq("src0" -> 0.5, "src1" -> 0.1)
+  private val ManifestValFrac = 0.1
+  private val ManifestTestFrac = 0.05
+  private val ManifestBudget = 256
+  private val ManifestGroups = 8
+  private val ManifestShards = 8L
+
   /** DuckDB replay of the URL fixture injection + canonicalization —
     * the u/p1/p2/c chain shared by the url_* oracles. Every literal
     * interpolates the SAME TextOps constants the Spark side reads, so
@@ -233,27 +246,33 @@ object CurationQueries extends QueryModule {
       val mixDraw = s"${hex60Sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000"
       val packDraw = s"${hex60Sql(
         "md5('manifest:' || CAST(grp AS VARCHAR) || '_' || CAST(pack_id AS VARCHAR))")} % 1000000"
+      val mixCases = ManifestMix.map { case (src, p) =>
+        s"WHEN '$src' THEN $mixDraw < ${TextOps.drawThreshold(p)}"
+      }.mkString("\n    ")
       s"""${lshCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$componentsCtes,
          |alldocs AS (SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
          |  FROM documents d LEFT JOIN comps c USING (doc_id)),
          |trn AS (SELECT doc_id FROM alldocs
-         |  WHERE $splitDraw >= ${TextOps.drawThreshold(0.15)}),
+         |  WHERE $splitDraw >= ${
+        TextOps.drawThreshold(ManifestValFrac + ManifestTestFrac)}),
          |mixr AS (SELECT doc_id FROM documents WHERE CASE source
-         |    WHEN 'src0' THEN $mixDraw < ${TextOps.drawThreshold(0.5)}
-         |    WHEN 'src1' THEN $mixDraw < ${TextOps.drawThreshold(0.1)}
+         |    $mixCases
          |    ELSE TRUE END),
          |cnt AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
          |kept AS (SELECT doc_id, n_tokens FROM mixr
          |  JOIN trn USING (doc_id) JOIN cnt USING (doc_id)),
-         |pk AS (SELECT doc_id, n_tokens, doc_id % 8 AS grp,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |pk AS (SELECT doc_id, n_tokens, doc_id % $ManifestGroups AS grp,
+         |    COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY doc_id % $ManifestGroups ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
          |  FROM kept),
-         |pp AS (SELECT grp, CAST(cum0 // 256 AS BIGINT) AS pack_id, n_tokens,
-         |    ((cum0 + n_tokens - 1) // 256 > cum0 // 256) AS straddles FROM pk),
+         |pp AS (SELECT grp, CAST(cum0 // $ManifestBudget AS BIGINT) AS pack_id,
+         |    n_tokens,
+         |    ((cum0 + n_tokens - 1) // $ManifestBudget > cum0 // $ManifestBudget)
+         |      AS straddles FROM pk),
          |ag AS (SELECT grp, pack_id, COUNT(*) AS n_docs,
          |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |    CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
@@ -261,8 +280,8 @@ object CurationQueries extends QueryModule {
          |  FROM pp GROUP BY grp, pack_id),
          |sh AS (SELECT *, $packDraw AS draw FROM ag)
          |SELECT grp, pack_id, n_docs, n_tokens, n_straddles,
-         |  draw % 8 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY draw % 8
+         |  draw % $ManifestShards AS shard,
+         |  CAST(row_number() OVER (PARTITION BY draw % $ManifestShards
          |    ORDER BY draw, grp, pack_id) AS BIGINT) AS pos
          |FROM sh""".stripMargin
     },

@@ -895,7 +895,9 @@ object VectorQueries extends QueryModule {
          |  UNNEST(range(1, len(qv) + 1)) AS i FROM q),
          |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM exd GROUP BY i),
          |cd AS (SELECT vec_id, i, CASE WHEN mx > mn
-         |    THEN 510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn)
+         |    THEN LEAST(
+         |      510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn),
+         |      510 * mx)
          |    ELSE 510 * mn END AS xd
          |  FROM exd JOIN st USING (i)),
          |dv AS (SELECT vec_id, list(xd ORDER BY i) AS dq FROM cd GROUP BY vec_id),

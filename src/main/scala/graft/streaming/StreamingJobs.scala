@@ -619,13 +619,32 @@ object StreamingJobs {
       .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[WebDoc], state: GroupState[Long]) =>
-          var n = state.getOption.getOrElse(0L)
-          val out = scala.collection.mutable.ArrayBuffer.empty[WebDoc]
-          it.toSeq.sortBy(d => (d.draw, d.doc_id)).foreach { d =>
-            if (n < maxPerHost) { n += 1; out += d }
+          val n = state.getOption.getOrElse(0L)
+          val remaining = (maxPerHost - n).toInt
+          if (remaining <= 0) {
+            // host already full: drain without buffering a single row —
+            // the mega-host burst case this operator exists to throttle
+            while (it.hasNext) it.next()
+            state.update(n)
+            Iterator.empty
+          } else {
+            // bounded best-k selection (k = remaining ≤ maxPerHost): a
+            // max-heap of the k smallest (draw, doc_id) rows streamed off
+            // the iterator — O(maxPerHost) memory even when one trigger
+            // lands an entire 250k-page crawl burst on this host, where
+            // the former it.toSeq.sortBy materialized the whole group.
+            // Admits exactly the set the full sort admitted, emitted in
+            // the same ascending (draw, doc_id) order.
+            val ord: Ordering[WebDoc] = Ordering.by(d => (d.draw, d.doc_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[WebDoc](ord)
+            it.foreach { d =>
+              if (heap.size < remaining) heap.enqueue(d)
+              else if (ord.lt(d, heap.head)) { heap.dequeue(); heap.enqueue(d) }
+            }
+            val admitted = heap.dequeueAll.reverse
+            state.update(n + admitted.size)
+            admitted.iterator
           }
-          state.update(n)
-          out.iterator
       }.toDF()
   }
 
@@ -784,7 +803,9 @@ object StreamingJobs {
     * so a streamed hit is bit-equal to the batch correlation over the
     * same points (pinned in ClassifierSpec's monitor test against the
     * BATCH operator, a genuinely independent code path). Late
-    * duplicates of an already-held timestamp are dropped keep-first. */
+    * duplicates of an already-held timestamp are dropped keep-first
+    * across triggers; conflicting values for a NEW timestamp within one
+    * batch resolve deterministically to the minimum value. */
   def patternMonitorStream(points: org.apache.spark.sql.Dataset[(String, Long, Long)],
                            qv: Array[Long], win: Int = 24, step: Long = 3600L)
       : org.apache.spark.sql.Dataset[PatternHit] = {
@@ -798,9 +819,12 @@ object StreamingJobs {
        state: GroupState[Seq[(Long, Long)]]) =>
         val prev = state.getOption.getOrElse(Seq.empty)
         val seen = prev.map(_._1).toSet
+        // within-batch duplicates of a NEW timestamp resolve to the
+        // MINIMUM value: flatMapGroupsWithState gives no intra-group row
+        // order, so .head would pick a shuffle-dependent winner
         val fresh = it.map(r => (r._2, r._3)).toSeq
           .filterNot(p => seen.contains(p._1))
-          .groupBy(_._1).map(_._2.head)
+          .groupBy(_._1).map { case (_, vs) => vs.minBy(_._2) }
         val merged = (prev ++ fresh).sortBy(_._1).takeRight(win)
         state.update(merged)
         // emit only when the window CHANGED: a batch holding nothing but
