@@ -486,4 +486,164 @@ object EventOps {
         round(col("n").cast("double") / col("tot") + lit(1e-9), 6).as("share"),
         round(col("cum_n").cast("double") / col("tot") + lit(1e-9), 6).as("cum_share"))
   }
+
+  /** Reply-tree fixture constants, shared by [[postsInject]] and the
+    * DuckDB oracle interpolation (the urlInject/c4Inject convention).
+    * Three deterministic parent rules, checked in priority order on
+    * post_id = event_id (contiguous ids; every candidate parent < id, so
+    * the forest is acyclic by construction):
+    *   1. id ≡ [[ThreadMegaResidue]] (mod [[ThreadMegaMod]]) → parent =
+    *      id − ThreadMegaMod: every 101st post chains onto the previous
+    *      one — ONE deep thread whose depth GROWS with the corpus
+    *      (depth ≈ N/101: 13 at sf0.001, ~98 at sf0.01, ~990 at sf0.1),
+    *      the deep-thread skew a real forum dump contains.
+    *   2. id ≡ 0 (mod [[ThreadRootMod]]) → root (parent NULL).
+    *   3. otherwise → parent = id − 1 − (id mod [[ThreadStepMod]]): a
+    *      bushy shallow forest (mean depth ~3) attached wherever the
+    *      walk lands — including INTO the mega-thread.
+    * Negative candidates clamp to NULL (root). */
+  val ThreadMegaMod = 101L
+  val ThreadMegaResidue = 3L
+  val ThreadRootMod = 7L
+  val ThreadStepMod = 5L
+
+  /** Synthesize a forum-post table (post_id, parent_id, author, text)
+    * from the `events` table — see the rule table at [[ThreadMegaMod]].
+    * Pure Column arithmetic on event_id/user_id/event_type, replayed
+    * verbatim by the oracle. */
+  def postsInject(events: DataFrame): DataFrame = {
+    val id = col("event_id")
+    val mega = id - ThreadMegaMod
+    val step = id - 1L - (id % ThreadStepMod)
+    events.select(
+      id.as("post_id"),
+      when(id % ThreadMegaMod === ThreadMegaResidue,
+          when(mega >= 0, mega))
+        .when(id % ThreadRootMod === 0, lit(null).cast("long"))
+        .otherwise(when(step >= 0, step))
+        .as("parent_id"),
+      col("user_id").as("author"),
+      concat(col("event_type"), lit("#"), id.cast("string")).as("text"))
+  }
+
+  /** REPLY-TREE RECONSTRUCTION by pointer doubling — the conversation/
+    * thread-assembly pass a dialogue-pretraining pipeline runs over a
+    * forum or comment dump (DialoGPT, Zhang et al. 2020, builds its
+    * corpus from root-to-leaf reply chains): given posts
+    * (post_id, parent_id, …), label every post with its thread root,
+    * depth, and full ancestor chain.
+    *
+    * Same iterated-halving machinery as
+    * [[GraphOps.connectedComponents]]' label-of-label step, with a path
+    * accumulator: each post holds a pointer `anc` to its highest KNOWN
+    * ancestor plus the contiguous ancestor chain up to it (parent first,
+    * `anc` last); each round every post adopts its ancestor's pointer
+    * and splices in its ancestor's chain — chains DOUBLE per round, so a
+    * depth-D thread settles in ⌈log₂ D⌉ + 1 rounds (10 rounds covers
+    * depth 1024; a diameter-deep walk would need D rounds). Per round:
+    * ONE equi-join of the state against itself on the pointer — shuffles
+    * on post id, no fan-out on hot threads — with lineage truncated by
+    * an eager localCheckpoint (the standard guard against per-iteration
+    * plan doubling). Convergence = no pointers left; a cycle (corrupt
+    * input — parent chains must be acyclic) raises at `maxIter` rather
+    * than returning a half-assembled forest.
+    *
+    * Total state is O(Σ depth) id cells — bounded by max thread depth ×
+    * posts, and real reply trees are human-bounded (hundreds deep), not
+    * corpus-bounded. Output: (post_id, parent_id, root_id, depth,
+    * chain) with chain = ancestors bottom-up (parent first, root last;
+    * empty for roots). */
+  def threadPaths(posts: DataFrame, maxIter: Int = 40): DataFrame = {
+    var st = posts.select(
+        col("post_id"),
+        col("parent_id").cast("long").as("anc"),
+        when(col("parent_id").isNull, array().cast("array<bigint>"))
+          .otherwise(array(col("parent_id").cast("long"))).as("chain"))
+      .localCheckpoint(true)
+    var remaining = st.filter(col("anc").isNotNull).count()
+    var iter = 0
+    while (remaining > 0 && iter < maxIter) {
+      val hop = st.select(col("post_id").as("anc"),
+        col("anc").as("anc2"), col("chain").as("chain2"))
+      st = st.join(hop, Seq("anc"), "left")
+        .select(col("post_id"),
+          col("anc2").as("anc"),
+          when(col("chain2").isNull, col("chain"))
+            .otherwise(concat(col("chain"), col("chain2"))).as("chain"))
+        .localCheckpoint(true)
+      remaining = st.filter(col("anc").isNotNull).count()
+      iter += 1
+    }
+    require(remaining == 0,
+      s"threadPaths did not settle in $maxIter rounds — cycle in parent ids?")
+    // try_element_at, not element_at: roots have EMPTY chains and ANSI
+    // mode (Spark 4 default) makes out-of-bounds element_at throw
+    st.select(
+      col("post_id"),
+      try_element_at(col("chain"), lit(1)).as("parent_id"),
+      coalesce(try_element_at(col("chain"), lit(-1)), col("post_id"))
+        .as("root_id"),
+      size(col("chain")).cast("long").as("depth"),
+      col("chain"))
+  }
+
+  /** Per-post thread labeling + per-thread size — the relational face of
+    * [[threadPaths]]: (post_id, parent_id, root_id, depth, thread_size).
+    * thread_size is one partial-agg groupBy(root_id) joined back on the
+    * root key (both shuffle on root_id — a mega-thread is one group,
+    * never a window partition holding its posts). */
+  def threadAssembly(posts: DataFrame): DataFrame = {
+    val paths = graft.CacheScope.persist(threadPaths(posts).drop("chain"))
+    val sizes = paths.groupBy(col("root_id")).agg(count(lit(1)).as("thread_size"))
+    paths.join(sizes, Seq("root_id"))
+      .select(col("post_id"), col("parent_id"), col("root_id"),
+        col("depth"), col("thread_size"))
+  }
+
+  /** ROOT-TO-LEAF DIALOGUE LINEARIZATION (the DialoGPT corpus recipe):
+    * every LEAF post (no replies) yields one training dialogue — the
+    * post chain from its thread root down to it, each turn rendered
+    * "author: text" — kept when it has at least `minTurns` turns and
+    * STRICT speaker alternation (no author speaks twice in a row; the
+    * depth/author filters of the published recipe).
+    *
+    * Scale shape: [[threadPaths]] supplies the chains; leaves drop out
+    * via one LEFT ANTI join against the distinct parent set; each kept
+    * chain explodes to O(depth) (pos, ancestor) rows that equi-join
+    * posts for (author, text) and re-assemble with a skew-safe
+    * array_sort(collect_list(struct(pos, …))) — a mega-thread's
+    * dialogue is one group of depth-bounded rows, never a cross
+    * product. Output: (leaf_id, root_id, n_turns, n_speakers,
+    * dialogue). */
+  def dialogueChains(posts: DataFrame, minTurns: Int = 3): DataFrame = {
+    val paths = threadPaths(posts)
+    val parents = posts.filter(col("parent_id").isNotNull)
+      .select(col("parent_id").as("post_id")).distinct()
+    val leaves = paths.join(parents, Seq("post_id"), "left_anti")
+      .filter(size(col("chain")) + 1 >= minTurns)
+    val turns = leaves.select(
+        col("post_id").as("leaf_id"), col("root_id"),
+        (size(col("chain")) + 1).cast("long").as("n_turns"),
+        posexplode(concat(reverse(col("chain")), array(col("post_id"))))
+          .as(Seq("pos", "pid")))
+      .join(posts.select(col("post_id").as("pid"), col("author"), col("text")),
+        Seq("pid"))
+    val assembled = turns.groupBy(col("leaf_id"), col("root_id"), col("n_turns"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("author"), col("text"))))
+        .as("t"))
+    val alternations = size(filter(zip_with(
+      slice(col("t"), lit(1), size(col("t")) - 1),
+      slice(col("t"), lit(2), size(col("t")) - 1),
+      (a, b) => a.getField("author") =!= b.getField("author")),
+      x => x))
+    assembled
+      .withColumn("n_alt", alternations)
+      .filter(col("n_alt") === col("n_turns") - 1)
+      .select(col("leaf_id"), col("root_id"), col("n_turns"),
+        size(array_distinct(transform(col("t"), t => t.getField("author"))))
+          .cast("long").as("n_speakers"),
+        concat_ws(" | ", transform(col("t"),
+          t => concat(t.getField("author").cast("string"), lit(": "),
+            t.getField("text")))).as("dialogue"))
+  }
 }

@@ -138,7 +138,42 @@ object EventQueries extends QueryModule {
     // robust outlier screen: per event_type, rows whose |value − median|
     // exceeds 3× the median absolute deviation (exact lower medians)
     "events_mad_outliers" -> ((s, d) =>
-      EventOps.madOutliers(ev(s, d), k = 3.0)))
+      EventOps.madOutliers(ev(s, d), k = 3.0)),
+
+    // reply-tree reconstruction over the injected forum-post fixture
+    // (pointer doubling: O(log depth) join rounds, one deep mega-thread
+    // planted by the fixture) — per post: root, depth, thread size
+    "events_thread_assembly" -> ((s, d) =>
+      EventOps.threadAssembly(EventOps.postsInject(ev(s, d)))),
+
+    // root-to-leaf dialogue linearization (the DialoGPT corpus recipe):
+    // one training dialogue per leaf, ≥3 turns, strict speaker
+    // alternation, turns rendered "author: text"
+    "text_dialogue_chains" -> ((s, d) =>
+      EventOps.dialogueChains(EventOps.postsInject(ev(s, d)),
+        minTurns = DialogueMinTurns)))
+
+  /** Dialogue depth gate, shared by the registration and the oracle. */
+  private val DialogueMinTurns = 3
+
+  /** DuckDB replay of [[EventOps.postsInject]] — every literal
+    * interpolates the SAME EventOps constants the Spark side reads (the
+    * urlInject convention), so the two fixtures cannot desync. */
+  private val postsCte = {
+    import graft.pipeline.EventOps.{ThreadMegaMod, ThreadMegaResidue,
+      ThreadRootMod, ThreadStepMod}
+    s"""posts AS MATERIALIZED (SELECT event_id AS post_id,
+       |    CASE WHEN event_id % $ThreadMegaMod = $ThreadMegaResidue THEN
+       |           (CASE WHEN event_id - $ThreadMegaMod >= 0
+       |                 THEN event_id - $ThreadMegaMod END)
+       |         WHEN event_id % $ThreadRootMod = 0 THEN NULL
+       |         ELSE (CASE WHEN event_id - 1 - (event_id % $ThreadStepMod) >= 0
+       |               THEN event_id - 1 - (event_id % $ThreadStepMod) END)
+       |    END AS parent_id,
+       |    user_id AS author,
+       |    event_type || '#' || CAST(event_id AS VARCHAR) AS text
+       |  FROM events)""".stripMargin
+  }
 
   /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same
     * sequential min-at-or-after chaining as [[EventOps.funnelStages]]
@@ -393,6 +428,50 @@ object EventQueries extends QueryModule {
          |  CAST(COUNT(e.ts) AS BIGINT) AS n_events
          |FROM iv LEFT JOIN e ON e.ts BETWEEN iv.lo AND iv.hi
          |GROUP BY iv.user_id, iv.session_seq, iv.lo, iv.hi""".stripMargin,
+
+    // upward ancestor walk per post (recursive CTE) — the declarative
+    // SEMANTICS the engine's pointer-doubling must reproduce exactly
+    "events_thread_assembly" ->
+      s"""WITH RECURSIVE $postsCte,
+         |anc AS (SELECT post_id, post_id AS cur, parent_id AS nxt,
+         |    CAST(0 AS BIGINT) AS depth FROM posts
+         |  UNION ALL
+         |  SELECT a.post_id, p.post_id, p.parent_id, a.depth + 1
+         |  FROM anc a JOIN posts p ON p.post_id = a.nxt),
+         |fin AS (SELECT post_id, cur AS root_id, depth FROM anc
+         |        WHERE nxt IS NULL),
+         |tsz AS (SELECT root_id, COUNT(*) AS thread_size FROM fin
+         |        GROUP BY root_id)
+         |SELECT p.post_id, p.parent_id, f.root_id, f.depth, tsz.thread_size
+         |FROM posts p JOIN fin f USING (post_id)
+         |JOIN tsz USING (root_id)""".stripMargin,
+
+    // same walk accumulating the rendered turn list root-first; leaves =
+    // posts never seen as a parent; strict-alternation + min-turns gates
+    "text_dialogue_chains" ->
+      s"""WITH RECURSIVE $postsCte,
+         |chain AS (SELECT post_id, post_id AS cur, parent_id AS nxt,
+         |    [CAST(author AS VARCHAR) || ': ' || text] AS turns,
+         |    [author] AS auth
+         |  FROM posts
+         |  UNION ALL
+         |  SELECT c.post_id, p.post_id, p.parent_id,
+         |    list_prepend(CAST(p.author AS VARCHAR) || ': ' || p.text, c.turns),
+         |    list_prepend(p.author, c.auth)
+         |  FROM chain c JOIN posts p ON p.post_id = c.nxt),
+         |fin AS (SELECT post_id AS leaf_id, cur AS root_id, turns, auth
+         |        FROM chain WHERE nxt IS NULL),
+         |lv AS (SELECT f.* FROM fin f
+         |  WHERE leaf_id NOT IN (SELECT parent_id FROM posts
+         |                        WHERE parent_id IS NOT NULL))
+         |SELECT leaf_id, root_id,
+         |  CAST(len(turns) AS BIGINT) AS n_turns,
+         |  CAST(len(list_distinct(auth)) AS BIGINT) AS n_speakers,
+         |  array_to_string(turns, ' | ') AS dialogue
+         |FROM lv
+         |WHERE len(turns) >= $DialogueMinTurns
+         |  AND len(list_filter(range(1, len(auth)),
+         |        i -> auth[i] <> auth[i + 1])) = len(auth) - 1""".stripMargin,
 
     // window functions evaluate after WHERE, so the lead() in r runs
     // over the change rows only — same as the engine's filter-then-lead
