@@ -193,28 +193,79 @@ object MultimodalOps {
     * band tuning) or pre-split buckets on a second band, keeping the
     * join an equi-join either way. Output: (doc_a, doc_b, hamming). */
   def phashDups(mm: Dataset[MMRecord], maxHamming: Int = 5,
-                nBands: Int = 6): DataFrame = {
+                nBands: Int = 6): DataFrame =
+    // hashes feed the banding AND both verification join sides — persist
+    bandedHammingPairs(graft.CacheScope.persist(perceptualHash(mm)),
+      "phash60", maxHamming, nBands)
+
+  /** Shared banding+verify core of [[phashDups]]/[[audioFpDups]]: band
+    * the 60-bit signature column `sigCol` into `nBands` disjoint bit
+    * slices, equi-join records sharing ANY (band, slice value), verify
+    * candidates by exact hamming (xor + bit_count). Expects `sig`
+    * persisted by the caller (it feeds three plan legs). */
+  private def bandedHammingPairs(sig: DataFrame, sigCol: String,
+                                 maxHamming: Int, nBands: Int): DataFrame = {
     require(60 % nBands == 0, "nBands must divide 60")
     val bits = 60 / nBands
     val width = 1L << bits
-    // hashes feed the banding AND both verification join sides
-    val ph = graft.CacheScope.persist(perceptualHash(mm))
-    val bands = ph.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"),
       posexplode(array((0 until nBands).map(b =>
-        shiftright(col("phash60"), b * bits) % width): _*)).as(Seq("band", "bk")))
+        shiftright(col(sigCol), b * bits) % width): _*)).as(Seq("band", "bk")))
     val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")),
         Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cands
-      .join(ph.select(col("doc_id").as("doc_a"), col("phash60").as("ha")), Seq("doc_a"))
-      .join(ph.select(col("doc_id").as("doc_b"), col("phash60").as("hb")), Seq("doc_b"))
+      .join(sig.select(col("doc_id").as("doc_a"), col(sigCol).as("ha")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col(sigCol).as("hb")), Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Audio-fingerprint energy-window size in bytes: the 128-byte stub
+    * payload yields 64 windows → 63 deltas, of which the first 60 become
+    * fingerprint bits (kept under the sign bit like [[perceptualHash]]).
+    * Shared with the DuckDB oracle. */
+  val AUDIO_FP_WIN = 2
+
+  /** AUDIO FINGERPRINT over the stubbed decode — Chromaprint's published
+    * core idea (Lalinský 2011: quantize the sign of successive
+    * spectral-feature deltas into a bit signature): bit i =
+    * [energy(win i+1) > energy(win i)] over [[AUDIO_FP_WIN]]-byte energy
+    * windows of the payload (a codec pipeline would use chroma/spectral
+    * frames — the stub keeps the exact-integer energy arithmetic of
+    * [[energyCurve]] and the per-record row-local shape real). Audio
+    * records only. One row per doc: (doc_id, afp60) — the audio twin of
+    * [[perceptualHash]], closing the dedup-parity gap between the image
+    * and audio modalities. */
+  def audioFingerprint(mm: Dataset[MMRecord]): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val wins = r.payload.grouped(AUDIO_FP_WIN)
+        .map(_.map { b => val c = (b & 0xff) - 128L; c * c }.sum).toArray
+      var h = 0L
+      var i = 0
+      val n = math.min(60, wins.length - 1)
+      while (i < n) { if (wins(i + 1) > wins(i)) h |= (1L << i); i += 1 }
+      (r.doc_id, h)
+    }).toDF("doc_id", "afp60")
+  }
+
+  /** AUDIO NEAR-DUP PAIRS — [[phashDups]]' banded recipe over the
+    * [[audioFingerprint]] signature: band equi-join candidates, exact
+    * hamming ≤ `maxHamming` verification, pigeonhole-complete at
+    * hamming ≤ nBands − 1. A one-byte payload tweak moves ≤ 1 energy
+    * window = ≤ 2 adjacent delta bits, so the planted
+    * [[mmTableWithTwins]] twins sit within hamming 2 of their
+    * originals. Output: (doc_a, doc_b, hamming). */
+  def audioFpDups(mm: Dataset[MMRecord], maxHamming: Int = 5,
+                  nBands: Int = 6): DataFrame =
+    bandedHammingPairs(graft.CacheScope.persist(audioFingerprint(mm)),
+      "afp60", maxHamming, nBands)
 
   /** FRAME-LEVEL DEDUP across records — the video twin of
     * [[TextOps.lineDedup]]: every frame's exact content (hex of its

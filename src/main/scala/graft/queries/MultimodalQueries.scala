@@ -50,7 +50,18 @@ object MultimodalQueries extends QueryModule {
     // threshold (~median of the uniform-byte expectation)
     "mm_scene_cuts" -> ((s, d) =>
       MultimodalOps.sceneCuts(mm(s, d),
-        threshold = MultimodalOps.SCENE_CUT_THRESHOLD)))
+        threshold = MultimodalOps.SCENE_CUT_THRESHOLD)),
+
+    // Chromaprint-style audio fingerprint: sign of successive
+    // energy-window deltas over the stubbed decode → 60-bit signature
+    "mm_audio_fp" -> ((s, d) => MultimodalOps.audioFingerprint(mm(s, d))),
+
+    // audio near-dup pairs over the fingerprint with planted one-byte
+    // twins — the audio twin of mm_phash_dups (band join + exact
+    // hamming verify)
+    "mm_audio_fp_dups" -> ((s, d) => MultimodalOps.audioFpDups(
+      MultimodalOps.asRecords(
+        MultimodalOps.mmTableWithTwins(Tables.documents(s, d))))))
 
   /** Shared oracle CTE: per (doc, byte-position) the payload byte value,
     * recomputed from the md5 hex chain. */
@@ -224,6 +235,60 @@ object MultimodalQueries extends QueryModule {
          |  CAST(COUNT(*) AS BIGINT) AS n_wins,
          |  CAST(SUM(nb) AS BIGINT) AS span_bytes
          |FROM mk GROUP BY doc_id, grp""".stripMargin,
+
+    // audio-only energy windows (AUDIO_FP_WIN bytes each), bit w =
+    // [e(w+1) > e(w)] summed as exact powers of two — the afp60 replay
+    "mm_audio_fp" -> {
+      val w = MultimodalOps.AUDIO_FP_WIN
+      val audioMod = MultimodalOps.KINDS.indexOf("audio")
+      s"""$bytesCte,
+         |en AS (SELECT doc_id, CAST(i // $w AS BIGINT) AS w,
+         |    CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS e
+         |  FROM bytes WHERE doc_id % 3 = $audioMod
+         |  GROUP BY doc_id, i // $w)
+         |SELECT a.doc_id,
+         |  CAST(COALESCE(SUM(CASE WHEN n.e > a.e
+         |    THEN CAST(1 AS BIGINT) << a.w ELSE 0 END), 0) AS BIGINT) AS afp60
+         |FROM en a JOIN en n
+         |  ON n.doc_id = a.doc_id AND n.w = a.w + 1 AND a.w < 60
+         |GROUP BY a.doc_id""".stripMargin
+    },
+
+    // twins filtered to AUDIO ORIGINALS before the +1e9 id shift (the
+    // shift changes doc_id mod 3, but twins inherit the ORIGINAL's
+    // kind), then the afp60 replay + band join + hamming verify
+    "mm_audio_fp_dups" -> {
+      val w = MultimodalOps.AUDIO_FP_WIN
+      val audioMod = MultimodalOps.KINDS.indexOf("audio")
+      s"""$bytesCte,
+         |twb AS (SELECT doc_id + 1000000000 AS doc_id, i, nb AS b FROM (
+         |    SELECT doc_id, i,
+         |      CASE WHEN i = doc_id % 61 THEN (b + 1) % 256 ELSE b END AS nb
+         |    FROM bytes WHERE doc_id % 50 = 0 AND doc_id % 3 = $audioMod)),
+         |allb AS (SELECT doc_id, i, b FROM bytes
+         |    WHERE doc_id % 3 = $audioMod
+         |  UNION ALL SELECT doc_id, i, b FROM twb),
+         |en AS (SELECT doc_id, CAST(i // $w AS BIGINT) AS w,
+         |    CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS e
+         |  FROM allb GROUP BY doc_id, i // $w),
+         |fp AS (SELECT a.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN n.e > a.e
+         |      THEN CAST(1 AS BIGINT) << a.w ELSE 0 END), 0) AS BIGINT) AS h
+         |  FROM en a JOIN en n
+         |    ON n.doc_id = a.doc_id AND n.w = a.w + 1 AND a.w < 60
+         |  GROUP BY a.doc_id),
+         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
+         |  FROM fp CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(pa.h, pb.h)) AS BIGINT) AS hamming
+         |FROM cands
+         |JOIN fp pa ON pa.doc_id = doc_a
+         |JOIN fp pb ON pb.doc_id = doc_b
+         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin
+    },
 
     // consecutive-frame L1 deltas joined on (doc, byte offset ± frame
     // size); every stub-geometry literal (frame size, video-kind

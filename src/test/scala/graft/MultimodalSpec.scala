@@ -128,4 +128,42 @@ class MultimodalSpec extends SparkSpec {
     clusters.groupBy(_._2).foreach { case (label, members) =>
       assert(label == members.keys.min) }
   }
+
+  test("audioFingerprint: audio-only, deterministic, matches a driver-side replay") {
+    // wide id range so all three kinds appear; audio = doc_id % 3 == 1
+    val wide = (0L to 60L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val recs = MultimodalOps.asRecords(MultimodalOps.mmTable(wide))
+    val got = MultimodalOps.audioFingerprint(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 60L).filter(_ % 3 == 1).toSet)
+    // replay bit rule on the raw payload bytes
+    val payloads = recs.collect().map(r => r.doc_id -> r.payload).toMap
+    got.foreach { case (id, fp) =>
+      val wins = payloads(id).grouped(MultimodalOps.AUDIO_FP_WIN)
+        .map(_.map { b => val c = (b & 0xff) - 128L; c * c }.sum).toArray
+      var h = 0L
+      (0 until math.min(60, wins.length - 1)).foreach { i =>
+        if (wins(i + 1) > wins(i)) h |= (1L << i)
+      }
+      assert(h == fp, s"fingerprint of $id")
+    }
+  }
+
+  test("audioFpDups recovers every planted AUDIO twin within hamming 2") {
+    // ids 0..299 → audio originals with twins at doc_id ≡ 100 (mod 150)
+    val wide = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val withTwins = MultimodalOps.asRecords(MultimodalOps.mmTableWithTwins(wide))
+    val pairs = MultimodalOps.audioFpDups(withTwins).collect()
+    val planted = (0L until 300L)
+      .filter(id => id % 50 == 0 && id % 3 == 1).toSet
+    assert(planted.nonEmpty)
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(id => found.contains((id, id + 1000000000L))),
+      s"missing audio twins: ${
+        planted.filterNot(id => found.contains((id, id + 1000000000L)))}")
+    // a one-byte tweak moves one energy window = <= 2 adjacent delta bits
+    assert(pairs.filter(r => planted.contains(r.getLong(0)) &&
+      r.getLong(1) == r.getLong(0) + 1000000000L).forall(_.getLong(2) <= 2))
+    assert(pairs.forall(_.getLong(2) <= 5))
+  }
 }
