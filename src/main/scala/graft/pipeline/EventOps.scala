@@ -526,6 +526,22 @@ object EventOps {
       concat(col("event_type"), lit("#"), id.cast("string")).as("text"))
   }
 
+  /** Parent-pointer normalization shared by [[threadPaths]] and
+    * [[threadLabels]]: a parent_id absent from the post set (a deleted
+    * parent — the NORM in a real forum dump) is nulled out, so the
+    * orphaned reply becomes a thread root. One equi-join on the id —
+    * both the engine walk and the DuckDB recursive-CTE oracle then
+    * agree on dangling pointers BY CONSTRUCTION (the oracle's inner
+    * join would otherwise silently drop the walk while the engine
+    * settled it). Output: (post_id, parent_id) with parent_id ∈ post
+    * set or null. */
+  private def normalizeParents(posts: DataFrame): DataFrame =
+    posts.select(col("post_id"), col("parent_id").cast("long").as("__rawp"))
+      .join(posts.select(col("post_id").as("__vp")),
+        col("__rawp") === col("__vp"), "left")
+      // __vp equals the raw parent when it exists, null otherwise
+      .select(col("post_id"), col("__vp").as("parent_id"))
+
   /** REPLY-TREE RECONSTRUCTION by pointer doubling — the conversation/
     * thread-assembly pass a dialogue-pretraining pipeline runs over a
     * forum or comment dump (DialoGPT, Zhang et al. 2020, builds its
@@ -542,25 +558,31 @@ object EventOps {
     * depth-D thread settles in ⌈log₂ D⌉ + 1 rounds (10 rounds covers
     * depth 1024; a diameter-deep walk would need D rounds). Per round:
     * ONE equi-join of the state against itself on the pointer — shuffles
-    * on post id, no fan-out on hot threads — with lineage truncated by
-    * an eager localCheckpoint (the standard guard against per-iteration
-    * plan doubling). Convergence = no pointers left; a cycle (corrupt
-    * input — parent chains must be acyclic) raises at `maxIter` rather
-    * than returning a half-assembled forest.
+    * on post id, no fan-out on hot threads — then ONE job that both
+    * materializes the lazy localCheckpoint (lineage truncation) and
+    * returns the (remaining, max-chain) convergence aggregate: half the
+    * scheduled jobs of the eager-checkpoint-plus-count loop. A cycle
+    * (corrupt input — parent chains must be acyclic) raises as soon as
+    * the longest chain exceeds the post count — BEFORE the doubling
+    * accumulator can amplify it toward 2^maxIter cells — with `maxIter`
+    * kept as the backstop.
     *
-    * Total state is O(Σ depth) id cells — bounded by max thread depth ×
-    * posts, and real reply trees are human-bounded (hundreds deep), not
-    * corpus-bounded. Output: (post_id, parent_id, root_id, depth,
-    * chain) with chain = ancestors bottom-up (parent first, root last;
-    * empty for roots). */
+    * Total state is O(Σ depth) id cells, inherent when the chain IS the
+    * output ([[dialogueChains]]); callers that only need (root, depth)
+    * labels use the O(N)-state [[threadLabels]] instead. Output:
+    * (post_id, parent_id, root_id, depth, chain) with chain = ancestors
+    * bottom-up (parent first, root last; empty for roots). */
   def threadPaths(posts: DataFrame, maxIter: Int = 40): DataFrame = {
-    var st = posts.select(
+    var st = normalizeParents(posts).select(
         col("post_id"),
-        col("parent_id").cast("long").as("anc"),
+        col("parent_id").as("anc"),
         when(col("parent_id").isNull, array().cast("array<bigint>"))
-          .otherwise(array(col("parent_id").cast("long"))).as("chain"))
-      .localCheckpoint(true)
-    var remaining = st.filter(col("anc").isNotNull).count()
+          .otherwise(array(col("parent_id"))).as("chain"))
+      .localCheckpoint(false)
+    val init = st.agg(count(lit(1)), sum(when(col("anc").isNotNull, 1L)),
+      max(size(col("chain")))).head()
+    val nPosts = init.getLong(0)
+    var remaining = if (init.isNullAt(1)) 0L else init.getLong(1)
     var iter = 0
     while (remaining > 0 && iter < maxIter) {
       val hop = st.select(col("post_id").as("anc"),
@@ -570,8 +592,13 @@ object EventOps {
           col("anc2").as("anc"),
           when(col("chain2").isNull, col("chain"))
             .otherwise(concat(col("chain"), col("chain2"))).as("chain"))
-        .localCheckpoint(true)
-      remaining = st.filter(col("anc").isNotNull).count()
+        .localCheckpoint(false)
+      val row = st.agg(sum(when(col("anc").isNotNull, 1L)),
+        max(size(col("chain")))).head()
+      remaining = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(row.isNullAt(1) || row.getInt(1) < nPosts,
+        "threadPaths: ancestor chain longer than the post count — " +
+          "cycle in parent ids")
       iter += 1
     }
     require(remaining == 0,
@@ -587,13 +614,70 @@ object EventOps {
       col("chain"))
   }
 
+  /** CHAINLESS thread labels by pointer doubling — the O(N)-state twin
+    * of [[threadPaths]] for consumers that need (root, depth) but not
+    * the ancestor list: each post carries a pointer `anc` to its
+    * highest known ancestor plus the edge DISTANCE to it; per round
+    * every post adopts its ancestor's pointer and ADDS its ancestor's
+    * distance (`depth += depth(anc)` — the classic doubling invariant),
+    * settling with the root id once the adopted ancestor is itself
+    * settled. Same ⌈log₂ D⌉ + 1 equi-join rounds and one-job-per-round
+    * loop as [[threadPaths]], but the per-post state is THREE scalars
+    * instead of an O(depth) array — total state O(N) id cells where the
+    * chain variant pays O(Σ depth), which on a corpus whose deepest
+    * thread grows with N (the [[postsInject]] mega-thread: depth ≈
+    * N/101) is the difference between linear and quadratic memory.
+    * Cycles raise as soon as any accumulated depth reaches the post
+    * count. Output: (post_id, parent_id, root_id, depth). */
+  def threadLabels(posts: DataFrame, maxIter: Int = 40): DataFrame = {
+    var st = normalizeParents(posts).select(
+        col("post_id"),
+        col("parent_id"),
+        col("parent_id").as("anc"),
+        when(col("parent_id").isNull, col("post_id")).as("root"),
+        when(col("parent_id").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .localCheckpoint(false)
+    val init = st.agg(count(lit(1)),
+      sum(when(col("anc").isNotNull, 1L))).head()
+    val nPosts = init.getLong(0)
+    var remaining = if (init.isNullAt(1)) 0L else init.getLong(1)
+    var iter = 0
+    while (remaining > 0 && iter < maxIter) {
+      val hop = st.select(col("post_id").as("anc"), col("anc").as("anc2"),
+        col("root").as("root2"), col("depth").as("d2"))
+      // settled rows (anc null) never match the join key and pass
+      // through unchanged; walking rows always match (parents are
+      // normalized into the post set), adopting the ancestor's pointer,
+      // distance, and — once the ancestor is settled — its root
+      st = st.join(hop, Seq("anc"), "left")
+        .select(col("post_id"), col("parent_id"),
+          col("anc2").as("anc"),
+          coalesce(col("root"), col("root2")).as("root"),
+          (col("depth") + coalesce(col("d2"), lit(0L))).as("depth"))
+        .localCheckpoint(false)
+      val row = st.agg(sum(when(col("anc").isNotNull, 1L)),
+        max(col("depth"))).head()
+      remaining = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(row.isNullAt(1) || row.getLong(1) < nPosts,
+        "threadLabels: accumulated depth reached the post count — " +
+          "cycle in parent ids")
+      iter += 1
+    }
+    require(remaining == 0,
+      s"threadLabels did not settle in $maxIter rounds — cycle in parent ids?")
+    st.select(col("post_id"), col("parent_id"),
+      col("root").as("root_id"), col("depth"))
+  }
+
   /** Per-post thread labeling + per-thread size — the relational face of
-    * [[threadPaths]]: (post_id, parent_id, root_id, depth, thread_size).
+    * the reply-tree walk: (post_id, parent_id, root_id, depth,
+    * thread_size). Rides the CHAINLESS [[threadLabels]] doubling (O(N)
+    * total state — this output never needs the ancestor arrays);
     * thread_size is one partial-agg groupBy(root_id) joined back on the
     * root key (both shuffle on root_id — a mega-thread is one group,
     * never a window partition holding its posts). */
   def threadAssembly(posts: DataFrame): DataFrame = {
-    val paths = graft.CacheScope.persist(threadPaths(posts).drop("chain"))
+    val paths = graft.CacheScope.persist(threadLabels(posts))
     val sizes = paths.groupBy(col("root_id")).agg(count(lit(1)).as("thread_size"))
     paths.join(sizes, Seq("root_id"))
       .select(col("post_id"), col("parent_id"), col("root_id"),

@@ -179,6 +179,17 @@ object MultimodalOps {
     base.unionByName(twins)
   }
 
+  /** Banding geometry of the multimodal near-dup pair miners — shared
+    * with the DuckDB oracles (the urlInject convention) so a tuning
+    * change can't silently desync them. 6 bands × 10 bits: pigeonhole-
+    * complete at hamming ≤ 5. */
+  val MM_BANDS = 6
+  val MM_MAX_HAMMING = 5
+
+  /** Hot-bucket cap for the banded signature join — the multimodal twin
+    * of [[DedupOps.MaxBandBucket]]. Shared with the oracles. */
+  val MM_MAX_BAND_BUCKET = 1000
+
   /** PERCEPTUAL-HASH NEAR-DUPLICATE PAIRS — the image twin of
     * [[DedupOps.minhashPairs]]: band the 60-bit dHash into `nBands`
     * disjoint bit slices, equi-join records sharing ANY (band, slice
@@ -186,43 +197,75 @@ object MultimodalOps {
     * distance ≤ `maxHamming` (xor + bit_count, codegen'd integer work).
     * Pigeonhole recall guarantee: ≤ nBands − 1 differing bits leave at
     * least one band untouched, so every such pair IS a candidate; with
-    * the default 6 bands the hamming-5 verdict set is complete.
-    * Scale shape: candidate fan-out is Σ per-bucket n² over 2^(60/
-    * nBands) buckets per band — at larger corpora you widen the slices
-    * (fewer, bigger bands raise per-band selectivity exactly like LSH
-    * band tuning) or pre-split buckets on a second band, keeping the
-    * join an equi-join either way. Output: (doc_a, doc_b, hamming). */
-  def phashDups(mm: Dataset[MMRecord], maxHamming: Int = 5,
-                nBands: Int = 6): DataFrame =
+    * the default 6 bands the hamming-5 verdict set is complete across
+    * distinct signatures. See [[bandedHammingPairs]] for the
+    * representative contract on exact-signature families and the
+    * hot-bucket cap. Output: (doc_a, doc_b, hamming). */
+  def phashDups(mm: Dataset[MMRecord], maxHamming: Int = MM_MAX_HAMMING,
+                nBands: Int = MM_BANDS): DataFrame =
     // hashes feed the banding AND both verification join sides — persist
     bandedHammingPairs(graft.CacheScope.persist(perceptualHash(mm)),
       "phash60", maxHamming, nBands)
 
-  /** Shared banding+verify core of [[phashDups]]/[[audioFpDups]]: band
-    * the 60-bit signature column `sigCol` into `nBands` disjoint bit
-    * slices, equi-join records sharing ANY (band, slice value), verify
-    * candidates by exact hamming (xor + bit_count). Expects `sig`
-    * persisted by the caller (it feeds three plan legs). */
+  /** Shared banding+verify core of [[phashDups]]/[[audioFpDups]], with
+    * the two guards a real multimodal corpus needs — degenerate
+    * constant signatures are the NORM there (silent audio fingerprints
+    * to all-zeros, a flat/black image to a constant dHash), and either
+    * one would otherwise send a band bucket quadratic:
+    *
+    *  1. EXACT-SIGNATURE FAMILIES collapse to a representative first
+    *     (the [[phashClusters]] idea applied at the pair level): every
+    *     family member emits ONE star pair to the family's min-doc_id
+    *     representative (hamming 0) — linear in family size where
+    *     all-pairs is quadratic — and only the representatives enter
+    *     the banded join (one row per DISTINCT signature value).
+    *  2. HOT-BUCKET CAP: any remaining (band, slice) bucket holding
+    *     more than [[MM_MAX_BAND_BUCKET]] distinct signatures is
+    *     dropped from the candidate join (the [[DedupOps.capBands]]
+    *     machinery — partial-agg hot-key count, anti-join), trading
+    *     bounded recall on pathological buckets for a candidate join
+    *     that stays linear.
+    *
+    * Banding: `nBands` disjoint bit slices of the 60-bit signature,
+    * equi-join on (band, slice value), exact hamming (xor + bit_count)
+    * verification ≤ `maxHamming`. Cross-family pairs surface as
+    * REPRESENTATIVE pairs (doc_a, doc_b both family reps) — connected-
+    * component consumers ([[phashClusters]]) see identical clusters,
+    * and per-member pairs are recoverable by joining each rep's family.
+    * Expects `sig` persisted by the caller (it feeds the family
+    * groupBy and the star join). Output: (doc_a < doc_b, hamming). */
   private def bandedHammingPairs(sig: DataFrame, sigCol: String,
                                  maxHamming: Int, nBands: Int): DataFrame = {
     require(60 % nBands == 0, "nBands must divide 60")
     val bits = 60 / nBands
     val width = 1L << bits
-    val bands = sig.select(col("doc_id"),
+    // exact-signature families: one representative (min doc_id) each;
+    // persisted — feeds the star join, the banding, and both verify legs
+    val fam = graft.CacheScope.persist(
+      sig.groupBy(col(sigCol).as("sv")).agg(min(col("doc_id")).as("rep")))
+    val stars = sig.join(fam, col(sigCol) === col("sv"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val reps = fam.select(col("rep").as("doc_id"), col("sv").as(sigCol))
+    val bands0 = reps.select(col("doc_id"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col(sigCol), b * bits) % width): _*)).as(Seq("band", "bk")))
-    val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")),
-        Seq("band", "bk"))
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), col("bk")).as("bkey"))
+    val bands = DedupOps.capBands(bands0, MM_MAX_BAND_BUCKET)
+    val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cands
-      .join(sig.select(col("doc_id").as("doc_a"), col(sigCol).as("ha")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col(sigCol).as("hb")), Seq("doc_b"))
+    val repPairs = cands
+      .join(reps.select(col("doc_id").as("doc_a"), col(sigCol).as("ha")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col(sigCol).as("hb")), Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    stars.unionByName(repPairs)
   }
 
   /** Audio-fingerprint energy-window size in bytes: the 128-byte stub
@@ -262,8 +305,8 @@ object MultimodalOps {
     * window = ≤ 2 adjacent delta bits, so the planted
     * [[mmTableWithTwins]] twins sit within hamming 2 of their
     * originals. Output: (doc_a, doc_b, hamming). */
-  def audioFpDups(mm: Dataset[MMRecord], maxHamming: Int = 5,
-                  nBands: Int = 6): DataFrame =
+  def audioFpDups(mm: Dataset[MMRecord], maxHamming: Int = MM_MAX_HAMMING,
+                  nBands: Int = MM_BANDS): DataFrame =
     bandedHammingPairs(graft.CacheScope.persist(audioFingerprint(mm)),
       "afp60", maxHamming, nBands)
 
@@ -337,8 +380,8 @@ object MultimodalOps {
     * own id. This is the image twin of `dedup_components`: a 100 TB
     * image+text corpus dedups whole CLUSTERS (keep one per cluster),
     * not pairs. Output: (doc_id, cluster_id). */
-  def phashClusters(mm: Dataset[MMRecord], maxHamming: Int = 5,
-                    nBands: Int = 6): DataFrame = {
+  def phashClusters(mm: Dataset[MMRecord], maxHamming: Int = MM_MAX_HAMMING,
+                    nBands: Int = MM_BANDS): DataFrame = {
     val pairs = phashDups(mm, maxHamming, nBands)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = GraphOps.connectedComponents(pairs)

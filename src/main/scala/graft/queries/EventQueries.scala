@@ -162,7 +162,7 @@ object EventQueries extends QueryModule {
   private val postsCte = {
     import graft.pipeline.EventOps.{ThreadMegaMod, ThreadMegaResidue,
       ThreadRootMod, ThreadStepMod}
-    s"""posts AS MATERIALIZED (SELECT event_id AS post_id,
+    s"""posts0 AS MATERIALIZED (SELECT event_id AS post_id,
        |    CASE WHEN event_id % $ThreadMegaMod = $ThreadMegaResidue THEN
        |           (CASE WHEN event_id - $ThreadMegaMod >= 0
        |                 THEN event_id - $ThreadMegaMod END)
@@ -172,7 +172,13 @@ object EventQueries extends QueryModule {
        |    END AS parent_id,
        |    user_id AS author,
        |    event_type || '#' || CAST(event_id AS VARCHAR) AS text
-       |  FROM events)""".stripMargin
+       |  FROM events),
+       |-- dangling-parent normalization (EventOps.normalizeParents): a
+       |-- parent id absent from the post set nulls out, so the engine's
+       |-- pointer walk and this recursive walk agree BY CONSTRUCTION
+       |posts AS MATERIALIZED (SELECT p.post_id, v.post_id AS parent_id,
+       |    p.author, p.text
+       |  FROM posts0 p LEFT JOIN posts0 v ON v.post_id = p.parent_id)""".stripMargin
   }
 
   /** Shared funnel oracle CTE: c3 holds (user_id, t0..t3) with the same

@@ -80,6 +80,43 @@ object MultimodalQueries extends QueryModule {
        |  FROM mm CROSS JOIN (SELECT UNNEST(range(0, $totalBytes)) AS i) ii)""".stripMargin
   }
 
+  /** Shared oracle fragment for the banded near-dup pair contract
+    * ([[MultimodalOps]]' private bandedHammingPairs): expects a CTE
+    * `ph(doc_id, h)` in scope; produces `pairs(doc_a, doc_b, hamming)`
+    * — exact-signature families starred to their min-doc
+    * representative at hamming 0, representatives banded with the
+    * hot-bucket cap, candidate pairs verified by exact hamming. Every
+    * literal (band count, slice width, bucket cap, hamming cutoff)
+    * interpolates the SAME MultimodalOps constants the Spark side
+    * reads, so a tuning change cannot desync the oracle. */
+  private val bandedPairsCtes: String = {
+    val nBands = MultimodalOps.MM_BANDS
+    val bits = 60 / nBands
+    val width = 1L << bits
+    val cap = MultimodalOps.MM_MAX_BAND_BUCKET
+    val maxHam = MultimodalOps.MM_MAX_HAMMING
+    s"""fam AS (SELECT h, MIN(doc_id) AS rep FROM ph GROUP BY h),
+       |stars AS (SELECT f.rep AS doc_a, p.doc_id AS doc_b,
+       |    CAST(0 AS BIGINT) AS hamming
+       |  FROM ph p JOIN fam f ON p.h = f.h WHERE p.doc_id <> f.rep),
+       |reps AS (SELECT rep AS doc_id, h FROM fam),
+       |bnd AS (SELECT doc_id,
+       |    CAST(bb.band AS VARCHAR) || ':' ||
+       |      CAST((h >> (bb.band * $bits)) % $width AS VARCHAR) AS bkey
+       |  FROM reps CROSS JOIN (SELECT UNNEST(range(0, $nBands)) AS band) bb),
+       |bhot AS (SELECT bkey FROM bnd GROUP BY bkey HAVING COUNT(*) > $cap),
+       |bndc AS (SELECT * FROM bnd WHERE bkey NOT IN (SELECT bkey FROM bhot)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bndc a JOIN bndc b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |rpairs AS (SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(pa.h, pb.h)) AS BIGINT) AS hamming
+       |  FROM cands
+       |  JOIN reps pa ON pa.doc_id = doc_a
+       |  JOIN reps pb ON pb.doc_id = doc_b
+       |  WHERE bit_count(xor(pa.h, pb.h)) <= $maxHam),
+       |pairs AS (SELECT * FROM stars UNION ALL SELECT * FROM rpairs)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "mm_frame_sample" ->
       s"""$bytesCte
@@ -156,16 +193,9 @@ object MultimodalQueries extends QueryModule {
          |  FROM allb a JOIN allb c
          |    ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
          |  GROUP BY a.doc_id),
-         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
-         |  FROM ph CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
-         |pcands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
-         |    AND a.doc_id < b.doc_id),
-         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM pcands
-         |  JOIN ph pa ON pa.doc_id = doc_a
-         |  JOIN ph pb ON pb.doc_id = doc_b
-         |  WHERE bit_count(xor(pa.h, pb.h)) <= 5),
-         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |$bandedPairsCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach(a, b) AS (
          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
          |  UNION
@@ -189,17 +219,8 @@ object MultimodalQueries extends QueryModule {
          |  FROM allb a JOIN allb c
          |    ON a.doc_id = c.doc_id AND c.i = a.i + 1 AND a.i < 60
          |  GROUP BY a.doc_id),
-         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
-         |  FROM ph CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
-         |    AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(pa.h, pb.h)) AS BIGINT) AS hamming
-         |FROM cands
-         |JOIN ph pa ON pa.doc_id = doc_a
-         |JOIN ph pb ON pb.doc_id = doc_b
-         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin,
+         |$bandedPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin,
 
     // frames rebuilt as 64-hex-char strings over base ∪ twins; first
     // occurrence per content ranked by (doc_id, frame_idx)
@@ -271,23 +292,14 @@ object MultimodalQueries extends QueryModule {
          |en AS (SELECT doc_id, CAST(i // $w AS BIGINT) AS w,
          |    CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS e
          |  FROM allb GROUP BY doc_id, i // $w),
-         |fp AS (SELECT a.doc_id,
+         |ph AS (SELECT a.doc_id,
          |    CAST(COALESCE(SUM(CASE WHEN n.e > a.e
          |      THEN CAST(1 AS BIGINT) << a.w ELSE 0 END), 0) AS BIGINT) AS h
          |  FROM en a JOIN en n
          |    ON n.doc_id = a.doc_id AND n.w = a.w + 1 AND a.w < 60
          |  GROUP BY a.doc_id),
-         |bnd AS (SELECT doc_id, bb.band, (h >> (bb.band * 10)) % 1024 AS bk
-         |  FROM fp CROSS JOIN (SELECT UNNEST(range(0, 6)) AS band) bb),
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
-         |    AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(pa.h, pb.h)) AS BIGINT) AS hamming
-         |FROM cands
-         |JOIN fp pa ON pa.doc_id = doc_a
-         |JOIN fp pb ON pb.doc_id = doc_b
-         |WHERE bit_count(xor(pa.h, pb.h)) <= 5""".stripMargin
+         |$bandedPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin
     },
 
     // consecutive-frame L1 deltas joined on (doc, byte offset ± frame

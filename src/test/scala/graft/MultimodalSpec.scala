@@ -166,4 +166,21 @@ class MultimodalSpec extends SparkSpec {
       r.getLong(1) == r.getLong(0) + 1000000000L).forall(_.getLong(2) <= 2))
     assert(pairs.forall(_.getLong(2) <= 5))
   }
+
+  test("degenerate constant signatures stay LINEAR: star pairs, never all-pairs") {
+    import graft.pipeline.MMRecord
+    // 200 byte-identical silent clips — every afp60 is 0 (all energy
+    // windows equal), the degenerate family a real audio corpus is full
+    // of. All-pairs would emit 200·199/2 = 19,900 rows and send one band
+    // bucket quadratic; the representative contract emits exactly m − 1
+    // star pairs to the min-id rep, and the banded join sees ONE row.
+    val silent = Array.fill[Byte](128)(0)
+    val m = 200
+    val recs = (0L until m.toLong)
+      .map(i => MMRecord(i, "audio", silent, 4, 1, 4, 32)).toDS()
+    val got = MultimodalOps.audioFpDups(recs).collect()
+    assert(got.length == m - 1)
+    assert(got.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+    assert(got.map(_.getLong(1)).toSet == (1L until m.toLong).toSet)
+  }
 }

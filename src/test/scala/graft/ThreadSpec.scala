@@ -53,6 +53,53 @@ class ThreadSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle") || e.getMessage.contains("settle"))
   }
 
+  test("threadLabels: chainless doubling equals threadPaths' labels on the fixture forest") {
+    val ev = (0L until 600L).map(e => (e, e % 13, s"t${e % 4}"))
+      .toDF("event_id", "user_id", "event_type")
+    val p = EventOps.postsInject(ev)
+    val viaChain = EventOps.threadPaths(p)
+      .select("post_id", "parent_id", "root_id", "depth")
+    val viaLabels = EventOps.threadLabels(p)
+    assert(viaChain.exceptAll(viaLabels).isEmpty)
+    assert(viaLabels.exceptAll(viaChain).isEmpty)
+  }
+
+  test("dangling parent ids normalize to roots in BOTH walks (oracle agreement)") {
+    // post 2 points at a deleted parent (99, absent from the set) — the
+    // norm in a real forum dump: it becomes a thread root, and post 3
+    // hangs under it
+    val df = posts(
+      (1L, None, 0L, "a"), (2L, Some(99L), 1L, "b"), (3L, Some(2L), 2L, "c"))
+    val lab = EventOps.threadLabels(df)
+      .select("post_id", "parent_id", "root_id", "depth")
+      .as[(Long, Option[Long], Long, Long)].collect().sortBy(_._1)
+    assert(lab.toSeq == Seq(
+      (1L, None, 1L, 0L), (2L, None, 2L, 0L), (3L, Some(2L), 2L, 1L)))
+    val viaChain = EventOps.threadPaths(df)
+      .select("post_id", "parent_id", "root_id", "depth")
+      .as[(Long, Option[Long], Long, Long)].collect().sortBy(_._1)
+    assert(viaChain.toSeq == lab.toSeq)
+  }
+
+  test("threadLabels: cycle raises from the depth bound, not state blowup") {
+    val df = posts((1L, Some(2L), 0L, "a"), (2L, Some(3L), 1L, "b"),
+      (3L, Some(1L), 2L, "c"))
+    val e = intercept[Exception] {
+      EventOps.threadLabels(df, maxIter = 30).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("threadPaths: cycle raises from the chain-length bound before doubling amplifies it") {
+    // with maxIter = 30 the old backstop would only fire after chains
+    // reached ~2^30 cells; the per-round length bound fires at size > n
+    val df = posts((1L, Some(2L), 0L, "a"), (2L, Some(1L), 1L, "b"))
+    val e = intercept[Exception] {
+      EventOps.threadPaths(df, maxIter = 30).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("dialogueChains: linearization order, alternation + min-turns gates") {
     // root 1 (author 7) ← 2 (author 8) ← 3 (author 7): strict alternation,
     // 3 turns → kept. Branch 1 ← 4 (author 7): root and reply share an
