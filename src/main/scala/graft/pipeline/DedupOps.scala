@@ -325,6 +325,49 @@ object DedupOps {
         round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** Two-frame [[incrementalPairs]]: screen an arriving `probeDocs`
+    * batch against the band index of an arbitrary `baseDocs` corpus —
+    * the form an incremental-refresh pipeline needs when the base set
+    * is "the unchanged snapshot" rather than an id prefix (doc_id
+    * spaces MUST be disjoint; the snapshot-diff caller guarantees it by
+    * construction since a doc is either unchanged or changed/added).
+    * Banding/cap/verify are byte-identical to [[incrementalPairs]]:
+    * one shingle index over base ∪ probe (the hot-bucket cap sees the
+    * same union the oracle's band CTE does), probe-side bands join
+    * index-side bands on bkey, exact-Jaccard verification at
+    * `threshold`. Probe work is O(|probe|·bands) — the base side is the
+    * persisted index artifact in production, re-derived here so the
+    * result is a pure function of the inputs. Output: (new_id, old_id,
+    * jaccard). */
+  def probeDupHits(baseDocs: DataFrame, probeDocs: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "probeDupHits verification assumes a positive threshold")
+    val all = baseDocs.select(col("doc_id"), col("text"))
+      .unionByName(probeDocs.select(col("doc_id"), col("text")))
+    val newIds = probeDocs.select(col("doc_id"))
+    val inv = graft.CacheScope.persist(shingleRows(all))
+    val bands = capBands(minhashBandsFromInv(inv), MaxBandBucket)
+    // the probe batch is the small side by construction — broadcast its
+    // id set for both the probe filter and the index-side anti filter
+    val cands = bands.join(broadcast(newIds), Seq("doc_id"))
+      .select(col("doc_id").as("new_id"), col("bkey"))
+      .join(bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("old_id"), col("bkey")), Seq("bkey"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cands
+      .join(inv.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
+      .join(inv.select(col("doc_id").as("old_id"), col("s")), Seq("old_id", "s"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index: explode
     * distinct shingles, self-equi-join on the shingle, count shared
     * shingles per pair, Jaccard = |∩| / (|A| + |B| − |∩|). Exact (no LSH

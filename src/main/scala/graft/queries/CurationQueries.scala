@@ -17,7 +17,8 @@ object CurationQueries extends QueryModule {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  import TextQueries.{componentsCtes, dlit, hex60Sql, lshCte, qualityCte, shinglesSql}
+  import TextQueries.{componentsCtes, dlit, gopherVerdictSql, hex60Sql,
+    lshCte, lshCteFor, policyVerdictSql, qualityCte, shinglesSql}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LEAKAGE-FREE split: the whole near-dup cluster draws ONE fate, so no
@@ -93,6 +94,90 @@ object CurationQueries extends QueryModule {
     "mixture_domain_reweight" -> ((s, d) => TextOps.domainReweight(
       docs(s, d),
       org.apache.spark.sql.functions.col("source").isin("src0", "src1"))),
+    // SNAPSHOT-SCOPED INCREMENTAL RE-PROCESSING — the daily crawl-refresh
+    // composition: corpus_snapshot_diff's deterministic old/new snapshots
+    // → the added+changed slice ONLY flows through the content gates
+    // (policy → Gopher, production order) → gate survivors probe the
+    // UNCHANGED corpus's MinHash band index (dedup_incremental's screen)
+    // → fresh survivors' embeddings are assigned to the centroids fitted
+    // on the OLD snapshot (ann_index_append's no-refit recipe; vec_id
+    // and doc_id share one id space in this corpus) → removed docs
+    // become index evictions. One row per non-unchanged doc with its
+    // fate: evicted / gated / near_dup / indexed (+ the assigned cell).
+    //
+    // Cost shape: every per-doc stage (gates, band probe, centroid
+    // assignment) touches ONLY the O(changed) delta; the corpus-sized
+    // terms — the unchanged-side band index and the old-snapshot
+    // centroid fit — are the PERSISTED artifacts of dedup_incremental /
+    // ann_index_append in production (re-derived here so the query is a
+    // pure function of its inputs, the ann_index_roundtrip convention).
+    // A 1% daily delta therefore pays 1% of the gate/probe/assign work,
+    // not a full re-pipeline.
+    "incremental_refresh" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.VectorOps
+      val dd = docs(s, d)
+      val oldSnap = dd.filter(TextOps.mdDraw6("snapold") < 900000L)
+      val newSnap = dd.filter(TextOps.mdDraw6("snapnew") < 950000L)
+        .withColumn("text", when(TextOps.mdDraw6("snapedit") < 100000L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val a = oldSnap.select(col("doc_id"), col("source").as("src_a"),
+        col("text").as("text_a"))
+      val b = newSnap.select(col("doc_id"), col("source").as("src_b"),
+        col("text").as("text_b"))
+      // diff feeds three consumers (delta, unchanged index, final frame)
+      val diff = graft.CacheScope.persist(a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("src_b"), col("src_a")).as("source"),
+          when(col("text_a").isNull, "added")
+            .when(col("text_b").isNull, "removed")
+            .when(col("text_a") === col("text_b"), "unchanged")
+            .otherwise("changed").as("status"),
+          col("text_b").as("text")))
+      val delta = diff.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"), col("text"))
+      val pol = TextOps.policyGate(delta)
+        .select(col("doc_id"), col("keep").as("p_keep"))
+      val gph = TextOps.gopherRules(
+          delta.join(pol.filter(col("p_keep")).select("doc_id"), Seq("doc_id")))
+        .select(col("doc_id"), col("keep").as("g_keep"))
+      val sv = delta.join(pol, Seq("doc_id")).join(gph, Seq("doc_id"))
+        .filter(col("p_keep") && col("g_keep"))
+        .select(col("doc_id"), col("text"))
+      val unchanged = diff.filter(col("status") === "unchanged")
+        .select(col("doc_id"), col("text"))
+      val dups = DedupOps.probeDupHits(unchanged, sv)
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("hits_raw"), min(col("old_id")).as("dup_of"))
+      val emb = Tables.embeddings(s, d)
+      val oldPred = TextOps.mdDraw6On("snapold", col("vec_id")) < 900000L
+      val cents = VectorOps.kmeansCentroids(emb.filter(oldPred),
+        targetCellSize = 50)
+      val fresh = sv.select(col("doc_id"))
+        .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+      val asg = VectorOps.kmeansRanked(
+          emb.join(fresh.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id")),
+          cents, maxRank = 1)
+        .select(col("vec_id").as("doc_id"), col("cid").cast("long").as("cid"))
+      diff.filter(col("status") =!= "unchanged")
+        .join(pol, Seq("doc_id"), "left")
+        .join(gph, Seq("doc_id"), "left")
+        .join(dups, Seq("doc_id"), "left")
+        .join(asg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("status"),
+          col("p_keep"), col("g_keep"),
+          when(col("status") === "removed", lit(null).cast("long"))
+            .when(!col("p_keep"), lit(null).cast("long"))
+            .when(!col("g_keep"), lit(null).cast("long"))
+            .otherwise(coalesce(col("hits_raw"), lit(0L))).as("n_dup_hits"),
+          col("dup_of"), col("cid"),
+          when(col("status") === "removed", lit("evicted"))
+            .when(!col("p_keep"), lit("gated"))
+            .when(!col("g_keep"), lit("gated"))
+            .when(col("hits_raw").isNotNull, lit("near_dup"))
+            .otherwise(lit("indexed")).as("action"))
+    }),
+
     // robots-style policy gate on the canonical URL: banned domains +
     // banned path prefixes (host rules win the reported reason)
     "url_blocklist_gate" -> ((s, d) => TextOps.urlBlocklistGate(
@@ -433,6 +518,89 @@ object CurationQueries extends QueryModule {
     // dedup/cap windows (the url_canonical_dedup spelling over the
     // non-blocked subset) + the shared HTML-extraction and
     // Gopher-verdict CTE builders, classified to the FIRST failing gate
+    // the incremental-refresh composition, CTE-for-CTE from the shared
+    // builders: snapshot diff (corpus_snapshot_diff's spelling, text
+    // carried), policy/gopher verdict chains over the delta only, the
+    // lshCteFor band chain over unchanged ∪ survivors (id spaces
+    // disjoint by construction), and the kmeansCtes assignment with the
+    // Lloyd fit restricted to the old snapshot (ann_index_append's
+    // fitPred recipe on the shared doc_id = vec_id id space)
+    "incremental_refresh" -> {
+      val snapOld =
+        s"${hex60Sql("md5('snapold:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 900000"
+      val snapNew =
+        s"${hex60Sql("md5('snapnew:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 950000"
+      val snapEdit =
+        s"${hex60Sql("md5('snapedit:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 100000"
+      val fitPred =
+        s"${hex60Sql("md5('snapold:' || CAST(vec_id AS VARCHAR))")} % 1000000 < 900000"
+      s"""WITH oldd AS (SELECT doc_id, source, text FROM documents WHERE $snapOld),
+         |newd AS (SELECT doc_id, source,
+         |    CASE WHEN $snapEdit THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE $snapNew),
+         |dd AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    COALESCE(n.source, o.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.text = n.text THEN 'unchanged'
+         |         ELSE 'changed' END AS status,
+         |    n.text AS text
+         |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id),
+         |delta AS (SELECT doc_id, text FROM dd
+         |  WHERE status IN ('added', 'changed')),
+         |${policyVerdictSql("delta")},
+         |pk AS (SELECT doc_id, (r_hit_count AND r_density) AS p_keep FROM pv),
+         |px AS (SELECT delta.doc_id, delta.text FROM delta
+         |  JOIN pk ON delta.doc_id = pk.doc_id WHERE pk.p_keep),
+         |${gopherVerdictSql("px")},
+         |gk AS (SELECT doc_id, (r_word_count AND r_mean_word_len
+         |    AND r_distinct_ratio AND r_stop_words) AS g_keep FROM gr),
+         |sv AS (SELECT delta.doc_id, delta.text FROM delta
+         |  JOIN pk ON delta.doc_id = pk.doc_id
+         |  JOIN gk ON delta.doc_id = gk.doc_id
+         |  WHERE pk.p_keep AND gk.g_keep),
+         |unch AS (SELECT doc_id, text FROM dd WHERE status = 'unchanged'),
+         |allrel AS (SELECT doc_id, text FROM unch
+         |  UNION ALL SELECT doc_id, text FROM sv),
+         |${lshCteFor("allrel").replaceFirst("^WITH ", "")},
+         |pcands AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey
+         |  WHERE a.doc_id IN (SELECT doc_id FROM sv)
+         |    AND b.doc_id IN (SELECT doc_id FROM unch)),
+         |pscored AS (SELECT new_id, old_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  FROM pcands
+         |  JOIN sets sa ON sa.doc_id = new_id
+         |  JOIN sets sb ON sb.doc_id = old_id),
+         |dups AS (SELECT new_id AS doc_id, COUNT(*) AS hits_raw,
+         |    MIN(old_id) AS dup_of
+         |  FROM pscored WHERE jaccard >= 0.5 GROUP BY new_id),
+         |q AS (SELECT vec_id, ${VectorQueries.qvSql} AS qv FROM embeddings),
+         |${VectorQueries.kmeansCtes(4, fitPred)},
+         |fresh AS (SELECT doc_id FROM sv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |asg AS (SELECT kcells.vec_id AS doc_id, CAST(kcells.cid AS BIGINT) AS cid
+         |  FROM kcells JOIN fresh ON kcells.vec_id = fresh.doc_id)
+         |SELECT d.doc_id, d.source, d.status, pk.p_keep, gk.g_keep,
+         |  CASE WHEN d.status = 'removed' THEN NULL
+         |       WHEN NOT pk.p_keep THEN NULL
+         |       WHEN NOT gk.g_keep THEN NULL
+         |       ELSE COALESCE(dups.hits_raw, 0) END AS n_dup_hits,
+         |  dups.dup_of, asg.cid,
+         |  CASE WHEN d.status = 'removed' THEN 'evicted'
+         |       WHEN NOT pk.p_keep THEN 'gated'
+         |       WHEN NOT gk.g_keep THEN 'gated'
+         |       WHEN dups.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'indexed' END AS action
+         |FROM dd d
+         |LEFT JOIN pk ON d.doc_id = pk.doc_id
+         |LEFT JOIN gk ON d.doc_id = gk.doc_id
+         |LEFT JOIN dups ON d.doc_id = dups.doc_id
+         |LEFT JOIN asg ON d.doc_id = asg.doc_id
+         |WHERE d.status <> 'unchanged'""".stripMargin
+    },
+
     "web_pipeline" -> {
       val hostIn = BlockedHosts.map(h => s"'$h'").mkString(", ")
       val pathHit = BlockedPathPrefixes

@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VectorQueries extends QueryModule {
 
   /** DuckDB spelling of the quantized vector of `embedding`. */
-  private val qvSql =
+  private[queries] val qvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** DuckDB cosine of two quantized vector columns (each norm cast to
@@ -43,8 +43,8 @@ object VectorQueries extends QueryModule {
     * sign-split half-away-from-zero rounding in pure BIGINT arithmetic,
     * squared-distance comparisons all BIGINT, ties to the lowest cid,
     * empty clusters carry the previous centroid forward. */
-  private def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE",
-                         drawSalt: Option[String] = None): String = {
+  private[queries] def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE",
+                                  drawSalt: Option[String] = None): String = {
     def dist(qv: String, c: String) =
       s"list_sum(list_transform(range(1, len($qv) + 1), j -> ($qv[j] - $c[j]) * ($qv[j] - $c[j])))"
     // fit-sample order: lowest vec_ids by default; lowest md5 draws for
@@ -368,6 +368,17 @@ object VectorQueries extends QueryModule {
     "semantic_clusters" -> ((s, d) =>
       VectorOps.semanticClusters(Tables.embeddings(s, d), k = 3)),
 
+    // HNSW-shape graph serving: deterministic beam search over the kNN
+    // graph — md5-drawn entry points, fixed rounds/beam, per-query state
+    // independent of corpus size
+    "ann_graph_topk" -> ((s, d) =>
+      VectorOps.graphBeamTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+
+    // recall@k of the graph serve vs the exact baseline — does the
+    // beam reach the true neighborhood from the fixed entries?
+    "ann_graph_recall" -> ((s, d) =>
+      VectorOps.graphBeamRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
+
     // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
     // deterministic md5 draw, two-phase bucketed top-k
     "sample_cluster_balanced" -> ((s, d) =>
@@ -436,6 +447,43 @@ object VectorQueries extends QueryModule {
        |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM sc)
        |  WHERE rk <= 3)""".stripMargin
 
+  /** Unrolled replay of [[VectorOps.graphBeamTopK]]'s beam search over
+    * the `knn` edge CTE: entry layer = the min-md5('gent')-draw vector
+    * per k-means cell, then [[VectorOps.GraphBeamRounds]] rounds of
+    * (top-beam by cosine → expand via edges → union, distinct,
+    * re-score). Expects `q` + [[kmeansCtes]] + [[knnCtes]] in scope;
+    * produces the final scored visited set `s<rounds>(q_id, vec_id, c)`
+    * for queries vec_id < 10. Every constant interpolates from the
+    * VectorOps vals so a retune can't desync engine and oracle. */
+  private val graphBeamCtes: String = {
+    val beam = VectorOps.GraphBeamWidth
+    val rounds = VectorOps.GraphBeamRounds
+    def scoreCte(i: Int) =
+      s"""s$i AS (SELECT v.q_id, v.vec_id, ${cosSql("qry.qqv", "q.qv")} AS c
+         |  FROM v$i v JOIN qry ON v.q_id = qry.q_id
+         |  JOIN q ON v.vec_id = q.vec_id)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      s"""b$i AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM s${i - 1}) WHERE rk <= $beam),
+         |v$i AS (SELECT DISTINCT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id FROM s${i - 1}
+         |  UNION ALL
+         |  SELECT b.q_id, ed.dst AS vec_id FROM b$i b JOIN ed ON b.vec_id = ed.src)),
+         |${scoreCte(i)}""".stripMargin
+    }.mkString(",\n")
+    s"""qry AS (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 10),
+       |ed AS (SELECT src, dst FROM knn),
+       |ent AS (SELECT vec_id FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY
+       |      ${TextQueries.hex60Sql("md5('gent:' || CAST(vec_id AS VARCHAR))")}
+       |        % 1000000, vec_id) AS re
+       |  FROM kcells) WHERE re = 1),
+       |v0 AS (SELECT q_id, vec_id FROM qry CROSS JOIN ent),
+       |${scoreCte(0)},
+       |$roundCtes""".stripMargin
+  }
+
   /** Shared oracle chain `sc2(vec_id, cluster_id)` — the full
     * semantic-clusters spelling (kmeans cells → same-cell kNN → mutual
     * edges → reachability closure), factored for the cluster-consumer
@@ -494,6 +542,37 @@ object VectorQueries extends QueryModule {
          |${kmeansCtes(4)},
          |$knnCtes
          |SELECT src, dst, ROUND(c + 1e-9, 6) AS cosine, rk FROM knn""".stripMargin,
+
+    "ann_graph_topk" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |$graphBeamCtes
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM s${VectorOps.GraphBeamRounds} WHERE vec_id <> q_id)
+         |WHERE rk <= 3""".stripMargin,
+
+    "ann_graph_recall" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |$graphBeamCtes,
+         |approx AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM s${VectorOps.GraphBeamRounds} WHERE vec_id <> q_id)
+         |  WHERE rk <= 3),
+         |esc AS (SELECT q_id, q.vec_id AS vec_id, ${cosSql("qqv", "qv")} AS c
+         |        FROM qry CROSS JOIN q WHERE q.vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |hits AS (SELECT exact.q_id, COUNT(*) AS h
+         |         FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id)
+         |SELECT e.q_id, COALESCE(h, 0) AS hits,
+         |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "semantic_clusters" ->
       s"""WITH RECURSIVE $semClusterCtes

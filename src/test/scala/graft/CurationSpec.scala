@@ -463,4 +463,32 @@ class CurationSpec extends SparkSpec {
     assert(ref.exceptAll(fast).count() === 0L)
     assert(fast.count() > 0L)
   }
+
+  test("incremental_refresh: one fate per delta doc, internally consistent") {
+    val out = CacheScope.scoped {
+      graft.SparkEntry.queries("incremental_refresh")(
+        spark, "/root/testdata/sf0.001").persist()
+    }
+    // every row is a non-unchanged snapshot-diff doc, exactly once
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
+    assert(out.filter(!col("status").isin("added", "changed", "removed"))
+      .count() === 0L)
+    // fate ⇄ evidence consistency
+    assert(out.filter(col("action") === "evicted")
+      .filter(col("status") =!= "removed" || col("p_keep").isNotNull ||
+        col("cid").isNotNull).count() === 0L)
+    assert(out.filter(col("action") === "indexed")
+      .filter(col("cid").isNull || col("n_dup_hits") =!= 0L ||
+        !col("p_keep") || !col("g_keep")).count() === 0L)
+    assert(out.filter(col("action") === "near_dup")
+      .filter(col("dup_of").isNull || col("n_dup_hits") < 1L ||
+        col("cid").isNotNull).count() === 0L)
+    assert(out.filter(col("action") === "gated")
+      .filter(col("cid").isNotNull || col("n_dup_hits").isNotNull).count() === 0L)
+    // the fixture exercises the interesting fates
+    val acts = out.select("action").distinct().collect().map(_.getString(0)).toSet
+    assert(acts.contains("evicted") && acts.contains("indexed"),
+      s"fixture should produce evictions and fresh indexing, got $acts")
+    out.unpersist()
+  }
 }

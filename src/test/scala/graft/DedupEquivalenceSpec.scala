@@ -88,4 +88,24 @@ class DedupEquivalenceSpec extends SparkSpec {
       .collect()
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("probeDupHits over a snapshot-style split equals incrementalPairs") {
+    // richer fixture: near-dup pairs that straddle an id split, so both
+    // the band probe and the Jaccard verify produce non-empty results
+    val snap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight ten"),
+      (12L, "totally unrelated content with fresh words only")
+    ).toDF("doc_id", "text")
+    val viaSplit = DedupOps.incrementalPairs(snap, splitId = 10L)
+      .collect().map(_.toSeq).toSet
+    val viaFrames = DedupOps.probeDupHits(
+        snap.filter(col("doc_id") < 10L), snap.filter(col("doc_id") >= 10L))
+      .collect().map(_.toSeq).toSet
+    assert(viaSplit == viaFrames)
+    assert(viaSplit.nonEmpty, "fixture should produce at least one near-dup hit")
+  }
 }

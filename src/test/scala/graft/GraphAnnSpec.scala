@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Graph-ANN serving (graphBeamTopK): the HNSW-shape beam search over
+  * the same-cell kNN graph with a per-cell entry layer. Pins the
+  * properties the oracle replay depends on — determinism, bounded
+  * output shape — and the quality property that justifies the operator:
+  * on clustered data the beam reaches the true neighborhood.
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Same clustered fixture family as KmeansIvfSpec: 8 separated
+    * direction clusters × 30 members, dim 64. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 30
+    } yield {
+      val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f)
+      ((c * 30 + m).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("beam search is deterministic and returns at most k ranked rows per query") {
+    val r1 = VectorOps.graphBeamTopK(clustered, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    val r2 = VectorOps.graphBeamTopK(clustered, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(r1 == r2, "two runs must be bit-identical")
+    val byQ = r1.groupBy(_.head)
+    assert(byQ.forall(_._2.size <= 3))
+    assert(r1.forall(r => r.last.asInstanceOf[Int] <= 3))
+    // a result never returns the query itself
+    assert(r1.forall(r => r.head != r(1)))
+  }
+
+  test("per-cell entries reach every graph component: recall is high on clustered data") {
+    val rec = VectorOps.graphBeamRecall(clustered, queryMaxId = 10, k = 3)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(rec >= 0.8,
+      s"beam from per-cell entries should find same-cluster neighbors, got $rec")
+  }
+
+  test("the beam never fabricates candidates: results ⊆ entries ∪ graph targets") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = VectorOps.kmeansCentroids(clustered)
+    val cells = VectorOps.kmeansRanked(clustered, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid"))
+    val entries = cells.withColumn("dr", VectorOps.vecDraw("gent"))
+      .withColumn("re", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("dr"), col("vec_id"))))
+      .filter(col("re") === 1).select(col("vec_id")).as[Long].collect().toSet
+    val dsts = VectorOps.knnGraph(clustered, k = 3)
+      .select(col("dst")).as[Long].collect().toSet
+    val res = VectorOps.graphBeamTopK(clustered, queryMaxId = 5, k = 3)
+      .select(col("vec_id")).as[Long].collect()
+    assert(res.nonEmpty)
+    assert(res.forall(v => entries.contains(v) || dsts.contains(v)),
+      "every result must be an entry point or a graph edge target")
+  }
+}

@@ -66,6 +66,12 @@ class PatternMonitorSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table(name).count() === afterB2,
         "an effectively-empty batch re-emitted a duplicate hit")
+      // STATE-CARDINALITY PIN: one state row per SERIES, forever — 74
+      // points and 3 batches later the store holds exactly the 2 keys,
+      // each a bounded O(win) ring, never the point history
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows === 2L,
+        s"per-series state must be one row per series, got $stateRows")
     } finally q.stop()
     val hits = spark.table(name)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -948,6 +948,25 @@ class StreamingSpec extends SparkSpec {
       }
       // unclustered docs exist in batch output at weight 1 and emit
       // nothing on the stream — both facts checked above by exact sets
+
+      // STATE-GROWTH PIN: the three stores hold exactly (band keys,
+      // assigned docs, reps) — 4 bands/text × 2 texts, docs {2,3,10}
+      // that ever produced a candidate, reps {1,9} — and a pure-replay
+      // batch adds NOTHING: state is keyed by content identity, so
+      // re-arrivals are free and store growth tracks DISTINCT corpus,
+      // not stream length
+      def stateRows() = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sorted.toSeq
+      val before = stateRows()
+      assert(before === Seq(2L, 3L, 8L),
+        s"(reps, assigned docs, band keys) expected (2,3,8), got $before")
+      in.addData(Seq((1L, textA), (2L, textA), (3L, textA),
+        (9L, textB), (10L, textB)))
+      q.processAllAvailable()
+      assert(spark.table("softw_stream").count() === got.length.toLong,
+        "a pure-replay batch must emit nothing")
+      assert(stateRows() === before,
+        "a pure-replay batch must not grow any state store")
     } finally q.stop()
   }
 
