@@ -40,7 +40,7 @@ object StreamProbe {
         .writeStream.format("noop").outputMode("append").start()
       def fam(f: Int) =
         (0 until 4).map(m => ((f * 10 + m).toLong,
-          s"family $f alpha beta gamma delta epsilon zeta eta theta"))
+          (0 until 8).map(w => s"fam${f}w$w").mkString(" ")))
       val corpus = (0 until nFamilies).flatMap(fam)
       corpus.grouped(corpus.size / 4 + 1).foreach { b =>
         in.addData(b); q.processAllAvailable()

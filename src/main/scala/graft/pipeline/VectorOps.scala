@@ -1361,6 +1361,67 @@ object VectorOps {
     recallVs(bruteForceTopK(emb, queryMaxId, k),
       graphBeamTopK(emb, queryMaxId, k), k)
 
+  /** BITEXT MINING with the margin criterion (Artetxe & Schwenk 2019,
+    * arXiv 1811.01136 — the LASER/CCMatrix recipe): for every langA
+    * document, its best langB counterpart scored by RATIO margin —
+    * cos(x,y) normalized by the mean of both directions' k-NN cosines —
+    * which suppresses hub vectors that plain cosine thresholds mine as
+    * false pairs. The id spaces of `documents` and `embeddings`
+    * coincide in this corpus, so lang labels join onto vectors by id.
+    *
+    * Exactness: cosines round to 6 dp FIRST (the repo convention), the
+    * two k-NN sums are exact DECIMAL(20,6) aggregations of those
+    * rounded values cast once to double, and the margin is one
+    * multiply + one divide over identical IEEE inputs — bit-identical
+    * across engines; all rank ties pin to the lowest id.
+    *
+    * Scale shape: the scorer here is the language-sliced brute pass
+    * (langB broadcast — the [[bruteForceTopK]] baseline convention,
+    * whitelisted in PlanSpec); at production scale the pair candidates
+    * and the k-NN denominators ride the same IVF-cell or banded-LSH
+    * joins the rest of the family uses ([[ivfKmeansTopK]],
+    * [[lshPairs]]) — the margin arithmetic is unchanged. Output: one
+    * row per mined pair (doc_a, doc_b, cosine, margin), margin ≥
+    * `threshold`, best-margin b per a. */
+  /** k-NN depth / keep threshold of the margin miner — shared with the
+    * DuckDB oracle so a retune can't desync the replay. */
+  val BitextNnK = 4
+  val BitextMarginThreshold = 1.02
+
+  def bitextMarginPairs(emb: DataFrame, docLangs: DataFrame,
+                        langA: String = "en", langB: String = "de",
+                        k: Int = BitextNnK,
+                        threshold: Double = BitextMarginThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+      .join(docLangs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    val a = e.filter(col("lang") === langA)
+      .select(col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na"))
+    val b = e.filter(col("lang") === langB)
+      .select(col("vec_id").as("doc_b"), col("q").as("qb"), col("n2").as("nb"))
+    // scored pairs feed three consumers (both k-NN sums + the margin)
+    val p = graft.CacheScope.persist(a.crossJoin(broadcast(b))
+      .withColumn("cr",
+        round(cosinePre(col("qa"), col("qb"), col("na"), col("nb")) + lit(1e-9), 6))
+      .select(col("doc_a"), col("doc_b"), col("cr")))
+    def nnSum(part: String, other: String, out: String) =
+      p.withColumn("rk", row_number().over(
+          Window.partitionBy(col(part)).orderBy(col("cr").desc, col(other))))
+        .filter(col("rk") <= k)
+        .groupBy(col(part))
+        .agg(sum(col("cr").cast(DecimalType(20, 6))).cast("double").as(out))
+    p.join(nnSum("doc_a", "doc_b", "sa"), Seq("doc_a"))
+      .join(nnSum("doc_b", "doc_a", "sb"), Seq("doc_b"))
+      .withColumn("margin",
+        round(col("cr") * lit(2 * k) / (col("sa") + col("sb")) + lit(1e-9), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_a")).orderBy(col("margin").desc, col("doc_b"))))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cr").as("cosine"), col("margin"))
+  }
+
   /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when
     * each endpoint is in the other's top-k (the standard mutual-kNN
     * denoising — one-sided edges from a dense region into an outlier

@@ -379,6 +379,15 @@ object VectorQueries extends QueryModule {
     "ann_graph_recall" -> ((s, d) =>
       VectorOps.graphBeamRecall(Tables.embeddings(s, d), queryMaxId = 10, k = 3)),
 
+    // CCMatrix-style bitext mining: per en doc its best de counterpart
+    // by the Artetxe-Schwenk ratio margin (cosine over the mean of both
+    // directions' 4-NN cosines) — hub suppression plain thresholds lack
+    "bitext_margin_pairs" -> ((s, d) =>
+      VectorOps.bitextMarginPairs(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
     // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
     // deterministic md5 draw, two-phase bucketed top-k
     "sample_cluster_balanced" -> ((s, d) =>
@@ -573,6 +582,36 @@ object VectorQueries extends QueryModule {
          |SELECT e.q_id, COALESCE(h, 0) AS hits,
          |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    // pairs scored once, both direction's 4-NN sums as exact
+    // DECIMAL(20,6) aggregations of the 6-dp-rounded cosines, one
+    // multiply+divide margin — identical IEEE inputs on both engines
+    "bitext_margin_pairs" -> {
+      val k = VectorOps.BitextNnK
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
+         |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
+         |aa AS (SELECT vec_id AS doc_a, qv AS qa FROM l WHERE lang = 'en'),
+         |bb AS (SELECT vec_id AS doc_b, qv AS qb FROM l WHERE lang = 'de'),
+         |p AS (SELECT doc_a, doc_b,
+         |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
+         |  FROM aa CROSS JOIN bb),
+         |ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY cr DESC, doc_b) AS rk FROM p)
+         |  WHERE rk <= $k GROUP BY doc_a),
+         |rb AS (SELECT doc_b, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sb
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_b
+         |          ORDER BY cr DESC, doc_a) AS rk FROM p)
+         |  WHERE rk <= $k GROUP BY doc_b),
+         |m AS (SELECT p.doc_a, p.doc_b, cr,
+         |    ROUND(cr * ${2 * k} / (sa + sb) + 1e-9, 6) AS margin
+         |  FROM p JOIN ra ON p.doc_a = ra.doc_a JOIN rb ON p.doc_b = rb.doc_b)
+         |SELECT doc_a, doc_b, cr AS cosine, margin
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |        ORDER BY margin DESC, doc_b) AS rk FROM m)
+         |WHERE rk = 1 AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin
+    },
 
     "semantic_clusters" ->
       s"""WITH RECURSIVE $semClusterCtes

@@ -1,0 +1,47 @@
+package graft
+
+import graft.pipeline.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Bitext mining with the Artetxe-Schwenk ratio margin: the property
+  * that justifies the margin over a plain cosine threshold — a HUB
+  * vector (moderately close to every source doc) outranks the true
+  * counterpart on raw cosine but loses on margin, because its own k-NN
+  * denominator is inflated by exactly the closeness that made it win.
+  */
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // langA: two near-orthogonal docs. langB: one true counterpart per A
+  // doc (cos 0.70 to its partner, ~0 to the other) and one hub sitting
+  // at cos 0.75 / 0.66 to BOTH A docs.
+  private lazy val emb = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),              // a1
+    (2L, Seq(0f, 1f, 0f, 0f)),              // a2
+    (10L, Seq(0.70f, 0f, 0.714f, 0f)),      // t1: cos(a1)=0.70
+    (11L, Seq(0f, 0.70f, 0f, 0.714f)),      // t2: cos(a2)=0.70
+    (12L, Seq(0.75f, 0.6614f, 0f, 0f))      // hub: cos(a1)=0.75, cos(a2)=0.66
+  ).toDF("vec_id", "embedding")
+
+  private lazy val langs = Seq(
+    (1L, "en"), (2L, "en"), (10L, "de"), (11L, "de"), (12L, "de")
+  ).toDF("doc_id", "lang")
+
+  test("the margin demotes the hub that raw cosine mines as a false pair") {
+    val got = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
+        k = 2, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw cosine would pick the hub (0.75 > 0.70) for a1 — the margin
+    // must pick the true counterpart for BOTH sources
+    assert(got === Map(1L -> 10L, 2L -> 11L), s"mined $got")
+  }
+
+  test("mining is deterministic and one-best-per-source") {
+    val r1 = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
+      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+    val r2 = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
+      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+    assert(r1.groupBy(_.head).forall(_._2.size == 1))
+  }
+}
