@@ -873,4 +873,105 @@ object StreamingJobs {
         ()
     }
   }
+
+  /** One streaming refresh fate — the live row of the batch
+    * `incremental_refresh` composition: the document's op, the gate the
+    * pipeline settled on, its near-dup representative (when screened
+    * out) or its assigned index cell (when admitted). */
+  final case class RefreshFate(doc_id: Long, op: String, action: String,
+                               dup_of: Option[Long], cid: Option[Long])
+
+  /** STREAMING INCREMENTAL REFRESH — the live twin of the batch
+    * `incremental_refresh` query: a CDC stream of FULL-ROW events
+    * (doc_id, op ∈ upsert|delete, text, embedding — deletes carry the
+    * before-image, the standard CDC full-row format, which is what
+    * makes band eviction stateless to route) flows through
+    *
+    *  1. the row-local content gates ([[graft.pipeline.TextOps
+    *     .policyKeepCol]]/[[graft.pipeline.TextOps.gopherKeepCol]] — the
+    *     exact batch verdicts, one scan, no shuffle): failing upserts
+    *     emit `gated` immediately and never touch the index;
+    *  2. a band-keyed state store holding each MinHash band's member
+    *     ids (the SAME band arithmetic as the batch DSL via the native
+    *     kernel, so stream and batch can never disagree on a key; a
+    *     band past `maxBandBucket` stops emitting hits and stops
+    *     growing — the streaming mirror of `DedupOps.capBands`):
+    *     upserts probe for the min existing member (`near_dup`) and
+    *     register; DELETES REMOVE the doc from its bands' member sets —
+    *     the eviction the append-only twins can't express — so a later
+    *     arrival matches the surviving members, not ghosts;
+    *  3. a per-(doc, op) aggregation of the ≤4 band verdicts into ONE
+    *     fate row, with the admitted doc's cell id assigned row-local
+    *     against the FROZEN broadcast centroids (the
+    *     [[isoScoreStream]] frozen-artifact convention — no refit on
+    *     the hot path, exactly `ann_index_append`'s contract).
+    *
+    * Within a trigger, each band processes deletes first then upserts,
+    * both in doc_id order — deterministic under shuffle. State is
+    * member ids per touched band (capped) — O(corpus bands), never
+    * stream length; re-upserts re-emit their (possibly changed) fate
+    * but never duplicate membership. RefreshStreamSpec pins the fate
+    * sequence including match-after-eviction. */
+  def refreshStream(events: org.apache.spark.sql.Dataset[(Long, String, String, Seq[Float])],
+                    cents: Array[Array[Long]],
+                    maxBandBucket: Int = graft.pipeline.DedupOps.MaxBandBucket)
+      : org.apache.spark.sql.Dataset[RefreshFate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    import graft.pipeline.{DedupOps, TextOps, VectorOps}
+    val base = events.toDF("doc_id", "op", "text", "embedding")
+    val keep = TextOps.policyKeepCol && TextOps.gopherKeepCol
+    val gated = base.filter(col("op") === "upsert" && !keep)
+      .select(col("doc_id"), col("op"), lit("gated").as("action"),
+        lit(null).cast("long").as("dup_of"), lit(null).cast("long").as("cid"))
+      .as[RefreshFate]
+    val cidCol = ncol(graft.functions.KmeansRank(
+        nexpr(VectorOps.quant), cents, 1))
+      .getItem(0).getField("c").cast("long")
+    val routed = base.filter(col("op") === "delete" || keep)
+      .withColumn("cid", cidCol)
+      .select(col("doc_id"), col("op"), col("cid"),
+        explode(DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(
+          DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))))))).as("bkey"))
+      .as[(Long, String, Long, String)]
+    val bandHits = routed.groupByKey(_._4).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[(Long, String, Long, String)],
+       state: GroupState[Seq[Long]]) =>
+        var members = state.getOption.getOrElse(Seq.empty).toSet
+        val evs = it.toSeq
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Option[Long])]
+        evs.filter(_._2 == "delete").sortBy(_._1).foreach { e =>
+          members -= e._1
+          out += ((e._1, e._2, e._3, None))
+        }
+        evs.filter(_._2 == "upsert").sortBy(_._1).foreach { e =>
+          val others = members - e._1
+          val hot = members.size > maxBandBucket
+          out += ((e._1, e._2, e._3,
+            if (hot || others.isEmpty) None else Some(others.min)))
+          if (!hot) members += e._1
+        }
+        state.update(members.toSeq.sorted)
+        out.iterator
+    }
+    val fates = bandHits.groupByKey(h => (h._1, h._2)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: (Long, String), it: Iterator[(Long, String, Long, Option[Long])],
+       _: GroupState[Boolean]) =>
+        val rows = it.toSeq
+        val (doc, op) = key
+        val fate =
+          if (op == "delete") RefreshFate(doc, op, "evicted", None, None)
+          else {
+            val hs = rows.flatMap(_._4)
+            if (hs.nonEmpty) RefreshFate(doc, op, "near_dup", Some(hs.min), None)
+            else RefreshFate(doc, op, "indexed", None, Some(rows.map(_._3).min))
+          }
+        Iterator.single(fate)
+    }
+    gated.unionByName(fates)
+  }
 }
