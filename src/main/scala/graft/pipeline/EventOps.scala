@@ -584,7 +584,7 @@ object EventOps {
     val nPosts = init.getLong(0)
     var remaining = if (init.isNullAt(1)) 0L else init.getLong(1)
     var iter = 0
-    while (remaining > 0 && iter < maxIter) {
+    def round(): Unit = {
       val hop = st.select(col("post_id").as("anc"),
         col("anc").as("anc2"), col("chain").as("chain2"))
       st = st.join(hop, Seq("anc"), "left")
@@ -593,13 +593,22 @@ object EventOps {
           when(col("chain2").isNull, col("chain"))
             .otherwise(concat(col("chain"), col("chain2"))).as("chain"))
         .localCheckpoint(false)
+      iter += 1
+    }
+    while (remaining > 0 && iter < maxIter) {
+      // TWO doubling rounds per convergence check: a round past the
+      // settle point is a no-op (settled rows miss the join and pass
+      // through unchanged), so pairing halves the scheduled jobs
+      // without changing the result; the cycle bound is checked every
+      // other round, still long before maxIter lets state amplify
+      round()
+      if (remaining > 1 && iter < maxIter) round()
       val row = st.agg(sum(when(col("anc").isNotNull, 1L)),
         max(size(col("chain")))).head()
       remaining = if (row.isNullAt(0)) 0L else row.getLong(0)
       require(row.isNullAt(1) || row.getInt(1) < nPosts,
         "threadPaths: ancestor chain longer than the post count — " +
           "cycle in parent ids")
-      iter += 1
     }
     require(remaining == 0,
       s"threadPaths did not settle in $maxIter rounds — cycle in parent ids?")
@@ -642,7 +651,7 @@ object EventOps {
     val nPosts = init.getLong(0)
     var remaining = if (init.isNullAt(1)) 0L else init.getLong(1)
     var iter = 0
-    while (remaining > 0 && iter < maxIter) {
+    def round(): Unit = {
       val hop = st.select(col("post_id").as("anc"), col("anc").as("anc2"),
         col("root").as("root2"), col("depth").as("d2"))
       // settled rows (anc null) never match the join key and pass
@@ -655,13 +664,19 @@ object EventOps {
           coalesce(col("root"), col("root2")).as("root"),
           (col("depth") + coalesce(col("d2"), lit(0L))).as("depth"))
         .localCheckpoint(false)
+      iter += 1
+    }
+    while (remaining > 0 && iter < maxIter) {
+      // two rounds per convergence check (see threadPaths) — a round
+      // past the settle point is a no-op, so the pairing is hash-safe
+      round()
+      if (remaining > 1 && iter < maxIter) round()
       val row = st.agg(sum(when(col("anc").isNotNull, 1L)),
         max(col("depth"))).head()
       remaining = if (row.isNullAt(0)) 0L else row.getLong(0)
       require(row.isNullAt(1) || row.getLong(1) < nPosts,
         "threadLabels: accumulated depth reached the post count — " +
           "cycle in parent ids")
-      iter += 1
     }
     require(remaining == 0,
       s"threadLabels did not settle in $maxIter rounds — cycle in parent ids?")
