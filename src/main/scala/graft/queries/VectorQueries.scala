@@ -388,6 +388,21 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the stricter forward-backward intersection: keep a pair only when
+    // each side is the other's best margin (precision over recall)
+    "bitext_mutual_pairs" -> ((s, d) =>
+      VectorOps.bitextMutualPairs(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
+    // graph index persistence round-trip: edges + entry layer written to
+    // parquet, reloaded, beam-served — equals ann_graph_topk exactly;
+    // the steady state pays only the O(1)-per-query search
+    "ann_graph_roundtrip" -> ((s, d) =>
+      VectorOps.graphBeamServe(Tables.embeddings(s, d), queryMaxId = 10, k = 3,
+        indexDir = s"target/graft-tmp/graph_index_${new java.io.File(d).getName}")),
+
     // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
     // deterministic md5 draw, two-phase bucketed top-k
     "sample_cluster_balanced" -> ((s, d) =>
@@ -493,6 +508,33 @@ object VectorQueries extends QueryModule {
        |$roundCtes""".stripMargin
   }
 
+  /** Shared bitext-margin oracle chain ending in
+    * `m(doc_a, doc_b, cr, margin)` — the one-best miner and the mutual
+    * filter differ only in their rank tails. Interpolates the same
+    * [[VectorOps.BitextNnK]] the Spark side reads. */
+  private val bitextCtes: String = {
+    val k = VectorOps.BitextNnK
+    s"""q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
+       |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
+       |aa AS (SELECT vec_id AS doc_a, qv AS qa FROM l WHERE lang = 'en'),
+       |bb AS (SELECT vec_id AS doc_b, qv AS qb FROM l WHERE lang = 'de'),
+       |p AS (SELECT doc_a, doc_b,
+       |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
+       |  FROM aa CROSS JOIN bb),
+       |ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+       |          ORDER BY cr DESC, doc_b) AS rk FROM p)
+       |  WHERE rk <= $k GROUP BY doc_a),
+       |rb AS (SELECT doc_b, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sb
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_b
+       |          ORDER BY cr DESC, doc_a) AS rk FROM p)
+       |  WHERE rk <= $k GROUP BY doc_b),
+       |m AS (SELECT p.doc_a, p.doc_b, cr,
+       |    ROUND(cr * ${2 * k} / (sa + sb) + 1e-9, 6) AS margin
+       |  FROM p JOIN ra ON p.doc_a = ra.doc_a JOIN rb ON p.doc_b = rb.doc_b)""".stripMargin
+  }
+
   /** Shared oracle chain `sc2(vec_id, cluster_id)` — the full
     * semantic-clusters spelling (kmeans cells → same-cell kNN → mutual
     * edges → reachability closure), factored for the cluster-consumer
@@ -586,32 +628,38 @@ object VectorQueries extends QueryModule {
     // pairs scored once, both direction's 4-NN sums as exact
     // DECIMAL(20,6) aggregations of the 6-dp-rounded cosines, one
     // multiply+divide margin — identical IEEE inputs on both engines
-    "bitext_margin_pairs" -> {
-      val k = VectorOps.BitextNnK
-      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-         |l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
-         |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
-         |aa AS (SELECT vec_id AS doc_a, qv AS qa FROM l WHERE lang = 'en'),
-         |bb AS (SELECT vec_id AS doc_b, qv AS qb FROM l WHERE lang = 'de'),
-         |p AS (SELECT doc_a, doc_b,
-         |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
-         |  FROM aa CROSS JOIN bb),
-         |ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
-         |          ORDER BY cr DESC, doc_b) AS rk FROM p)
-         |  WHERE rk <= $k GROUP BY doc_a),
-         |rb AS (SELECT doc_b, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sb
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_b
-         |          ORDER BY cr DESC, doc_a) AS rk FROM p)
-         |  WHERE rk <= $k GROUP BY doc_b),
-         |m AS (SELECT p.doc_a, p.doc_b, cr,
-         |    ROUND(cr * ${2 * k} / (sa + sb) + 1e-9, 6) AS margin
-         |  FROM p JOIN ra ON p.doc_a = ra.doc_a JOIN rb ON p.doc_b = rb.doc_b)
+    "bitext_margin_pairs" ->
+      s"""WITH $bitextCtes
          |SELECT doc_a, doc_b, cr AS cosine, margin
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
          |        ORDER BY margin DESC, doc_b) AS rk FROM m)
-         |WHERE rk = 1 AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin
-    },
+         |WHERE rk = 1 AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin,
+
+    // the intersection filter: both directions' rank-1 in one pass
+    "bitext_mutual_pairs" ->
+      s"""WITH $bitextCtes
+         |SELECT doc_a, doc_b, cr AS cosine, margin
+         |FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_a
+         |      ORDER BY margin DESC, doc_b) AS rka,
+         |    row_number() OVER (PARTITION BY doc_b
+         |      ORDER BY margin DESC, doc_a) AS rkb FROM m)
+         |WHERE rka = 1 AND rkb = 1
+         |  AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin,
+
+    // build -> persist -> reload -> serve equals the direct beam search
+    // exactly, and the oracle states that equality (the
+    // ann_index_roundtrip convention)
+    "ann_graph_roundtrip" ->
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |$graphBeamCtes
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM s${VectorOps.GraphBeamRounds} WHERE vec_id <> q_id)
+         |WHERE rk <= 3""".stripMargin,
 
     "semantic_clusters" ->
       s"""WITH RECURSIVE $semClusterCtes

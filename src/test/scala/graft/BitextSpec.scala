@@ -36,6 +36,17 @@ class BitextSpec extends SparkSpec {
     assert(got === Map(1L -> 10L, 2L -> 11L), s"mined $got")
   }
 
+  test("mutual intersection is a subset of one-best and requires agreement") {
+    val oneBest = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
+      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+    val mutual = VectorOps.bitextMutualPairs(emb, langs, "en", "de",
+      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+    assert(mutual.subsetOf(oneBest))
+    // on this fixture both true pairs agree in both directions (the hub
+    // is nobody's mutual best), so the intersection keeps exactly them
+    assert(mutual.map(r => (r.head, r(1))) === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("mining is deterministic and one-best-per-source") {
     val r1 = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
       k = 2, threshold = 0.0).collect().map(_.toSeq).toSet

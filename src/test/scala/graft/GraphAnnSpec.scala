@@ -47,6 +47,21 @@ class GraphAnnSpec extends SparkSpec {
       s"beam from per-cell entries should find same-cluster neighbors, got $rec")
   }
 
+  test("persisted-index round-trip serves exactly the direct beam search") {
+    val direct = VectorOps.graphBeamTopK(clustered, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    val served = VectorOps.graphBeamServe(clustered, queryMaxId = 5, k = 3,
+        indexDir = "target/graft-tmp/graph_index_spec")
+      .collect().map(_.toSeq).toSet
+    assert(served === direct)
+    // steady state: the index is found on disk (no rebuild) and still
+    // serves the identical result
+    val steady = VectorOps.graphBeamServe(clustered, queryMaxId = 5, k = 3,
+        indexDir = "target/graft-tmp/graph_index_spec", rebuildBase = false)
+      .collect().map(_.toSeq).toSet
+    assert(steady === direct)
+  }
+
   test("the beam never fabricates candidates: results ⊆ entries ∪ graph targets") {
     import org.apache.spark.sql.expressions.Window
     val cents = VectorOps.kmeansCentroids(clustered)
