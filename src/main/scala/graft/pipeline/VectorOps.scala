@@ -1432,9 +1432,21 @@ object VectorOps {
   val BitextMarginThreshold = 1.02
 
   /** The scored margin frame (doc_a, doc_b, cr, margin) — shared by the
-    * one-best miner and the mutual-intersection filter. */
+    * one-best miner and the mutual-intersection filter.
+    *
+    * `banded = true` (the production default) draws the candidate pairs
+    * from the sign-LSH band equi-join ([[lshPairs]]' bucketing, hot
+    * buckets capped) and computes the k-NN denominators over those
+    * candidates — exactly CCMatrix's practice of scoring margins over
+    * ANN candidates, and the shape that keeps the pair work
+    * band-bounded instead of |A|·|B| (the brute form measured 46×
+    * slower at a 10× corpus — quadratic, SCALE.md). `banded = false`
+    * is the exhaustive semantics reference the margin tests pin
+    * (BitextSpec's constructed hub is not guaranteed to band with its
+    * sources). */
   private def bitextMargins(emb: DataFrame, docLangs: DataFrame,
-                            langA: String, langB: String, k: Int): DataFrame = {
+                            langA: String, langB: String, k: Int,
+                            banded: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val e = emb.select(col("vec_id"), quant.as("q"))
@@ -1444,8 +1456,22 @@ object VectorOps {
       .select(col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na"))
     val b = e.filter(col("lang") === langB)
       .select(col("vec_id").as("doc_b"), col("q").as("qb"), col("n2").as("nb"))
+    val cand =
+      if (!banded) a.select(col("doc_a")).crossJoin(broadcast(b.select(col("doc_b"))))
+      else {
+        // bands over the FULL corpus (the cap must see what the oracle's
+        // band CTE sees), then the cross-language equi-join
+        val bands = DedupOps.capBands(signBandsRelational(emb),
+          DedupOps.MaxBandBucket, persistInput = true)
+        bands.join(a.select(col("doc_a").as("vec_id")), Seq("vec_id"))
+          .select(col("vec_id").as("doc_a"), col("bkey"))
+          .join(bands.join(b.select(col("doc_b").as("vec_id")), Seq("vec_id"))
+            .select(col("vec_id").as("doc_b"), col("bkey")), Seq("bkey"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+      }
     // scored pairs feed three consumers (both k-NN sums + the margin)
-    val p = graft.CacheScope.persist(a.crossJoin(broadcast(b))
+    val p = graft.CacheScope.persist(cand
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("cr",
         round(cosinePre(col("qa"), col("qb"), col("na"), col("nb")) + lit(1e-9), 6))
       .select(col("doc_a"), col("doc_b"), col("cr")))
@@ -1464,9 +1490,10 @@ object VectorOps {
   def bitextMarginPairs(emb: DataFrame, docLangs: DataFrame,
                         langA: String = "en", langB: String = "de",
                         k: Int = BitextNnK,
-                        threshold: Double = BitextMarginThreshold): DataFrame = {
+                        threshold: Double = BitextMarginThreshold,
+                        banded: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bitextMargins(emb, docLangs, langA, langB, k)
+    bitextMargins(emb, docLangs, langA, langB, k, banded)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_a")).orderBy(col("margin").desc, col("doc_b"))))
       .filter(col("rk") === 1 && col("margin") >= threshold)
@@ -1482,9 +1509,10 @@ object VectorOps {
   def bitextMutualPairs(emb: DataFrame, docLangs: DataFrame,
                         langA: String = "en", langB: String = "de",
                         k: Int = BitextNnK,
-                        threshold: Double = BitextMarginThreshold): DataFrame = {
+                        threshold: Double = BitextMarginThreshold,
+                        banded: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bitextMargins(emb, docLangs, langA, langB, k)
+    bitextMargins(emb, docLangs, langA, langB, k, banded)
       .withColumn("rka", row_number().over(
         Window.partitionBy(col("doc_a")).orderBy(col("margin").desc, col("doc_b"))))
       .withColumn("rkb", row_number().over(

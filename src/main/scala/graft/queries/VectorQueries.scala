@@ -519,9 +519,23 @@ object VectorQueries extends QueryModule {
        |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
        |aa AS (SELECT vec_id AS doc_a, qv AS qa FROM l WHERE lang = 'en'),
        |bb AS (SELECT vec_id AS doc_b, qv AS qb FROM l WHERE lang = 'de'),
-       |p AS (SELECT doc_a, doc_b,
+       |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
+       |vb0 AS (
+       |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
+       |    md5(CAST(b AS VARCHAR) || '|' ||
+       |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
+       |  FROM sg),
+       |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+       |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
+       |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
+       |cand AS (SELECT DISTINCT ba.vec_id AS doc_a, bb2.vec_id AS doc_b
+       |  FROM bands ba JOIN bands bb2 ON ba.bkey = bb2.bkey
+       |  WHERE ba.vec_id IN (SELECT doc_a FROM aa)
+       |    AND bb2.vec_id IN (SELECT doc_b FROM bb)),
+       |p AS (SELECT cand.doc_a, cand.doc_b,
        |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
-       |  FROM aa CROSS JOIN bb),
+       |  FROM cand JOIN aa ON cand.doc_a = aa.doc_a
+       |  JOIN bb ON cand.doc_b = bb.doc_b),
        |ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
        |          ORDER BY cr DESC, doc_b) AS rk FROM p)

@@ -29,7 +29,7 @@ class BitextSpec extends SparkSpec {
 
   test("the margin demotes the hub that raw cosine mines as a false pair") {
     val got = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
-        k = 2, threshold = 0.0)
+        k = 2, threshold = 0.0, banded = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // raw cosine would pick the hub (0.75 > 0.70) for a1 — the margin
     // must pick the true counterpart for BOTH sources
@@ -38,9 +38,9 @@ class BitextSpec extends SparkSpec {
 
   test("mutual intersection is a subset of one-best and requires agreement") {
     val oneBest = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
-      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+      k = 2, threshold = 0.0, banded = false).collect().map(_.toSeq).toSet
     val mutual = VectorOps.bitextMutualPairs(emb, langs, "en", "de",
-      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+      k = 2, threshold = 0.0, banded = false).collect().map(_.toSeq).toSet
     assert(mutual.subsetOf(oneBest))
     // on this fixture both true pairs agree in both directions (the hub
     // is nobody's mutual best), so the intersection keeps exactly them
@@ -49,10 +49,26 @@ class BitextSpec extends SparkSpec {
 
   test("mining is deterministic and one-best-per-source") {
     val r1 = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
-      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+      k = 2, threshold = 0.0, banded = false).collect().map(_.toSeq).toSet
     val r2 = VectorOps.bitextMarginPairs(emb, langs, "en", "de",
-      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+      k = 2, threshold = 0.0, banded = false).collect().map(_.toSeq).toSet
     assert(r1 == r2)
+    assert(r1.groupBy(_.head).forall(_._2.size == 1))
+  }
+
+  test("banded production mode: a cross-language subset, deterministic, one per source") {
+    // the real corpus: banded candidates bite there (non-empty pinned on
+    // the sf0.001 table — the fixture above is too small/adversarial
+    // for sign bands)
+    val docsT = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"))
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r1 = VectorOps.bitextMarginPairs(embT, docsT)
+      .collect().map(_.toSeq).toSet
+    val r2 = VectorOps.bitextMarginPairs(embT, docsT)
+      .collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+    assert(r1.nonEmpty, "banded candidates must bite on the real corpus")
     assert(r1.groupBy(_.head).forall(_._2.size == 1))
   }
 }

@@ -23,8 +23,6 @@ class PlanSpec extends SparkSpec {
     "ann_multiprobe_recall" -> "contains the same brute-force exact baseline as ann_cosine_topk (fixed query set)",
     "ann_kmeans_recall" -> "contains the same brute-force exact baseline as ann_cosine_topk (fixed query set)",
     "ann_graph_recall" -> "contains the same brute-force exact baseline as ann_cosine_topk (fixed query set)",
-    "bitext_margin_pairs" -> "language-sliced brute scorer by design (langB side broadcast); production swaps in the IVF/banded candidate joins, margin arithmetic unchanged",
-    "bitext_mutual_pairs" -> "same language-sliced brute scorer as bitext_margin_pairs (shared bitextMargins frame)",
     "m2_capacity" -> "broadcasts a 1-row stats aggregate x 3 alphas back over the training rows",
     "m1_update_forecast" -> "broadcasts a 1-row (n_tot, anchor) aggregate over the new observations",
     "j6_cluster_validity" -> "pairwise validity over the <= 23-row candidate set, both sides bounded",
