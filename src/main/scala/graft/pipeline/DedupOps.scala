@@ -347,11 +347,12 @@ object DedupOps {
     val newIds = probeDocs.select(col("doc_id"))
     val inv = graft.CacheScope.persist(shingleRows(all))
     val bands = capBands(minhashBandsFromInv(inv), MaxBandBucket)
-    // the probe batch is the small side by construction — broadcast its
-    // id set for both the probe filter and the index-side anti filter
-    val cands = bands.join(broadcast(newIds), Seq("doc_id"))
+    // the probe id set is usually the small side, but a backfill can
+    // make it corpus-sized — no broadcast hint; AQE picks the broadcast
+    // when the runtime size allows it
+    val cands = bands.join(newIds, Seq("doc_id"))
       .select(col("doc_id").as("new_id"), col("bkey"))
-      .join(bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(bands.join(newIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id").as("old_id"), col("bkey")), Seq("bkey"))
       .select(col("new_id"), col("old_id")).distinct()
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
