@@ -30,18 +30,7 @@ object IncrSweep {
 
     val dd = Tables.documents(spark, d)
     dd.count() // warm parquet paths
-    val oldSnap = dd.filter(TextOps.mdDraw6("snapold") < 900000L)
 
-    // ---- one-time corpus-side artifacts (persisted in production)
-    val unchangedApprox = oldSnap.filter(TextOps.mdDraw6("snapnew") < 950000L)
-      .select(col("doc_id"), col("text"))
-    val invBase = unchangedApprox
-      .transform(DedupOps.shingleRows(_)).persist()
-    val bandsBase = DedupOps.capBands(
-      DedupOps.minhashBandsFromInv(invBase), DedupOps.MaxBandBucket).persist()
-    time2("artifact build: unchanged-corpus shingle index + capped bands") {
-      invBase.count(); bandsBase.count()
-    }
     val emb = Tables.embeddings(spark, d)
     var cents: Array[Array[Long]] = null
     time2("artifact build: old-snapshot centroid fit") {
@@ -50,8 +39,23 @@ object IncrSweep {
         targetCellSize = 50)
     }
 
-    // ---- delta legs only, against the persisted artifacts
+    // ---- delta legs only, against the persisted artifacts (the
+    // unchanged index EXCLUDES the edited slice — a delta doc's own
+    // pre-edit text in the base would self-match every probe and zero
+    // out the assignment leg, measuring a different pipeline)
     for ((thr, lbl) <- Seq((100000L, "10pct"), (10000L, "1pct"))) {
+      val unchanged = dd.filter(TextOps.mdDraw6("snapold") < 900000L &&
+          TextOps.mdDraw6("snapnew") < 950000L &&
+          TextOps.mdDraw6("snapedit") >= thr)
+        .select(col("doc_id"), col("text"))
+      val invBase = unchanged.transform(DedupOps.shingleRows(_)).persist()
+      val bandsBase = DedupOps.capBands(
+        DedupOps.minhashBandsFromInv(invBase), DedupOps.MaxBandBucket).persist()
+      if (lbl == "10pct")
+        time2("artifact build: unchanged-corpus shingle index + capped bands") {
+          invBase.count(); bandsBase.count()
+        }
+      else { invBase.count(); bandsBase.count() }
       // changed-only delta (the fixture's 9.5% added slice would floor
       // the sweep at ~10% of the corpus otherwise)
       val delta = dd.filter(TextOps.mdDraw6("snapnew") < 950000L &&
@@ -89,7 +93,7 @@ object IncrSweep {
             cents, maxRank = 1)
           .write.format("noop").mode("overwrite").save()
       }
-      delta.unpersist()
+      delta.unpersist(); invBase.unpersist(); bandsBase.unpersist()
     }
 
     // ---- full-reprocess comparator: every per-doc stage over the WHOLE

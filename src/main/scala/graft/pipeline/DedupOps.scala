@@ -298,32 +298,14 @@ object DedupOps {
     * count, which is what makes per-batch dedup affordable on a corpus
     * that took a full [[minhashPairs]] pass once at bootstrap.
     * Output: (new_id, old_id, jaccard) — arrivals with any row here are
-    * near-dups of the existing corpus and get dropped/linked. */
+    * near-dups of the existing corpus and get dropped/linked.
+    *
+    * The id-split form of [[probeDupHits]] (one pipeline, one oracle
+    * spelling — DedupEquivalenceSpec pins the two entry points equal). */
   def incrementalPairs(docs: DataFrame, splitId: Long,
-                       threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0, "incrementalPairs verification assumes a positive threshold")
-    val inv = shingleRows(docs)
-    // hot-bucket cap BEFORE the probe join: a giant index bucket would
-    // otherwise fan every arriving doc out by its full size
-    val bands = capBands(minhashBandsFromInv(inv), MaxBandBucket)
-    val cands = bands.filter(col("doc_id") >= splitId)
-      .select(col("doc_id").as("new_id"), col("bkey"))
-      .join(bands.filter(col("doc_id") < splitId)
-        .select(col("doc_id").as("old_id"), col("bkey")), Seq("bkey"))
-      .select(col("new_id"), col("old_id")).distinct()
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cands
-      .join(inv.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
-      .join(inv.select(col("doc_id").as("old_id"), col("s")), Seq("old_id", "s"))
-      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
-      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("old_id"),
-        round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
-  }
+                       threshold: Double = 0.5): DataFrame =
+    probeDupHits(docs.filter(col("doc_id") < splitId),
+      docs.filter(col("doc_id") >= splitId), threshold)
 
   /** Two-frame [[incrementalPairs]]: screen an arriving `probeDocs`
     * batch against the band index of an arbitrary `baseDocs` corpus —

@@ -1314,11 +1314,19 @@ object VectorOps {
       kmeansRanked(emb, cents, maxRank = 1).select(col("vec_id"), col("cid")))
     val edges = graft.CacheScope.persist(
       knnGraphFromCells(emb, cells, graphK).select(col("src"), col("dst")))
-    val entries = cells.withColumn("dr", vecDraw("gent"))
+    graphBeamSearch(emb, edges, entryLayer(cells), queryMaxId, k, beam, rounds)
+  }
+
+  /** The per-cell entry layer of the graph serve — ONE spelling shared
+    * by the build-and-serve path and the persisted-index rebuild, so
+    * the two can never diverge from each other (the oracle's `ent` CTE
+    * mirrors it). */
+  private def entryLayer(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cells.withColumn("dr", vecDraw("gent"))
       .withColumn("re", row_number().over(
         Window.partitionBy(col("cid")).orderBy(col("dr"), col("vec_id"))))
       .filter(col("re") === 1).select(col("vec_id"))
-    graphBeamSearch(emb, edges, entries, queryMaxId, k, beam, rounds)
   }
 
   /** The beam search itself over caller-supplied graph artifacts —
@@ -1352,8 +1360,13 @@ object VectorOps {
         .filter(col("rk") <= beam).select(col("q_id"), col("vec_id"))
       val nbrs = beamDf.join(edges, beamDf("vec_id") === edges("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      visited = score(visited.select(col("q_id"), col("vec_id"))
-        .union(nbrs).distinct()).localCheckpoint()
+      // score ONLY the unvisited frontier expansion — already-scored
+      // pairs keep their rows (one corpus join per round over the
+      // frontier, never a re-score of the whole visited set)
+      val fresh = nbrs.distinct()
+        .join(visited.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      visited = visited.union(score(fresh)).localCheckpoint()
     }
     visited.filter(col("vec_id") =!= col("q_id"))
       .withColumn("rk", row_number().over(
@@ -1383,21 +1396,18 @@ object VectorOps {
                      beam: Int = GraphBeamWidth, rounds: Int = GraphBeamRounds,
                      graphK: Int = 3, targetCellSize: Int = 50,
                      rebuildBase: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
-    val edgePath = new org.apache.hadoop.fs.Path(s"$indexDir/edges")
-    val fs = edgePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (rebuildBase || !fs.exists(edgePath)) {
+    // probe the LAST-written artifact: a crash between the two writes
+    // must trigger a rebuild, not a permanent path-not-found serve
+    val entriesPath = new org.apache.hadoop.fs.Path(s"$indexDir/entries")
+    val fs = entriesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rebuildBase || !fs.exists(entriesPath)) {
       val cents = kmeansCentroids(emb, targetCellSize)
       val cells = graft.CacheScope.persist(
         kmeansRanked(emb, cents, maxRank = 1).select(col("vec_id"), col("cid")))
       knnGraphFromCells(emb, cells, graphK).select(col("src"), col("dst"))
         .write.mode("overwrite").parquet(s"$indexDir/edges")
-      cells.withColumn("dr", vecDraw("gent"))
-        .withColumn("re", row_number().over(
-          Window.partitionBy(col("cid")).orderBy(col("dr"), col("vec_id"))))
-        .filter(col("re") === 1).select(col("vec_id"))
-        .write.mode("overwrite").parquet(s"$indexDir/entries")
+      entryLayer(cells).write.mode("overwrite").parquet(s"$indexDir/entries")
     }
     graphBeamSearch(emb,
       spark.read.parquet(s"$indexDir/edges"),
