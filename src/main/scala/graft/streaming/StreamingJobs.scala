@@ -881,38 +881,54 @@ object StreamingJobs {
   final case class RefreshFate(doc_id: Long, op: String, action: String,
                                dup_of: Option[Long], cid: Option[Long])
 
+  /** Stage-0 → stage-1 routing row of [[refreshStream]]: a band-level
+    * membership op (`addprobe`/`remove`) or a band-less fate marker
+    * (`gated`/`evicted`, bkey = "fate:doc"). */
+  final case class RefreshRoute(bkey: String, doc_id: Long, op: String,
+                                kind: String, cid: Long)
+
+  /** Stage-1 → stage-2 row: a band probe result or a passed-through
+    * fate marker. */
+  final case class RefreshProbe(doc_id: Long, op: String, kind: String,
+                                cid: Long, hit: Option[Long])
+
   /** STREAMING INCREMENTAL REFRESH — the live twin of the batch
     * `incremental_refresh` query: a CDC stream of FULL-ROW events
-    * (doc_id, op ∈ upsert|delete, text, embedding — deletes carry the
-    * before-image, the standard CDC full-row format, which is what
-    * makes band eviction stateless to route) flows through
+    * (doc_id, seq, op ∈ upsert|delete, text, embedding — `seq` is the
+    * feed's offset, which is what resolves multiple same-doc events
+    * inside one trigger to the LAST state instead of an arbitrary one)
+    * flows through three chained keyed-state stages:
     *
-    *  1. the row-local content gates ([[graft.pipeline.TextOps
-    *     .policyKeepCol]]/[[graft.pipeline.TextOps.gopherKeepCol]] — the
-    *     exact batch verdicts, one scan, no shuffle): failing upserts
-    *     emit `gated` immediately and never touch the index;
-    *  2. a band-keyed state store holding each MinHash band's member
-    *     ids (the SAME band arithmetic as the batch DSL via the native
-    *     kernel, so stream and batch can never disagree on a key; a
-    *     band past `maxBandBucket` stops emitting hits and stops
-    *     growing — the streaming mirror of `DedupOps.capBands`):
-    *     upserts probe for the min existing member (`near_dup`) and
-    *     register; DELETES REMOVE the doc from its bands' member sets —
-    *     the eviction the append-only twins can't express — so a later
-    *     arrival matches the surviving members, not ghosts;
-    *  3. a per-(doc, op) aggregation of the ≤4 band verdicts into ONE
-    *     fate row, with the admitted doc's cell id assigned row-local
-    *     against the FROZEN broadcast centroids (the
-    *     [[isoScoreStream]] frozen-artifact convention — no refit on
-    *     the hot path, exactly `ann_index_append`'s contract).
+    *  1. a DOC-keyed normalizer holding each live document's CURRENT
+    *     band keys: per trigger the max-seq event wins (ties to
+    *     delete), the row-local content gates
+    *     ([[graft.pipeline.TextOps.policyKeepCol]]/
+    *     [[graft.pipeline.TextOps.gopherKeepCol]] — the exact batch
+    *     verdicts) decide the new membership (delete/gated → none),
+    *     and the stage emits `remove` ops for every band the doc is
+    *     LEAVING — so a re-upsert with changed text, a doc that now
+    *     fails the gates, and an explicit delete all evict their stale
+    *     membership instead of leaving ghost members, and total band
+    *     state tracks the LIVE corpus, not stream length;
+    *  2. a BAND-keyed member-set store (the SAME band arithmetic as
+    *     the batch DSL via the native kernel, so stream and batch can
+    *     never disagree on a key; a band past `maxBandBucket` stops
+    *     emitting hits and stops growing — the streaming mirror of
+    *     `DedupOps.capBands`): removes first, then `addprobe`s in
+    *     doc order — each probe answers with the min existing member;
+    *     band-less fate markers (gated/evicted) pass through untouched;
+    *  3. a per-(doc, op) assembly of the ≤4 band verdicts into ONE fate
+    *     row — gated / evicted / near_dup(dup_of) / indexed(cell) —
+    *     with the admitted doc's cell id assigned row-local against the
+    *     FROZEN broadcast centroids (the [[isoScoreStream]]
+    *     frozen-artifact convention — no refit on the hot path, exactly
+    *     `ann_index_append`'s contract).
     *
-    * Within a trigger, each band processes deletes first then upserts,
-    * both in doc_id order — deterministic under shuffle. State is
-    * member ids per touched band (capped) — O(corpus bands), never
-    * stream length; re-upserts re-emit their (possibly changed) fate
-    * but never duplicate membership. RefreshStreamSpec pins the fate
-    * sequence including match-after-eviction. */
-  def refreshStream(events: org.apache.spark.sql.Dataset[(Long, String, String, Seq[Float])],
+    * Everything data-dependent is deterministic under shuffle: winner
+    * by (seq, op), band ops applied removes-first then doc order.
+    * RefreshStreamSpec pins the fate sequence including
+    * match-after-eviction and ghost-free re-upserts. */
+  def refreshStream(events: org.apache.spark.sql.Dataset[(Long, Long, String, String, Seq[Float])],
                     cents: Array[Array[Long]],
                     maxBandBucket: Int = graft.pipeline.DedupOps.MaxBandBucket)
       : org.apache.spark.sql.Dataset[RefreshFate] = {
@@ -921,57 +937,80 @@ object StreamingJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
     import graft.pipeline.{DedupOps, TextOps, VectorOps}
-    val base = events.toDF("doc_id", "op", "text", "embedding")
+    val base = events.toDF("doc_id", "seq", "op", "text", "embedding")
     val keep = TextOps.policyKeepCol && TextOps.gopherKeepCol
-    val gated = base.filter(col("op") === "upsert" && !keep)
-      .select(col("doc_id"), col("op"), lit("gated").as("action"),
-        lit(null).cast("long").as("dup_of"), lit(null).cast("long").as("cid"))
-      .as[RefreshFate]
     val cidCol = ncol(graft.functions.KmeansRank(
         nexpr(VectorOps.quant), cents, 1))
       .getItem(0).getField("c").cast("long")
-    val routed = base.filter(col("op") === "delete" || keep)
-      .withColumn("cid", cidCol)
-      .select(col("doc_id"), col("op"), col("cid"),
-        explode(DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(
-          DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))))))).as("bkey"))
-      .as[(Long, String, Long, String)]
-    val bandHits = routed.groupByKey(_._4).flatMapGroupsWithState(
+    // everything row-local happens BEFORE the first shuffle: gate
+    // verdict, band keys, cell assignment
+    val staged = base
+      .select(col("doc_id"), col("seq"), col("op"), keep.as("keep"),
+        cidCol.as("cid"),
+        DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(
+          DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " "))))))).as("bands"))
+      .as[(Long, Long, String, Boolean, Long, Seq[String])]
+    // stage 1: per-doc membership normalizer
+    val routes = staged.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: String, it: Iterator[(Long, String, Long, String)],
-       state: GroupState[Seq[Long]]) =>
-        var members = state.getOption.getOrElse(Seq.empty).toSet
+      (doc: Long, it: Iterator[(Long, Long, String, Boolean, Long, Seq[String])],
+       state: GroupState[Seq[String]]) =>
         val evs = it.toSeq
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Option[Long])]
-        evs.filter(_._2 == "delete").sortBy(_._1).foreach { e =>
-          members -= e._1
-          out += ((e._1, e._2, e._3, None))
-        }
-        evs.filter(_._2 == "upsert").sortBy(_._1).foreach { e =>
-          val others = members - e._1
-          val hot = members.size > maxBandBucket
-          out += ((e._1, e._2, e._3,
-            if (hot || others.isEmpty) None else Some(others.min)))
-          if (!hot) members += e._1
-        }
-        state.update(members.toSeq.sorted)
+        val w = evs.maxBy(e => (e._2, e._3 == "delete"))
+        val old = state.getOption.getOrElse(Seq.empty)
+        val (newBands, fateKind) =
+          if (w._3 == "delete") (Seq.empty[String], "evicted")
+          else if (!w._4) (Seq.empty[String], "gated")
+          else (w._6.distinct.sorted, "probe")
+        val out = scala.collection.mutable.ArrayBuffer.empty[RefreshRoute]
+        (old.toSet -- newBands).toSeq.sorted.foreach(b =>
+          out += RefreshRoute(b, doc, w._3, "remove", 0L))
+        if (fateKind == "probe")
+          newBands.foreach(b => out += RefreshRoute(b, doc, w._3, "addprobe", w._5))
+        else out += RefreshRoute(s"fate:$doc", doc, w._3, fateKind, 0L)
+        if (newBands.isEmpty) state.remove() else state.update(newBands)
         out.iterator
     }
-    val fates = bandHits.groupByKey(h => (h._1, h._2)).flatMapGroupsWithState(
+    // stage 2: band member sets — removes first, then probes in doc order
+    val probes = routes.groupByKey(_.bkey).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (key: (Long, String), it: Iterator[(Long, String, Long, Option[Long])],
+      (key: String, it: Iterator[RefreshRoute], state: GroupState[Seq[Long]]) =>
+        val evs = it.toSeq
+        if (key.startsWith("fate:"))
+          evs.sortBy(_.doc_id)
+            .map(e => RefreshProbe(e.doc_id, e.op, e.kind, e.cid, None)).iterator
+        else {
+          var members = state.getOption.getOrElse(Seq.empty).toSet
+          val out = scala.collection.mutable.ArrayBuffer.empty[RefreshProbe]
+          evs.filter(_.kind == "remove").sortBy(_.doc_id)
+            .foreach(e => members -= e.doc_id)
+          evs.filter(_.kind == "addprobe").sortBy(_.doc_id).foreach { e =>
+            val others = members - e.doc_id
+            val hot = members.size > maxBandBucket
+            out += RefreshProbe(e.doc_id, e.op, "probe", e.cid,
+              if (hot || others.isEmpty) None else Some(others.min))
+            if (!hot) members += e.doc_id
+          }
+          if (members.isEmpty) state.remove()
+          else state.update(members.toSeq.sorted)
+          out.iterator
+        }
+    }
+    // stage 3: one fate per (doc, op)
+    probes.groupByKey(p => (p.doc_id, p.op)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: (Long, String), it: Iterator[RefreshProbe],
        _: GroupState[Boolean]) =>
         val rows = it.toSeq
         val (doc, op) = key
-        val fate =
-          if (op == "delete") RefreshFate(doc, op, "evicted", None, None)
-          else {
-            val hs = rows.flatMap(_._4)
+        val fate = rows.find(_.kind != "probe") match {
+          case Some(m) => RefreshFate(doc, op, m.kind, None, None)
+          case None =>
+            val hs = rows.flatMap(_.hit)
             if (hs.nonEmpty) RefreshFate(doc, op, "near_dup", Some(hs.min), None)
-            else RefreshFate(doc, op, "indexed", None, Some(rows.map(_._3).min))
-          }
+            else RefreshFate(doc, op, "indexed", None, Some(rows.map(_.cid).min))
+        }
         Iterator.single(fate)
     }
-    gated.unionByName(fates)
   }
 }

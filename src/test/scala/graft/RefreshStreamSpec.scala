@@ -5,18 +5,21 @@ import graft.streaming.StreamingJobs
 import org.apache.spark.sql.functions._
 
 /** The streaming incremental-refresh twin: gates, band-state near-dup
-  * probe, frozen-centroid assignment — and the one behavior the
+  * probe, frozen-centroid assignment — and the behaviors the
   * append-only twins can't express: DELETION evicts a doc from its
-  * bands' member sets, so a later arrival matches the survivors, not
-  * ghosts.
+  * bands' member sets, a RE-UPSERT with changed text evicts the stale
+  * membership (no ghosts), and same-trigger multi-events resolve to
+  * the max-seq state.
   */
 class RefreshStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  // gate-passing text: 24 words, 2 distinct en stopwords, mean word
+  // gate-passing texts: 24 words, 2 distinct en stopwords, mean word
   // length inside [4,5], all distinct
   private val textA =
     ("the" +: "of" +: (0 until 22).map(i => f"w$i%02dxy")).mkString(" ")
+  private val textC =
+    ("the" +: "of" +: (0 until 22).map(i => f"z$i%02dxy")).mkString(" ")
   // policy-failing text: 4 whole-word banned hits (> PolicyMaxHits = 3)
   private val textBad =
     ("slow slow slow slow " +
@@ -24,18 +27,20 @@ class RefreshStreamSpec extends SparkSpec {
 
   private val e1 = Seq(1f, 0f, 0f, 0f)
 
+  private def mkCents = VectorOps.kmeansCentroids(
+    Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)), (3L, Seq(0f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding"), targetCellSize = 2)
+
   test("fates: indexed / near_dup / gated / evicted, and match-after-eviction") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val embFit = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
-      (2L, Seq(1f, 0.1f, 0f, 0f)), (3L, Seq(0f, 0.9f, 0f, 0f)))
-      .toDF("vec_id", "embedding")
-    val cents = VectorOps.kmeansCentroids(embFit, targetCellSize = 2)
+    val cents = mkCents
     val expCid = VectorOps.kmeansRanked(
         Seq((1L, e1)).toDF("vec_id", "embedding"), cents, maxRank = 1)
       .select(col("cid").cast("long")).head.getLong(0)
 
-    val in = MemoryStream[(Long, String, String, Seq[Float])]
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
     val q = StreamingJobs.refreshStream(in.toDS(), cents)
       .writeStream.format("memory").queryName("refresh_stream")
       .outputMode("append").start()
@@ -45,51 +50,104 @@ class RefreshStreamSpec extends SparkSpec {
         Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
     try {
       // batch 1: fresh doc, its near-dup, and a policy-gated doc
-      in.addData(Seq((1L, "upsert", textA, e1), (2L, "upsert", textA, e1),
-        (9L, "upsert", textBad, e1)))
+      in.addData(Seq((1L, 10L, "upsert", textA, e1),
+        (2L, 11L, "upsert", textA, e1), (9L, 12L, "upsert", textBad, e1)))
       q.processAllAvailable()
       assert(fates() === Set(
         (1L, "upsert", "indexed", None, Some(expCid)),
         (2L, "upsert", "near_dup", Some(1L), None),
         (9L, "upsert", "gated", None, None)))
-      // batch 2: CDC delete (full before-image) evicts doc 1
-      in.addData(Seq((1L, "delete", textA, e1)))
+      // batch 2: CDC delete evicts doc 1 (the before-image text rides
+      // along but eviction reads the doc's OWN band state, not the text)
+      in.addData(Seq((1L, 20L, "delete", textA, e1)))
       q.processAllAvailable()
       assert(fates().contains((1L, "delete", "evicted", None, None)))
       // batch 3: a new arrival of the same content matches the SURVIVING
       // member (2), not the evicted ghost (1)
-      in.addData(Seq((3L, "upsert", textA, e1)))
+      in.addData(Seq((3L, 30L, "upsert", textA, e1)))
       q.processAllAvailable()
       assert(fates().contains((3L, "upsert", "near_dup", Some(2L), None)))
-      // state sanity: band store holds only the touched band keys
+      // state sanity: doc store ≤ live docs, band store ≤ their bands
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      // 4 bands for textA + nothing for the gated doc (never routed),
-      // + 4 (doc,op) rows in the stateless fate stage's store
-      assert(stateRows <= 16L, s"state must stay band/doc-bounded, got $stateRows")
+      assert(stateRows <= 24L, s"state must stay live-corpus-bounded, got $stateRows")
     } finally q.stop()
   }
 
-  test("re-upsert re-emits a fate but never duplicates membership") {
+  test("re-upsert with CHANGED text evicts the stale membership (no ghosts)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val cents = VectorOps.kmeansCentroids(
-      Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
-        .toDF("vec_id", "embedding"), targetCellSize = 1)
-    val in = MemoryStream[(Long, String, String, Seq[Float])]
-    val q = StreamingJobs.refreshStream(in.toDS(), cents)
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q = StreamingJobs.refreshStream(in.toDS(), mkCents)
+      .writeStream.format("memory").queryName("refresh_ghost")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((5L, 10L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      // doc 5's content changes from textA to textC
+      in.addData(Seq((5L, 20L, "upsert", textC, e1)))
+      q.processAllAvailable()
+      // a NEW doc with textA must index fresh — doc 5's textA bands are
+      // stale and must have been evicted by the re-upsert
+      in.addData(Seq((7L, 30L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      val got = spark.table("refresh_ghost").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toList
+      assert(got.count(_ == ((7L, "indexed"))) === 1,
+        s"doc 7 must not near-dup doc 5's STALE textA membership: $got")
+      // and a doc with textC still matches 5's CURRENT membership
+      in.addData(Seq((8L, 40L, "upsert", textC, e1)))
+      q.processAllAvailable()
+      val eight = spark.table("refresh_ghost").collect()
+        .map(r => (r.getLong(0), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(eight.contains((8L, "upsert", Some(5L))) ||
+        eight.exists(t => t._1 == 8L && t._2 == "near_dup" && t._3 == Some(5L)))
+    } finally q.stop()
+  }
+
+  test("same-trigger upsert-then-delete resolves to the max-seq state (deleted)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q = StreamingJobs.refreshStream(in.toDS(), mkCents)
+      .writeStream.format("memory").queryName("refresh_seq")
+      .outputMode("append").start()
+    try {
+      // created and deleted within one polling interval: final state =
+      // deleted, and the band state must NOT contain the doc
+      in.addData(Seq((5L, 10L, "upsert", textA, e1),
+        (5L, 11L, "delete", textA, e1)))
+      q.processAllAvailable()
+      val first = spark.table("refresh_seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(first === Set((5L, "delete", "evicted")))
+      in.addData(Seq((6L, 20L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      val six = spark.table("refresh_seq").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(six.contains((6L, "indexed")),
+        s"doc 6 must not match the never-registered doc 5: $six")
+    } finally q.stop()
+  }
+
+  test("re-upsert with the same text re-emits a fate without duplicate membership") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q = StreamingJobs.refreshStream(in.toDS(), mkCents)
       .writeStream.format("memory").queryName("refresh_stream2")
       .outputMode("append").start()
     try {
-      in.addData(Seq((5L, "upsert", textA, e1)))
+      in.addData(Seq((5L, 10L, "upsert", textA, e1)))
       q.processAllAvailable()
-      in.addData(Seq((5L, "upsert", textA, e1)))
+      in.addData(Seq((5L, 20L, "upsert", textA, e1)))
       q.processAllAvailable()
       val got = spark.table("refresh_stream2").collect()
         .map(r => (r.getLong(0), r.getString(2))).toList
       // two fates emitted (it IS an update feed), both indexed — the
       // second probe sees only itself in every band (no self-match)
       assert(got.count(_ == ((5L, "indexed"))) === 2, s"got $got")
-      in.addData(Seq((6L, "upsert", textA, e1)))
+      in.addData(Seq((6L, 30L, "upsert", textA, e1)))
       q.processAllAvailable()
       val six = spark.table("refresh_stream2").collect()
         .map(r => (r.getLong(0), r.getString(2),
