@@ -54,6 +54,50 @@ object StreamProbe {
       q.stop()
     }
 
+    // ---- refreshStream: nFamilies docs upserted, then EVERY doc
+    // re-upserted with CHANGED text (the ghost scenario at scale), then
+    // half deleted — state must track the LIVE corpus at each step,
+    // never the 2.5x stream length
+    {
+      val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+      val cents = graft.pipeline.VectorOps.kmeansCentroids(
+        Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+          .toDF("vec_id", "embedding"), targetCellSize = 1)
+      val q = graft.streaming.StreamingJobs.refreshStream(in.toDS(), cents)
+        .writeStream.format("noop").outputMode("append").start()
+      val e1 = Seq(1f, 0f, 0f, 0f)
+      // gate-passing geometry: 24 words, 2 stopwords, every content
+      // word exactly 5 chars (mean length inside Gopher's [4,5])
+      def b36(x: Long, w: Int) = {
+        val s = java.lang.Long.toString(x, 36)
+        ("0" * (w - s.length)) + s
+      }
+      def text(f: Long, v: Int) =
+        ("the" +: "of" +: (0 until 22).map(i =>
+          s"q${b36(f, 2)}$v${b36(i.toLong, 1)}")).mkString(" ")
+      val n = nFamilies.toLong
+      (0L until n).grouped(500).zipWithIndex.foreach { case (b, i) =>
+        in.addData(b.map(d => (d, i.toLong * 10000 + d, "upsert", text(d, 1), e1)))
+        q.processAllAvailable()
+      }
+      val afterV1 = stateRows(q)
+      (0L until n).grouped(500).zipWithIndex.foreach { case (b, i) =>
+        in.addData(b.map(d => (d, 100000L + i * 10000 + d, "upsert", text(d, 2), e1)))
+        q.processAllAvailable()
+      }
+      val afterV2 = stateRows(q)
+      (0L until n / 2).grouped(500).zipWithIndex.foreach { case (b, i) =>
+        in.addData(b.map(d => (d, 200000L + i * 10000 + d, "delete", text(d, 2), e1)))
+        q.processAllAvailable()
+      }
+      val afterDel = stateRows(q)
+      println(s"""{"probe":"refreshStream","docs":$n,"stream_rows":${n * 5 / 2},""" +
+        s""""state_after_v1":${afterV1.mkString("[", ",", "]")},""" +
+        s""""state_after_v2_rewrite":${afterV2.mkString("[", ",", "]")},""" +
+        s""""state_after_half_deleted":${afterDel.mkString("[", ",", "]")}}""")
+      q.stop()
+    }
+
     // ---- patternMonitorStream: nSeries series x nPoints points — state
     // rows must equal nSeries regardless of nPoints
     {
