@@ -1249,13 +1249,17 @@ object VectorOps {
 
   /** [[knnGraph]] over a caller-supplied (vec_id, cid) cell assignment —
     * lets the graph serve ([[graphBeamTopK]]) reuse ONE Lloyd fit for
-    * both the adjacency build and its entry layer. */
+    * both the adjacency build and its entry layer. `dstCells` (default:
+    * the src assignment) lets the incremental append compute NEW nodes'
+    * edges against the FULL extended cell membership without re-pairing
+    * the base corpus. */
   private def knnGraphFromCells(emb: DataFrame, cells: DataFrame,
-                                k: Int): DataFrame = {
+                                k: Int,
+                                dstCells: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
-    val pairs = cells.as("a").join(cells.as("b"), Seq("cid"))
+    val pairs = cells.as("a").join(dstCells.getOrElse(cells).as("b"), Seq("cid"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
     pairs
@@ -1412,6 +1416,64 @@ object VectorOps {
     graphBeamSearch(emb,
       spark.read.parquet(s"$indexDir/edges"),
       spark.read.parquet(s"$indexDir/entries"), queryMaxId, k, beam, rounds)
+  }
+
+  /** INCREMENTAL GRAPH APPEND — the graph family's twin of
+    * [[ivfKmeansAppend]]: the base index (centroids + base cell
+    * assignment + base edge list) is built over `vec_id < splitId` and
+    * persisted; an arriving batch is assigned to the FROZEN centroids
+    * (no refit), and each NEW node's `graphK` edges are computed
+    * against its cell's FULL extended membership — O(|batch| · cell)
+    * work, never a base re-pair. Base nodes' adjacency stays as built
+    * (the standard incremental-graph trade — arriving nodes are
+    * reachable through the per-cell entry layer, which IS recomputed
+    * over the extended corpus, until the periodic rebuild refreshes the
+    * stale lists); the oracle replays exactly this asymmetric edge set.
+    * Serve = the same beam search over base ∪ appended edges. */
+  def graphBeamAppend(emb: DataFrame, splitId: Long, queryMaxId: Long, k: Int,
+                      indexDir: String,
+                      beam: Int = GraphBeamWidth, rounds: Int = GraphBeamRounds,
+                      graphK: Int = 3, targetCellSize: Int = 50,
+                      rebuildBase: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rebuildBase || !fs.exists(cellsPath)) {
+      val base = emb.filter(col("vec_id") < splitId)
+      val cents = kmeansCentroids(base, targetCellSize)
+      cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
+        .toDF("cid", "cent").write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")
+      val cellsBase = graft.CacheScope.persist(
+        kmeansRanked(base, cents, maxRank = 1).select(col("vec_id"), col("cid")))
+      knnGraphFromCells(emb, cellsBase, graphK).select(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(s"$indexDir/edges")
+      cellsBase.write.mode("overwrite").parquet(s"$indexDir/cells")
+    }
+    // append: reload the frozen centroids, assign ONLY the new batch
+    val reloaded = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cid").select(col("cent"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    val newCells = kmeansRanked(emb.filter(col("vec_id") >= splitId), reloaded,
+      maxRank = 1).select(col("vec_id"), col("cid"))
+    newCells.write.mode("overwrite").parquet(s"$indexDir/cells_new")
+    val allCells = graft.CacheScope.persist(
+      spark.read.parquet(s"$indexDir/cells")
+        .unionByName(spark.read.parquet(s"$indexDir/cells_new")))
+    val newEdges = graft.CacheScope.persist(knnGraphFromCells(emb,
+        spark.read.parquet(s"$indexDir/cells_new"), graphK, Some(allCells))
+      .select(col("src"), col("dst")))
+    // HNSW insertion's BACK-LINKS: every appended edge also links its
+    // target back to the new node — without them an appended node is
+    // reachable only when it happens to win a cell's entry draw (base
+    // adjacency never points at it); with them its kNN targets route
+    // the beam in. Still O(|batch|·graphK) appended rows.
+    val edges = graft.CacheScope.persist(
+      spark.read.parquet(s"$indexDir/edges")
+        .unionByName(newEdges)
+        .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"))))
+    graphBeamSearch(emb, edges, entryLayer(allCells), queryMaxId, k, beam, rounds)
   }
 
   /** BITEXT MINING with the margin criterion (Artetxe & Schwenk 2019,

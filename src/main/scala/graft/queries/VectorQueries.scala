@@ -403,6 +403,18 @@ object VectorQueries extends QueryModule {
       VectorOps.graphBeamServe(Tables.embeddings(s, d), queryMaxId = 10, k = 3,
         indexDir = s"target/graft-tmp/graph_index_${new java.io.File(d).getName}")),
 
+    // incremental graph maintenance: base graph over the oldest 4/5,
+    // the newest fifth assigned to the FROZEN centroids with edges
+    // against the extended cell membership (base adjacency stays as
+    // built until the periodic rebuild) — O(batch * cell) append work
+    "ann_graph_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.max
+      val emb = Tables.embeddings(s, d)
+      val split = (emb.agg(max("vec_id")).head.getLong(0) * 4) / 5
+      VectorOps.graphBeamAppend(emb, split, queryMaxId = 10, k = 3,
+        indexDir = s"target/graft-tmp/graph_append_${new java.io.File(d).getName}")
+    }),
+
     // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
     // deterministic md5 draw, two-phase bucketed top-k
     "sample_cluster_balanced" -> ((s, d) =>
@@ -461,21 +473,32 @@ object VectorQueries extends QueryModule {
        |$rounds""".stripMargin
   }
 
-  /** Shared oracle body for the same-cell kNN edges: expects `q` +
-    * [[kmeansCtes]] in scope, produces `knn(src, dst, c, rk)`. */
-  private val knnCtes: String =
-    s"""pr AS (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
-       |  FROM kcells a JOIN kcells b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-       |sc AS (SELECT src, dst, ${cosSql("qa", "qb")} AS c FROM pr),
-       |knn AS (SELECT * FROM (SELECT src, dst, c, row_number() OVER (
-       |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM sc)
+  /** Shared oracle body for the same-cell kNN edges, parameterized on
+    * the src/dst scopes (predicates over `a.vec_id` / `b.vec_id`) so
+    * the incremental append can replay its asymmetric edge set: expects
+    * `q` + [[kmeansCtes]] in scope, produces `<name>(src, dst, c, rk)`. */
+  private def knnCtesAs(name: String, srcPred: String = "TRUE",
+                        dstPred: String = "TRUE"): String =
+    s"""${name}pr AS (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
+       |  FROM kcells a JOIN kcells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  WHERE ($srcPred) AND ($dstPred)),
+       |${name}sc AS (SELECT src, dst, ${cosSql("qa", "qb")} AS c FROM ${name}pr),
+       |$name AS (SELECT * FROM (SELECT src, dst, c, row_number() OVER (
+       |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM ${name}sc)
        |  WHERE rk <= 3)""".stripMargin
+
+  /** The full-scope instance (the plain kNN graph), kept under the CTE
+    * names the carried oracles interpolate. */
+  private val knnCtes: String =
+    knnCtesAs("knn").replace("knnpr", "pr").replace("knnsc", "sc")
 
   /** Unrolled replay of [[VectorOps.graphBeamTopK]]'s beam search over
     * the `knn` edge CTE: entry layer = the min-md5('gent')-draw vector
     * per k-means cell, then [[VectorOps.GraphBeamRounds]] rounds of
     * (top-beam by cosine → expand via edges → union, distinct,
-    * re-score). Expects `q` + [[kmeansCtes]] + [[knnCtes]] in scope;
+    * re-score). Expects `q` + [[kmeansCtes]] + an edge CTE `ed(src,
+    * dst)` in scope (the plain serve passes the full [[knnCtes]] graph,
+    * the append its base ∪ appended union);
     * produces the final scored visited set `s<rounds>(q_id, vec_id, c)`
     * for queries vec_id < 10. Every constant interpolates from the
     * VectorOps vals so a retune can't desync engine and oracle. */
@@ -497,7 +520,6 @@ object VectorQueries extends QueryModule {
          |${scoreCte(i)}""".stripMargin
     }.mkString(",\n")
     s"""qry AS (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 10),
-       |ed AS (SELECT src, dst FROM knn),
        |ent AS (SELECT vec_id FROM (SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY cid ORDER BY
        |      ${TextQueries.hex60Sql("md5('gent:' || CAST(vec_id AS VARCHAR))")}
@@ -612,6 +634,7 @@ object VectorQueries extends QueryModule {
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |${kmeansCtes(4)},
          |$knnCtes,
+         |ed AS (SELECT src, dst FROM knn),
          |$graphBeamCtes
          |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM (SELECT q_id, vec_id, c, row_number() OVER (
@@ -623,6 +646,7 @@ object VectorQueries extends QueryModule {
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |${kmeansCtes(4)},
          |$knnCtes,
+         |ed AS (SELECT src, dst FROM knn),
          |$graphBeamCtes,
          |approx AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
@@ -661,6 +685,26 @@ object VectorQueries extends QueryModule {
          |WHERE rka = 1 AND rkb = 1
          |  AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin,
 
+    // the asymmetric append edge set, replayed: base-base edges at the
+    // base-fitted cells, new-node edges against the full extended
+    // membership, entry layer over everything
+    "ann_graph_append" -> {
+      val split = "(SELECT (MAX(vec_id) * 4) // 5 FROM embeddings)"
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4, s"vec_id < $split")},
+         |${knnCtesAs("knno", s"a.vec_id < $split", s"b.vec_id < $split")},
+         |${knnCtesAs("knnn", s"a.vec_id >= $split")},
+         |ed AS (SELECT src, dst FROM knno
+         |  UNION ALL SELECT src, dst FROM knnn
+         |  UNION ALL SELECT dst AS src, src AS dst FROM knnn),
+         |$graphBeamCtes
+         |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
+         |FROM (SELECT q_id, vec_id, c, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM s${VectorOps.GraphBeamRounds} WHERE vec_id <> q_id)
+         |WHERE rk <= 3""".stripMargin
+    },
+
     // build -> persist -> reload -> serve equals the direct beam search
     // exactly, and the oracle states that equality (the
     // ann_index_roundtrip convention)
@@ -668,6 +712,7 @@ object VectorQueries extends QueryModule {
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
          |${kmeansCtes(4)},
          |$knnCtes,
+         |ed AS (SELECT src, dst FROM knn),
          |$graphBeamCtes
          |SELECT q_id, vec_id, ROUND(c + 1e-9, 6) AS cosine, rk
          |FROM (SELECT q_id, vec_id, c, row_number() OVER (
