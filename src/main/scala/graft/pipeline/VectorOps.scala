@@ -1516,31 +1516,43 @@ object VectorOps {
     * is the exhaustive semantics reference the margin tests pin
     * (BitextSpec's constructed hub is not guaranteed to band with its
     * sources). */
+  /** The language-sided vector frames of the bitext miner:
+    * (a(doc_a, qa, na), b(doc_b, qb, nb)). */
+  private def bitextSides(emb: DataFrame, docLangs: DataFrame,
+                          langA: String, langB: String): (DataFrame, DataFrame) = {
+    val e = emb.select(col("vec_id"), quant.as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+      .join(docLangs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    (e.filter(col("lang") === langA)
+      .select(col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na")),
+     e.filter(col("lang") === langB)
+      .select(col("vec_id").as("doc_b"), col("q").as("qb"), col("n2").as("nb")))
+  }
+
+  /** The miner's candidate-pair source — banded (production) or
+    * exhaustive (semantics reference / recall denominator). */
+  private def bitextCandidates(emb: DataFrame, a: DataFrame, b: DataFrame,
+                               banded: Boolean): DataFrame =
+    if (!banded) a.select(col("doc_a")).crossJoin(broadcast(b.select(col("doc_b"))))
+    else {
+      // bands over the FULL corpus (the cap must see what the oracle's
+      // band CTE sees), then the cross-language equi-join
+      val bands = DedupOps.capBands(signBandsRelational(emb),
+        DedupOps.MaxBandBucket, persistInput = true)
+      bands.join(a.select(col("doc_a").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id").as("doc_a"), col("bkey"))
+        .join(bands.join(b.select(col("doc_b").as("vec_id")), Seq("vec_id"))
+          .select(col("vec_id").as("doc_b"), col("bkey")), Seq("bkey"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+
   private def bitextMargins(emb: DataFrame, docLangs: DataFrame,
                             langA: String, langB: String, k: Int,
                             banded: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val e = emb.select(col("vec_id"), quant.as("q"))
-      .withColumn("n2", dot(col("q"), col("q")))
-      .join(docLangs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
-    val a = e.filter(col("lang") === langA)
-      .select(col("vec_id").as("doc_a"), col("q").as("qa"), col("n2").as("na"))
-    val b = e.filter(col("lang") === langB)
-      .select(col("vec_id").as("doc_b"), col("q").as("qb"), col("n2").as("nb"))
-    val cand =
-      if (!banded) a.select(col("doc_a")).crossJoin(broadcast(b.select(col("doc_b"))))
-      else {
-        // bands over the FULL corpus (the cap must see what the oracle's
-        // band CTE sees), then the cross-language equi-join
-        val bands = DedupOps.capBands(signBandsRelational(emb),
-          DedupOps.MaxBandBucket, persistInput = true)
-        bands.join(a.select(col("doc_a").as("vec_id")), Seq("vec_id"))
-          .select(col("vec_id").as("doc_a"), col("bkey"))
-          .join(bands.join(b.select(col("doc_b").as("vec_id")), Seq("vec_id"))
-            .select(col("vec_id").as("doc_b"), col("bkey")), Seq("bkey"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-      }
+    val (a, b) = bitextSides(emb, docLangs, langA, langB)
+    val cand = bitextCandidates(emb, a, b, banded)
     // scored pairs feed three consumers (both k-NN sums + the margin)
     val p = graft.CacheScope.persist(cand
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
@@ -1591,6 +1603,52 @@ object VectorOps {
         Window.partitionBy(col("doc_b")).orderBy(col("margin").desc, col("doc_a"))))
       .filter(col("rka") === 1 && col("rkb") === 1 && col("margin") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cr").as("cosine"), col("margin"))
+  }
+
+  /** The banded miner's HONESTY LEG (the `dedup_lsh_recall` convention —
+    * every banded family here ships an exact-vs-banded recall check):
+    * mined-pair recall of the production banded [[bitextMarginPairs]]
+    * against the exhaustive brute scorer, on the SAME corpus. The two
+    * legs differ in BOTH candidates and margin denominators (the k-NN
+    * sums see only banded candidates in banded mode — exactly CCMatrix's
+    * scoring-over-ANN-candidates trade), so the number measured here is
+    * end-to-end mined-pair recall, not candidate recall. Brute is
+    * affordable as a diagnostic because the pair space is
+    * |langA|·|langB| within one language pair — at a scale where it
+    * isn't, gate both legs on the same md5 half-sample
+    * ([[DedupOps.sampleDocs]], the `dedup_lsh_recall_sampled` pattern);
+    * both legs must see the identical sub-corpus or the ratio is
+    * meaningless. Output: one row (brute_pairs, banded_pairs, hits,
+    * recall). */
+  def bitextBandedRecall(emb: DataFrame, docLangs: DataFrame,
+                         langA: String = "en", langB: String = "de",
+                         k: Int = BitextNnK,
+                         threshold: Double = BitextMarginThreshold): DataFrame = {
+    val banded = bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+      banded = true).select(col("doc_a"), col("doc_b"))
+    val brute = graft.CacheScope.persist(
+      bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+        banded = false).select(col("doc_a"), col("doc_b")))
+    val hits = brute.join(banded, Seq("doc_a", "doc_b"))
+    // loss attribution: was the brute-mined pair even in the banded
+    // CANDIDATE set? cand_recall >> recall means the margin DENOMINATOR
+    // drifted (k-NN sums over candidates only); cand_recall ≈ recall
+    // means the bands simply never presented the pair
+    val (sa, sb) = bitextSides(emb, docLangs, langA, langB)
+    val candHits = brute.join(
+      bitextCandidates(emb, sa, sb, banded = true), Seq("doc_a", "doc_b"))
+    brute.agg(count(lit(1)).as("brute_pairs"))
+      .crossJoin(banded.agg(count(lit(1)).as("banded_pairs")))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .crossJoin(candHits.agg(count(lit(1)).as("cand_hits")))
+      .select(col("brute_pairs"), col("banded_pairs"), col("hits"),
+        when(col("brute_pairs") === 0, lit(1.0))
+          .otherwise(round(col("hits").cast("double") / col("brute_pairs")
+            + lit(1e-9), 4)).as("recall"),
+        col("cand_hits"),
+        when(col("brute_pairs") === 0, lit(1.0))
+          .otherwise(round(col("cand_hits").cast("double") / col("brute_pairs")
+            + lit(1e-9), 4)).as("cand_recall"))
   }
 
   /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when

@@ -396,6 +396,16 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the banded miner's honesty leg: end-to-end mined-pair recall of
+    // the production banded candidates vs the exhaustive brute scorer
+    // (the dedup_lsh_recall convention — bitext was the one banded
+    // family without one)
+    "bitext_banded_recall" -> ((s, d) =>
+      VectorOps.bitextBandedRecall(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
     // graph index persistence round-trip: edges + entry layer written to
     // parquet, reloaded, beam-served — equals ann_graph_topk exactly;
     // the steady state pays only the O(1)-per-query search
@@ -530,12 +540,9 @@ object VectorQueries extends QueryModule {
        |$roundCtes""".stripMargin
   }
 
-  /** Shared bitext-margin oracle chain ending in
-    * `m(doc_a, doc_b, cr, margin)` — the one-best miner and the mutual
-    * filter differ only in their rank tails. Interpolates the same
-    * [[VectorOps.BitextNnK]] the Spark side reads. */
-  private val bitextCtes: String = {
-    val k = VectorOps.BitextNnK
+  /** Shared bitext BASE chain — the language-labelled vector frames plus
+    * the capped sign-LSH band index (the banded candidate source). */
+  private val bitextBaseCtes: String =
     s"""q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
        |l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
        |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
@@ -549,27 +556,47 @@ object VectorQueries extends QueryModule {
        |  FROM sg),
        |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
        |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
-       |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh)),
-       |cand AS (SELECT DISTINCT ba.vec_id AS doc_a, bb2.vec_id AS doc_b
-       |  FROM bands ba JOIN bands bb2 ON ba.bkey = bb2.bkey
-       |  WHERE ba.vec_id IN (SELECT doc_a FROM aa)
-       |    AND bb2.vec_id IN (SELECT doc_b FROM bb)),
-       |p AS (SELECT cand.doc_a, cand.doc_b,
+       |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh))""".stripMargin
+
+  /** Parameterized bitext-margin score chain over [[bitextBaseCtes]],
+    * ending in `<px>m(doc_a, doc_b, cr, margin)` — the one-best miner
+    * and the mutual filter differ only in their rank tails; the recall
+    * diagnostic instantiates it twice (banded + brute) under distinct
+    * prefixes. Interpolates the same [[VectorOps.BitextNnK]] the Spark
+    * side reads. */
+  private def bitextScoreCtes(px: String, banded: Boolean): String = {
+    val k = VectorOps.BitextNnK
+    val cand =
+      if (banded)
+        s"""${px}cand AS (SELECT DISTINCT ba.vec_id AS doc_a, bb2.vec_id AS doc_b
+           |  FROM bands ba JOIN bands bb2 ON ba.bkey = bb2.bkey
+           |  WHERE ba.vec_id IN (SELECT doc_a FROM aa)
+           |    AND bb2.vec_id IN (SELECT doc_b FROM bb))""".stripMargin
+      else
+        s"""${px}cand AS (SELECT aa.doc_a, bb.doc_b FROM aa CROSS JOIN bb)""".stripMargin
+    s"""$cand,
+       |${px}p AS (SELECT ${px}cand.doc_a, ${px}cand.doc_b,
        |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
-       |  FROM cand JOIN aa ON cand.doc_a = aa.doc_a
-       |  JOIN bb ON cand.doc_b = bb.doc_b),
-       |ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
+       |  FROM ${px}cand JOIN aa ON ${px}cand.doc_a = aa.doc_a
+       |  JOIN bb ON ${px}cand.doc_b = bb.doc_b),
+       |${px}ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
-       |          ORDER BY cr DESC, doc_b) AS rk FROM p)
+       |          ORDER BY cr DESC, doc_b) AS rk FROM ${px}p)
        |  WHERE rk <= $k GROUP BY doc_a),
-       |rb AS (SELECT doc_b, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sb
+       |${px}rb AS (SELECT doc_b, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sb
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_b
-       |          ORDER BY cr DESC, doc_a) AS rk FROM p)
+       |          ORDER BY cr DESC, doc_a) AS rk FROM ${px}p)
        |  WHERE rk <= $k GROUP BY doc_b),
-       |m AS (SELECT p.doc_a, p.doc_b, cr,
+       |${px}m AS (SELECT ${px}p.doc_a, ${px}p.doc_b, cr,
        |    ROUND(cr * ${2 * k} / (sa + sb) + 1e-9, 6) AS margin
-       |  FROM p JOIN ra ON p.doc_a = ra.doc_a JOIN rb ON p.doc_b = rb.doc_b)""".stripMargin
+       |  FROM ${px}p JOIN ${px}ra ON ${px}p.doc_a = ${px}ra.doc_a
+       |  JOIN ${px}rb ON ${px}p.doc_b = ${px}rb.doc_b)""".stripMargin
   }
+
+  /** The banded instance under the CTE names the carried oracles use. */
+  private val bitextCtes: String =
+    s"""$bitextBaseCtes,
+       |${bitextScoreCtes("", banded = true)}""".stripMargin
 
   /** Shared oracle chain `sc2(vec_id, cluster_id)` — the full
     * semantic-clusters spelling (kmeans cells → same-cell kNN → mutual
@@ -672,6 +699,38 @@ object VectorQueries extends QueryModule {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
          |        ORDER BY margin DESC, doc_b) AS rk FROM m)
          |WHERE rk = 1 AND margin >= ${VectorOps.BitextMarginThreshold}""".stripMargin,
+
+    // both legs instantiated from ONE parameterized chain (banded under
+    // "bd", brute under "br"), mined one-best sets intersected
+    "bitext_banded_recall" -> {
+      val t = VectorOps.BitextMarginThreshold
+      s"""WITH $bitextBaseCtes,
+         |${bitextScoreCtes("bd", banded = true)},
+         |${bitextScoreCtes("br", banded = false)},
+         |bdmined AS (SELECT doc_a, doc_b
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY margin DESC, doc_b) AS rk FROM bdm)
+         |  WHERE rk = 1 AND margin >= $t),
+         |brmined AS (SELECT doc_a, doc_b
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY margin DESC, doc_b) AS rk FROM brm)
+         |  WHERE rk = 1 AND margin >= $t),
+         |h AS (SELECT COUNT(*) AS hits FROM brmined JOIN bdmined
+         |        USING (doc_a, doc_b)),
+         |ch AS (SELECT COUNT(*) AS cand_hits FROM brmined JOIN bdcand
+         |        USING (doc_a, doc_b))
+         |SELECT (SELECT COUNT(*) FROM brmined) AS brute_pairs,
+         |  (SELECT COUNT(*) FROM bdmined) AS banded_pairs,
+         |  hits,
+         |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
+         |    ELSE ROUND(CAST(hits AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS recall,
+         |  cand_hits,
+         |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
+         |    ELSE ROUND(CAST(cand_hits AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS cand_recall
+         |FROM h CROSS JOIN ch""".stripMargin
+    },
 
     // the intersection filter: both directions' rank-1 in one pass
     "bitext_mutual_pairs" ->

@@ -883,9 +883,11 @@ object StreamingJobs {
 
   /** Stage-0 → stage-1 routing row of [[refreshStream]]: a band-level
     * membership op (`addprobe`/`remove`) or a band-less fate marker
-    * (`gated`/`evicted`, bkey = "fate:doc"). */
+    * (`gated`/`evicted`, bkey = "fate:doc"). `sh` carries the doc's
+    * distinct shingle set on `addprobe` routes so the band store can
+    * verify exact Jaccard against its members (empty otherwise). */
   final case class RefreshRoute(bkey: String, doc_id: Long, op: String,
-                                kind: String, cid: Long)
+                                kind: String, cid: Long, sh: Seq[String])
 
   /** Stage-1 → stage-2 row: a band probe result or a passed-through
     * fate marker. */
@@ -910,12 +912,21 @@ object StreamingJobs {
     *     fails the gates, and an explicit delete all evict their stale
     *     membership instead of leaving ghost members, and total band
     *     state tracks the LIVE corpus, not stream length;
-    *  2. a BAND-keyed member-set store (the SAME band arithmetic as
-    *     the batch DSL via the native kernel, so stream and batch can
-    *     never disagree on a key; a band past `maxBandBucket` stops
-    *     emitting hits and stops growing — the streaming mirror of
-    *     `DedupOps.capBands`): removes first, then `addprobe`s in
-    *     doc order — each probe answers with the min existing member;
+    *  2. a BAND-keyed member store holding each member's doc_id AND its
+    *     distinct shingle set (the SAME band arithmetic as the batch DSL
+    *     via the native kernel, so stream and batch can never disagree
+    *     on a key): removes first, then `addprobe`s in doc order — each
+    *     probe answers with the min member whose EXACT shingle Jaccard
+    *     with the candidate is ≥ `threshold`, the same verification
+    *     `DedupOps.probeDupHits` runs in the batch twin (a band
+    *     collision alone never classifies: sub-threshold collisions are
+    *     `indexed` in both engines). A band AT `maxBandBucket` members
+    *     stops emitting hits and stops growing — `count > maxBucket`
+    *     buckets are the ones batch `DedupOps.capBands` drops, so the
+    *     stream refuses the insert that would cross that bound; hits
+    *     emitted BEFORE a band went hot are inherently unretractable in
+    *     append mode (the one documented batch/stream divergence at the
+    *     cap boundary — batch drops the whole hot band retroactively);
     *     band-less fate markers (gated/evicted) pass through untouched;
     *  3. a per-(doc, op) assembly of the ≤4 band verdicts into ONE fate
     *     row — gated / evicted / near_dup(dup_of) / indexed(cell) —
@@ -930,7 +941,8 @@ object StreamingJobs {
     * match-after-eviction and ghost-free re-upserts. */
   def refreshStream(events: org.apache.spark.sql.Dataset[(Long, Long, String, String, Seq[Float])],
                     cents: Array[Array[Long]],
-                    maxBandBucket: Int = graft.pipeline.DedupOps.MaxBandBucket)
+                    maxBandBucket: Int = graft.pipeline.DedupOps.MaxBandBucket,
+                    threshold: Double = 0.5)
       : org.apache.spark.sql.Dataset[RefreshFate] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -943,17 +955,22 @@ object StreamingJobs {
         nexpr(VectorOps.quant), cents, 1))
       .getItem(0).getField("c").cast("long")
     // everything row-local happens BEFORE the first shuffle: gate
-    // verdict, band keys, cell assignment
+    // verdict, band keys, shingle set, cell assignment. The shingle set
+    // rides along so the band store can verify exact Jaccard — the same
+    // distinct-3-shingle strings DedupOps.shingleRows feeds the batch
+    // verification, so stream and batch agree on the arithmetic.
+    val shCol = DedupOps.shingles(split(col("text"), " "))
     val staged = base
       .select(col("doc_id"), col("seq"), col("op"), keep.as("keep"),
         cidCol.as("cid"),
         DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(
-          DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " "))))))).as("bands"))
-      .as[(Long, Long, String, Boolean, Long, Seq[String])]
+          DedupOps.shingleHashes(shCol))))).as("bands"),
+        shCol.as("sh"))
+      .as[(Long, Long, String, Boolean, Long, Seq[String], Seq[String])]
     // stage 1: per-doc membership normalizer
     val routes = staged.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (doc: Long, it: Iterator[(Long, Long, String, Boolean, Long, Seq[String])],
+      (doc: Long, it: Iterator[(Long, Long, String, Boolean, Long, Seq[String], Seq[String])],
        state: GroupState[Seq[String]]) =>
         val evs = it.toSeq
         val w = evs.maxBy(e => (e._2, e._3 == "delete"))
@@ -964,39 +981,58 @@ object StreamingJobs {
           else (w._6.distinct.sorted, "probe")
         val out = scala.collection.mutable.ArrayBuffer.empty[RefreshRoute]
         (old.toSet -- newBands).toSeq.sorted.foreach(b =>
-          out += RefreshRoute(b, doc, w._3, "remove", 0L))
+          out += RefreshRoute(b, doc, w._3, "remove", 0L, Seq.empty))
         if (fateKind == "probe")
-          newBands.foreach(b => out += RefreshRoute(b, doc, w._3, "addprobe", w._5))
-        else out += RefreshRoute(s"fate:$doc", doc, w._3, fateKind, 0L)
+          newBands.foreach(b =>
+            out += RefreshRoute(b, doc, w._3, "addprobe", w._5, w._7))
+        else out += RefreshRoute(s"fate:$doc", doc, w._3, fateKind, 0L, Seq.empty)
         if (newBands.isEmpty) state.remove() else state.update(newBands)
         out.iterator
     }
-    // stage 2: band member sets — removes first, then probes in doc order
+    // stage 2: band member stores (doc_id -> shingle set) — removes
+    // first, then probes in doc order; a probe's hit is the min member
+    // passing the exact-Jaccard verification (batch probeDupHits parity)
     val probes = routes.groupByKey(_.bkey).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (key: String, it: Iterator[RefreshRoute], state: GroupState[Seq[Long]]) =>
+      (key: String, it: Iterator[RefreshRoute],
+       state: GroupState[Seq[(Long, Seq[String])]]) =>
         val evs = it.toSeq
         if (key.startsWith("fate:"))
           evs.sortBy(_.doc_id)
             .map(e => RefreshProbe(e.doc_id, e.op, e.kind, e.cid, None)).iterator
         else {
-          var members = state.getOption.getOrElse(Seq.empty).toSet
+          var members = state.getOption.getOrElse(Seq.empty).toMap
           val out = scala.collection.mutable.ArrayBuffer.empty[RefreshProbe]
           evs.filter(_.kind == "remove").sortBy(_.doc_id)
             .foreach(e => members -= e.doc_id)
           evs.filter(_.kind == "addprobe").sortBy(_.doc_id).foreach { e =>
-            val others = members - e.doc_id
-            val hot = members.size > maxBandBucket
+            // pre-insert boundary = batch capBands: a band the insert
+            // would push past maxBandBucket is one batch drops whole
+            val hot = members.size >= maxBandBucket
+            val sa = e.sh.toSet
+            val verified = (members - e.doc_id).collect {
+              case (m, msh) if {
+                val sb = msh.toSet
+                val inter = (sa & sb).size
+                inter.toDouble / (sa.size + sb.size - inter) >= threshold
+              } => m
+            }
             out += RefreshProbe(e.doc_id, e.op, "probe", e.cid,
-              if (hot || others.isEmpty) None else Some(others.min))
-            if (!hot) members += e.doc_id
+              if (hot || verified.isEmpty) None else Some(verified.min))
+            if (!hot) members += (e.doc_id -> e.sh)
           }
           if (members.isEmpty) state.remove()
-          else state.update(members.toSeq.sorted)
+          else state.update(members.toSeq.sortBy(_._1))
           out.iterator
         }
     }
-    // stage 3: one fate per (doc, op)
+    // stage 3: one fate per (doc, op) — a pure per-group fold. Append-
+    // mode streams admit no stateless mapGroups (AnalysisException:
+    // "mapGroups is not supported with streaming DataFrames"), so the
+    // GroupState[Boolean] slot below is the minimal Spark-supported
+    // spelling; it is never read or updated, and its state store stays
+    // at zero rows for the life of the query (StreamProbe pins the
+    // [0, …] fates-store row count).
     probes.groupByKey(p => (p.doc_id, p.op)).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (key: (Long, String), it: Iterator[RefreshProbe],

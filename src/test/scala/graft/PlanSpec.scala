@@ -62,7 +62,8 @@ class PlanSpec extends SparkSpec {
     "quality_ppl_loo" -> "broadcasts the 1-row vocabulary-size (V) aggregate over the transition stream — the quality_ref_ppl stats shape; all other model tables join by key",
     "ann_sq8_recall" -> "both legs are the brute-force fixed-query-set baseline (vec_id < 10): exact cosine and decoded-SQ8 cosine each crossJoin the <= 10-row broadcast query set",
     "ts_similarity_search" -> "broadcasts the 24-row query window (the offset explode side), its 1-row moment aggregate, and the 1-row series-length aggregate — all query-pattern-sized, never corpus-sized",
-    "ann_multiprobe_mrr" -> "contains the brute-force exact top-1 baseline (fixed query set, the ann_cosine_topk shape)")
+    "ann_multiprobe_mrr" -> "contains the brute-force exact top-1 baseline (fixed query set, the ann_cosine_topk shape)",
+    "bitext_banded_recall" -> "brute leg is the exhaustive langA x langB semantics reference BY DESIGN (the decontam_semantic_recall honesty-diagnostic convention); broadcast side is the langB slice, language-pair bounded, with the md5 half-sample gate as the at-scale escape hatch; the tail crossJoins are 1-row count aggregates")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets

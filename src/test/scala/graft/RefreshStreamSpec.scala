@@ -130,6 +130,86 @@ class RefreshStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // textA plus 8 fresh tokens: shares 22 of 30 shingles with textA —
+  // exact Jaccard 22/30 ≈ 0.733 (the sub-threshold probe for a raised
+  // threshold), still gate-passing (32 words, mean len 155/32 ∈ [4,5]).
+  // This particular suffix was searched offline to SHARE A BAND with
+  // textA (one of the four band keys matches — band collision is
+  // probabilistic in the suffix choice, ~75% per candidate).
+  private val textExt =
+    (("the" +: "of" +: (0 until 22).map(i => f"w$i%02dxy")) ++
+      (0 until 8).map(i => f"e$i%02da0")).mkString(" ")
+
+  test("band collision classifies near_dup ONLY when exact Jaccard passes " +
+    "(batch probeDupHits verification parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // leg 1, threshold 0.5: the pair must band-collide AND verify
+    // (J = 0.733 >= 0.5) -> near_dup. This leg also PROVES the band
+    // collision exists, so leg 2 can't pass vacuously.
+    val in1 = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q1 = StreamingJobs.refreshStream(in1.toDS(), mkCents)
+      .writeStream.format("memory").queryName("refresh_verify_lo")
+      .outputMode("append").start()
+    try {
+      in1.addData(Seq((1L, 10L, "upsert", textA, e1)))
+      q1.processAllAvailable()
+      in1.addData(Seq((2L, 20L, "upsert", textExt, e1)))
+      q1.processAllAvailable()
+      val got = spark.table("refresh_verify_lo").collect()
+        .map(r => (r.getLong(0), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(got.contains((2L, "near_dup", Some(1L))),
+        s"textExt must band-collide with textA and verify at 0.5: $got")
+    } finally q1.stop()
+    // leg 2, threshold 0.8: same band collision, but 0.733 < 0.8 — the
+    // verification screens it out and the doc indexes fresh (what batch
+    // probeDupHits does; a collision alone must never classify)
+    val in2 = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q2 = StreamingJobs.refreshStream(in2.toDS(), mkCents, threshold = 0.8)
+      .writeStream.format("memory").queryName("refresh_verify_hi")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((1L, 10L, "upsert", textA, e1)))
+      q2.processAllAvailable()
+      in2.addData(Seq((2L, 20L, "upsert", textExt, e1)))
+      q2.processAllAvailable()
+      val got = spark.table("refresh_verify_hi").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got.contains((2L, "indexed")),
+        s"sub-threshold collision must index, not near_dup: $got")
+    } finally q2.stop()
+  }
+
+  test("a band AT maxBandBucket stops emitting hits and stops growing " +
+    "(the capBands boundary: count > maxBucket bands are batch-dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    val q = StreamingJobs.refreshStream(in.toDS(), mkCents, maxBandBucket = 2)
+      .writeStream.format("memory").queryName("refresh_hotcap")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 10L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      in.addData(Seq((2L, 20L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      // doc 3 would make every shared band 3 members > maxBucket = 2:
+      // exactly the bucket batch capBands drops — the stream refuses
+      // the insert and emits no hit (doc 2's pre-hot near_dup is the
+      // documented unretractable emission)
+      in.addData(Seq((3L, 30L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      in.addData(Seq((4L, 40L, "upsert", textA, e1)))
+      q.processAllAvailable()
+      val got = spark.table("refresh_hotcap").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toList
+      assert(got.contains((1L, "indexed")) && got.contains((2L, "near_dup")))
+      assert(got.contains((3L, "indexed")) && got.contains((4L, "indexed")),
+        s"at-capacity band must stop hitting AND stop growing: $got")
+    } finally q.stop()
+  }
+
   test("re-upsert with the same text re-emits a fate without duplicate membership") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
