@@ -1388,6 +1388,88 @@ object VectorOps {
     recallVs(bruteForceTopK(emb, queryMaxId, k),
       graphBeamTopK(emb, queryMaxId, k), k)
 
+  /** The (beam, rounds) budgets [[serveModeDiagnostic]] measures the
+    * graph serve at — the shipped default plus two escalations (shared
+    * with the DuckDB oracle so a retune can't desync the replay). */
+  val AnnServeBudgets: Seq[(Int, Int)] =
+    Seq((GraphBeamWidth, GraphBeamRounds), (16, 4), (32, 6))
+  /** Recall slack of the serve-mode pick: any mode within this of the
+    * best measured recall is eligible, and the cheapest eligible mode
+    * wins (shared with the oracle). */
+  val AnnServeRecallSlack = 0.05
+
+  /** ANN SERVE-MODE ROUTER — the decision the r15 recall table left
+    * implicit: per corpus, measure recall@k of the IVF cell scan and
+    * the graph beam at each [[AnnServeBudgets]] budget over the fixed
+    * query sample, report the corpus cell evidence (ncells, max cell,
+    * corpus size) and each mode's per-query visit bound, and emit the
+    * PICK: the cheapest mode whose mean recall is within
+    * [[AnnServeRecallSlack]] of the best. The visit bound is each
+    * mode's per-query touched-candidate ceiling — nprobe·max_cell for
+    * the cell scan (it scans probed cells WHOLE, so it pays cell growth
+    * at 100 TB), ncells + rounds·beam·graphK for the beam (corpus-size-
+    * independent — the reason the beam wins once cells outgrow the
+    * probe budget even where its recall trails on weakly-clustered
+    * data). One graph build serves every budget; the exact baseline,
+    * cell stats, and all mode rows are single-digit-row frames.
+    * Output: one row per mode (mode, beam, rounds, mean_recall,
+    * visit_bound, ncells, max_cell, n_vecs, picked). */
+  def serveModeDiagnostic(emb: DataFrame, queryMaxId: Long, k: Int,
+                          graphK: Int = 3, targetCellSize: Int = 50,
+                          budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
+    val cents = kmeansCentroids(emb, targetCellSize)
+    val cells = graft.CacheScope.persist(
+      kmeansRanked(emb, cents, maxRank = 1).select(col("vec_id"), col("cid")))
+    val edges = graft.CacheScope.persist(
+      knnGraphFromCells(emb, cells, graphK).select(col("src"), col("dst")))
+    val entries = entryLayer(cells)
+    val exact = graft.CacheScope.persist(
+      bruteForceTopK(emb, queryMaxId, k).select(col("q_id"), col("vec_id")))
+    // corpus cell evidence: 1 row, reused by every mode row
+    val cellStats = graft.CacheScope.persist(
+      cells.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
+        .agg(count(lit(1)).as("ncells"), max(col("cn")).as("max_cell"),
+          sum(col("cn")).as("n_vecs")))
+    // mean recall as sum(hits)/(nq*k) — integer totals, ONE double
+    // division, no mean-of-rounded-means drift between engines
+    def modeRow(mode: String, beam: Int, rounds: Int, approx: DataFrame,
+                bound: Column): DataFrame =
+      recallVs(exact, approx, k)
+        .agg(sum(col("hits")).as("sum_hits"), count(lit(1)).as("nq"))
+        .crossJoin(cellStats)
+        .select(lit(mode).as("mode"),
+          lit(beam.toLong).as("beam"), lit(rounds.toLong).as("rounds"),
+          round(col("sum_hits").cast("double") / (col("nq") * k) + lit(1e-9), 4)
+            .as("mean_recall"),
+          bound.cast("long").as("visit_bound"),
+          col("ncells"), col("max_cell"), col("n_vecs"))
+    val nprobe = defaultNprobe(cents.length)
+    val ivfRow = modeRow("ivf_scan", 0, 0,
+      ivfKmeansTopK(emb, k, targetCellSize).filter(col("q_id") < queryMaxId),
+      lit(nprobe) * col("max_cell"))
+    val beamRows = budgets.map { case (b, r) =>
+      modeRow(s"beam_${b}x$r", b, r,
+        graphBeamSearch(emb, edges, entries, queryMaxId, k, b, r),
+        col("ncells") + lit(r.toLong * b * graphK))
+    }
+    val modes = graft.CacheScope.persist(
+      (ivfRow +: beamRows).reduce(_ unionByName _))
+    // pick = cheapest visit_bound among modes within slack of the best
+    // recall (1-row aggregates crossJoined back — no global window)
+    val best = modes.agg(max(col("mean_recall")).as("best_recall"))
+    val withElig = graft.CacheScope.persist(
+      modes.crossJoin(broadcast(best))
+        .withColumn("eligible",
+          col("mean_recall") >= col("best_recall") - lit(AnnServeRecallSlack)))
+    val pick = withElig.filter(col("eligible"))
+      .orderBy(col("visit_bound"), col("mode")).limit(1)
+      .select(col("mode").as("pick_mode"))
+    withElig.crossJoin(broadcast(pick))
+      .select(col("mode"), col("beam"), col("rounds"), col("mean_recall"),
+        col("visit_bound"), col("ncells"), col("max_cell"), col("n_vecs"),
+        (col("mode") === col("pick_mode")).as("picked"))
+  }
+
   /** Graph-index PERSISTENCE round-trip — build the kNN edge list and
     * the per-cell entry layer ONCE, write both to `indexDir` (parquet,
     * the [[ivfKmeansServe]] convention), reload, and beam-serve over
@@ -1428,7 +1510,10 @@ object VectorOps {
     * (the standard incremental-graph trade — arriving nodes are
     * reachable through the per-cell entry layer, which IS recomputed
     * over the extended corpus, until the periodic rebuild refreshes the
-    * stale lists); the oracle replays exactly this asymmetric edge set.
+    * stale lists; [[graphIndexStaleness]] is the diagnostic that
+    * decides WHEN — appended fraction + measured recall delta vs a
+    * fresh rebuild → rebuild verdict); the oracle replays exactly this
+    * asymmetric edge set.
     * Serve = the same beam search over base ∪ appended edges. */
   def graphBeamAppend(emb: DataFrame, splitId: Long, queryMaxId: Long, k: Int,
                       indexDir: String,
@@ -1474,6 +1559,60 @@ object VectorOps {
         .unionByName(newEdges)
         .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"))))
     graphBeamSearch(emb, edges, entryLayer(allCells), queryMaxId, k, beam, rounds)
+  }
+
+  /** Rebuild triggers of [[graphIndexStaleness]] (shared with the
+    * oracle): rebuild when the appended fraction crosses
+    * [[AnnRebuildAppendedFrac]] OR the measured recall delta of the
+    * appended index vs a fresh rebuild crosses
+    * [[AnnRebuildRecallDelta]]. */
+  val AnnRebuildAppendedFrac = 0.2
+  val AnnRebuildRecallDelta = 0.1
+
+  /** INDEX STALENESS DIAGNOSTIC — the compaction trigger every
+    * incremental index deploys and [[graphBeamAppend]] was missing: how
+    * much has the appended index drifted from what a fresh rebuild
+    * would serve? Measures, on the fixed query sample, recall@k of the
+    * appended serve (frozen centroids, asymmetric edges, stale base
+    * adjacency) and of a from-scratch rebuild, plus the appended
+    * fraction of the corpus, and emits the REBUILD verdict from the
+    * [[AnnRebuildAppendedFrac]]/[[AnnRebuildRecallDelta]] triggers —
+    * the GraphAnnSpec stale-vs-fresh comparison productized. The IVF
+    * append ([[ivfKmeansAppend]]) shares the same drift mechanics
+    * (frozen quantizer), so one verdict covers both artifacts of a
+    * build. Cost: two serves + the brute baseline on the bounded query
+    * sample — a diagnostic run, not a hot-path stage. Output: one row
+    * (n_base, n_appended, appended_frac, recall_appended, recall_fresh,
+    * recall_delta, rebuild). */
+  def graphIndexStaleness(emb: DataFrame, splitId: Long, queryMaxId: Long,
+                          k: Int, indexDir: String,
+                          graphK: Int = 3, targetCellSize: Int = 50): DataFrame = {
+    val exact = graft.CacheScope.persist(
+      bruteForceTopK(emb, queryMaxId, k).select(col("q_id"), col("vec_id")))
+    def meanRecall(approx: DataFrame, out: String): DataFrame =
+      recallVs(exact, approx, k)
+        .agg(sum(col("hits")).as("sh"), count(lit(1)).as("nq"))
+        .select(round(col("sh").cast("double") / (col("nq") * k) + lit(1e-9), 4)
+          .as(out))
+    val appended = meanRecall(
+      graphBeamAppend(emb, splitId, queryMaxId, k, indexDir,
+        graphK = graphK, targetCellSize = targetCellSize), "recall_appended")
+    val fresh = meanRecall(
+      graphBeamTopK(emb, queryMaxId, k,
+        graphK = graphK, targetCellSize = targetCellSize), "recall_fresh")
+    val counts = emb.agg(
+      sum(when(col("vec_id") < splitId, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("vec_id") >= splitId, 1L).otherwise(0L)).as("n_appended"))
+    counts.crossJoin(appended).crossJoin(fresh)
+      .withColumn("appended_frac",
+        round(col("n_appended").cast("double")
+          / (col("n_base") + col("n_appended")) + lit(1e-9), 4))
+      .withColumn("recall_delta",
+        round(col("recall_fresh") - col("recall_appended") + lit(1e-9), 4))
+      .select(col("n_base"), col("n_appended"), col("appended_frac"),
+        col("recall_appended"), col("recall_fresh"), col("recall_delta"),
+        (col("appended_frac") >= AnnRebuildAppendedFrac ||
+          col("recall_delta") >= AnnRebuildRecallDelta).as("rebuild"))
   }
 
   /** BITEXT MINING with the margin criterion (Artetxe & Schwenk 2019,

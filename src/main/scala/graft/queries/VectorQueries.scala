@@ -44,52 +44,53 @@ object VectorQueries extends QueryModule {
     * squared-distance comparisons all BIGINT, ties to the lowest cid,
     * empty clusters carry the previous centroid forward. */
   private[queries] def kmeansCtes(iters: Int = 4, fitPred: String = "TRUE",
-                                  drawSalt: Option[String] = None): String = {
+                                  drawSalt: Option[String] = None,
+                                  px: String = ""): String = {
     def dist(qv: String, c: String) =
       s"list_sum(list_transform(range(1, len($qv) + 1), j -> ($qv[j] - $c[j]) * ($qv[j] - $c[j])))"
     // fit-sample order: lowest vec_ids by default; lowest md5 draws for
     // the hash-sampled (corpus-representative) fit — VectorOps.vecDraw
     val sampSel = drawSalt match {
-      case None => s"samp AS (SELECT vec_id, qv FROM q WHERE $fitPred ORDER BY vec_id LIMIT 512),"
+      case None => s"${px}samp AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE $fitPred ORDER BY vec_id LIMIT 512),"
       case Some(salt) =>
-        s"""samp AS (SELECT vec_id, qv,
+        s"""${px}samp AS MATERIALIZED (SELECT vec_id, qv,
            |    CAST('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
            |      % 1000000 AS dr
            |  FROM q WHERE $fitPred ORDER BY dr, vec_id LIMIT 512),""".stripMargin
     }
     val sampOrd = drawSalt.map(_ => "dr, vec_id").getOrElse("vec_id")
     val head =
-      s"""par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k
+      s"""${px}par AS (SELECT GREATEST(1, LEAST((COUNT(*) + 49) // 50, 512)) AS k
          |       FROM embeddings WHERE $fitPred),
          |$sampSel
-         |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY $sampOrd) - 1 AS BIGINT) AS cid,
+         |${px}cent0 AS (SELECT CAST(row_number() OVER (ORDER BY $sampOrd) - 1 AS BIGINT) AS cid,
          |            qv AS cent
-         |          FROM samp QUALIFY row_number() OVER (ORDER BY $sampOrd) <= (SELECT k FROM par)),""".stripMargin
+         |          FROM ${px}samp QUALIFY row_number() OVER (ORDER BY $sampOrd) <= (SELECT k FROM ${px}par)),""".stripMargin
     val steps = (0 until iters).map { i =>
-      s"""asg$i AS (SELECT vec_id, qv, cid FROM (
+      s"""${px}asg$i AS MATERIALIZED (SELECT vec_id, qv, cid FROM (
          |  SELECT s.vec_id, s.qv, c.cid,
          |    row_number() OVER (PARTITION BY s.vec_id ORDER BY ${dist("s.qv", "c.cent")}, c.cid) AS rn
-         |  FROM samp s CROSS JOIN cent$i c) WHERE rn = 1),
-         |cmp$i AS (SELECT cid, j,
+         |  FROM ${px}samp s CROSS JOIN ${px}cent$i c) WHERE rn = 1),
+         |${px}cmp$i AS (SELECT cid, j,
          |    CASE WHEN SUM(qv[j + 1]) >= 0
          |      THEN (2 * SUM(qv[j + 1]) + COUNT(*)) // (2 * COUNT(*))
          |      ELSE -((-2 * SUM(qv[j + 1]) + COUNT(*)) // (2 * COUNT(*))) END AS r
-         |  FROM asg$i CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) jj
+         |  FROM ${px}asg$i CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) jj
          |  GROUP BY cid, j),
-         |cent${i + 1} AS (SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
-         |  FROM cent$i c LEFT JOIN (SELECT cid, list(CAST(r AS BIGINT) ORDER BY j) AS cent
-         |                           FROM cmp$i GROUP BY cid) n ON c.cid = n.cid),""".stripMargin
+         |${px}cent${i + 1} AS MATERIALIZED (SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+         |  FROM ${px}cent$i c LEFT JOIN (SELECT cid, list(CAST(r AS BIGINT) ORDER BY j) AS cent
+         |                           FROM ${px}cmp$i GROUP BY cid) n ON c.cid = n.cid),""".stripMargin
     }.mkString("\n")
     val tail =
-      s"""ranked AS (SELECT q.vec_id, q.qv, c.cid,
+      s"""${px}ranked AS MATERIALIZED (SELECT q.vec_id, q.qv, c.cid,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
-         |  FROM q CROSS JOIN cent$iters c),
-         |np AS (SELECT LEAST(16, GREATEST(1, (k + 4) // 5)) AS nprobe FROM par),
-         |kcells AS (SELECT vec_id, qv, cid FROM ranked WHERE rn = 1),
-         |kprobes AS (SELECT vec_id AS q_id, qv AS qqv, cid FROM ranked
-         |            WHERE rn <= (SELECT nprobe FROM np)),
-         |kcand AS (SELECT p.q_id, p.qqv, c.vec_id, c.qv
-         |          FROM kprobes p JOIN kcells c ON p.cid = c.cid AND c.vec_id <> p.q_id)""".stripMargin
+         |  FROM q CROSS JOIN ${px}cent$iters c),
+         |${px}np AS (SELECT LEAST(16, GREATEST(1, (k + 4) // 5)) AS nprobe FROM ${px}par),
+         |${px}kcells AS MATERIALIZED (SELECT vec_id, qv, cid FROM ${px}ranked WHERE rn = 1),
+         |${px}kprobes AS (SELECT vec_id AS q_id, qv AS qqv, cid FROM ${px}ranked
+         |            WHERE rn <= (SELECT nprobe FROM ${px}np)),
+         |${px}kcand AS MATERIALIZED (SELECT p.q_id, p.qqv, c.vec_id, c.qv
+         |          FROM ${px}kprobes p JOIN ${px}kcells c ON p.cid = c.cid AND c.vec_id <> p.q_id)""".stripMargin
     head + "\n" + steps + "\n" + tail
   }
 
@@ -396,6 +397,15 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the serve-mode ROUTER: measured recall@3 of the IVF cell scan vs
+    // the graph beam at three budgets + cell-size evidence + per-mode
+    // visit bounds -> the pick (cheapest mode within 0.05 of the best
+    // recall) — closes the "which serve do I call" gap of the r15
+    // recall table
+    "ann_serve_mode" -> ((s, d) =>
+      VectorOps.serveModeDiagnostic(Tables.embeddings(s, d),
+        queryMaxId = 10, k = 3)),
+
     // the banded miner's honesty leg: end-to-end mined-pair recall of
     // the production banded candidates vs the exhaustive brute scorer
     // (the dedup_lsh_recall convention — bitext was the one banded
@@ -423,6 +433,18 @@ object VectorQueries extends QueryModule {
       val split = (emb.agg(max("vec_id")).head.getLong(0) * 4) / 5
       VectorOps.graphBeamAppend(emb, split, queryMaxId = 10, k = 3,
         indexDir = s"target/graft-tmp/graph_append_${new java.io.File(d).getName}")
+    }),
+
+    // the rebuild trigger the append families were missing: appended
+    // fraction + measured recall delta (appended index vs a fresh
+    // rebuild, the GraphAnnSpec stale-vs-fresh comparison productized)
+    // -> rebuild verdict
+    "ann_index_staleness" -> ((s, d) => {
+      import org.apache.spark.sql.functions.max
+      val emb = Tables.embeddings(s, d)
+      val split = (emb.agg(max("vec_id")).head.getLong(0) * 4) / 5
+      VectorOps.graphIndexStaleness(emb, split, queryMaxId = 10, k = 3,
+        indexDir = s"target/graft-tmp/graph_stale_${new java.io.File(d).getName}")
     }),
 
     // DCLM-style rebalancing: at most 8 survivors per semantic cluster,
@@ -488,12 +510,13 @@ object VectorQueries extends QueryModule {
     * the incremental append can replay its asymmetric edge set: expects
     * `q` + [[kmeansCtes]] in scope, produces `<name>(src, dst, c, rk)`. */
   private def knnCtesAs(name: String, srcPred: String = "TRUE",
-                        dstPred: String = "TRUE"): String =
-    s"""${name}pr AS (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
-       |  FROM kcells a JOIN kcells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                        dstPred: String = "TRUE",
+                        cells: String = "kcells"): String =
+    s"""${name}pr AS MATERIALIZED (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
+       |  FROM $cells a JOIN $cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
        |  WHERE ($srcPred) AND ($dstPred)),
-       |${name}sc AS (SELECT src, dst, ${cosSql("qa", "qb")} AS c FROM ${name}pr),
-       |$name AS (SELECT * FROM (SELECT src, dst, c, row_number() OVER (
+       |${name}sc AS MATERIALIZED (SELECT src, dst, ${cosSql("qa", "qb")} AS c FROM ${name}pr),
+       |$name AS MATERIALIZED (SELECT * FROM (SELECT src, dst, c, row_number() OVER (
        |    PARTITION BY src ORDER BY c DESC, dst) AS rk FROM ${name}sc)
        |  WHERE rk <= 3)""".stripMargin
 
@@ -512,33 +535,50 @@ object VectorQueries extends QueryModule {
     * produces the final scored visited set `s<rounds>(q_id, vec_id, c)`
     * for queries vec_id < 10. Every constant interpolates from the
     * VectorOps vals so a retune can't desync engine and oracle. */
-  private val graphBeamCtes: String = {
-    val beam = VectorOps.GraphBeamWidth
-    val rounds = VectorOps.GraphBeamRounds
-    def scoreCte(i: Int) =
-      s"""s$i AS (SELECT v.q_id, v.vec_id, ${cosSql("qry.qqv", "q.qv")} AS c
-         |  FROM v$i v JOIN qry ON v.q_id = qry.q_id
-         |  JOIN q ON v.vec_id = q.vec_id)""".stripMargin
-    val roundCtes = (1 to rounds).map { i =>
-      s"""b$i AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
-         |  FROM s${i - 1}) WHERE rk <= $beam),
-         |v$i AS (SELECT DISTINCT q_id, vec_id FROM (
-         |  SELECT q_id, vec_id FROM s${i - 1}
-         |  UNION ALL
-         |  SELECT b.q_id, ed.dst AS vec_id FROM b$i b JOIN ed ON b.vec_id = ed.src)),
-         |${scoreCte(i)}""".stripMargin
-    }.mkString(",\n")
-    s"""qry AS (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 10),
-       |ent AS (SELECT vec_id FROM (SELECT vec_id, cid,
+  /** Budget-independent head of the beam replay: the query set, the
+    * per-cell entry layer, and the scored entry frontier `<hpx>s0` —
+    * prefixed so the staleness oracle can run two index instances in
+    * one statement. */
+  private def graphBeamHeadCtesP(hpx: String, cells: String): String =
+    s"""${hpx}qry AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 10),
+       |${hpx}ent AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY cid ORDER BY
        |      ${TextQueries.hex60Sql("md5('gent:' || CAST(vec_id AS VARCHAR))")}
        |        % 1000000, vec_id) AS re
-       |  FROM kcells) WHERE re = 1),
-       |v0 AS (SELECT q_id, vec_id FROM qry CROSS JOIN ent),
-       |${scoreCte(0)},
-       |$roundCtes""".stripMargin
+       |  FROM $cells) WHERE re = 1),
+       |${hpx}v0 AS (SELECT q_id, vec_id FROM ${hpx}qry CROSS JOIN ${hpx}ent),
+       |${hpx}s0 AS MATERIALIZED (SELECT v.q_id, v.vec_id, ${cosSql("qry.qqv", "q.qv")} AS c
+       |  FROM ${hpx}v0 v JOIN ${hpx}qry qry ON v.q_id = qry.q_id
+       |  JOIN q ON v.vec_id = q.vec_id)""".stripMargin
+
+  private val graphBeamHeadCtes: String = graphBeamHeadCtesP("", "kcells")
+
+  /** The per-budget round chains over [[graphBeamHeadCtes]]' shared
+    * `s0`, CTE names prefixed with `px` so the serve-mode router can
+    * replay several (beam, rounds) budgets in one statement; ends in
+    * `<px>s<rounds>`. */
+  private def graphBeamRoundCtes(px: String, beam: Int, rounds: Int,
+                                 hpx: String = "", ed: String = "ed"): String = {
+    def sN(i: Int) = if (i == 0) s"${hpx}s0" else s"${px}s$i"
+    (1 to rounds).map { i =>
+      s"""${px}b$i AS MATERIALIZED (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM ${sN(i - 1)}) WHERE rk <= $beam),
+         |${px}v$i AS MATERIALIZED (SELECT DISTINCT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id FROM ${sN(i - 1)}
+         |  UNION ALL
+         |  SELECT b.q_id, ed.dst AS vec_id FROM ${px}b$i b JOIN $ed ed ON b.vec_id = ed.src)),
+         |${sN(i)} AS MATERIALIZED (SELECT v.q_id, v.vec_id, ${cosSql("qry.qqv", "q.qv")} AS c
+         |  FROM ${px}v$i v JOIN ${hpx}qry qry ON v.q_id = qry.q_id
+         |  JOIN q ON v.vec_id = q.vec_id)""".stripMargin
+    }.mkString(",\n")
   }
+
+  /** The default-budget instance under the CTE names the carried
+    * graph oracles interpolate (`s${GraphBeamRounds}` etc.). */
+  private val graphBeamCtes: String =
+    s"""$graphBeamHeadCtes,
+       |${graphBeamRoundCtes("", VectorOps.GraphBeamWidth, VectorOps.GraphBeamRounds)}""".stripMargin
 
   /** Shared bitext BASE chain — the language-labelled vector frames plus
     * the capped sign-LSH band index (the banded candidate source). */
@@ -690,6 +730,75 @@ object VectorQueries extends QueryModule {
          |  ROUND(COALESCE(h, 0) / 3.0e0, 4) AS recall
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
+    // one statement replays every leg: the shared kmeans/knn/beam-head
+    // chains, one prefixed round chain per budget, the brute baseline,
+    // the nprobe cell scan, and the pick logic — every constant
+    // interpolates from the VectorOps vals the Spark side reads
+    "ann_serve_mode" -> {
+      val slack = VectorOps.AnnServeRecallSlack
+      val budgetCtes = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) => graphBeamRoundCtes(s"g$i", b, r)
+      }.mkString(",\n")
+      def beamMode(i: Int, b: Int, r: Int) = {
+        val sFinal = s"g${i}s$r"
+        s"""SELECT 'beam_${b}x$r' AS mode, CAST($b AS BIGINT) AS beam,
+           |  CAST($r AS BIGINT) AS rounds,
+           |  ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN (
+           |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+           |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+           |      FROM $sFinal WHERE vec_id <> q_id) WHERE rk <= 3) a
+           |      USING (q_id, vec_id)) AS DOUBLE)
+           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
+           |    AS mean_recall,
+           |  CAST((SELECT ncells FROM cst) + ${r * b * 3} AS BIGINT) AS visit_bound,
+           |  (SELECT ncells FROM cst) AS ncells,
+           |  (SELECT max_cell FROM cst) AS max_cell,
+           |  (SELECT n_vecs FROM cst) AS n_vecs""".stripMargin
+      }
+      val beamModes = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) => beamMode(i, b, r) }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |ed AS (SELECT src, dst FROM knn),
+         |$graphBeamHeadCtes,
+         |$budgetCtes,
+         |esc AS (SELECT q_id, q.vec_id AS vec_id, ${cosSql("qqv", "qv")} AS c
+         |        FROM qry CROSS JOIN q WHERE q.vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS MATERIALIZED (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |cst AS MATERIALIZED (SELECT COUNT(*) AS ncells, MAX(cn) AS max_cell,
+         |    CAST(SUM(cn) AS BIGINT) AS n_vecs
+         |  FROM (SELECT cid, COUNT(*) AS cn FROM kcells GROUP BY cid)),
+         |ivfa AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c
+         |        FROM kcand WHERE q_id < 10)) WHERE rk <= 3),
+         |modes AS MATERIALIZED (
+         |SELECT 'ivf_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN ivfa a
+         |      USING (q_id, vec_id)) AS DOUBLE)
+         |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
+         |    AS mean_recall,
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
+         |    AS visit_bound,
+         |  (SELECT ncells FROM cst) AS ncells,
+         |  (SELECT max_cell FROM cst) AS max_cell,
+         |  (SELECT n_vecs FROM cst) AS n_vecs
+         |UNION ALL
+         |$beamModes),
+         |best AS (SELECT MAX(mean_recall) AS br FROM modes),
+         |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible
+         |         FROM modes m CROSS JOIN best),
+         |pick AS (SELECT mode AS pick_mode FROM elig WHERE eligible
+         |         ORDER BY visit_bound, mode LIMIT 1)
+         |SELECT mode, beam, rounds, mean_recall, visit_bound, ncells,
+         |  max_cell, n_vecs, mode = (SELECT pick_mode FROM pick) AS picked
+         |FROM elig""".stripMargin
+    },
+
     // pairs scored once, both direction's 4-NN sums as exact
     // DECIMAL(20,6) aggregations of the 6-dp-rounded cosines, one
     // multiply+divide margin — identical IEEE inputs on both engines
@@ -762,6 +871,58 @@ object VectorQueries extends QueryModule {
          |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
          |  FROM s${VectorOps.GraphBeamRounds} WHERE vec_id <> q_id)
          |WHERE rk <= 3""".stripMargin
+    },
+
+    // two full index instances in one statement — the appended one
+    // (base fit, asymmetric edges + back-links: prefix a) and the fresh
+    // rebuild (full fit: prefix f) — each beam-served, both scored
+    // against the same brute baseline, folded into the verdict row
+    "ann_index_staleness" -> {
+      val split = "(SELECT (MAX(vec_id) * 4) // 5 FROM embeddings)"
+      val (w, r) = (VectorOps.GraphBeamWidth, VectorOps.GraphBeamRounds)
+      def mined(px: String) =
+        s"""SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+           |  FROM ${px}s$r WHERE vec_id <> q_id) WHERE rk <= 3""".stripMargin
+      def recallOf(px: String, out: String) =
+        s"""SELECT ROUND(CAST((SELECT COUNT(*) FROM exact JOIN (${mined(px)}) a
+           |      USING (q_id, vec_id)) AS DOUBLE)
+           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
+           |    AS $out""".stripMargin
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4, s"vec_id < $split", px = "a")},
+         |${knnCtesAs("aknno", s"a.vec_id < $split", s"b.vec_id < $split",
+            cells = "akcells")},
+         |${knnCtesAs("aknnn", s"a.vec_id >= $split", cells = "akcells")},
+         |aed AS MATERIALIZED (SELECT src, dst FROM aknno
+         |  UNION ALL SELECT src, dst FROM aknnn
+         |  UNION ALL SELECT dst AS src, src AS dst FROM aknnn),
+         |${graphBeamHeadCtesP("a", "akcells")},
+         |${graphBeamRoundCtes("ag", w, r, hpx = "a", ed = "aed")},
+         |${kmeansCtes(4, px = "f")},
+         |${knnCtesAs("fknn", cells = "fkcells")},
+         |fed AS MATERIALIZED (SELECT src, dst FROM fknn),
+         |${graphBeamHeadCtesP("f", "fkcells")},
+         |${graphBeamRoundCtes("fg", w, r, hpx = "f", ed = "fed")},
+         |esc AS (SELECT qry.q_id, q.vec_id AS vec_id, ${cosSql("qry.qqv", "q.qv")} AS c
+         |        FROM fqry qry CROSS JOIN q WHERE q.vec_id <> qry.q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS MATERIALIZED (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |cnt AS (SELECT COUNT(*) FILTER (vec_id < $split) AS n_base,
+         |        COUNT(*) FILTER (vec_id >= $split) AS n_appended FROM q),
+         |ra AS (${recallOf("ag", "recall_appended")}),
+         |rf AS (${recallOf("fg", "recall_fresh")})
+         |SELECT n_base, n_appended,
+         |  ROUND(CAST(n_appended AS DOUBLE) / (n_base + n_appended) + 1e-9, 4)
+         |    AS appended_frac,
+         |  recall_appended, recall_fresh,
+         |  ROUND(recall_fresh - recall_appended + 1e-9, 4) AS recall_delta,
+         |  (ROUND(CAST(n_appended AS DOUBLE) / (n_base + n_appended) + 1e-9, 4)
+         |     >= ${VectorOps.AnnRebuildAppendedFrac}
+         |   OR ROUND(recall_fresh - recall_appended + 1e-9, 4)
+         |     >= ${VectorOps.AnnRebuildRecallDelta}) AS rebuild
+         |FROM cnt CROSS JOIN ra CROSS JOIN rf""".stripMargin
     },
 
     // build -> persist -> reload -> serve equals the direct beam search
