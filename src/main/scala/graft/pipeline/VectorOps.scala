@@ -1253,9 +1253,9 @@ object VectorOps {
     * the src assignment) lets the incremental append compute NEW nodes'
     * edges against the FULL extended cell membership without re-pairing
     * the base corpus. */
-  private def knnGraphFromCells(emb: DataFrame, cells: DataFrame,
-                                k: Int,
-                                dstCells: Option[DataFrame] = None): DataFrame = {
+  private[graft] def knnGraphFromCells(emb: DataFrame, cells: DataFrame,
+                                       k: Int,
+                                       dstCells: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), quant.as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
@@ -1554,6 +1554,33 @@ object VectorOps {
     // reachable only when it happens to win a cell's entry draw (base
     // adjacency never points at it); with them its kNN targets route
     // the beam in. Still O(|batch|·graphK) appended rows.
+    val edges = graft.CacheScope.persist(
+      spark.read.parquet(s"$indexDir/edges")
+        .unionByName(newEdges)
+        .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"))))
+    graphBeamSearch(emb, edges, entryLayer(allCells), queryMaxId, k, beam, rounds)
+  }
+
+  /** Serve over the STREAMED-append graph artifacts — the read side of
+    * [[graft.streaming.StreamingJobs.graphIngestStream]]: base cells ∪
+    * every streamed batch's assignment, base edges ∪ streamed edges ∪
+    * their HNSW back-links, entry layer recomputed over the extended
+    * membership (exactly [[graphBeamAppend]]'s serve assembly, reading
+    * the per-trigger dirs instead of `cells_new`). When the whole
+    * append arrived in one trigger this EQUALS [[graphBeamAppend]]
+    * (GraphAnnSpec pins it); across triggers each batch's edges saw
+    * only the membership that existed at its trigger — the same
+    * incremental trade, one batch at a time. */
+  def graphBeamServeStreamed(emb: DataFrame, indexDir: String,
+                             queryMaxId: Long, k: Int,
+                             beam: Int = GraphBeamWidth,
+                             rounds: Int = GraphBeamRounds): DataFrame = {
+    val spark = emb.sparkSession
+    val allCells = graft.CacheScope.persist(
+      spark.read.parquet(s"$indexDir/cells")
+        .unionByName(spark.read.parquet(s"$indexDir/cells_stream/*")))
+    val newEdges = graft.CacheScope.persist(
+      spark.read.parquet(s"$indexDir/edges_stream/*"))
     val edges = graft.CacheScope.persist(
       spark.read.parquet(s"$indexDir/edges")
         .unionByName(newEdges)

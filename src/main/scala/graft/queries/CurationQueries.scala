@@ -17,6 +17,21 @@ object CurationQueries extends QueryModule {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** The deterministic old/new snapshot pair of the refresh composition
+    * — ONE spelling shared by the `incremental_refresh` query and the
+    * compaction round-trip spec (RefreshCompactionSpec), so the fates
+    * the compactor applies always describe the snapshots it reads. */
+  private[graft] def refreshSnapshots(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val dd = docs(s, d)
+    val oldSnap = dd.filter(TextOps.mdDraw6("snapold") < 900000L)
+    val newSnap = dd.filter(TextOps.mdDraw6("snapnew") < 950000L)
+      .withColumn("text", when(TextOps.mdDraw6("snapedit") < 100000L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    (oldSnap, newSnap)
+  }
+
   import TextQueries.{componentsCtes, dlit, gopherVerdictSql, hex60Sql,
     lshCte, lshCteFor, policyVerdictSql, qualityCte, shinglesSql}
 
@@ -116,11 +131,7 @@ object CurationQueries extends QueryModule {
     "incremental_refresh" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.pipeline.VectorOps
-      val dd = docs(s, d)
-      val oldSnap = dd.filter(TextOps.mdDraw6("snapold") < 900000L)
-      val newSnap = dd.filter(TextOps.mdDraw6("snapnew") < 950000L)
-        .withColumn("text", when(TextOps.mdDraw6("snapedit") < 100000L,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val (oldSnap, newSnap) = refreshSnapshots(s, d)
       val a = oldSnap.select(col("doc_id"), col("source").as("src_a"),
         col("text").as("text_a"))
       val b = newSnap.select(col("doc_id"), col("source").as("src_b"),

@@ -369,6 +369,45 @@ object StreamingJobs {
         ()
     }
 
+  /** STREAMING GRAPH-INDEX APPEND — the live twin of
+    * [[graft.pipeline.VectorOps.graphBeamAppend]] (the [[annIngest]]
+    * convention, extended with the edge build): each arriving
+    * micro-batch of (vec_id, embedding) vectors is assigned to the
+    * FROZEN persisted centroids (no refit), and each new node's
+    * `graphK` kNN edges are computed against its cell's FULL membership
+    * as of this trigger — base cells ∪ every prior streamed batch ∪
+    * this batch — then both land as the batch's own parquet dirs
+    * (overwrite ⇒ exactly-once under replay). Base adjacency stays as
+    * built; back-links materialize at SERVE time
+    * ([[graft.pipeline.VectorOps.graphBeamServeStreamed]] reverses the
+    * streamed edges), so the append path never rewrites an existing
+    * artifact. Per-batch work is O(|batch| · cell) like the batch
+    * append; the job is STATELESS (no keyed state store — the index
+    * state lives in the artifact dirs), so state never grows with
+    * stream length. `corpus` is the static vector side edges score
+    * against (the [[annServeStream]] contract). */
+  def graphIngestStream(vecs: DataFrame, corpus: DataFrame, indexDir: String,
+                        graphK: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        import graft.pipeline.VectorOps
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cents = spark.read.parquet(s"$indexDir/centroids")
+          .orderBy("cid").select(col("cent"))
+          .as[Seq[Long]].collect().map(_.toArray)
+        VectorOps.kmeansRanked(batch, cents, maxRank = 1)
+          .select(col("vec_id"), col("cid"))
+          .write.mode("overwrite").parquet(s"$indexDir/cells_stream/batch_$id")
+        val batchCells = spark.read.parquet(s"$indexDir/cells_stream/batch_$id")
+        val allCells = spark.read.parquet(s"$indexDir/cells")
+          .unionByName(spark.read.parquet(s"$indexDir/cells_stream/*"))
+        VectorOps.knnGraphFromCells(corpus, batchCells, graphK, Some(allCells))
+          .select(col("src"), col("dst"))
+          .write.mode("overwrite").parquet(s"$indexDir/edges_stream/batch_$id")
+        ()
+    }
+
   /** STREAMING ANN SERVING — the QUERY-side live path next to
     * [[annIngest]]'s index side: each arriving micro-batch of (vec_id,
     * embedding) query vectors is answered against the FROZEN persisted

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.VectorOps
+import graft.streaming.StreamingJobs
 import org.apache.spark.sql.functions._
 
 /** Graph-ANN serving (graphBeamTopK): the HNSW-shape beam search over
@@ -96,6 +97,64 @@ class GraphAnnSpec extends SparkSpec {
       .toDouble / fromNew.size
     assert(sameFrac >= 0.2,
       s"new-batch queries must find same-cluster neighbors, got $sameFrac")
+  }
+
+  test("streaming graph append: one-trigger stream equals graphBeamAppend, " +
+    "stateless, per-node edge budget holds across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = "target/graft-tmp/graph_ingest_spec"
+    val split = 200L
+    // batch append writes the base artifacts (centroids/cells/edges)
+    // AND is the expected serve result
+    val expected = VectorOps.graphBeamAppend(clustered, split,
+        queryMaxId = 10, k = 3, indexDir = dir)
+      .collect().map(_.toSeq).toSet
+    // stream the same 40-vector tail in ONE trigger
+    val tail = clustered.filter(col("vec_id") >= split)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.graphIngestStream(
+        in.toDS().toDF("vec_id", "embedding"), clustered, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(tail)
+      q.processAllAvailable()
+      // stateless by construction: the index state lives in the
+      // artifact dirs, not a state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "graph ingest must not book keyed state")
+    } finally q.stop()
+    val served = VectorOps.graphBeamServeStreamed(clustered, dir,
+        queryMaxId = 10, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served === expected,
+      "one-trigger streamed append must serve exactly the batch append")
+    // two-trigger variant into a fresh dir: each trigger's edges see
+    // the membership as of that trigger; every streamed node still gets
+    // exactly graphK outgoing edges and stays reachable
+    val dir2 = "target/graft-tmp/graph_ingest_spec2"
+    VectorOps.graphBeamAppend(clustered, split, queryMaxId = 10, k = 3,
+      indexDir = dir2).collect()
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingJobs.graphIngestStream(
+        in2.toDS().toDF("vec_id", "embedding"), clustered, dir2)
+      .option("checkpointLocation", s"$dir2/ckpt").start()
+    try {
+      val (t1, t2) = tail.partition(_._1 < 220L)
+      in2.addData(t1); q2.processAllAvailable()
+      in2.addData(t2); q2.processAllAvailable()
+    } finally q2.stop()
+    val perNode = spark.read.parquet(s"$dir2/edges_stream/*")
+      .groupBy(col("src")).count().as[(Long, Long)].collect().toMap
+    assert((200L until 240L).forall(v => perNode.get(v).contains(3L)),
+      s"every streamed node gets exactly graphK=3 edges, got $perNode")
+    val fromNew = VectorOps.graphBeamServeStreamed(clustered, dir2,
+        queryMaxId = 240, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 >= 210L)
+    assert(fromNew.exists(_._2 >= split),
+      "streamed nodes must be reachable as results across triggers")
   }
 
   test("the beam never fabricates candidates: results ⊆ entries ∪ graph targets") {

@@ -1,0 +1,100 @@
+package graft
+
+import graft.pipeline.{DedupOps, RefreshOps, VectorOps}
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** The refresh → compact → refresh roundtrip: `incremental_refresh`'s
+  * fates applied to the persisted probe artifacts (MinHash band index +
+  * frozen-centroid cell assignment) leave exactly the artifacts a fresh
+  * build over the live corpus would produce, and the NEXT refresh
+  * probing them sees indexed docs while evicted docs stop answering.
+  */
+class RefreshCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val (oldSnap, newSnap) = {
+    val (a, b) = CurationQueries.refreshSnapshots(spark, sf)
+    (CacheScope.persist(a.select(col("doc_id"), col("text"))),
+     CacheScope.persist(b.select(col("doc_id"), col("text"))))
+  }
+  private lazy val fates =
+    CacheScope.persist(SparkEntry.queries("incremental_refresh")(spark, sf))
+  // the live indexed corpus after the refresh: unchanged docs (= old
+  // minus every fated doc) plus the docs the refresh indexed, at their
+  // NEW text
+  private lazy val live = CacheScope.persist(
+    oldSnap.join(fates.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(newSnap.join(
+        fates.filter(col("action") === "indexed").select(col("doc_id")),
+        Seq("doc_id"))))
+
+  test("compacted band index equals a fresh build over the live corpus") {
+    val initial = DedupOps.minhashBandsRelational(oldSnap)
+    val compacted = RefreshOps.compactBandIndex(initial, fates, newSnap)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fresh = DedupOps.minhashBandsRelational(live)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(compacted.nonEmpty)
+    assert(compacted === fresh,
+      "compaction must leave exactly the live corpus's band index")
+  }
+
+  test("compacted cell assignment holds exactly the live ids, indexed at the fates' cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val oldPred = graft.pipeline.TextOps.mdDraw6On("snapold", col("vec_id")) < 900000L
+    val cents = VectorOps.kmeansCentroids(emb.filter(oldPred), targetCellSize = 50)
+    val initial = VectorOps.kmeansRanked(emb.filter(oldPred), cents, maxRank = 1)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val compacted = RefreshOps.compactCellAssignment(initial, fates)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val liveIds = live.select(col("doc_id")).as[Long].collect().toSet
+    // the artifact's id set is exactly the live ids that HAVE a vector
+    // under this id space (every doc id here does)
+    assert(compacted.keySet === liveIds)
+    // indexed docs sit at the cell the refresh assigned (frozen fit)
+    val assigned = fates.filter(col("action") === "indexed")
+      .select(col("doc_id"), col("cid")).as[(Long, Long)].collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { case (id, cid) =>
+      assert(compacted.get(id).contains(cid), s"doc $id must sit at cell $cid") }
+    // unchanged docs kept their original assignment untouched
+    val initialMap = initial.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val touched = fates.select(col("doc_id")).as[Long].collect().toSet
+    (compacted.keySet -- touched).foreach { id =>
+      assert(compacted(id) == initialMap(id)) }
+  }
+
+  test("the second refresh sees the compacted artifacts: indexed docs answer, evicted ghosts don't") {
+    // probes = exact copies of (a) every doc this refresh INDEXED and
+    // (b) every doc it EVICTED, under a disjoint id space
+    val removedIds = fates.filter(col("status") === "removed")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(removedIds.nonEmpty, "fixture must remove some docs")
+    val indexedIds = fates.filter(col("action") === "indexed")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(indexedIds.nonEmpty, "fixture must index some docs")
+    val probes = CacheScope.persist(
+      oldSnap.filter(col("doc_id").isin(removedIds.toSeq: _*))
+        .unionByName(newSnap.filter(col("doc_id").isin(indexedIds.toSeq: _*)))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    // against the STALE artifacts (the old snapshot) the evicted docs
+    // still answer — the ghost the compaction exists to remove
+    val stale = DedupOps.probeDupHits(oldSnap, probes)
+      .select(col("old_id")).as[Long].collect().toSet
+    assert(stale.exists(removedIds), "stale artifacts answer for evicted docs")
+    // against the LIVE corpus (whose band index the compacted artifact
+    // equals, pinned above): every indexed probe hits, no hit names an
+    // evicted doc
+    val hits = CacheScope.persist(DedupOps.probeDupHits(live, probes))
+    val hitNew = hits.select(col("new_id")).as[Long].collect().toSet
+    indexedIds.foreach { id =>
+      assert(hitNew.contains(id + 10000000L),
+        s"probe of indexed doc $id must hit the refreshed index") }
+    val hitOld = hits.select(col("old_id")).as[Long].collect().toSet
+    assert(!hitOld.exists(removedIds),
+      "no probe may be answered by an evicted doc's stale membership")
+  }
+}
