@@ -416,6 +416,16 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the cells-mode honesty leg: candidates from nprobe k-means cells
+    // instead of sign bands — the measured fix for the 0.10 banded
+    // recall on weakly-clustered corpora (IVF cells follow the data
+    // where fixed hyperplanes can't)
+    "bitext_cell_recall" -> ((s, d) =>
+      VectorOps.bitextCellRecall(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
     // graph index persistence round-trip: edges + entry layer written to
     // parquet, reloaded, beam-served — equals ann_graph_topk exactly;
     // the steady state pays only the O(1)-per-query search
@@ -604,16 +614,28 @@ object VectorQueries extends QueryModule {
     * diagnostic instantiates it twice (banded + brute) under distinct
     * prefixes. Interpolates the same [[VectorOps.BitextNnK]] the Spark
     * side reads. */
-  private def bitextScoreCtes(px: String, banded: Boolean): String = {
+  private def bitextScoreCtes(px: String, banded: Boolean): String =
+    bitextScoreCtesMode(px, if (banded) "banded" else "brute")
+
+  /** `mode` ∈ banded|cells|brute — mirrors
+    * [[VectorOps.bitextCandidates]]; `"cells"` expects the default
+    * [[kmeansCtes]] instance (kprobes/kcells) in scope. */
+  private def bitextScoreCtesMode(px: String, mode: String): String = {
     val k = VectorOps.BitextNnK
-    val cand =
-      if (banded)
+    val cand = mode match {
+      case "banded" =>
         s"""${px}cand AS (SELECT DISTINCT ba.vec_id AS doc_a, bb2.vec_id AS doc_b
            |  FROM bands ba JOIN bands bb2 ON ba.bkey = bb2.bkey
            |  WHERE ba.vec_id IN (SELECT doc_a FROM aa)
            |    AND bb2.vec_id IN (SELECT doc_b FROM bb))""".stripMargin
-      else
+      case "cells" =>
+        s"""${px}cand AS (SELECT DISTINCT p.q_id AS doc_a, c.vec_id AS doc_b
+           |  FROM kprobes p JOIN kcells c ON p.cid = c.cid
+           |  WHERE p.q_id IN (SELECT doc_a FROM aa)
+           |    AND c.vec_id IN (SELECT doc_b FROM bb))""".stripMargin
+      case _ =>
         s"""${px}cand AS (SELECT aa.doc_a, bb.doc_b FROM aa CROSS JOIN bb)""".stripMargin
+    }
     s"""$cand,
        |${px}p AS (SELECT ${px}cand.doc_a, ${px}cand.doc_b,
        |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
@@ -830,6 +852,39 @@ object VectorQueries extends QueryModule {
          |        USING (doc_a, doc_b))
          |SELECT (SELECT COUNT(*) FROM brmined) AS brute_pairs,
          |  (SELECT COUNT(*) FROM bdmined) AS banded_pairs,
+         |  hits,
+         |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
+         |    ELSE ROUND(CAST(hits AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS recall,
+         |  cand_hits,
+         |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
+         |    ELSE ROUND(CAST(cand_hits AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS cand_recall
+         |FROM h CROSS JOIN ch""".stripMargin
+    },
+
+    // cells-mode recall leg: the kmeans chain joins the bitext base,
+    // candidates = kprobes x kcells restricted cross-language
+    "bitext_cell_recall" -> {
+      val t = VectorOps.BitextMarginThreshold
+      s"""WITH $bitextBaseCtes,
+         |${kmeansCtes(4)},
+         |${bitextScoreCtesMode("cl", "cells")},
+         |${bitextScoreCtesMode("br", "brute")},
+         |clmined AS (SELECT doc_a, doc_b
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY margin DESC, doc_b) AS rk FROM clm)
+         |  WHERE rk = 1 AND margin >= $t),
+         |brmined AS (SELECT doc_a, doc_b
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+         |          ORDER BY margin DESC, doc_b) AS rk FROM brm)
+         |  WHERE rk = 1 AND margin >= $t),
+         |h AS (SELECT COUNT(*) AS hits FROM brmined JOIN clmined
+         |        USING (doc_a, doc_b)),
+         |ch AS (SELECT COUNT(*) AS cand_hits FROM brmined JOIN clcand
+         |        USING (doc_a, doc_b))
+         |SELECT (SELECT COUNT(*) FROM brmined) AS brute_pairs,
+         |  (SELECT COUNT(*) FROM clmined) AS cell_pairs,
          |  hits,
          |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
          |    ELSE ROUND(CAST(hits AS DOUBLE)

@@ -71,4 +71,27 @@ class BitextSpec extends SparkSpec {
     assert(r1.nonEmpty, "banded candidates must bite on the real corpus")
     assert(r1.groupBy(_.head).forall(_._2.size == 1))
   }
+
+  test("cells candidate mode: deterministic, one per source, and it presents " +
+    "pairs the bands miss on the weakly-clustered corpus") {
+    val docsT = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"))
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r1 = VectorOps.bitextMarginPairs(embT, docsT,
+      candidates = Some("cells")).collect().map(_.toSeq).toSet
+    val r2 = VectorOps.bitextMarginPairs(embT, docsT,
+      candidates = Some("cells")).collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+    assert(r1.nonEmpty, "cell candidates must bite on the real corpus")
+    assert(r1.groupBy(_.head).forall(_._2.size == 1))
+    // the reason the mode exists: on this corpus the cells-mode recall
+    // leg strictly beats the banded one (0.51 vs 0.10 at sf0.01 —
+    // SCALE.md r16; here just pin the ordering so a regression shows)
+    def rec(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("recall")).head.getDouble(0)
+    val cellRec = rec(VectorOps.bitextCellRecall(embT, docsT))
+    val bandRec = rec(VectorOps.bitextBandedRecall(embT, docsT))
+    assert(cellRec >= bandRec,
+      s"cells recall ($cellRec) must not trail banded ($bandRec) here")
+  }
 }

@@ -63,7 +63,10 @@ class PlanSpec extends SparkSpec {
     "ann_sq8_recall" -> "both legs are the brute-force fixed-query-set baseline (vec_id < 10): exact cosine and decoded-SQ8 cosine each crossJoin the <= 10-row broadcast query set",
     "ts_similarity_search" -> "broadcasts the 24-row query window (the offset explode side), its 1-row moment aggregate, and the 1-row series-length aggregate — all query-pattern-sized, never corpus-sized",
     "ann_multiprobe_mrr" -> "contains the brute-force exact top-1 baseline (fixed query set, the ann_cosine_topk shape)",
-    "bitext_banded_recall" -> "brute leg is the exhaustive langA x langB semantics reference BY DESIGN (the decontam_semantic_recall honesty-diagnostic convention); broadcast side is the langB slice, language-pair bounded, with the md5 half-sample gate as the at-scale escape hatch; the tail crossJoins are 1-row count aggregates")
+    "bitext_banded_recall" -> "brute leg is the exhaustive langA x langB semantics reference BY DESIGN (the decontam_semantic_recall honesty-diagnostic convention); broadcast side is the langB slice, language-pair bounded, with the md5 half-sample gate as the at-scale escape hatch; the tail crossJoins are 1-row count aggregates",
+    "bitext_cell_recall" -> "same brute-reference leg and 1-row count tail as bitext_banded_recall; the cells-mode leg itself is a bounded kprobes x kcells equi-join",
+    "ann_serve_mode" -> "contains the brute-force fixed-query-set baseline (vec_id < 10, the ann_kmeans_recall shape) every mode's recall is measured against, the |Q| x ncells(<= 512) broadcast beam seed, and 1-row aggregate crossJoins (cell stats / best-recall / pick)",
+    "ann_index_staleness" -> "two beam serves plus the same brute baseline and 1-row aggregate crossJoins (counts x two recall legs) — a periodic diagnostic, every non-equi side query-sample- or single-row-bounded")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
