@@ -105,6 +105,19 @@ class GraphAnnSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = "target/graft-tmp/graph_ingest_spec"
     val split = 200L
+    // a STALE CHECKPOINT makes a MemoryStream skip the already-committed
+    // batch ids, leaving last run's artifacts in place — unlike the
+    // idempotent-overwrite batch dirs, the streaming fixture must start
+    // clean (this is a spec-reuse concern only: a production stream
+    // WANTS the checkpoint to dedupe replays)
+    def clean(d: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+    clean(dir)
     // batch append writes the base artifacts (centroids/cells/edges)
     // AND is the expected serve result
     val expected = VectorOps.graphBeamAppend(clustered, split,
@@ -134,6 +147,7 @@ class GraphAnnSpec extends SparkSpec {
     // the membership as of that trigger; every streamed node still gets
     // exactly graphK outgoing edges and stays reachable
     val dir2 = "target/graft-tmp/graph_ingest_spec2"
+    clean(dir2)
     VectorOps.graphBeamAppend(clustered, split, queryMaxId = 10, k = 3,
       indexDir = dir2).collect()
     val in2 = MemoryStream[(Long, Seq[Float])]
