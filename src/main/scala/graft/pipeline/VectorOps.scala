@@ -1470,6 +1470,27 @@ object VectorOps {
         (col("mode") === col("pick_mode")).as("picked"))
   }
 
+  /** The router, CONSUMED — the composed serve a production deploy
+    * calls: run [[serveModeDiagnostic]], read the picked mode (a
+    * ≤ (1+|budgets|)-row config-sized collect — the one driver-side
+    * branch a data-dependent physical-strategy choice genuinely needs),
+    * and serve with it. GraphAnnSpec pins auto == the picked mode's
+    * direct serve on both corpus shapes. */
+  def annServeAuto(emb: DataFrame, queryMaxId: Long, k: Int,
+                   graphK: Int = 3, targetCellSize: Int = 50,
+                   budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
+    val pick = serveModeDiagnostic(emb, queryMaxId, k, graphK,
+        targetCellSize, budgets)
+      .filter(col("picked"))
+      .select(col("mode"), col("beam"), col("rounds")).head()
+    if (pick.getString(0) == "ivf_scan")
+      ivfKmeansTopK(emb, k, targetCellSize).filter(col("q_id") < queryMaxId)
+    else
+      graphBeamTopK(emb, queryMaxId, k,
+        beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt,
+        graphK = graphK, targetCellSize = targetCellSize)
+  }
+
   /** Graph-index PERSISTENCE round-trip — build the kNN edge list and
     * the per-cell entry layer ONCE, write both to `indexDir` (parquet,
     * the [[ivfKmeansServe]] convention), reload, and beam-serve over

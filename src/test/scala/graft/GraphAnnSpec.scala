@@ -171,6 +171,31 @@ class GraphAnnSpec extends SparkSpec {
       "streamed nodes must be reachable as results across triggers")
   }
 
+  test("annServeAuto serves exactly what the router picked, on both corpus shapes") {
+    def directOf(emb: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val pick = VectorOps.serveModeDiagnostic(emb, queryMaxId = 5, k = 3)
+        .filter(col("picked"))
+        .select(col("mode"), col("beam"), col("rounds")).head()
+      val direct =
+        if (pick.getString(0) == "ivf_scan")
+          VectorOps.ivfKmeansTopK(emb, k = 3).filter(col("q_id") < 5)
+        else VectorOps.graphBeamTopK(emb, queryMaxId = 5, k = 3,
+          beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
+      direct.collect().map(_.toSeq).toSet
+    }
+    // clustered fixture
+    val autoC = VectorOps.annServeAuto(clustered, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(autoC.nonEmpty)
+    assert(autoC === directOf(clustered))
+    // the weakly-clustered real corpus
+    val noise = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val autoN = VectorOps.annServeAuto(noise, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(autoN.nonEmpty)
+    assert(autoN === directOf(noise))
+  }
+
   test("the beam never fabricates candidates: results ⊆ entries ∪ graph targets") {
     import org.apache.spark.sql.expressions.Window
     val cents = VectorOps.kmeansCentroids(clustered)
