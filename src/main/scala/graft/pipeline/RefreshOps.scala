@@ -49,10 +49,112 @@ object RefreshOps {
     * fated doc's row, insert the `indexed` docs at the cell id the
     * refresh assigned against the FROZEN centroids (the
     * `ann_index_append` no-refit contract — compaction never moves an
-    * unchanged doc's cell). */
+    * unchanged doc's cell). An indexed fate with a NULL cid (a doc the
+    * refresh admitted but that has no embedding row — the cid rides a
+    * left join) carries no cell to enter: it is filtered, never planted
+    * as a (vec_id, null) artifact row. */
   def compactCellAssignment(cells: DataFrame, fates: DataFrame): DataFrame =
     cells.join(fates.select(col("doc_id").as("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
-      .unionByName(fates.filter(col("action") === "indexed")
+      .unionByName(fates
+        .filter(col("action") === "indexed" && col("cid").isNotNull)
         .select(col("doc_id").as("vec_id"), col("cid")))
+
+  /** Fold the fates into the persisted GRAPH index — the artifact the
+    * band/cell compactors above left growing without bound under churn
+    * (an evicted doc's edge rows otherwise stay in `edges` forever,
+    * wasting beam slots on every query and skewing the entry layer).
+    *
+    * Same-cell kNN edges mean a fated doc can only appear in edges whose
+    * src lives in one of the doc's cells (old assignment for evictions,
+    * the fate's frozen-centroid cid for insertions) — AND that every
+    * OTHER node in such a cell may see its own top-k change when the
+    * membership changes. So the fold is cell-scoped, not doc-scoped:
+    *
+    *  1. the live assignment = [[compactCellAssignment]](cells, fates);
+    *  2. affected cells = every fated doc's old cell ∪ its new cell;
+    *  3. edge rows whose src sits in an affected cell leave (this is
+    *     both directions at once: a same-cell edge pointing AT a fated
+    *     doc has its src in that doc's cell);
+    *  4. the affected cells' live members get fresh `graphK` edges
+    *     against the live membership — the SAME
+    *     [[VectorOps.knnGraphFromCells]] spelling a full rebuild runs;
+    *  5. the entry layer recomputes over the live assignment (one
+    *     bounded draw per cell — [[VectorOps.entryLayer]]).
+    *
+    * Cost shape: O(Σ affected-cell size² + live corpus for the entry
+    * draw) — the quadratic term covers CHANGED cells only, never a
+    * corpus re-pair; unchanged cells' edge rows are untouched. Because
+    * steps 3-4 rebuild affected cells from live state, re-running the
+    * fold after a crash is idempotent. RefreshCompactionSpec pins
+    * compact == a fresh [[VectorOps.knnGraphFromCells]] build over the
+    * live corpus, serve-over-compacted returns no evicted doc at fresh
+    * recall, and edge cardinality tracks the live corpus under churn.
+    *
+    * Returns (live cells, compacted edges, recomputed entries). */
+  def compactGraphIndex(embLive: DataFrame, edges: DataFrame,
+                        cells: DataFrame, fates: DataFrame,
+                        graphK: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cellsNew = graft.CacheScope.persist(compactCellAssignment(cells, fates))
+    val touched = fates.select(col("doc_id").as("vec_id")).distinct()
+    val affected = graft.CacheScope.persist(
+      cells.join(touched, Seq("vec_id")).select(col("cid"))
+        .unionByName(cellsNew.join(touched, Seq("vec_id")).select(col("cid")))
+        .distinct())
+    val keep = edges
+      .join(cells.select(col("vec_id").as("src"), col("cid")), Seq("src"))
+      .join(affected, Seq("cid"), "left_anti")
+      .select(col("src"), col("dst"))
+    val rebuilt = VectorOps.knnGraphFromCells(embLive,
+        cellsNew.join(affected, Seq("cid")).select(col("vec_id"), col("cid")),
+        graphK, Some(cellsNew))
+      .select(col("src"), col("dst"))
+    (cellsNew, keep.unionByName(rebuilt), VectorOps.entryLayer(cellsNew))
+  }
+
+  /** [[compactGraphIndex]] against the PERSISTED artifact layout
+    * ([[VectorOps.graphBeamAppend]] / the streamed-ingest dirs): fold
+    * the fates into base cells ∪ every streamed batch dir and base
+    * edges ∪ streamed edges ∪ their serve-time back-links, write the
+    * compacted artifacts back as the new BASE, and drop the streamed
+    * dirs — after this fold [[VectorOps.graphBeamServeStreamed]]'s
+    * base-only fallback serves the compacted index directly. The
+    * compacted frames are materialized (localCheckpoint) BEFORE the
+    * base dirs are overwritten, so the fold never reads a path it is
+    * writing; a crash mid-write is repaired by re-running the fold
+    * (cell-scoped rebuilds are idempotent — see above). */
+  def compactGraphIndexDirs(embLive: DataFrame, indexDir: String,
+                            fates: DataFrame, graphK: Int = 3): Unit = {
+    val spark = embLive.sparkSession
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val cells0 = spark.read.parquet(s"$indexDir/cells")
+    val cells =
+      if (exists(s"$indexDir/cells_stream"))
+        cells0.unionByName(spark.read.parquet(s"$indexDir/cells_stream/*"))
+      else cells0
+    val edges0 = spark.read.parquet(s"$indexDir/edges")
+    val edges =
+      if (exists(s"$indexDir/edges_stream")) {
+        val streamed = spark.read.parquet(s"$indexDir/edges_stream/*")
+        edges0.unionByName(streamed)
+          .unionByName(streamed.select(col("dst").as("src"), col("src").as("dst")))
+      } else edges0
+    val (cellsNew, edgesNew, entriesNew) =
+      compactGraphIndex(embLive, edges, cells, fates, graphK)
+    val cellsM = cellsNew.localCheckpoint()
+    val edgesM = edgesNew.localCheckpoint()
+    val entriesM = entriesNew.localCheckpoint()
+    edgesM.write.mode("overwrite").parquet(s"$indexDir/edges")
+    cellsM.write.mode("overwrite").parquet(s"$indexDir/cells")
+    entriesM.write.mode("overwrite").parquet(s"$indexDir/entries")
+    Seq("cells_stream", "edges_stream").foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+  }
 }

@@ -1322,10 +1322,11 @@ object VectorOps {
   }
 
   /** The per-cell entry layer of the graph serve — ONE spelling shared
-    * by the build-and-serve path and the persisted-index rebuild, so
-    * the two can never diverge from each other (the oracle's `ent` CTE
-    * mirrors it). */
-  private def entryLayer(cells: DataFrame): DataFrame = {
+    * by the build-and-serve path, the persisted-index rebuild, and the
+    * refresh-fate graph compaction ([[RefreshOps.compactGraphIndex]]),
+    * so none of them can diverge from each other (the oracle's `ent`
+    * CTE mirrors it). */
+  private[graft] def entryLayer(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     cells.withColumn("dr", vecDraw("gent"))
       .withColumn("re", row_number().over(
@@ -1591,21 +1592,37 @@ object VectorOps {
     * append arrived in one trigger this EQUALS [[graphBeamAppend]]
     * (GraphAnnSpec pins it); across triggers each batch's edges saw
     * only the membership that existed at its trigger — the same
-    * incremental trade, one batch at a time. */
+    * incremental trade, one batch at a time.
+    *
+    * When NO streamed batch has landed yet (or a fold/compaction just
+    * absorbed them — [[graft.streaming.StreamingJobs.graphIngestStream]]
+    * folds count-triggered, [[RefreshOps.compactGraphIndexDirs]] on
+    * refresh), the serve falls back to the base artifacts alone instead
+    * of throwing path-not-found on the bare glob; orphaned batch dirs
+    * from a prior run with a deleted checkpoint are cleared by the
+    * ingest's batch-0 reset, so a fresh-checkpoint replay never unions
+    * a dead run's artifacts. */
   def graphBeamServeStreamed(emb: DataFrame, indexDir: String,
                              queryMaxId: Long, k: Int,
                              beam: Int = GraphBeamWidth,
                              rounds: Int = GraphBeamRounds): DataFrame = {
     val spark = emb.sparkSession
+    def streamed(dir: String): Option[DataFrame] = {
+      val hp = new org.apache.hadoop.fs.Path(s"$indexDir/$dir")
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp) && fs.listStatus(hp).nonEmpty)
+        Some(spark.read.parquet(s"$indexDir/$dir/*"))
+      else None
+    }
+    val baseCells = spark.read.parquet(s"$indexDir/cells")
     val allCells = graft.CacheScope.persist(
-      spark.read.parquet(s"$indexDir/cells")
-        .unionByName(spark.read.parquet(s"$indexDir/cells_stream/*")))
-    val newEdges = graft.CacheScope.persist(
-      spark.read.parquet(s"$indexDir/edges_stream/*"))
-    val edges = graft.CacheScope.persist(
-      spark.read.parquet(s"$indexDir/edges")
-        .unionByName(newEdges)
-        .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"))))
+      streamed("cells_stream").fold(baseCells)(baseCells.unionByName(_)))
+    val baseEdges = spark.read.parquet(s"$indexDir/edges")
+    val edges = graft.CacheScope.persist(streamed("edges_stream") match {
+      case Some(newEdges) => baseEdges.unionByName(newEdges)
+        .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst")))
+      case None => baseEdges
+    })
     graphBeamSearch(emb, edges, entryLayer(allCells), queryMaxId, k, beam, rounds)
   }
 

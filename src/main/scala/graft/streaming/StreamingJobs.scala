@@ -385,14 +385,43 @@ object StreamingJobs {
     * append; the job is STATELESS (no keyed state store — the index
     * state lives in the artifact dirs), so state never grows with
     * stream length. `corpus` is the static vector side edges score
-    * against (the [[annServeStream]] contract). */
+    * against (the [[annServeStream]] contract).
+    *
+    * Two artifact-hygiene rules bound the dir scan over an unbounded
+    * stream:
+    *  - BATCH-0 RESET: a stream starting at batch 0 (fresh checkpoint)
+    *    clears both `*_stream` dirs first, so orphaned batch dirs from
+    *    a prior run whose checkpoint was deleted can never silently
+    *    pollute the served index (a CHECKPOINTED restart resumes past
+    *    batch 0 and keeps its own committed dirs; a replay OF batch 0
+    *    re-clears only what batch 0 itself wrote — idempotent);
+    *  - COUNT-TRIGGERED FOLD: once a trigger leaves ≥ `foldEvery` dirs
+    *    under a `*_stream` store, the trigger folds them into ONE
+    *    `fold_$id` dir (distinct rows; the fold chain absorbs earlier
+    *    folds too) and drops the sources — so the per-trigger artifact
+    *    scan reads ≤ foldEvery dirs instead of one dir per trigger ever
+    *    made (the staleness-trigger philosophy: pay an O(streamed)
+    *    fold every foldEvery batches to keep every trigger's input
+    *    bounded). A replayed fold overwrites its own `fold_$id`
+    *    (exactly-once); a crash between the fold write and the source
+    *    deletes leaves duplicate rows that the NEXT fold's distinct
+    *    absorbs — and the beam serve is duplication-tolerant meanwhile
+    *    (neighbor expansion is a distinct-set union). GraphAnnSpec pins
+    *    serve-before-fold == serve-after-fold. */
   def graphIngestStream(vecs: DataFrame, corpus: DataFrame, indexDir: String,
-                        graphK: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                        graphK: Int = 3, foldEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
         import graft.pipeline.VectorOps
         val spark = batch.sparkSession
         import spark.implicits._
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def fs(p: org.apache.hadoop.fs.Path) = p.getFileSystem(hconf)
+        if (id == 0L)
+          Seq("cells_stream", "edges_stream").foreach { d =>
+            val hp = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+            if (fs(hp).exists(hp)) { fs(hp).delete(hp, true); () }
+          }
         val cents = spark.read.parquet(s"$indexDir/centroids")
           .orderBy("cid").select(col("cent"))
           .as[Seq[Long]].collect().map(_.toArray)
@@ -405,6 +434,21 @@ object StreamingJobs {
         VectorOps.knnGraphFromCells(corpus, batchCells, graphK, Some(allCells))
           .select(col("src"), col("dst"))
           .write.mode("overwrite").parquet(s"$indexDir/edges_stream/batch_$id")
+        Seq("cells_stream", "edges_stream").foreach { d =>
+          val root = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+          val f = fs(root)
+          val subs = f.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath).filter(_.getName != s"fold_$id")
+          if (subs.length >= foldEvery) {
+            // materialize BEFORE the write: a crash-replay can leave a
+            // completed fold_$id among the sources, and the refold must
+            // not lazily read the path it is overwriting
+            spark.read.parquet(subs.map(_.toString): _*).distinct()
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(s"$indexDir/$d/fold_$id")
+            subs.foreach(p => f.delete(p, true))
+          }
+        }
         ()
     }
 

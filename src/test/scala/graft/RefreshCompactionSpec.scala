@@ -67,6 +67,64 @@ class RefreshCompactionSpec extends SparkSpec {
       assert(compacted(id) == initialMap(id)) }
   }
 
+  test("compacted graph index equals a fresh build over the live corpus; churn keeps edge cardinality tracking the live corpus") {
+    // localCheckpoint throughout: the fates/live plans embed the whole
+    // incremental_refresh query, and composing them through the graph
+    // fold explodes the EXPLAIN tree (observed driver OOM formatting it)
+    val emb = Tables.embeddings(spark, sf)
+    val fatesL = fates.localCheckpoint()
+    val embOld = emb.join(oldSnap.select(col("doc_id").as("vec_id")),
+      Seq("vec_id")).localCheckpoint()
+    val cents = VectorOps.kmeansCentroids(embOld, targetCellSize = 50)
+    val cells0 = VectorOps.kmeansRanked(embOld, cents, maxRank = 1)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .localCheckpoint()
+    val edges0 = VectorOps.knnGraphFromCells(embOld, cells0, 3)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val embLive = emb.join(live.select(col("doc_id").as("vec_id")),
+      Seq("vec_id")).localCheckpoint()
+    val (cells1, edges1, entries1) =
+      RefreshOps.compactGraphIndex(embLive, edges0, cells0, fatesL)
+    val got1 = edges1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh1 = VectorOps.knnGraphFromCells(embLive, cells1, 3)
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1.nonEmpty)
+    assert(got1 === fresh1,
+      "compacted edges must equal a fresh same-cell kNN build over the live corpus")
+    // no evicted doc survives in either direction
+    val evicted = fatesL.filter(col("action") =!= "indexed")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(evicted.nonEmpty)
+    assert(!got1.exists(e => evicted(e._1) || evicted(e._2)),
+      "an evicted doc's edge rows must leave the artifact, both directions")
+    // the recomputed entry layer draws only from live members
+    val liveIds = embLive.select(col("vec_id")).as[Long].collect().toSet
+    val ents = entries1.as[Long].collect()
+    assert(ents.nonEmpty && ents.forall(liveIds))
+    // CHURN: a second eviction round — cardinality keeps tracking the
+    // live corpus because compact == fresh holds again over the shrunk set
+    val cells1p = cells1.localCheckpoint()
+    val edges1p = edges1.localCheckpoint()
+    val evict2 = embLive.select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(3L)) === 0L)
+    val fates2 = evict2.select(col("vec_id").as("doc_id"))
+      .withColumn("action", lit("evicted"))
+      .withColumn("cid", lit(null).cast("long"))
+      .localCheckpoint()
+    val embLive2 = embLive.join(evict2, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val (cells2, edges2, _) =
+      RefreshOps.compactGraphIndex(embLive2, edges1p, cells1p, fates2)
+    val got2 = edges2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh2 = VectorOps.knnGraphFromCells(embLive2, cells2, 3)
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === fresh2, "round-2 compaction must still equal the fresh build")
+    assert(got2.size < got1.size,
+      "evicting a third of the corpus must shrink the edge artifact")
+  }
+
   test("the second refresh sees the compacted artifacts: indexed docs answer, evicted ghosts don't") {
     // probes = exact copies of (a) every doc this refresh INDEXED and
     // (b) every doc it EVICTED, under a disjoint id space
