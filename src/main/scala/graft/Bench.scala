@@ -64,13 +64,32 @@ object Bench {
     // undetectable. The min of two runs is stable enough to trend.
     // a malformed env value falls back to the default instead of killing
     // the whole run with a NumberFormatException before any query runs
-    val reps = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
-      .getOrElse(2).max(1)
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    val reps = repsEnv.getOrElse(2).max(1)
+    // DIAGNOSTIC TIER: recall/honesty/router legs run once per corpus in
+    // production (per index build or compaction cycle, never hot-path),
+    // so the default bench bills them at reps=1 while operator queries
+    // keep the min-of-2 trend protocol. An EXPLICIT SPARK_GRAFT_BENCH_REPS
+    // overrides the tier for every query — the FLOOR protocol's
+    // min-of-6/12 isolated runs must hit diagnostics too. The tier ships
+    // per query in bench.json so cross-round trend readers can tell a
+    // one-rep diagnostic reading from a min-of-2 operator reading.
+    val diagQueries: Set[String] = Set(
+      "ann_recall", "ann_kmeans_recall", "ann_multiprobe_recall",
+      "ann_multiprobe_mrr", "ann_pq_recall", "ann_rp_recall",
+      "ann_sq8_recall", "ann_matryoshka_recall", "ann_graph_recall",
+      "ann_serve_mode", "ann_index_staleness",
+      "bitext_banded_recall", "bitext_cell_recall", "bitext_auto",
+      "dedup_lsh_recall", "dedup_lsh_recall_sampled", "dedup_lsh_precision",
+      "dedup_threshold_sweep", "decontam_semantic_recall", "lsh_planner")
+    def repsOf(name: String): Int =
+      repsEnv.map(_.max(1))
+        .getOrElse(if (diagQueries(name)) 1 else reps)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to repsOf(name)).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -102,8 +121,11 @@ object Bench {
     // front-truncated there and parsed as null), so print the total plus
     // the slowest 12 queries and point at bench.json for the full map.
     val slowest = results.toSeq.sortBy(-_._2).take(12)
+    val tiers = results.keys.map { n =>
+      s"\"" + n + "\":\"" + (if (repsOf(n) == 1) "diag" else "op") + "\""
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"n":${results.size},"reps":$reps,"fixture_warmup_sec":${r3(fixtureSec)},"slowest":${qmap(slowest)},"full":"bench.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"reps":$reps,"fixture_warmup_sec":${r3(fixtureSec)},"queries":${qmap(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,"reps":$reps,"fixture_warmup_sec":${r3(fixtureSec)},"tier":$tiers,"queries":${qmap(results)},"sf":"$sfDir"}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

@@ -1415,15 +1415,39 @@ object VectorOps {
     * cell stats, and all mode rows are single-digit-row frames.
     * Output: one row per mode (mode, beam, rounds, mean_recall,
     * visit_bound, ncells, max_cell, n_vecs, picked). */
-  def serveModeDiagnostic(emb: DataFrame, queryMaxId: Long, k: Int,
-                          graphK: Int = 3, targetCellSize: Int = 50,
-                          budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
+  /** The one-fit serve artifacts (frozen centroids, rank-1 cell
+    * assignment, same-cell kNN edges, entry layer) shared by the router
+    * diagnostic and the picked serve — built ONCE per [[annServeAuto]]
+    * call so the consumed pick never pays a second centroid fit, cell
+    * assignment, or graph build on top of the diagnostic's. */
+  private[graft] case class ServeArtifacts(cents: Array[Array[Long]],
+                                           cells: DataFrame, edges: DataFrame,
+                                           entries: DataFrame)
+
+  private def serveArtifacts(emb: DataFrame, graphK: Int,
+                             targetCellSize: Int): ServeArtifacts = {
     val cents = kmeansCentroids(emb, targetCellSize)
     val cells = graft.CacheScope.persist(
       kmeansRanked(emb, cents, maxRank = 1).select(col("vec_id"), col("cid")))
     val edges = graft.CacheScope.persist(
       knnGraphFromCells(emb, cells, graphK).select(col("src"), col("dst")))
-    val entries = entryLayer(cells)
+    ServeArtifacts(cents, cells, edges, entryLayer(cells))
+  }
+
+  def serveModeDiagnostic(emb: DataFrame, queryMaxId: Long, k: Int,
+                          graphK: Int = 3, targetCellSize: Int = 50,
+                          budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame =
+    serveModeDiagnosticWith(emb,
+      serveArtifacts(emb, graphK, targetCellSize),
+      queryMaxId, k, graphK, targetCellSize, budgets)
+
+  private def serveModeDiagnosticWith(emb: DataFrame, art: ServeArtifacts,
+                                      queryMaxId: Long, k: Int,
+                                      graphK: Int, targetCellSize: Int,
+                                      budgets: Seq[(Int, Int)]): DataFrame = {
+    val cells = art.cells
+    val edges = art.edges
+    val entries = art.entries
     val exact = graft.CacheScope.persist(
       bruteForceTopK(emb, queryMaxId, k).select(col("q_id"), col("vec_id")))
     // corpus cell evidence: 1 row, reused by every mode row
@@ -1444,9 +1468,9 @@ object VectorOps {
             .as("mean_recall"),
           bound.cast("long").as("visit_bound"),
           col("ncells"), col("max_cell"), col("n_vecs"))
-    val nprobe = defaultNprobe(cents.length)
+    val nprobe = defaultNprobe(art.cents.length)
     val ivfRow = modeRow("ivf_scan", 0, 0,
-      ivfKmeansTopK(emb, k, targetCellSize).filter(col("q_id") < queryMaxId),
+      ivfScanWith(emb, art, queryMaxId, k),
       lit(nprobe) * col("max_cell"))
     val beamRows = budgets.map { case (b, r) =>
       modeRow(s"beam_${b}x$r", b, r,
@@ -1471,25 +1495,45 @@ object VectorOps {
         (col("mode") === col("pick_mode")).as("picked"))
   }
 
+  /** The IVF cell scan over already-built [[ServeArtifacts]] — the
+    * frozen-fit spelling of [[ivfKmeansTopK]] restricted to the query
+    * ids (identical results: the centroid fit is deterministic, the
+    * rank-1 assignment is the same rows, and per-query ranking is
+    * query-independent), so the router's ivf leg and the consumed pick
+    * never re-fit or re-assign what the artifacts already hold. */
+  private def ivfScanWith(emb: DataFrame, art: ServeArtifacts,
+                          queryMaxId: Long, k: Int): DataFrame = {
+    val nprobe = defaultNprobe(art.cents.length)
+    val probes = kmeansRanked(emb.filter(col("vec_id") < queryMaxId),
+        art.cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    scoreCandidates(emb,
+      probes.join(art.cells, Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")), k)
+  }
+
   /** The router, CONSUMED — the composed serve a production deploy
-    * calls: run [[serveModeDiagnostic]], read the picked mode (a
-    * ≤ (1+|budgets|)-row config-sized collect — the one driver-side
-    * branch a data-dependent physical-strategy choice genuinely needs),
-    * and serve with it. GraphAnnSpec pins auto == the picked mode's
-    * direct serve on both corpus shapes. */
+    * calls: build the serve artifacts ONCE, run the diagnostic over
+    * them, read the picked mode (a ≤ (1+|budgets|)-row config-sized
+    * collect — the one driver-side branch a data-dependent
+    * physical-strategy choice genuinely needs), and serve with the SAME
+    * artifacts — the pick never pays a second centroid fit, cell
+    * assignment, or graph build on top of the diagnostic's. GraphAnnSpec
+    * pins auto == the picked mode's direct serve on both corpus shapes. */
   def annServeAuto(emb: DataFrame, queryMaxId: Long, k: Int,
                    graphK: Int = 3, targetCellSize: Int = 50,
                    budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
-    val pick = serveModeDiagnostic(emb, queryMaxId, k, graphK,
+    val art = serveArtifacts(emb, graphK, targetCellSize)
+    val pick = serveModeDiagnosticWith(emb, art, queryMaxId, k, graphK,
         targetCellSize, budgets)
       .filter(col("picked"))
       .select(col("mode"), col("beam"), col("rounds")).head()
     if (pick.getString(0) == "ivf_scan")
-      ivfKmeansTopK(emb, k, targetCellSize).filter(col("q_id") < queryMaxId)
+      ivfScanWith(emb, art, queryMaxId, k)
     else
-      graphBeamTopK(emb, queryMaxId, k,
-        beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt,
-        graphK = graphK, targetCellSize = targetCellSize)
+      graphBeamSearch(emb, art.edges, art.entries, queryMaxId, k,
+        beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
   }
 
   /** Graph-index PERSISTENCE round-trip — build the kNN edge list and
@@ -1900,6 +1944,76 @@ object VectorOps {
         when(col("brute_pairs") === 0, lit(1.0))
           .otherwise(round(col("cand_hits").cast("double") / col("brute_pairs")
             + lit(1e-9), 4)).as("cand_recall"))
+  }
+
+  /** BITEXT CANDIDATE-MODE ROUTER — [[serveModeDiagnostic]]'s rule
+    * applied to the miner's candidate source: measure BOTH honesty legs
+    * ([[bitextBandedRecall]]'s banded mining recall and
+    * [[bitextCellRecall]]'s cells recall against the same brute
+    * baseline) plus each mode's measured candidate-pair count (the cost
+    * currency — exactly the pair work the margin scorer will pay), and
+    * emit the PICK: the cheapest mode whose recall is within
+    * [[AnnServeRecallSlack]] of the best. On strongly-clustered bitext
+    * (translation cosine ≳ 0.9) the bands collide and win on cost; on
+    * weakly-clustered corpora the bands measured 0.10 recall where the
+    * k-means cells serve 0.51 (SCALE.md r16) — this router reads that
+    * evidence instead of asking the caller to know it. Brute is a
+    * diagnostic leg: at a scale where |A|·|B| is unaffordable, gate
+    * BOTH legs on the same md5 half-sample (the
+    * `dedup_lsh_recall_sampled` pattern) — the ratio needs identical
+    * sub-corpora. Output: one row per mode (mode, brute_pairs,
+    * mined_pairs, recall, cand_pairs, picked). */
+  def bitextModeDiagnostic(emb: DataFrame, docLangs: DataFrame,
+                           langA: String = "en", langB: String = "de",
+                           k: Int = BitextNnK,
+                           threshold: Double = BitextMarginThreshold): DataFrame = {
+    val (a, b) = bitextSides(emb, docLangs, langA, langB)
+    val brute = graft.CacheScope.persist(
+      bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+        banded = false).select(col("doc_a"), col("doc_b")))
+    def leg(mode: String): DataFrame = {
+      val mined = graft.CacheScope.persist(
+        bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+          candidates = Some(mode)).select(col("doc_a"), col("doc_b")))
+      brute.agg(count(lit(1)).as("brute_pairs"))
+        .crossJoin(mined.agg(count(lit(1)).as("mined_pairs")))
+        .crossJoin(brute.join(mined, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("hits")))
+        .crossJoin(bitextCandidates(emb, a, b, mode)
+          .agg(count(lit(1)).as("cand_pairs")))
+        .select(lit(mode).as("mode"), col("brute_pairs"), col("mined_pairs"),
+          when(col("brute_pairs") === 0, lit(1.0))
+            .otherwise(round(col("hits").cast("double") / col("brute_pairs")
+              + lit(1e-9), 4)).as("recall"),
+          col("cand_pairs"))
+    }
+    val modes = graft.CacheScope.persist(leg("banded").unionByName(leg("cells")))
+    val best = modes.agg(max(col("recall")).as("best_recall"))
+    val pick = modes.crossJoin(broadcast(best))
+      .filter(col("recall") >= col("best_recall") - lit(AnnServeRecallSlack))
+      .orderBy(col("cand_pairs"), col("mode")).limit(1)
+      .select(col("mode").as("pick_mode"))
+    modes.crossJoin(broadcast(pick))
+      .select(col("mode"), col("brute_pairs"), col("mined_pairs"),
+        col("recall"), col("cand_pairs"),
+        (col("mode") === col("pick_mode")).as("picked"))
+  }
+
+  /** The bitext router, CONSUMED (the [[annServeAuto]] convention): run
+    * [[bitextModeDiagnostic]], read the picked candidate mode (a 2-row
+    * config-sized collect — the one driver-side branch a data-dependent
+    * candidate-source choice needs), and mine with it; the pick ships
+    * on every output row. BitextSpec pins auto == the picked mode's
+    * direct mining on both corpus shapes. */
+  def bitextAutoPairs(emb: DataFrame, docLangs: DataFrame,
+                      langA: String = "en", langB: String = "de",
+                      k: Int = BitextNnK,
+                      threshold: Double = BitextMarginThreshold): DataFrame = {
+    val mode = bitextModeDiagnostic(emb, docLangs, langA, langB, k, threshold)
+      .filter(col("picked")).select(col("mode")).head().getString(0)
+    bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+        candidates = Some(mode))
+      .withColumn("mode", lit(mode))
   }
 
   /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when

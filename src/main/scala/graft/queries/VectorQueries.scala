@@ -426,6 +426,16 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the bitext router CONSUMED: both honesty legs measured, the
+    // cheapest candidate mode within 0.05 recall of the best mines the
+    // corpus, and the pick ships on every row (the annServeAuto rule
+    // applied to the miner's candidate source)
+    "bitext_auto" -> ((s, d) =>
+      VectorOps.bitextAutoPairs(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
     // graph index persistence round-trip: edges + entry layer written to
     // parquet, reloaded, beam-served — equals ann_graph_topk exactly;
     // the steady state pays only the O(1)-per-query search
@@ -894,6 +904,48 @@ object VectorQueries extends QueryModule {
          |    ELSE ROUND(CAST(cand_hits AS DOUBLE)
          |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS cand_recall
          |FROM h CROSS JOIN ch""".stripMargin
+    },
+
+    // the router replayed whole: all three candidate chains in one
+    // statement, both modes' recall vs the shared brute baseline, the
+    // measured candidate counts as the cost currency, the pick (cheapest
+    // eligible within the shared slack), and the picked mode's mined
+    // pairs as the result — every constant interpolates from the
+    // VectorOps vals the Spark side reads
+    "bitext_auto" -> {
+      val t = VectorOps.BitextMarginThreshold
+      val slack = VectorOps.AnnServeRecallSlack
+      def mined(px: String) =
+        s"""${px}mined AS (SELECT doc_a, doc_b, cr, margin
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+           |          ORDER BY margin DESC, doc_b) AS rk FROM ${px}m)
+           |  WHERE rk = 1 AND margin >= $t)""".stripMargin
+      def statRow(mode: String, px: String) =
+        s"""SELECT '$mode' AS mode,
+           |  (SELECT COUNT(*) FROM ${px}cand) AS cand_pairs,
+           |  CASE WHEN (SELECT COUNT(*) FROM brmined) = 0 THEN 1.0
+           |    ELSE ROUND(CAST((SELECT COUNT(*) FROM brmined JOIN ${px}mined
+           |        USING (doc_a, doc_b)) AS DOUBLE)
+           |      / (SELECT COUNT(*) FROM brmined) + 1e-9, 4) END AS recall""".stripMargin
+      s"""WITH $bitextBaseCtes,
+         |${kmeansCtes(4)},
+         |${bitextScoreCtesMode("bd", "banded")},
+         |${bitextScoreCtesMode("cl", "cells")},
+         |${bitextScoreCtesMode("br", "brute")},
+         |${mined("bd")},
+         |${mined("cl")},
+         |${mined("br")},
+         |stats AS (${statRow("banded", "bd")}
+         |  UNION ALL
+         |  ${statRow("cells", "cl")}),
+         |pick AS (SELECT mode FROM stats
+         |  WHERE recall >= (SELECT MAX(recall) FROM stats) - $slack
+         |  ORDER BY cand_pairs, mode LIMIT 1)
+         |SELECT doc_a, doc_b, cr AS cosine, margin, 'banded' AS mode
+         |FROM bdmined WHERE (SELECT mode FROM pick) = 'banded'
+         |UNION ALL
+         |SELECT doc_a, doc_b, cr AS cosine, margin, 'cells' AS mode
+         |FROM clmined WHERE (SELECT mode FROM pick) = 'cells'""".stripMargin
     },
 
     // the intersection filter: both directions' rank-1 in one pass

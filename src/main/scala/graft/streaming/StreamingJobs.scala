@@ -964,6 +964,61 @@ object StreamingJobs {
   final case class RefreshFate(doc_id: Long, op: String, action: String,
                                dup_of: Option[Long], cid: Option[Long])
 
+  /** STREAMING FATE COMPACTION — the live twin of the batch
+    * [[graft.pipeline.RefreshOps]] folds: every [[refreshStream]]
+    * trigger's fates fold into the persisted probe artifacts (MinHash
+    * band index + frozen-centroid cell assignment) as they are emitted,
+    * so the artifacts track the live corpus continuously instead of
+    * waiting for a nightly batch compaction. The store rides the
+    * [[manifestStream]] compacted-store pattern: only `batch_{id-1}` is
+    * ever read (`initial` seeds batch 0 — the caller-written artifacts
+    * of the base snapshot), the fold writes its own `batch_$id`
+    * (idempotent overwrite ⇒ exactly-once under replay, including
+    * across a restart), and `batch_{id-2}` is GC'd.
+    *
+    * The fold itself IS the batch fold — [[graft.pipeline.RefreshOps
+    * .compactBandIndex]]/[[graft.pipeline.RefreshOps
+    * .compactCellAssignment]] applied per trigger — so stream and batch
+    * can never disagree on the arithmetic (RefreshStreamSpec pins the
+    * streamed chain equal to the batch folds over the aligned fate
+    * timeline, across a restart). `newDocs` is the NEW snapshot's
+    * (doc_id, text) lookup, the same static side the batch fold reads:
+    * band keys of an indexed doc derive from its text there. Chained
+    * directly onto [[refreshStream]]'s output the per-trigger batch
+    * holds at most one fate per doc (stage 1 resolves same-doc events
+    * within a trigger), matching the batch fold's one-fate-per-doc
+    * contract. Per-trigger cost is O(artifact + changed) — the
+    * artifact-sized term is the store rewrite, the same bound
+    * [[manifestStream]] pays. */
+  def refreshCompactionStream(fates: org.apache.spark.sql.Dataset[RefreshFate],
+                              newDocs: DataFrame, artifactDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[RefreshFate] =
+    fates.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[RefreshFate], id: Long) =>
+        import graft.pipeline.RefreshOps
+        val spark = batch.sparkSession
+        val f = batch.toDF().select(col("doc_id"), col("action"), col("cid"))
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def prevOr(art: String): DataFrame = {
+          val prev = new org.apache.hadoop.fs.Path(
+            s"$artifactDir/$art/batch_${id - 1}")
+          if (id > 0 && prev.getFileSystem(hconf).exists(prev))
+            spark.read.parquet(prev.toString)
+          else spark.read.parquet(s"$artifactDir/$art/initial")
+        }
+        RefreshOps.compactBandIndex(prevOr("bands"), f, newDocs)
+          .write.mode("overwrite").parquet(s"$artifactDir/bands/batch_$id")
+        RefreshOps.compactCellAssignment(prevOr("cells"), f)
+          .write.mode("overwrite").parquet(s"$artifactDir/cells/batch_$id")
+        if (id >= 2) Seq("bands", "cells").foreach { art =>
+          val old = new org.apache.hadoop.fs.Path(
+            s"$artifactDir/$art/batch_${id - 2}")
+          val fs = old.getFileSystem(hconf)
+          if (fs.exists(old)) { fs.delete(old, true); () }
+        }
+        ()
+    }
+
   /** Stage-0 → stage-1 routing row of [[refreshStream]]: a band-level
     * membership op (`addprobe`/`remove`) or a band-less fate marker
     * (`gated`/`evicted`, bkey = "fate:doc"). `sh` carries the doc's

@@ -94,4 +94,34 @@ class BitextSpec extends SparkSpec {
     assert(cellRec >= bandRec,
       s"cells recall ($cellRec) must not trail banded ($bandRec) here")
   }
+
+  test("bitextAuto mines exactly what the router picked, on both corpus shapes") {
+    def directOf(e: org.apache.spark.sql.DataFrame,
+                 l: org.apache.spark.sql.DataFrame,
+                 k: Int, threshold: Double): Set[Seq[Any]] = {
+      val d = VectorOps.bitextModeDiagnostic(e, l, "en", "de", k, threshold)
+      val rows = d.collect()
+      assert(rows.length == 2 && rows.count(_.getBoolean(5)) == 1,
+        s"router must emit 2 mode rows with one pick, got ${rows.toSeq}")
+      val mode = rows.find(_.getBoolean(5)).get.getString(0)
+      VectorOps.bitextMarginPairs(e, l, "en", "de", k, threshold,
+          candidates = Some(mode))
+        .withColumn("mode", lit(mode))
+        .collect().map(_.toSeq).toSet
+    }
+    // the adversarial hub fixture (strong cross-language structure)
+    val autoF = VectorOps.bitextAutoPairs(emb, langs, "en", "de",
+      k = 2, threshold = 0.0).collect().map(_.toSeq).toSet
+    assert(autoF === directOf(emb, langs, 2, 0.0))
+    // the weakly-clustered real corpus — where the router's evidence
+    // (cells 0.51 vs banded 0.10) must drive the pick to cells
+    val docsT = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"))
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val autoT = VectorOps.bitextAutoPairs(embT, docsT)
+      .collect().map(_.toSeq).toSet
+    assert(autoT.nonEmpty)
+    assert(autoT === directOf(embT, docsT,
+      VectorOps.BitextNnK, VectorOps.BitextMarginThreshold))
+  }
 }

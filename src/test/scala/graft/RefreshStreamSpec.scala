@@ -210,6 +210,75 @@ class RefreshStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed fate compaction equals the batch folds over the aligned timeline, across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{DedupOps, RefreshOps}
+    val dir = "target/graft-tmp/refresh_compact_stream_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val cents = mkCents
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    def cidOf(e: Seq[Float]): Long = VectorOps.kmeansRanked(
+        Seq((0L, e)).toDF("vec_id", "embedding"), cents, maxRank = 1)
+      .select(col("cid").cast("long")).head.getLong(0)
+    // initial artifacts: base doc 100 (textC) indexed
+    val baseDocs = Seq((100L, textC)).toDF("doc_id", "text")
+    DedupOps.minhashBandsRelational(baseDocs)
+      .write.parquet(s"$dir/artifacts/bands/initial")
+    Seq((100L, cidOf(e2))).toDF("vec_id", "cid")
+      .write.parquet(s"$dir/artifacts/cells/initial")
+    // the NEW snapshot lookup both engines read band keys from
+    val newDocs = Seq((1L, textA), (3L, textC)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
+    def startQ() = StreamingJobs.refreshCompactionStream(
+        StreamingJobs.refreshStream(in.toDS(), cents),
+        newDocs, s"$dir/artifacts")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // trigger 1: doc 1 arrives (indexed)
+    val q1 = startQ()
+    try { in.addData(Seq((1L, 10L, "upsert", textA, e1))); q1.processAllAvailable() }
+    finally q1.stop()
+    // RESTART, then trigger 2: doc 3 arrives (indexed), base doc 100 deleted
+    val q2 = startQ()
+    try {
+      in.addData(Seq((3L, 20L, "upsert", textC, e2),
+        (100L, 21L, "delete", textC, e2)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // batch equivalent over the SAME fate timeline
+    val f1 = Seq((1L, "indexed", Option(cidOf(e1))))
+      .toDF("doc_id", "action", "cid")
+    val f2 = Seq((3L, "indexed", Option(cidOf(e2))),
+        (100L, "evicted", Option.empty[Long]))
+      .toDF("doc_id", "action", "cid")
+    val expBands = RefreshOps.compactBandIndex(
+        RefreshOps.compactBandIndex(
+          spark.read.parquet(s"$dir/artifacts/bands/initial"), f1, newDocs),
+        f2, newDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotBands = spark.read.parquet(s"$dir/artifacts/bands/batch_1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotBands.nonEmpty)
+    assert(gotBands === expBands,
+      "streamed band fold must equal the chained batch folds")
+    val expCells = RefreshOps.compactCellAssignment(
+        RefreshOps.compactCellAssignment(
+          spark.read.parquet(s"$dir/artifacts/cells/initial"), f1), f2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCells = spark.read.parquet(s"$dir/artifacts/cells/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCells === expCells,
+      "streamed cell fold must equal the chained batch folds")
+    assert(gotCells === Set((1L, cidOf(e1)), (3L, cidOf(e2))),
+      "base doc 100 evicted, docs 1 and 3 indexed at their frozen cells")
+    // GC: only the last two store generations survive
+    assert(!new java.io.File(s"$dir/artifacts/bands/batch_-1").exists())
+  }
+
   test("re-upsert with the same text re-emits a fate without duplicate membership") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
