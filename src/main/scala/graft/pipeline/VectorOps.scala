@@ -229,7 +229,16 @@ object VectorOps {
     * diagnostics use; a production serve would run the same decoded
     * dot inside the IVF cell join with codes at ¼ the bytes. Output:
     * (q_id, hits, recall@k) vs the exact full-precision ranking. */
-  def sq8Recall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+  def sq8Recall(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      sq8TopK(emb, queryMaxId, k), k)
+
+  /** The SQ8 decoded-cosine brute scan itself (the serving leg of
+    * [[sq8Recall]], exposed so the serve-mode router can measure and
+    * the consumed pick can serve it): every candidate touched at ONE
+    * byte per component instead of eight. Output: (q_id, vec_id, c,
+    * rk). */
+  def sq8TopK(emb: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
     val ex = emb.select(col("vec_id"), quant.as("q"))
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
     val stats = ex.groupBy(col("i"))
@@ -253,13 +262,13 @@ object VectorOps {
     val qs = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("dq").as("qq"), col("n2").as("qn2"))
     import org.apache.spark.sql.expressions.Window
-    val approx = e.crossJoin(broadcast(qs))
+    e.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("c", cosinePre(col("qq"), col("dq"), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
-    recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
+      .select(col("q_id"), col("vec_id"), col("c"), col("rk"))
   }
 
   /** ISOLATION-FOREST OUTLIER SCREEN over the embedding table — the
@@ -1456,9 +1465,16 @@ object VectorOps {
         .agg(count(lit(1)).as("ncells"), max(col("cn")).as("max_cell"),
           sum(col("cn")).as("n_vecs")))
     // mean recall as sum(hits)/(nq*k) — integer totals, ONE double
-    // division, no mean-of-rounded-means drift between engines
+    // division, no mean-of-rounded-means drift between engines.
+    // Every mode carries TWO cost bounds: visit_bound (candidates
+    // touched per query) and bytes_bound (bytes touched per query =
+    // candidates × bytes per candidate) — the memory-bound regime's
+    // real currency at 100 TB, where compression IS the decision:
+    // full-precision candidates cost dim×8 bytes, PQ codes m bytes,
+    // SQ8 codes dim bytes. The pick minimizes bytes_bound.
+    val dim = emb.agg(max(size(quant))).head.getInt(0)
     def modeRow(mode: String, beam: Int, rounds: Int, approx: DataFrame,
-                bound: Column): DataFrame =
+                bound: Column, bytesPerCand: Long): DataFrame =
       recallVs(exact, approx, k)
         .agg(sum(col("hits")).as("sum_hits"), count(lit(1)).as("nq"))
         .crossJoin(cellStats)
@@ -1467,19 +1483,33 @@ object VectorOps {
           round(col("sum_hits").cast("double") / (col("nq") * k) + lit(1e-9), 4)
             .as("mean_recall"),
           bound.cast("long").as("visit_bound"),
+          (bound.cast("long") * bytesPerCand).as("bytes_bound"),
           col("ncells"), col("max_cell"), col("n_vecs"))
     val nprobe = defaultNprobe(art.cents.length)
     val ivfRow = modeRow("ivf_scan", 0, 0,
       ivfScanWith(emb, art, queryMaxId, k),
-      lit(nprobe) * col("max_cell"))
+      lit(nprobe) * col("max_cell"), dim.toLong * 8)
     val beamRows = budgets.map { case (b, r) =>
       modeRow(s"beam_${b}x$r", b, r,
         graphBeamSearch(emb, edges, entries, queryMaxId, k, b, r),
-        col("ncells") + lit(r.toLong * b * graphK))
+        col("ncells") + lit(r.toLong * b * graphK), dim.toLong * 8)
     }
+    // the compressed serves: same IVF candidate bound at m bytes per
+    // candidate (PQ ADC), and the full SQ8 scan at dim bytes — their
+    // recall is measured against the SAME exact-cosine baseline, so a
+    // compressed mode only wins when its measured recall survives the
+    // slack (PQ ranks by L2 over 2-byte codes; on corpora where that
+    // breaks cosine order, the recall column is what says so)
+    val pqM = 4L
+    val pqRow = modeRow("ivf_pq", 0, 0,
+      ivfPqTopK(emb, queryMaxId, k),
+      lit(nprobe) * col("max_cell"), pqM)
+    val sq8Row = modeRow("sq8_scan", 0, 0,
+      sq8TopK(emb, queryMaxId, k),
+      col("n_vecs"), dim.toLong)
     val modes = graft.CacheScope.persist(
-      (ivfRow +: beamRows).reduce(_ unionByName _))
-    // pick = cheapest visit_bound among modes within slack of the best
+      (ivfRow +: beamRows :+ pqRow :+ sq8Row).reduce(_ unionByName _))
+    // pick = cheapest bytes_bound among modes within slack of the best
     // recall (1-row aggregates crossJoined back — no global window)
     val best = modes.agg(max(col("mean_recall")).as("best_recall"))
     val withElig = graft.CacheScope.persist(
@@ -1487,11 +1517,12 @@ object VectorOps {
         .withColumn("eligible",
           col("mean_recall") >= col("best_recall") - lit(AnnServeRecallSlack)))
     val pick = withElig.filter(col("eligible"))
-      .orderBy(col("visit_bound"), col("mode")).limit(1)
+      .orderBy(col("bytes_bound"), col("mode")).limit(1)
       .select(col("mode").as("pick_mode"))
     withElig.crossJoin(broadcast(pick))
       .select(col("mode"), col("beam"), col("rounds"), col("mean_recall"),
-        col("visit_bound"), col("ncells"), col("max_cell"), col("n_vecs"),
+        col("visit_bound"), col("bytes_bound"),
+        col("ncells"), col("max_cell"), col("n_vecs"),
         (col("mode") === col("pick_mode")).as("picked"))
   }
 
@@ -1529,11 +1560,13 @@ object VectorOps {
         targetCellSize, budgets)
       .filter(col("picked"))
       .select(col("mode"), col("beam"), col("rounds")).head()
-    if (pick.getString(0) == "ivf_scan")
-      ivfScanWith(emb, art, queryMaxId, k)
-    else
-      graphBeamSearch(emb, art.edges, art.entries, queryMaxId, k,
+    pick.getString(0) match {
+      case "ivf_scan" => ivfScanWith(emb, art, queryMaxId, k)
+      case "ivf_pq"   => ivfPqTopK(emb, queryMaxId, k)
+      case "sq8_scan" => sq8TopK(emb, queryMaxId, k)
+      case _ => graphBeamSearch(emb, art.edges, art.entries, queryMaxId, k,
         beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
+    }
   }
 
   /** Graph-index PERSISTENCE round-trip — build the kNN edge list and

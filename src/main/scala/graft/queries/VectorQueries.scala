@@ -763,29 +763,37 @@ object VectorQueries extends QueryModule {
          |FROM (SELECT DISTINCT q_id FROM exact) e LEFT JOIN hits USING (q_id)""".stripMargin,
 
     // one statement replays every leg: the shared kmeans/knn/beam-head
-    // chains, one prefixed round chain per budget, the brute baseline,
-    // the nprobe cell scan, and the pick logic — every constant
-    // interpolates from the VectorOps vals the Spark side reads
+    // chains, one prefixed round chain per budget, the PQ codebook/ADC
+    // and SQ8 coding chains, the brute baseline, the nprobe cell scan,
+    // and the pick logic (cheapest BYTES bound among recall-eligible
+    // modes — the memory-bound currency) — every constant interpolates
+    // from the VectorOps vals the Spark side reads
     "ann_serve_mode" -> {
       val slack = VectorOps.AnnServeRecallSlack
       val budgetCtes = VectorOps.AnnServeBudgets.zipWithIndex.map {
         case ((b, r), i) => graphBeamRoundCtes(s"g$i", b, r)
       }.mkString(",\n")
+      val evidence =
+        """  (SELECT ncells FROM cst) AS ncells,
+          |  (SELECT max_cell FROM cst) AS max_cell,
+          |  (SELECT n_vecs FROM cst) AS n_vecs""".stripMargin
+      def recallOf(approx: String) =
+        s"""ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN $approx a
+           |      USING (q_id, vec_id)) AS DOUBLE)
+           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
+           |    AS mean_recall""".stripMargin
       def beamMode(i: Int, b: Int, r: Int) = {
         val sFinal = s"g${i}s$r"
         s"""SELECT 'beam_${b}x$r' AS mode, CAST($b AS BIGINT) AS beam,
            |  CAST($r AS BIGINT) AS rounds,
-           |  ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN (
+           |  ${recallOf(s"""(
            |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
            |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
-           |      FROM $sFinal WHERE vec_id <> q_id) WHERE rk <= 3) a
-           |      USING (q_id, vec_id)) AS DOUBLE)
-           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
-           |    AS mean_recall,
+           |      FROM $sFinal WHERE vec_id <> q_id) WHERE rk <= 3)""")},
            |  CAST((SELECT ncells FROM cst) + ${r * b * 3} AS BIGINT) AS visit_bound,
-           |  (SELECT ncells FROM cst) AS ncells,
-           |  (SELECT max_cell FROM cst) AS max_cell,
-           |  (SELECT n_vecs FROM cst) AS n_vecs""".stripMargin
+           |  CAST(((SELECT ncells FROM cst) + ${r * b * 3})
+           |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
+           |$evidence""".stripMargin
       }
       val beamModes = VectorOps.AnnServeBudgets.zipWithIndex.map {
         case ((b, r), i) => beamMode(i, b, r) }.mkString("\nUNION ALL\n")
@@ -795,6 +803,7 @@ object VectorQueries extends QueryModule {
          |ed AS (SELECT src, dst FROM knn),
          |$graphBeamHeadCtes,
          |$budgetCtes,
+         |${pqCtes()},
          |esc AS (SELECT q_id, q.vec_id AS vec_id, ${cosSql("qqv", "qv")} AS c
          |        FROM qry CROSS JOIN q WHERE q.vec_id <> q_id),
          |er AS (SELECT *, row_number() OVER (
@@ -803,31 +812,71 @@ object VectorQueries extends QueryModule {
          |cst AS MATERIALIZED (SELECT COUNT(*) AS ncells, MAX(cn) AS max_cell,
          |    CAST(SUM(cn) AS BIGINT) AS n_vecs
          |  FROM (SELECT cid, COUNT(*) AS cn FROM kcells GROUP BY cid)),
+         |dm AS (SELECT CAST(MAX(len(qv)) AS BIGINT) AS dim FROM q),
          |ivfa AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
          |  FROM (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c
          |        FROM kcand WHERE q_id < 10)) WHERE rk <= 3),
+         |pqad AS (SELECT k.q_id, k.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+         |  FROM (SELECT q_id, vec_id FROM kcand WHERE q_id < 10) k
+         |  JOIN codes ON codes.vec_id = k.vec_id
+         |  JOIN dt ON dt.q_id = k.q_id AND dt.m = codes.m AND dt.code = codes.code
+         |  GROUP BY k.q_id, k.vec_id),
+         |pqa AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM pqad) WHERE rk <= 3),
+         |sqexd AS (SELECT vec_id, UNNEST(qv) AS x,
+         |  UNNEST(range(1, len(qv) + 1)) AS i FROM q),
+         |sqst AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM sqexd GROUP BY i),
+         |sqcd AS (SELECT vec_id, i, CASE WHEN mx > mn
+         |    THEN LEAST(
+         |      510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn),
+         |      510 * mx)
+         |    ELSE 510 * mn END AS xd
+         |  FROM sqexd JOIN sqst USING (i)),
+         |sqdv AS (SELECT vec_id, list(xd ORDER BY i) AS dq FROM sqcd GROUP BY vec_id),
+         |sqqs AS (SELECT vec_id AS q_id, dq AS qq FROM sqdv WHERE vec_id < 10),
+         |sqsc AS (SELECT q_id, vec_id, ${cosSql("qq", "dq")} AS c
+         |  FROM sqqs CROSS JOIN sqdv WHERE vec_id <> q_id),
+         |sqa AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sqsc)
+         |  WHERE rk <= 3),
          |modes AS MATERIALIZED (
          |SELECT 'ivf_scan' AS mode, CAST(0 AS BIGINT) AS beam,
          |  CAST(0 AS BIGINT) AS rounds,
-         |  ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN ivfa a
-         |      USING (q_id, vec_id)) AS DOUBLE)
-         |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
-         |    AS mean_recall,
+         |  ${recallOf("ivfa")},
          |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
          |    AS visit_bound,
-         |  (SELECT ncells FROM cst) AS ncells,
-         |  (SELECT max_cell FROM cst) AS max_cell,
-         |  (SELECT n_vecs FROM cst) AS n_vecs
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst)
+         |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
+         |$evidence
          |UNION ALL
-         |$beamModes),
+         |$beamModes
+         |UNION ALL
+         |SELECT 'ivf_pq' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("pqa")},
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
+         |    AS visit_bound,
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) * 4
+         |    AS BIGINT) AS bytes_bound,
+         |$evidence
+         |UNION ALL
+         |SELECT 'sq8_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("sqa")},
+         |  (SELECT n_vecs FROM cst) AS visit_bound,
+         |  CAST((SELECT n_vecs FROM cst) * (SELECT dim FROM dm) AS BIGINT)
+         |    AS bytes_bound,
+         |$evidence),
          |best AS (SELECT MAX(mean_recall) AS br FROM modes),
          |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible
          |         FROM modes m CROSS JOIN best),
          |pick AS (SELECT mode AS pick_mode FROM elig WHERE eligible
-         |         ORDER BY visit_bound, mode LIMIT 1)
-         |SELECT mode, beam, rounds, mean_recall, visit_bound, ncells,
-         |  max_cell, n_vecs, mode = (SELECT pick_mode FROM pick) AS picked
+         |         ORDER BY bytes_bound, mode LIMIT 1)
+         |SELECT mode, beam, rounds, mean_recall, visit_bound, bytes_bound,
+         |  ncells, max_cell, n_vecs,
+         |  mode = (SELECT pick_mode FROM pick) AS picked
          |FROM elig""".stripMargin
     },
 

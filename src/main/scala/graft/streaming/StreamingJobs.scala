@@ -1022,10 +1022,15 @@ object StreamingJobs {
   /** Stage-0 → stage-1 routing row of [[refreshStream]]: a band-level
     * membership op (`addprobe`/`remove`) or a band-less fate marker
     * (`gated`/`evicted`, bkey = "fate:doc"). `sh` carries the doc's
-    * distinct shingle set on `addprobe` routes so the band store can
-    * verify exact Jaccard against its members (empty otherwise). */
+    * distinct 60-bit shingle HASHES on `addprobe` routes so the band
+    * store can verify exact Jaccard against its members (empty
+    * otherwise) — hashes, not strings: Jaccard over the md5-derived
+    * hashes equals Jaccard over the shingle strings up to hash
+    * collisions (~2⁻⁶⁰ per compared pair), at 8 bytes per shingle
+    * instead of an arbitrary-length string, so the keyed band state
+    * stays proportional to membership, not text. */
   final case class RefreshRoute(bkey: String, doc_id: Long, op: String,
-                                kind: String, cid: Long, sh: Seq[String])
+                                kind: String, cid: Long, sh: Seq[Long])
 
   /** Stage-1 → stage-2 row: a band probe result or a passed-through
     * fate marker. */
@@ -1051,7 +1056,7 @@ object StreamingJobs {
     *     membership instead of leaving ghost members, and total band
     *     state tracks the LIVE corpus, not stream length;
     *  2. a BAND-keyed member store holding each member's doc_id AND its
-    *     distinct shingle set (the SAME band arithmetic as the batch DSL
+    *     distinct 60-bit shingle-hash set (the SAME band arithmetic as the batch DSL
     *     via the native kernel, so stream and batch can never disagree
     *     on a key): removes first, then `addprobe`s in doc order — each
     *     probe answers with the min member whose EXACT shingle Jaccard
@@ -1093,22 +1098,28 @@ object StreamingJobs {
         nexpr(VectorOps.quant), cents, 1))
       .getItem(0).getField("c").cast("long")
     // everything row-local happens BEFORE the first shuffle: gate
-    // verdict, band keys, shingle set, cell assignment. The shingle set
-    // rides along so the band store can verify exact Jaccard — the same
-    // distinct-3-shingle strings DedupOps.shingleRows feeds the batch
-    // verification, so stream and batch agree on the arithmetic.
-    val shCol = DedupOps.shingles(split(col("text"), " "))
+    // verdict, band keys, shingle-hash set, cell assignment. The
+    // 60-bit shingle hashes (DedupOps.shingleHashes — the same values
+    // the MinHash signature is built from) ride along so the band store
+    // can verify exact Jaccard: hash-set Jaccard equals the batch
+    // verification's string-set Jaccard up to md5 collisions, at 8
+    // bytes per stored shingle. NOTE: switching the staged row and the
+    // band-store state from shingle STRINGS to hashes (r17) changes the
+    // state-store schema — a checkpoint written by an earlier build
+    // cannot resume into this one (start the refresh stream from a
+    // fresh checkpoint; the artifact dirs are unaffected).
+    val shCol = DedupOps.shingleHashes(DedupOps.shingles(split(col("text"), " ")))
     val staged = base
       .select(col("doc_id"), col("seq"), col("op"), keep.as("keep"),
         cidCol.as("cid"),
-        DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(
-          DedupOps.shingleHashes(shCol))))).as("bands"),
+        DedupOps.bandKeys(ncol(graft.functions.MinhashSig(nexpr(shCol))))
+          .as("bands"),
         shCol.as("sh"))
-      .as[(Long, Long, String, Boolean, Long, Seq[String], Seq[String])]
+      .as[(Long, Long, String, Boolean, Long, Seq[String], Seq[Long])]
     // stage 1: per-doc membership normalizer
     val routes = staged.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (doc: Long, it: Iterator[(Long, Long, String, Boolean, Long, Seq[String], Seq[String])],
+      (doc: Long, it: Iterator[(Long, Long, String, Boolean, Long, Seq[String], Seq[Long])],
        state: GroupState[Seq[String]]) =>
         val evs = it.toSeq
         val w = evs.maxBy(e => (e._2, e._3 == "delete"))
@@ -1133,7 +1144,7 @@ object StreamingJobs {
     val probes = routes.groupByKey(_.bkey).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (key: String, it: Iterator[RefreshRoute],
-       state: GroupState[Seq[(Long, Seq[String])]]) =>
+       state: GroupState[Seq[(Long, Seq[Long])]]) =>
         val evs = it.toSeq
         if (key.startsWith("fate:"))
           evs.sortBy(_.doc_id)

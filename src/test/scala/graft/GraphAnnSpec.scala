@@ -291,11 +291,14 @@ class GraphAnnSpec extends SparkSpec {
       val pick = VectorOps.serveModeDiagnostic(emb, queryMaxId = 5, k = 3)
         .filter(col("picked"))
         .select(col("mode"), col("beam"), col("rounds")).head()
-      val direct =
-        if (pick.getString(0) == "ivf_scan")
+      val direct = pick.getString(0) match {
+        case "ivf_scan" =>
           VectorOps.ivfKmeansTopK(emb, k = 3).filter(col("q_id") < 5)
-        else VectorOps.graphBeamTopK(emb, queryMaxId = 5, k = 3,
+        case "ivf_pq" => VectorOps.ivfPqTopK(emb, queryMaxId = 5, k = 3)
+        case "sq8_scan" => VectorOps.sq8TopK(emb, queryMaxId = 5, k = 3)
+        case _ => VectorOps.graphBeamTopK(emb, queryMaxId = 5, k = 3,
           beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
+      }
       direct.collect().map(_.toSeq).toSet
     }
     // clustered fixture
