@@ -65,7 +65,11 @@ class PlanSpec extends SparkSpec {
     "ann_multiprobe_mrr" -> "contains the brute-force exact top-1 baseline (fixed query set, the ann_cosine_topk shape)",
     "bitext_banded_recall" -> "brute leg is the exhaustive langA x langB semantics reference BY DESIGN (the decontam_semantic_recall honesty-diagnostic convention); broadcast side is the langB slice, language-pair bounded, with the md5 half-sample gate as the at-scale escape hatch; the tail crossJoins are 1-row count aggregates",
     "bitext_cell_recall" -> "same brute-reference leg and 1-row count tail as bitext_banded_recall; the cells-mode leg itself is a bounded kprobes x kcells equi-join",
-    "ann_serve_mode" -> "contains the brute-force fixed-query-set baseline (vec_id < 10, the ann_kmeans_recall shape) every mode's recall is measured against, the |Q| x ncells(<= 512) broadcast beam seed, and 1-row aggregate crossJoins (cell stats / best-recall / pick)",
+    "ann_serve_mode" -> "contains the brute-force fixed-query-set baseline (vec_id < 10, the ann_kmeans_recall shape) every mode's recall is measured against, the |Q| x ncells(<= 512) broadcast beam seed, the SQ8 decoded scan over the same broadcast query set (the ann_sq8_recall shape), and 1-row aggregate crossJoins (cell stats / best-recall / pick)",
+    // bitext_auto needs no entry: its router diagnostic (which inherits
+    // bitext_banded_recall's whitelisted brute reference) executes during
+    // the driver-side pick, and the RETURNED plan is only the picked
+    // mode's bounded banded/cells equi-join mining
     "ann_index_staleness" -> "two beam serves plus the same brute baseline and 1-row aggregate crossJoins (counts x two recall legs) — a periodic diagnostic, every non-equi side query-sample- or single-row-bounded")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
