@@ -98,6 +98,52 @@ object StreamProbe {
       q.stop()
     }
 
+    // ---- graphIngestStream: per-trigger wall time vs accumulated batch
+    // dirs, folded (foldEvery=4) against never-folded — the unfolded
+    // trigger re-reads every prior batch dir (input scan O(streamed)),
+    // the fold bounds the per-trigger dir count at foldEvery. Work per
+    // trigger (assignment + edge build) is identical in both runs, so
+    // the time difference IS the artifact-scan growth.
+    {
+      import org.apache.spark.sql.functions.col
+      def emb(i: Long): Seq[Float] =
+        (0 until 16).map(d => (((i * 37 + d * 13) % 201) - 100) / 100f)
+      val corpus = (0L until 2000L).map(i => (i, emb(i)))
+        .toDF("vec_id", "embedding")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      def run(foldEvery: Int, tag: String): (Seq[Double], Int) = {
+        val dir = s"/tmp/graft-probe/graph_ingest_$tag"
+        rm(new java.io.File(dir))
+        graft.pipeline.VectorOps.graphBeamAppend(corpus, splitId = 1000L,
+          queryMaxId = 1, k = 3, indexDir = dir).collect()
+        val in = MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.StreamingJobs.graphIngestStream(
+            in.toDS().toDF("vec_id", "embedding"), corpus, dir,
+            foldEvery = foldEvery)
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        val times = (0 until 16).map { b =>
+          val batch = (1000L + b * 50L until 1000L + (b + 1) * 50L)
+            .map(i => (i, emb(i)))
+          val t0 = System.nanoTime()
+          in.addData(batch); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q.stop()
+        val nDirs = new java.io.File(s"$dir/cells_stream")
+          .listFiles().count(_.isDirectory)
+        (times, nDirs)
+      }
+      val (tNo, dNo) = run(foldEvery = 1000, tag = "nofold")
+      val (tFold, dFold) = run(foldEvery = 4, tag = "fold")
+      def r2(xs: Seq[Double]) = xs.map(t => math.round(t * 100) / 100.0)
+      println(s"""{"probe":"graphIngestStream","triggers":16,"batch":50,""" +
+        s""""nofold_trigger_sec":${r2(tNo).mkString("[", ",", "]")},"nofold_dirs":$dNo,""" +
+        s""""fold_trigger_sec":${r2(tFold).mkString("[", ",", "]")},"fold_dirs":$dFold}""")
+    }
+
     // ---- patternMonitorStream: nSeries series x nPoints points — state
     // rows must equal nSeries regardless of nPoints
     {

@@ -989,7 +989,15 @@ object StreamingJobs {
     * within a trigger), matching the batch fold's one-fate-per-doc
     * contract. Per-trigger cost is O(artifact + changed) — the
     * artifact-sized term is the store rewrite, the same bound
-    * [[manifestStream]] pays. */
+    * [[manifestStream]] pays.
+    *
+    * The GRAPH artifact is deliberately NOT folded per trigger: its
+    * fold ([[graft.pipeline.RefreshOps.compactGraphIndex]]) rebuilds
+    * whole affected cells (cell-quadratic, not O(changed)), so
+    * per-trigger is the wrong cadence — run
+    * [[graft.pipeline.RefreshOps.compactGraphIndexDirs]] when the
+    * [[graft.pipeline.VectorOps.graphIndexStaleness]] trigger fires
+    * (the same policy that schedules the full rebuild). */
   def refreshCompactionStream(fates: org.apache.spark.sql.Dataset[RefreshFate],
                               newDocs: DataFrame, artifactDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[RefreshFate] =
