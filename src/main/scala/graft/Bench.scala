@@ -82,7 +82,10 @@ object Bench {
       "ann_serve_mode", "ann_index_staleness",
       "bitext_banded_recall", "bitext_cell_recall", "bitext_auto",
       "dedup_lsh_recall", "dedup_lsh_recall_sampled", "dedup_lsh_precision",
-      "dedup_threshold_sweep", "decontam_semantic_recall", "lsh_planner")
+      "dedup_threshold_sweep", "decontam_semantic_recall", "lsh_planner",
+      // per-refresh-cycle maintenance fold (the graph compaction), not a
+      // hot-path query — the ann_index_staleness cadence
+      "refresh_compact_graph")
     def repsOf(name: String): Int =
       repsEnv.map(_.max(1))
         .getOrElse(if (diagQueries(name)) 1 else reps)

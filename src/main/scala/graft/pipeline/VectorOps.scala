@@ -1999,16 +1999,27 @@ object VectorOps {
   def bitextModeDiagnostic(emb: DataFrame, docLangs: DataFrame,
                            langA: String = "en", langB: String = "de",
                            k: Int = BitextNnK,
-                           threshold: Double = BitextMarginThreshold): DataFrame = {
+                           threshold: Double = BitextMarginThreshold): DataFrame =
+    bitextModeEvidence(emb, docLangs, langA, langB, k, threshold)._1
+
+  /** The router's evidence, with each mode's FULL mined frame kept —
+    * so [[bitextAutoPairs]] serves the picked mode's pairs from the
+    * mining the diagnostic already ran instead of mining a second time
+    * (the [[annServeAuto]] artifact-reuse convention). */
+  private def bitextModeEvidence(emb: DataFrame, docLangs: DataFrame,
+                                 langA: String, langB: String, k: Int,
+                                 threshold: Double)
+      : (DataFrame, Map[String, DataFrame]) = {
     val (a, b) = bitextSides(emb, docLangs, langA, langB)
     val brute = graft.CacheScope.persist(
       bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
         banded = false).select(col("doc_a"), col("doc_b")))
-    def leg(mode: String): DataFrame = {
-      val mined = graft.CacheScope.persist(
+    def leg(mode: String): (DataFrame, DataFrame) = {
+      val minedFull = graft.CacheScope.persist(
         bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-          candidates = Some(mode)).select(col("doc_a"), col("doc_b")))
-      brute.agg(count(lit(1)).as("brute_pairs"))
+          candidates = Some(mode)))
+      val mined = minedFull.select(col("doc_a"), col("doc_b"))
+      val row = brute.agg(count(lit(1)).as("brute_pairs"))
         .crossJoin(mined.agg(count(lit(1)).as("mined_pairs")))
         .crossJoin(brute.join(mined, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("hits")))
@@ -2019,34 +2030,40 @@ object VectorOps {
             .otherwise(round(col("hits").cast("double") / col("brute_pairs")
               + lit(1e-9), 4)).as("recall"),
           col("cand_pairs"))
+      (row, minedFull)
     }
-    val modes = graft.CacheScope.persist(leg("banded").unionByName(leg("cells")))
+    val (bandedRow, bandedMined) = leg("banded")
+    val (cellsRow, cellsMined) = leg("cells")
+    val modes = graft.CacheScope.persist(bandedRow.unionByName(cellsRow))
     val best = modes.agg(max(col("recall")).as("best_recall"))
     val pick = modes.crossJoin(broadcast(best))
       .filter(col("recall") >= col("best_recall") - lit(AnnServeRecallSlack))
       .orderBy(col("cand_pairs"), col("mode")).limit(1)
       .select(col("mode").as("pick_mode"))
-    modes.crossJoin(broadcast(pick))
+    val diag = modes.crossJoin(broadcast(pick))
       .select(col("mode"), col("brute_pairs"), col("mined_pairs"),
         col("recall"), col("cand_pairs"),
         (col("mode") === col("pick_mode")).as("picked"))
+    (diag, Map("banded" -> bandedMined, "cells" -> cellsMined))
   }
 
   /** The bitext router, CONSUMED (the [[annServeAuto]] convention): run
     * [[bitextModeDiagnostic]], read the picked candidate mode (a 2-row
     * config-sized collect — the one driver-side branch a data-dependent
-    * candidate-source choice needs), and mine with it; the pick ships
-    * on every output row. BitextSpec pins auto == the picked mode's
-    * direct mining on both corpus shapes. */
+    * candidate-source choice needs), and serve that mode's pairs FROM
+    * THE MINING THE DIAGNOSTIC ALREADY RAN (persisted per leg — no
+    * second margin chain); the pick ships on every output row.
+    * BitextSpec pins auto == the picked mode's direct mining on both
+    * corpus shapes. */
   def bitextAutoPairs(emb: DataFrame, docLangs: DataFrame,
                       langA: String = "en", langB: String = "de",
                       k: Int = BitextNnK,
                       threshold: Double = BitextMarginThreshold): DataFrame = {
-    val mode = bitextModeDiagnostic(emb, docLangs, langA, langB, k, threshold)
-      .filter(col("picked")).select(col("mode")).head().getString(0)
-    bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-        candidates = Some(mode))
-      .withColumn("mode", lit(mode))
+    val (diag, mined) =
+      bitextModeEvidence(emb, docLangs, langA, langB, k, threshold)
+    val mode = diag.filter(col("picked"))
+      .select(col("mode")).head().getString(0)
+    mined(mode).withColumn("mode", lit(mode))
   }
 
   /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when

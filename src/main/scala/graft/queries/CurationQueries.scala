@@ -35,6 +35,71 @@ object CurationQueries extends QueryModule {
   import TextQueries.{componentsCtes, dlit, gopherVerdictSql, hex60Sql,
     lshCte, lshCteFor, policyVerdictSql, qualityCte, shinglesSql}
 
+  /** The `incremental_refresh` composition (see the query comment at its
+    * map entry) — factored out so `refresh_compact_graph` folds the SAME
+    * fates the refresh query reports. */
+  private def refreshFates(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.VectorOps
+    val (oldSnap, newSnap) = refreshSnapshots(s, d)
+    val a = oldSnap.select(col("doc_id"), col("source").as("src_a"),
+      col("text").as("text_a"))
+    val b = newSnap.select(col("doc_id"), col("source").as("src_b"),
+      col("text").as("text_b"))
+    // diff feeds three consumers (delta, unchanged index, final frame)
+    val diff = graft.CacheScope.persist(a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("text_a").isNull, "added")
+          .when(col("text_b").isNull, "removed")
+          .when(col("text_a") === col("text_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("text_b").as("text")))
+    val delta = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("text"))
+    val pol = TextOps.policyGate(delta)
+      .select(col("doc_id"), col("keep").as("p_keep"))
+    val gph = TextOps.gopherRules(
+        delta.join(pol.filter(col("p_keep")).select("doc_id"), Seq("doc_id")))
+      .select(col("doc_id"), col("keep").as("g_keep"))
+    val sv = delta.join(pol, Seq("doc_id")).join(gph, Seq("doc_id"))
+      .filter(col("p_keep") && col("g_keep"))
+      .select(col("doc_id"), col("text"))
+    val unchanged = diff.filter(col("status") === "unchanged")
+      .select(col("doc_id"), col("text"))
+    val dups = DedupOps.probeDupHits(unchanged, sv)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("hits_raw"), min(col("old_id")).as("dup_of"))
+    val emb = Tables.embeddings(s, d)
+    val oldPred = TextOps.mdDraw6On("snapold", col("vec_id")) < 900000L
+    val cents = VectorOps.kmeansCentroids(emb.filter(oldPred),
+      targetCellSize = 50)
+    val fresh = sv.select(col("doc_id"))
+      .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+    val asg = VectorOps.kmeansRanked(
+        emb.join(fresh.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id")),
+        cents, maxRank = 1)
+      .select(col("vec_id").as("doc_id"), col("cid").cast("long").as("cid"))
+    diff.filter(col("status") =!= "unchanged")
+      .join(pol, Seq("doc_id"), "left")
+      .join(gph, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .join(asg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("status"),
+        col("p_keep"), col("g_keep"),
+        when(col("status") === "removed", lit(null).cast("long"))
+          .when(!col("p_keep"), lit(null).cast("long"))
+          .when(!col("g_keep"), lit(null).cast("long"))
+          .otherwise(coalesce(col("hits_raw"), lit(0L))).as("n_dup_hits"),
+        col("dup_of"), col("cid"),
+        when(col("status") === "removed", lit("evicted"))
+          .when(!col("p_keep"), lit("gated"))
+          .when(!col("g_keep"), lit("gated"))
+          .when(col("hits_raw").isNotNull, lit("near_dup"))
+          .otherwise(lit("indexed")).as("action"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LEAKAGE-FREE split: the whole near-dup cluster draws ONE fate, so no
     // val/test doc has a near-duplicate in train (the failure mode
@@ -128,65 +193,40 @@ object CurationQueries extends QueryModule {
     // pure function of its inputs, the ann_index_roundtrip convention).
     // A 1% daily delta therefore pays 1% of the gate/probe/assign work,
     // not a full re-pipeline.
-    "incremental_refresh" -> ((s, d) => {
+    "incremental_refresh" -> ((s, d) => refreshFates(s, d)),
+
+    // GRAPH COMPACTION, oracle-checked end-to-end: the refresh run's
+    // fates folded into the persisted graph index
+    // (RefreshOps.compactGraphIndex — affected cells rebuilt, evicted
+    // docs' edges gone both directions) must equal a FRESH same-cell
+    // kNN build over the live corpus at the live cell assignment —
+    // that contract IS the oracle, so DuckDB replays the fates chain,
+    // derives the live corpus, and builds the graph fresh, while the
+    // Spark side exercises the incremental fold. Billed in the bench's
+    // diagnostic tier: a per-refresh-cycle maintenance fold, not a
+    // hot-path query. The fates frame is localCheckpoint-ed before the
+    // fold composes over it (the refresh plan tree re-composed through
+    // three joins was measured to OOM the EXPLAIN formatter).
+    "refresh_compact_graph" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      import graft.pipeline.VectorOps
-      val (oldSnap, newSnap) = refreshSnapshots(s, d)
-      val a = oldSnap.select(col("doc_id"), col("source").as("src_a"),
-        col("text").as("text_a"))
-      val b = newSnap.select(col("doc_id"), col("source").as("src_b"),
-        col("text").as("text_b"))
-      // diff feeds three consumers (delta, unchanged index, final frame)
-      val diff = graft.CacheScope.persist(a.join(b, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          coalesce(col("src_b"), col("src_a")).as("source"),
-          when(col("text_a").isNull, "added")
-            .when(col("text_b").isNull, "removed")
-            .when(col("text_a") === col("text_b"), "unchanged")
-            .otherwise("changed").as("status"),
-          col("text_b").as("text")))
-      val delta = diff.filter(col("status").isin("added", "changed"))
-        .select(col("doc_id"), col("text"))
-      val pol = TextOps.policyGate(delta)
-        .select(col("doc_id"), col("keep").as("p_keep"))
-      val gph = TextOps.gopherRules(
-          delta.join(pol.filter(col("p_keep")).select("doc_id"), Seq("doc_id")))
-        .select(col("doc_id"), col("keep").as("g_keep"))
-      val sv = delta.join(pol, Seq("doc_id")).join(gph, Seq("doc_id"))
-        .filter(col("p_keep") && col("g_keep"))
-        .select(col("doc_id"), col("text"))
-      val unchanged = diff.filter(col("status") === "unchanged")
-        .select(col("doc_id"), col("text"))
-      val dups = DedupOps.probeDupHits(unchanged, sv)
-        .groupBy(col("new_id").as("doc_id"))
-        .agg(count(lit(1)).as("hits_raw"), min(col("old_id")).as("dup_of"))
+      import graft.pipeline.{RefreshOps, VectorOps}
+      val (oldSnap, _) = refreshSnapshots(s, d)
+      val fates = refreshFates(s, d).localCheckpoint()
       val emb = Tables.embeddings(s, d)
       val oldPred = TextOps.mdDraw6On("snapold", col("vec_id")) < 900000L
-      val cents = VectorOps.kmeansCentroids(emb.filter(oldPred),
-        targetCellSize = 50)
-      val fresh = sv.select(col("doc_id"))
-        .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
-      val asg = VectorOps.kmeansRanked(
-          emb.join(fresh.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id")),
-          cents, maxRank = 1)
-        .select(col("vec_id").as("doc_id"), col("cid").cast("long").as("cid"))
-      diff.filter(col("status") =!= "unchanged")
-        .join(pol, Seq("doc_id"), "left")
-        .join(gph, Seq("doc_id"), "left")
-        .join(dups, Seq("doc_id"), "left")
-        .join(asg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("status"),
-          col("p_keep"), col("g_keep"),
-          when(col("status") === "removed", lit(null).cast("long"))
-            .when(!col("p_keep"), lit(null).cast("long"))
-            .when(!col("g_keep"), lit(null).cast("long"))
-            .otherwise(coalesce(col("hits_raw"), lit(0L))).as("n_dup_hits"),
-          col("dup_of"), col("cid"),
-          when(col("status") === "removed", lit("evicted"))
-            .when(!col("p_keep"), lit("gated"))
-            .when(!col("g_keep"), lit("gated"))
-            .when(col("hits_raw").isNotNull, lit("near_dup"))
-            .otherwise(lit("indexed")).as("action"))
+      val embOld = emb.filter(oldPred)
+      val cents = VectorOps.kmeansCentroids(embOld, targetCellSize = 50)
+      val cells0 = VectorOps.kmeansRanked(embOld, cents, maxRank = 1)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      val edges0 = VectorOps.knnGraphFromCells(embOld, cells0, 3)
+        .select(col("src"), col("dst"))
+      val live = oldSnap.select(col("doc_id"))
+        .join(fates.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(fates.filter(col("action") === "indexed")
+          .select(col("doc_id")))
+      val embLive = emb.join(
+        live.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      RefreshOps.compactGraphIndex(embLive, edges0, cells0, fates)._2
     }),
 
     // robots-style policy gate on the canonical URL: banned domains +
@@ -536,7 +576,33 @@ object CurationQueries extends QueryModule {
     // disjoint by construction), and the kmeansCtes assignment with the
     // Lloyd fit restricted to the old snapshot (ann_index_append's
     // fitPred recipe on the shared doc_id = vec_id id space)
-    "incremental_refresh" -> {
+    "incremental_refresh" ->
+      s"""WITH $refreshFatesCtes
+         |SELECT * FROM fates""".stripMargin,
+
+    // the graph-compaction contract AS the oracle: compact(old graph,
+    // fates) == a fresh same-cell kNN build over the live corpus at the
+    // live assignment — so the replay derives the fates (the shared
+    // chain), the live id set, restricts the frozen-fit kcells to it,
+    // and builds the graph fresh; the Spark side runs the incremental
+    // fold (affected cells only)
+    "refresh_compact_graph" ->
+      s"""WITH $refreshFatesCtes,
+         |live AS (SELECT doc_id FROM oldd
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM fates)
+         |  UNION ALL
+         |  SELECT doc_id FROM fates WHERE action = 'indexed'),
+         |lcell AS (SELECT k.vec_id, k.qv, k.cid
+         |  FROM kcells k JOIN live ON k.vec_id = live.doc_id),
+         |${VectorQueries.knnCtesAs("cg", cells = "lcell")}
+         |SELECT src, dst FROM cg""".stripMargin) ++ oraclesTail
+
+  /** The full incremental-refresh replay chain, ending in
+    * `fates(doc_id, source, status, p_keep, g_keep, n_dup_hits, dup_of,
+    * cid, action)` — shared by the refresh oracle and the
+    * graph-compaction oracle (which also reads the chain's `oldd` and
+    * `kcells`). Must be opened with `WITH `. */
+  private def refreshFatesCtes: String = {
       val snapOld =
         s"${hex60Sql("md5('snapold:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 900000"
       val snapNew =
@@ -545,7 +611,7 @@ object CurationQueries extends QueryModule {
         s"${hex60Sql("md5('snapedit:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 100000"
       val fitPred =
         s"${hex60Sql("md5('snapold:' || CAST(vec_id AS VARCHAR))")} % 1000000 < 900000"
-      s"""WITH oldd AS (SELECT doc_id, source, text FROM documents WHERE $snapOld),
+      s"""oldd AS (SELECT doc_id, source, text FROM documents WHERE $snapOld),
          |newd AS (SELECT doc_id, source,
          |    CASE WHEN $snapEdit THEN text || ' v2' ELSE text END AS text
          |  FROM documents WHERE $snapNew),
@@ -592,8 +658,8 @@ object CurationQueries extends QueryModule {
          |fresh AS (SELECT doc_id FROM sv
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
          |asg AS (SELECT kcells.vec_id AS doc_id, CAST(kcells.cid AS BIGINT) AS cid
-         |  FROM kcells JOIN fresh ON kcells.vec_id = fresh.doc_id)
-         |SELECT d.doc_id, d.source, d.status, pk.p_keep, gk.g_keep,
+         |  FROM kcells JOIN fresh ON kcells.vec_id = fresh.doc_id),
+         |fates AS (SELECT d.doc_id, d.source, d.status, pk.p_keep, gk.g_keep,
          |  CASE WHEN d.status = 'removed' THEN NULL
          |       WHEN NOT pk.p_keep THEN NULL
          |       WHEN NOT gk.g_keep THEN NULL
@@ -609,9 +675,10 @@ object CurationQueries extends QueryModule {
          |LEFT JOIN gk ON d.doc_id = gk.doc_id
          |LEFT JOIN dups ON d.doc_id = dups.doc_id
          |LEFT JOIN asg ON d.doc_id = asg.doc_id
-         |WHERE d.status <> 'unchanged'""".stripMargin
-    },
+         |WHERE d.status <> 'unchanged')""".stripMargin
+  }
 
+  private def oraclesTail: Map[String, String] = Map(
     "web_pipeline" -> {
       val hostIn = BlockedHosts.map(h => s"'$h'").mkString(", ")
       val pathHit = BlockedPathPrefixes

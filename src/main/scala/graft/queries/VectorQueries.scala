@@ -529,9 +529,9 @@ object VectorQueries extends QueryModule {
     * the src/dst scopes (predicates over `a.vec_id` / `b.vec_id`) so
     * the incremental append can replay its asymmetric edge set: expects
     * `q` + [[kmeansCtes]] in scope, produces `<name>(src, dst, c, rk)`. */
-  private def knnCtesAs(name: String, srcPred: String = "TRUE",
-                        dstPred: String = "TRUE",
-                        cells: String = "kcells"): String =
+  private[queries] def knnCtesAs(name: String, srcPred: String = "TRUE",
+                                 dstPred: String = "TRUE",
+                                 cells: String = "kcells"): String =
     s"""${name}pr AS MATERIALIZED (SELECT a.vec_id AS src, a.qv AS qa, b.vec_id AS dst, b.qv AS qb
        |  FROM $cells a JOIN $cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
        |  WHERE ($srcPred) AND ($dstPred)),
