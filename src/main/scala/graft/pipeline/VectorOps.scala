@@ -188,20 +188,29 @@ object VectorOps {
     * per-row `slice`, so the scan reads ¼ of each vector's arithmetic
     * with no index at all. */
   def matryoshkaRecall(emb: DataFrame, queryMaxId: Long, k: Int,
-                       prefixDim: Int = 16): DataFrame = {
+                       prefixDim: Int = 16): DataFrame =
+    recallVs(bruteForceTopK(emb, queryMaxId, k),
+      matryoshkaTopK(emb, queryMaxId, k, prefixDim), k)
+
+  /** The truncated-prefix brute scan itself (the serving leg of
+    * [[matryoshkaRecall]], exposed so the serve-mode router can measure
+    * and the consumed pick can serve it): every candidate touched at
+    * `prefixDim` of `dim` components. Output: (q_id, vec_id, c, rk). */
+  def matryoshkaTopK(emb: DataFrame, queryMaxId: Long, k: Int,
+                     prefixDim: Int = 16): DataFrame = {
     require(prefixDim >= 1, "prefixDim must be positive")
     val e = emb.select(col("vec_id"), slice(quant, 1, prefixDim).as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
     val qs = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
     import org.apache.spark.sql.expressions.Window
-    val approx = e.crossJoin(broadcast(qs))
+    e.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
-    recallVs(bruteForceTopK(emb, queryMaxId, k), approx, k)
+      .select(col("q_id"), col("vec_id"), col("c"), col("rk"))
   }
 
   /** SQ8 SCALAR-QUANTIZATION SEARCH + RECALL — the third point on the
@@ -1471,7 +1480,8 @@ object VectorOps {
     // candidates × bytes per candidate) — the memory-bound regime's
     // real currency at 100 TB, where compression IS the decision:
     // full-precision candidates cost dim×8 bytes, PQ codes m bytes,
-    // SQ8 codes dim bytes. The pick minimizes bytes_bound.
+    // SQ8 codes dim bytes, matryoshka prefixes prefixDim×8 bytes.
+    // The pick minimizes bytes_bound.
     val dim = emb.agg(max(size(quant))).head.getInt(0)
     def modeRow(mode: String, beam: Int, rounds: Int, approx: DataFrame,
                 bound: Column, bytesPerCand: Long): DataFrame =
@@ -1507,8 +1517,12 @@ object VectorOps {
     val sq8Row = modeRow("sq8_scan", 0, 0,
       sq8TopK(emb, queryMaxId, k),
       col("n_vecs"), dim.toLong)
+    val matDim = math.min(16, dim)
+    val matRow = modeRow(s"mat${matDim}_scan", 0, 0,
+      matryoshkaTopK(emb, queryMaxId, k, matDim),
+      col("n_vecs"), matDim.toLong * 8)
     val modes = graft.CacheScope.persist(
-      (ivfRow +: beamRows :+ pqRow :+ sq8Row).reduce(_ unionByName _))
+      (ivfRow +: beamRows :+ pqRow :+ sq8Row :+ matRow).reduce(_ unionByName _))
     // pick = cheapest bytes_bound among modes within slack of the best
     // recall (1-row aggregates crossJoined back — no global window)
     val best = modes.agg(max(col("mean_recall")).as("best_recall"))
@@ -1564,6 +1578,9 @@ object VectorOps {
       case "ivf_scan" => ivfScanWith(emb, art, queryMaxId, k)
       case "ivf_pq"   => ivfPqTopK(emb, queryMaxId, k)
       case "sq8_scan" => sq8TopK(emb, queryMaxId, k)
+      case m if m.startsWith("mat") =>
+        matryoshkaTopK(emb, queryMaxId, k,
+          m.stripPrefix("mat").stripSuffix("_scan").toInt)
       case _ => graphBeamSearch(emb, art.edges, art.entries, queryMaxId, k,
         beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
     }

@@ -841,6 +841,13 @@ object VectorQueries extends QueryModule {
          |sqa AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sqsc)
          |  WHERE rk <= 3),
+         |mtq AS (SELECT vec_id, qv[1:16] AS tv FROM q),
+         |mtqs AS (SELECT vec_id AS q_id, tv AS tt FROM mtq WHERE vec_id < 10),
+         |mtsc AS (SELECT q_id, vec_id, ${cosSql("tt", "tv")} AS c
+         |  FROM mtqs CROSS JOIN mtq WHERE vec_id <> q_id),
+         |mta AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM mtsc)
+         |  WHERE rk <= 3),
          |modes AS MATERIALIZED (
          |SELECT 'ivf_scan' AS mode, CAST(0 AS BIGINT) AS beam,
          |  CAST(0 AS BIGINT) AS rounds,
@@ -868,6 +875,13 @@ object VectorQueries extends QueryModule {
          |  (SELECT n_vecs FROM cst) AS visit_bound,
          |  CAST((SELECT n_vecs FROM cst) * (SELECT dim FROM dm) AS BIGINT)
          |    AS bytes_bound,
+         |$evidence
+         |UNION ALL
+         |SELECT 'mat16_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("mta")},
+         |  (SELECT n_vecs FROM cst) AS visit_bound,
+         |  CAST((SELECT n_vecs FROM cst) * 128 AS BIGINT) AS bytes_bound,
          |$evidence),
          |best AS (SELECT MAX(mean_recall) AS br FROM modes),
          |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible

@@ -296,6 +296,9 @@ class GraphAnnSpec extends SparkSpec {
           VectorOps.ivfKmeansTopK(emb, k = 3).filter(col("q_id") < 5)
         case "ivf_pq" => VectorOps.ivfPqTopK(emb, queryMaxId = 5, k = 3)
         case "sq8_scan" => VectorOps.sq8TopK(emb, queryMaxId = 5, k = 3)
+        case m if m.startsWith("mat") =>
+          VectorOps.matryoshkaTopK(emb, queryMaxId = 5, k = 3,
+            m.stripPrefix("mat").stripSuffix("_scan").toInt)
         case _ => VectorOps.graphBeamTopK(emb, queryMaxId = 5, k = 3,
           beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
       }
