@@ -18,9 +18,11 @@ def parse(path):
 r17 = parse('/root/repo/tools/floor/floor_raw_r17.txt')
 ab = parse('/root/repo/tools/floor/floor_ab_r17.txt')
 floors.update(r17)
-# late-round remeasures: the new refresh_compact_graph query and
-# bitext_auto after the mined-frame reuse (14.57 -> 12.76)
+# late-round remeasures: the new refresh_compact_graph query,
+# bitext_auto after the mined-frame reuse (14.57 -> 12.76), and
+# ann_serve_mode at its final 7-mode shape
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17b.txt'))
+floors.update(parse('/root/repo/tools/floor/floor_raw_r17c.txt'))
 
 out = {
     "protocol": old["protocol"],
