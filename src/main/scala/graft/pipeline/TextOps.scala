@@ -326,6 +326,118 @@ object TextOps {
       .drop("__sum_len")
   }
 
+  /** Published Gopher repetition thresholds (Rae et al. 2021, Table A1),
+    * as integer PERCENT cuts so the verdicts stay division-free: a doc
+    * is dropped when the top-n-gram character fraction exceeds
+    * 20/18/16 % (n = 2/3/4) or the duplicated-n-gram character fraction
+    * exceeds 15/14/13/12/11/10 % (n = 5…10). Shared with the DuckDB
+    * oracle so a retune can't desync the replay. */
+  val GopherTopNgramPct: Seq[(Int, Int)] =
+    Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  val GopherDupNgramPct: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** GOPHER REPETITION SIGNALS — the n-gram half of Rae et al. 2021's
+    * Table A1 that [[gopherRules]]' word-level rules don't cover (the
+    * signals RedPajama-v2 and Dolma ship as `frac_chars_top_ngram` /
+    * `frac_chars_dup_ngrams`): per document,
+    *
+    *  - for n = 2..4, the TOP-n-gram character fraction — occurrences
+    *    of the most frequent word n-gram (ties to the lexicographically
+    *    smallest gram) × its character mass, over the document's total
+    *    token characters; a top gram occurring ONCE bills zero — it is
+    *    not repetition, and without the condition every all-distinct
+    *    document under ~25 tokens fails the 16% 4-gram cut vacuously
+    *    (the published cuts assume web-scale document lengths);
+    *  - for n = 5..10, the DUPLICATED-n-gram character fraction — the
+    *    character mass of token POSITIONS covered by at least one
+    *    occurrence of any n-gram appearing more than once (positional
+    *    coverage counts each character once, the published intent the
+    *    per-occurrence sums over-bill on overlaps);
+    *
+    * and the keep verdict at the published [[GopherTopNgramPct]] /
+    * [[GopherDupNgramPct]] cuts — every comparison an integer
+    * cross-multiplication (num·100 ≤ pct·tot_chars), the [[gopherRules]]
+    * exactness recipe, so any ANSI engine replays the verdicts
+    * bit-for-bit; the reported fractions are single divisions of those
+    * integers rounded at 4 dp.
+    *
+    * Scale shape: grams derive IN-ROW (one transform per n over the
+    * token array — no self-join), the per-(doc, n, gram) count is a
+    * partial-aggregated shuffle keyed inside the document, the top-gram
+    * rank window partitions by (doc, n) — never a global window — and
+    * the coverage distinct/sum stays (doc, n)-local, so every term is
+    * embarrassingly parallel across documents at any corpus size.
+    * Output: (doc_id, top2_cf, top3_cf, top4_cf, dup5_cf…dup10_cf,
+    * keep). */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = GopherTopNgramPct.map(_._1) ++ GopherDupNgramPct.map(_._1)
+    val toks = graft.CacheScope.persist(
+      docs.select(col("doc_id"), tokens.as("ts"))
+        .withColumn("tot", aggregate(
+          transform(col("ts"), t => length(t).cast("long")),
+          lit(0L), _ + _)))
+    val grams = ns.map { n =>
+      toks.select(col("doc_id"), lit(n).as("n"),
+        posexplode(
+          when(size(col("ts")) >= n,
+            transform(sequence(lit(0), size(col("ts")) - n),
+              i => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    }.reduce(_ unionByName _)
+    val gramsP = graft.CacheScope.persist(grams)
+    val cnts = graft.CacheScope.persist(
+      gramsP.groupBy(col("doc_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt")))
+    // top-n-gram mass: count x character mass of the winning gram
+    // (a once-only top gram bills zero — see the scaladoc)
+    val topNum = cnts.filter(col("n") <= 4)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("n"))
+          .orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n"),
+        when(col("cnt") >= 2,
+          col("cnt") * length(replace(col("gram"), lit(" "), lit("")))
+            .cast("long"))
+          .otherwise(lit(0L)).as("num"))
+    // duplicated-n-gram mass: positions covered by any cnt>1 gram,
+    // each position billed once
+    val dupPos = gramsP.filter(col("n") >= 5)
+      .join(cnts.filter(col("cnt") > 1)
+        .select(col("doc_id"), col("n"), col("gram")),
+        Seq("doc_id", "n", "gram"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
+      .distinct()
+    val tokLens = toks.select(col("doc_id"),
+        posexplode(col("ts")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), length(col("tok")).cast("long").as("len"))
+    val dupNum = dupPos.join(tokLens, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), col("n")).agg(sum(col("len")).as("num"))
+    val numCols = ns.map(n =>
+      max(when(col("n") === n, col("num"))).as(s"num$n"))
+    val nums = topNum.unionByName(dupNum)
+      .groupBy(col("doc_id"))
+      .agg(numCols.head, numCols.tail: _*)
+    val out = toks.select(col("doc_id"), col("tot"))
+      .join(nums, Seq("doc_id"), "left")
+    val thr = (GopherTopNgramPct ++ GopherDupNgramPct).toMap
+    def cf(n: Int) = when(col("tot") > 0,
+        round(coalesce(col(s"num$n"), lit(0L)).cast("double") / col("tot")
+          + lit(1e-9), 4))
+      .otherwise(lit(0.0))
+    val keep = ns.map(n =>
+      coalesce(col(s"num$n"), lit(0L)) * 100 <= lit(thr(n).toLong) * col("tot"))
+      .reduce(_ && _)
+    out.select(
+      (col("doc_id") +:
+        GopherTopNgramPct.map { case (n, _) => cf(n).as(s"top${n}_cf") }) ++
+        GopherDupNgramPct.map { case (n, _) => cf(n).as(s"dup${n}_cf") } :+
+        keep.as("keep"): _*)
+  }
+
   /** Banned-term fixture of the content-policy gate: drawn from the
     * corpus vocabulary so the gate BITES on the test tables ("slow"
     * stands in for a policy term), plus terms absent from the corpus

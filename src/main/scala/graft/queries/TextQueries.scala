@@ -350,6 +350,13 @@ object TextQueries extends QueryModule {
     }),
     "text_quality"     -> ((s, d) => TextOps.quality(docs(s, d))),
     "quality_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
+
+    // the n-gram half of Gopher's Table A1 the word rules don't cover:
+    // top-2/3/4-gram character fraction + duplicated-5..10-gram
+    // character fraction (positional coverage, chars billed once), keep
+    // at the published percent cuts via integer cross-multiplication
+    "quality_gopher_repetition" -> ((s, d) =>
+      TextOps.gopherRepetition(docs(s, d))),
     // content-policy wordlist gate: whole-word banned-term counts +
     // integer-exact hit-budget/density verdicts with first-failure
     // reason (the gopherRules recipe; C4/RefinedWeb-lineage filter)
@@ -1173,6 +1180,69 @@ object TextQueries extends QueryModule {
          |  (r_word_count AND r_mean_word_len AND r_distinct_ratio
          |    AND r_stop_words) AS keep
          |FROM gr""".stripMargin
+    },
+
+    // the repetition signals replayed gram-for-gram: in-row gram lists
+    // per n, per-(doc, n, gram) counts, the rank-1 top gram (count desc,
+    // gram asc — the shared tie-break), positional coverage of cnt>1
+    // grams via DISTINCT covered positions, and the same integer
+    // cross-multiplied keep; thresholds interpolate the VectorOps-style
+    // shared constants
+    "quality_gopher_repetition" -> {
+      val ns = (TextOps.GopherTopNgramPct ++ TextOps.GopherDupNgramPct)
+        .map(_._1)
+      val thr = (TextOps.GopherTopNgramPct ++ TextOps.GopherDupNgramPct).toMap
+      val topSel = TextOps.GopherTopNgramPct.map { case (n, _) =>
+        s"""  CASE WHEN tot > 0 THEN ROUND(CAST(COALESCE(num$n, 0) AS DOUBLE)
+           |    / tot + 1e-9, 4) ELSE 0.0 END AS top${n}_cf""".stripMargin
+      }
+      val dupSel = TextOps.GopherDupNgramPct.map { case (n, _) =>
+        s"""  CASE WHEN tot > 0 THEN ROUND(CAST(COALESCE(num$n, 0) AS DOUBLE)
+           |    / tot + 1e-9, 4) ELSE 0.0 END AS dup${n}_cf""".stripMargin
+      }
+      val keep = ns.map(n =>
+        s"COALESCE(num$n, 0) * 100 <= ${thr(n)} * tot").mkString("\n    AND ")
+      val numAgg = ns.map(n =>
+        s"MAX(CASE WHEN n = $n THEN num END) AS num$n").mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tc AS (SELECT doc_id,
+         |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+         |      AS BIGINT) AS tot FROM t),
+         |g AS MATERIALIZED (SELECT doc_id, n, u.pos AS pos, u.gram AS gram
+         |  FROM (SELECT doc_id, n,
+         |      unnest(list_transform(range(0, GREATEST(len(ts) - n + 1, 0)),
+         |        i -> {'pos': i,
+         |              'gram': array_to_string(list_slice(ts, i + 1, i + n), ' ')}))
+         |        AS u
+         |    FROM t CROSS JOIN (SELECT UNNEST(${ns.mkString("[", ", ", "]")}) AS n) nn)),
+         |c AS MATERIALIZED (SELECT doc_id, n, gram, COUNT(*) AS cnt
+         |  FROM g GROUP BY doc_id, n, gram),
+         |topn AS (SELECT doc_id, n,
+         |    CASE WHEN cnt >= 2 THEN cnt * length(replace(gram, ' ', ''))
+         |         ELSE 0 END AS num
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY cnt DESC, gram) AS rk FROM c WHERE n <= 4)
+         |  WHERE rk = 1),
+         |dpos AS (SELECT DISTINCT doc_id, n, p FROM (
+         |  SELECT g.doc_id, g.n, UNNEST(range(g.pos, g.pos + g.n)) AS p
+         |  FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+         |  WHERE g.n >= 5 AND c.cnt > 1)),
+         |tl AS (SELECT doc_id, u.p AS p, length(u.tok) AS len
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+         |    i -> {'p': i, 'tok': ts[i + 1]})) AS u FROM t)),
+         |dupn AS (SELECT dpos.doc_id, dpos.n, CAST(SUM(tl.len) AS BIGINT) AS num
+         |  FROM dpos JOIN tl ON dpos.doc_id = tl.doc_id AND dpos.p = tl.p
+         |  GROUP BY dpos.doc_id, dpos.n),
+         |nums AS (SELECT doc_id,
+         |    $numAgg
+         |  FROM (SELECT doc_id, n, num FROM topn
+         |        UNION ALL SELECT doc_id, n, num FROM dupn)
+         |  GROUP BY doc_id)
+         |SELECT tc.doc_id,
+         |${topSel.mkString(",\n")},
+         |${dupSel.mkString(",\n")},
+         |  ($keep) AS keep
+         |FROM tc LEFT JOIN nums ON tc.doc_id = nums.doc_id""".stripMargin
     },
 
     // content-policy gate: hit counts and both verdicts are integer

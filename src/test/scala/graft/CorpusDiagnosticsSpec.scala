@@ -214,6 +214,37 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got.values.exists(_._9))
   }
 
+  test("gopherRepetition: constructed repeats hit exactly the right signals at the published cuts") {
+    import spark.implicits._
+    // 1: a doc whose top 2-gram ("a b" x4 = 8 of 20 chars... constructed
+    //    below) exceeds the 20% cut; 2: a 6-gram repeated twice covering
+    //    most positions (dup6 over 14%); 3: all-distinct tokens (clean)
+    val clean = (0 until 24).map(i => f"w$i%02dxy").mkString(" ")
+    val topHeavy = ("aa bb " * 4) + (0 until 12).map(i => f"u$i%02dq").mkString(" ")
+    val six = "p0xx p1xx p2xx p3xx p4xx p5xx"
+    val dupHeavy = s"$six $six " + (0 until 2).map(i => f"z$i%02d").mkString(" ")
+    val fx = Seq((1L, topHeavy.trim), (2L, dupHeavy.trim), (3L, clean))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: "aa bb" occurs 4x (sliding windows also count "bb aa" 3x);
+    //  top-2-gram mass = 4 * 4 chars = 16 of (16 + 12*4) = 64 chars = 25%
+    assert(got(1L).getAs[Double]("top2_cf") === 0.25)
+    assert(!got(1L).getAs[Boolean]("keep"), "25% top-2-gram must fail the 20% cut")
+    // doc 2: the repeated 6-gram covers 12 of 14 token positions =
+    //  48 of 54 chars = 0.8889 — far over the 14% cut
+    assert(got(2L).getAs[Double]("dup6_cf") === 0.8889)
+    assert(!got(2L).getAs[Boolean]("keep"))
+    // doc 3: every token distinct — all signals small, keep
+    assert(got(3L).getAs[Double]("top2_cf") <= 0.1)
+    (5 to 10).foreach(n => assert(got(3L).getAs[Double](s"dup${n}_cf") === 0.0))
+    assert(got(3L).getAs[Boolean]("keep"))
+    // determinism
+    val again = TextOps.gopherRepetition(fx).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.map { case (k, v) => k -> v.toSeq } === again)
+  }
+
   test("policyGate: verdicts match a driver recomputation, both rules fire, matching is whole-word") {
     val got = TextOps.policyGate(docs).collect().map(r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
