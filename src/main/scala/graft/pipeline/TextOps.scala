@@ -438,6 +438,76 @@ object TextOps {
         keep.as("keep"): _*)
   }
 
+  /** EXACT-SUBSTRING DEDUPLICATION (Lee et al. 2021, arXiv 2107.06499 —
+    * the ExactSubstr method of "Deduplicating Training Data Makes
+    * Language Models Better"): remove every occurrence EXCEPT ONE of
+    * any ≥ k-token run that repeats anywhere in the corpus (same doc or
+    * across docs) — the dedup that catches boilerplate spans doc-level
+    * and near-dup dedup both miss, because the containing documents
+    * differ. The paper runs a suffix array at k = 50 web-scale tokens;
+    * the Spark-native spelling needs NO suffix array and NO pairing:
+    *
+    *  1. k-gram occurrences derive IN-ROW ((doc, pos, gram), one
+    *     transform over the token array);
+    *  2. one partial-aggregated shuffle per gram yields its occurrence
+    *     count and its CANONICAL occurrence (min (doc_id, pos) — the
+    *     one the paper keeps);
+    *  3. every NON-canonical occurrence of a duplicated gram marks its
+    *     k token positions covered (positional union, so overlapping
+    *     repeated runs merge exactly like the paper's span merge);
+    *  4. the surviving text is the uncovered positions re-joined in
+    *     order.
+    *
+    * Total work is O(corpus tokens) with two shuffles — gram counts and
+    * the doc-local coverage — never an O(n²) pair pass; a hot gram
+    * (corpus boilerplate) is one reduce key with a map-side combine.
+    * Exactness: counts, canonical mins, and coverage are integer/string
+    * operations any ANSI engine replays bit-for-bit; `dedup_frac` is
+    * one division rounded at 4 dp. Output: (doc_id, n_tokens,
+    * dup_tokens, dedup_frac, clean_text). */
+  def exactSubstringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = graft.CacheScope.persist(
+      docs.select(col("doc_id"), tokens.as("ts")))
+    val grams = graft.CacheScope.persist(
+      toks.select(col("doc_id"),
+        posexplode(
+          when(size(col("ts")) >= k,
+            transform(sequence(lit(0), size(col("ts")) - k),
+              i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram"))))
+    // canonical occurrence = min (doc_id, pos), carried as ONE encoded
+    // BIGINT (doc_id·2³⁰ + pos — positions are doc-local, far under
+    // 2³⁰) so both engines take the same MIN with no struct-ordering
+    // dependence
+    val dup = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * lit(1073741824L) + col("pos")).as("ck"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"),
+        expr("ck div 1073741824L").as("c_doc"),
+        pmod(col("ck"), lit(1073741824L)).as("c_pos"))
+    val covered = grams.join(dup, Seq("gram"))
+      .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p", "tok")))
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("dup_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!coalesce(col("cov"), lit(false)),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+    kept.select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+      round(col("dup_tokens").cast("double") / col("n_tokens") + lit(1e-9), 4)
+        .as("dedup_frac"),
+      col("clean_text"))
+  }
+
   /** Banned-term fixture of the content-policy gate: drawn from the
     * corpus vocabulary so the gate BITES on the test tables ("slow"
     * stands in for a policy term), plus terms absent from the corpus

@@ -357,6 +357,13 @@ object TextQueries extends QueryModule {
     // at the published percent cuts via integer cross-multiplication
     "quality_gopher_repetition" -> ((s, d) =>
       TextOps.gopherRepetition(docs(s, d))),
+
+    // ExactSubstr (Lee et al. 2021): every occurrence except the
+    // canonical one of any repeated >= k-token run leaves the corpus —
+    // no suffix array, no pairing: one gram-count shuffle + doc-local
+    // positional coverage, O(corpus tokens)
+    "dedup_exact_substring" -> ((s, d) =>
+      TextOps.exactSubstringDedup(docs(s, d))),
     // content-policy wordlist gate: whole-word banned-term counts +
     // integer-exact hit-budget/density verdicts with first-failure
     // reason (the gopherRules recipe; C4/RefinedWeb-lineage filter)
@@ -1180,6 +1187,42 @@ object TextQueries extends QueryModule {
          |  (r_word_count AND r_mean_word_len AND r_distinct_ratio
          |    AND r_stop_words) AS keep
          |FROM gr""".stripMargin
+    },
+
+    // ExactSubstr replayed occurrence-for-occurrence: the same in-row
+    // k-gram derivation, counts + the encoded-BIGINT canonical min, the
+    // non-canonical positional coverage, and the ordered uncovered-token
+    // reconstruction
+    "dedup_exact_substring" -> {
+      val k = 8
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+         |        i -> {'pos': i,
+         |              'gram': array_to_string(list_slice(ts, i + 1, i + $k), ' ')}))
+         |        AS u
+         |    FROM t)),
+         |dup AS (SELECT gram,
+         |    MIN(doc_id * 1073741824 + pos) // 1073741824 AS c_doc,
+         |    MIN(doc_id * 1073741824 + pos) % 1073741824 AS c_pos
+         |  FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT g.doc_id, UNNEST(range(g.pos, g.pos + $k)) AS p
+         |  FROM g JOIN dup ON g.gram = dup.gram
+         |  WHERE NOT (g.doc_id = dup.c_doc AND g.pos = dup.c_pos)),
+         |tl AS (SELECT doc_id, u.p AS p, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+         |    i -> {'p': i, 'tok': ts[i + 1]})) AS u FROM t))
+         |SELECT tl.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS dup_tokens,
+         |  ROUND(CAST(COALESCE(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0)
+         |      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS dedup_frac,
+         |  COALESCE(array_to_string(list(CASE WHEN cov.p IS NULL THEN tl.tok END
+         |    ORDER BY tl.p) FILTER (WHERE cov.p IS NULL), ' '), '') AS clean_text
+         |FROM tl LEFT JOIN cov ON tl.doc_id = cov.doc_id AND tl.p = cov.p
+         |GROUP BY tl.doc_id""".stripMargin
     },
 
     // the repetition signals replayed gram-for-gram: in-row gram lists

@@ -245,6 +245,27 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got.map { case (k, v) => k -> v.toSeq } === again)
   }
 
+  test("exactSubstringDedup: canonical occurrence survives, repeats trim, within-doc self-repeats trim") {
+    import spark.implicits._
+    val run = "c0 c1 c2 c3"
+    val fx = Seq(
+      (1L, s"$run x0 x1 x2 x3"),          // canonical home of the run
+      (2L, s"y0 y1 $run y2 y3"),          // cross-doc repeat: run leaves
+      (3L, "z0 z1 z2 z3 z0 z1 z2 z3"),    // within-doc repeat: 2nd copy leaves
+      (4L, "u0 u1 u2 u3 u4 u5")           // untouched
+    ).toDF("doc_id", "text")
+    val got = TextOps.exactSubstringDedup(fx, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4)))
+      .toMap
+    // doc 1 is the min-(doc,pos) occurrence of the shared run: kept whole
+    assert(got(1L) === ((8L, 0L, s"$run x0 x1 x2 x3")))
+    // doc 2 loses exactly the repeated run's 4 positions
+    assert(got(2L) === ((8L, 4L, "y0 y1 y2 y3")))
+    // doc 3's second copy of its own 4-gram leaves; the first stays
+    assert(got(3L) === ((8L, 4L, "z0 z1 z2 z3")))
+    assert(got(4L) === ((6L, 0L, "u0 u1 u2 u3 u4 u5")))
+  }
+
   test("policyGate: verdicts match a driver recomputation, both rules fire, matching is whole-word") {
     val got = TextOps.policyGate(docs).collect().map(r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
