@@ -475,18 +475,22 @@ object TextOps {
             transform(sequence(lit(0), size(col("ts")) - k),
               i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
             .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram"))))
-    // canonical occurrence = min (doc_id, pos), carried as ONE encoded
-    // BIGINT (doc_id·2³⁰ + pos — positions are doc-local, far under
-    // 2³⁰) so both engines take the same MIN with no struct-ordering
-    // dependence
-    val dup = grams
+    // canonical occurrence = min (doc_id, pos) via TWO plain MINs (the
+    // min doc first, then the min pos within it — a bounded join over
+    // the duplicated grams only): portable across engines with no
+    // struct-ordering dependence, and no encoded-key arithmetic that a
+    // production id space overflows (the first cut packed doc_id·2³⁰ +
+    // pos into one BIGINT and the 10× sweep's +rep·10¹¹ ids overflowed
+    // Long immediately — SCALE.md r17)
+    val gstats = graft.CacheScope.persist(grams
       .groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("doc_id") * lit(1073741824L) + col("pos")).as("ck"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("c_doc"))
       .filter(col("cnt") >= 2)
-      .select(col("gram"),
-        expr("ck div 1073741824L").as("c_doc"),
-        pmod(col("ck"), lit(1073741824L)).as("c_pos"))
+      .select(col("gram"), col("c_doc")))
+    val dup = grams
+      .join(gstats.withColumnRenamed("c_doc", "doc_id"), Seq("gram", "doc_id"))
+      .groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("c_doc"), min(col("pos")).as("c_pos"))
     val covered = grams.join(dup, Seq("gram"))
       .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
       .select(col("doc_id"),

@@ -1203,10 +1203,11 @@ object TextQueries extends QueryModule {
          |              'gram': array_to_string(list_slice(ts, i + 1, i + $k), ' ')}))
          |        AS u
          |    FROM t)),
-         |dup AS (SELECT gram,
-         |    MIN(doc_id * 1073741824 + pos) // 1073741824 AS c_doc,
-         |    MIN(doc_id * 1073741824 + pos) % 1073741824 AS c_pos
+         |gs AS (SELECT gram, MIN(doc_id) AS c_doc
          |  FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |dup AS (SELECT g.gram, gs.c_doc, MIN(g.pos) AS c_pos
+         |  FROM g JOIN gs ON g.gram = gs.gram AND g.doc_id = gs.c_doc
+         |  GROUP BY g.gram, gs.c_doc),
          |cov AS (SELECT DISTINCT g.doc_id, UNNEST(range(g.pos, g.pos + $k)) AS p
          |  FROM g JOIN dup ON g.gram = dup.gram
          |  WHERE NOT (g.doc_id = dup.c_doc AND g.pos = dup.c_pos)),

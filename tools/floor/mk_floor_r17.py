@@ -23,6 +23,7 @@ floors.update(r17)
 # ann_serve_mode at its final 7-mode shape
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17b.txt'))
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17c.txt'))
+floors.update(parse('/root/repo/tools/floor/floor_raw_r17d.txt'))
 
 out = {
     "protocol": old["protocol"],
