@@ -512,6 +512,52 @@ object TextOps {
       col("clean_text"))
   }
 
+  /** INCREMENTAL ExactSubstr — the probe side of
+    * [[exactSubstringDedup]], the `dedup_incremental` pattern applied to
+    * substring dedup: arriving documents are trimmed against the
+    * EXISTING corpus's k-gram index (every batch occurrence of a gram
+    * the corpus already holds is covered — the corpus keeps the
+    * canonical copy by definition, so there is no canonical exception
+    * on the batch side). The corpus gram set is the PERSISTED artifact
+    * of this family in production (a distinct-gram parquet the refresh
+    * loop compacts like the MinHash band index); it is re-derived here
+    * so the query is a pure function of its inputs (the
+    * incremental_refresh convention). Work is O(batch tokens) probe
+    * joins against the index — the corpus-sized term is the one-time
+    * index build, never per-batch. Within-batch repeats are out of
+    * scope by design (run [[exactSubstringDedup]] over the admitted
+    * batch for those). Output: (doc_id, n_tokens, dup_tokens,
+    * dedup_frac, clean_text) for the batch docs. */
+  def exactSubstrProbe(corpus: DataFrame, batch: DataFrame,
+                       k: Int = 8): DataFrame = {
+    def gramsOf(docs: DataFrame) =
+      docs.select(col("doc_id"), tokens.as("ts"))
+        .select(col("doc_id"),
+          posexplode(
+            when(size(col("ts")) >= k,
+              transform(sequence(lit(0), size(col("ts")) - k),
+                i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
+              .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val index = gramsOf(corpus).select(col("gram")).distinct()
+    val covered = gramsOf(batch).join(index, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    batch.select(col("doc_id"), posexplode(tokens).as(Seq("p", "tok")))
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("dup_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!coalesce(col("cov"), lit(false)),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens") + lit(1e-9), 4)
+          .as("dedup_frac"),
+        col("clean_text"))
+  }
+
   /** Banned-term fixture of the content-policy gate: drawn from the
     * corpus vocabulary so the gate BITES on the test tables ("slow"
     * stands in for a policy term), plus terms absent from the corpus

@@ -229,6 +229,22 @@ object CurationQueries extends QueryModule {
       RefreshOps.compactGraphIndex(embLive, edges0, cells0, fates)._2
     }),
 
+    // incremental ExactSubstr: the refresh delta trimmed against the
+    // UNCHANGED corpus's k-gram index — O(batch tokens) probe work, the
+    // corpus-sized index is the persisted artifact (re-derived here,
+    // the incremental_refresh convention)
+    "dedup_exact_substring_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val (oldSnap, newSnap) = refreshSnapshots(s, d)
+      val batch = newSnap.join(
+          oldSnap.select(col("doc_id"), col("text").as("text_a")),
+          Seq("doc_id"), "left")
+        .filter(col("text_a").isNull || col("text_a") =!= col("text"))
+        .select(col("doc_id"), col("text"))
+      TextOps.exactSubstrProbe(
+        oldSnap.select(col("doc_id"), col("text")), batch)
+    }),
+
     // robots-style policy gate on the canonical URL: banned domains +
     // banned path prefixes (host rules win the reported reason)
     "url_blocklist_gate" -> ((s, d) => TextOps.urlBlocklistGate(
@@ -579,6 +595,55 @@ object CurationQueries extends QueryModule {
     "incremental_refresh" ->
       s"""WITH $refreshFatesCtes
          |SELECT * FROM fates""".stripMargin,
+
+    // the incremental ExactSubstr probe replayed: old-corpus distinct
+    // gram index, delta-doc occurrences, positional coverage (no
+    // canonical exception — the corpus holds the canonical copy),
+    // ordered uncovered-token reconstruction
+    "dedup_exact_substring_incr" -> {
+      val k = 8
+      val snapOld =
+        s"${hex60Sql("md5('snapold:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 900000"
+      val snapNew =
+        s"${hex60Sql("md5('snapnew:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 950000"
+      val snapEdit =
+        s"${hex60Sql("md5('snapedit:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 100000"
+      s"""WITH oldd AS (SELECT doc_id, text FROM documents WHERE $snapOld),
+         |newd AS (SELECT doc_id,
+         |    CASE WHEN $snapEdit THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE $snapNew),
+         |batch AS (SELECT n.doc_id, n.text FROM newd n
+         |  LEFT JOIN oldd o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.text <> n.text),
+         |oto AS (SELECT doc_id, string_split(text, ' ') AS ts FROM oldd),
+         |gi AS (SELECT DISTINCT u AS gram FROM (SELECT
+         |    unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+         |      i -> array_to_string(list_slice(ts, i + 1, i + $k), ' '))) AS u
+         |  FROM oto)),
+         |btk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM batch),
+         |gb AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+         |        i -> {'pos': i,
+         |              'gram': array_to_string(list_slice(ts, i + 1, i + $k), ' ')}))
+         |        AS u
+         |    FROM btk)),
+         |cov AS (SELECT DISTINCT gb.doc_id, UNNEST(range(gb.pos, gb.pos + $k)) AS p
+         |  FROM gb JOIN gi ON gb.gram = gi.gram),
+         |tl AS (SELECT doc_id, u.p AS p, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+         |    i -> {'p': i, 'tok': ts[i + 1]})) AS u FROM btk))
+         |SELECT tl.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS dup_tokens,
+         |  ROUND(CAST(COALESCE(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0)
+         |      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS dedup_frac,
+         |  COALESCE(array_to_string(list(CASE WHEN cov.p IS NULL THEN tl.tok END
+         |    ORDER BY tl.p) FILTER (WHERE cov.p IS NULL), ' '), '') AS clean_text
+         |FROM tl LEFT JOIN cov ON tl.doc_id = cov.doc_id AND tl.p = cov.p
+         |GROUP BY tl.doc_id""".stripMargin
+    },
 
     // the graph-compaction contract AS the oracle: compact(old graph,
     // fates) == a fresh same-cell kNN build over the live corpus at the

@@ -851,6 +851,26 @@ object StreamingJobs {
         ()
     }
 
+  /** STREAMING ExactSubstr PROBE — the live twin of
+    * [[graft.pipeline.TextOps.exactSubstrProbe]] (the [[refLmScoreStream]]
+    * frozen-artifact shape): each arriving micro-batch of (doc_id, text)
+    * documents is trimmed against the STATIC corpus's k-gram index —
+    * every batch occurrence of a gram the corpus already holds leaves
+    * the arriving text before it reaches the store. Stateless (the
+    * index is the static join side — in production the persisted
+    * distinct-gram parquet); per-batch work is O(batch tokens);
+    * idempotent batch dirs give exactly-once output.
+    * CorpusDiagnosticsSpec pins the one-trigger stream equal to the
+    * batch probe. */
+  def exactSubstrStream(docs: DataFrame, corpus: DataFrame, outDir: String,
+                        k: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        graft.pipeline.TextOps.exactSubstrProbe(corpus, batch, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+    }
+
   /** FROZEN-CLASSIFIER ingest gate — the LEARNED twin of the refLM gate
     * above: weights fitted offline ([[graft.pipeline.TextOps
     * .classifierFit]]), frozen into the plan as a literal array, every

@@ -266,6 +266,41 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got(4L) === ((6L, 0L, "u0 u1 u2 u3 u4 u5")))
   }
 
+  test("exactSubstrProbe: arrivals trim against the corpus index; one-trigger stream equals the batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val run = "c0 c1 c2 c3"
+    val corpus = Seq((1L, s"$run x0 x1 x2 x3")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, s"y0 y1 $run y2 y3"),     // corpus run repeats: 4 tokens leave
+      (11L, "f0 f1 f2 f3 f4 f5"))     // fresh text: untouched
+    val expect = Map(
+      10L -> ((8L, 4L, "y0 y1 y2 y3")),
+      11L -> ((6L, 0L, "f0 f1 f2 f3 f4 f5")))
+    val batch = graft.pipeline.TextOps.exactSubstrProbe(
+        corpus, arrivals.toDF("doc_id", "text"), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(batch === expect)
+    // streaming twin, one trigger
+    val dir = "target/graft-tmp/exact_substr_stream_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.exactSubstrStream(
+        in.toDS().toDF("doc_id", "text"), corpus, s"$dir/out", k = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try { in.addData(arrivals); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out/batch_0")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(streamed === expect, "one-trigger stream must equal the batch probe")
+  }
+
   test("policyGate: verdicts match a driver recomputation, both rules fire, matching is whole-word") {
     val got = TextOps.policyGate(docs).collect().map(r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
