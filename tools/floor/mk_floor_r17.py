@@ -24,6 +24,7 @@ floors.update(r17)
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17b.txt'))
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17c.txt'))
 floors.update(parse('/root/repo/tools/floor/floor_raw_r17d.txt'))
+floors.update(parse('/root/repo/tools/floor/floor_raw_r17e.txt'))
 
 out = {
     "protocol": old["protocol"],
