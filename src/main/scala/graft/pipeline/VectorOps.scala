@@ -2019,6 +2019,15 @@ object VectorOps {
                            threshold: Double = BitextMarginThreshold): DataFrame =
     bitextModeEvidence(emb, docLangs, langA, langB, k, threshold)._1
 
+  /** The md5 half-sample gate of the SCALED router
+    * ([[bitextAutoPairsSampled]]) — the `dedup_lsh_recall_sampled`
+    * convention: both diagnostic legs (and the brute reference) run on
+    * the SAME deterministic half-corpus, which is what keeps the recall
+    * ratio meaningful while the brute |A|·|B| term shrinks 4×. */
+  val BitextSampleSalt = "bxs"
+  private def bitextSample(emb: DataFrame): DataFrame =
+    emb.filter(vecDraw(BitextSampleSalt) < 500000L)
+
   /** The router's evidence, with each mode's FULL mined frame kept —
     * so [[bitextAutoPairs]] serves the picked mode's pairs from the
     * mining the diagnostic already ran instead of mining a second time
@@ -2081,6 +2090,28 @@ object VectorOps {
     val mode = diag.filter(col("picked"))
       .select(col("mode")).head().getString(0)
     mined(mode).withColumn("mode", lit(mode))
+  }
+
+  /** The router AT SCALE — the composition the [[bitextModeDiagnostic]]
+    * scaladoc promised in prose, as code: the diagnostic (brute
+    * reference included) runs on the [[bitextSample]] md5 half-corpus,
+    * where the quadratic |A|·|B| brute term is 4× cheaper and both legs
+    * see the identical sub-corpus; the PICKED mode then mines the FULL
+    * corpus (the diagnostic's sampled mined frames are evidence, not
+    * output — unlike [[bitextAutoPairs]] there is nothing to reuse).
+    * At 100 TB the sample fraction drops with the corpus (the
+    * diagnostic needs a stable recall estimate, not a census); the
+    * half-sample here keeps the toy corpus's legs non-degenerate. */
+  def bitextAutoPairsSampled(emb: DataFrame, docLangs: DataFrame,
+                             langA: String = "en", langB: String = "de",
+                             k: Int = BitextNnK,
+                             threshold: Double = BitextMarginThreshold): DataFrame = {
+    val mode = bitextModeDiagnostic(bitextSample(emb), docLangs,
+        langA, langB, k, threshold)
+      .filter(col("picked")).select(col("mode")).head().getString(0)
+    bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
+        candidates = Some(mode))
+      .withColumn("mode", lit(mode))
   }
 
   /** Semantic CLUSTERS from the mutual-kNN graph: keep an edge only when

@@ -436,6 +436,15 @@ object VectorQueries extends QueryModule {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang")))),
 
+    // the router AT SCALE: diagnostic legs (brute reference included) on
+    // the md5 half-sample — the documented escape hatch as code — then
+    // the picked mode mines the FULL corpus
+    "bitext_auto_sampled" -> ((s, d) =>
+      VectorOps.bitextAutoPairsSampled(Tables.embeddings(s, d),
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")))),
+
     // graph index persistence round-trip: edges + entry layer written to
     // parquet, reloaded, beam-served — equals ann_graph_topk exactly;
     // the steady state pays only the O(1)-per-query search
@@ -601,22 +610,28 @@ object VectorQueries extends QueryModule {
        |${graphBeamRoundCtes("", VectorOps.GraphBeamWidth, VectorOps.GraphBeamRounds)}""".stripMargin
 
   /** Shared bitext BASE chain — the language-labelled vector frames plus
-    * the capped sign-LSH band index (the banded candidate source). */
-  private val bitextBaseCtes: String =
-    s"""q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-       |l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
-       |      FROM documents d JOIN q ON d.doc_id = q.vec_id),
-       |aa AS (SELECT vec_id AS doc_a, qv AS qa FROM l WHERE lang = 'en'),
-       |bb AS (SELECT vec_id AS doc_b, qv AS qb FROM l WHERE lang = 'de'),
-       |sg AS (SELECT vec_id, qv, $sigSql AS sig FROM q),
-       |vb0 AS (
+    * the capped sign-LSH band index (the banded candidate source).
+    * `bpx` prefixes every CTE name and `pred` restricts the vector
+    * source, so the sampled-router oracle can instantiate a half-corpus
+    * base next to the full one in one statement. */
+  private def bitextBaseCtesP(bpx: String, pred: String = "TRUE"): String =
+    s"""${bpx}q AS (SELECT vec_id, $qvSql AS qv FROM embeddings WHERE $pred),
+       |${bpx}l AS (SELECT d.doc_id AS vec_id, d.lang, q.qv
+       |      FROM documents d JOIN ${bpx}q q ON d.doc_id = q.vec_id),
+       |${bpx}aa AS (SELECT vec_id AS doc_a, qv AS qa FROM ${bpx}l WHERE lang = 'en'),
+       |${bpx}bb AS (SELECT vec_id AS doc_b, qv AS qb FROM ${bpx}l WHERE lang = 'de'),
+       |${bpx}sg AS (SELECT vec_id, qv, $sigSql AS sig FROM ${bpx}q),
+       |${bpx}vb0 AS (
        |  SELECT vec_id, unnest(list_transform(range(0, 8), b ->
        |    md5(CAST(b AS VARCHAR) || '|' ||
        |        array_to_string(list_slice(sig, b*8 + 1, b*8 + 8), ',')))) AS bkey
-       |  FROM sg),
-       |vbh AS (SELECT bkey FROM vb0 GROUP BY bkey
+       |  FROM ${bpx}sg),
+       |${bpx}vbh AS (SELECT bkey FROM ${bpx}vb0 GROUP BY bkey
        |  HAVING COUNT(*) > ${graft.pipeline.DedupOps.MaxBandBucket}),
-       |bands AS (SELECT * FROM vb0 WHERE bkey NOT IN (SELECT bkey FROM vbh))""".stripMargin
+       |${bpx}bands AS (SELECT * FROM ${bpx}vb0
+       |  WHERE bkey NOT IN (SELECT bkey FROM ${bpx}vbh))""".stripMargin
+
+  private val bitextBaseCtes: String = bitextBaseCtesP("")
 
   /** Parameterized bitext-margin score chain over [[bitextBaseCtes]],
     * ending in `<px>m(doc_a, doc_b, cr, margin)` — the one-best miner
@@ -628,29 +643,32 @@ object VectorQueries extends QueryModule {
     bitextScoreCtesMode(px, if (banded) "banded" else "brute")
 
   /** `mode` ∈ banded|cells|brute — mirrors
-    * [[VectorOps.bitextCandidates]]; `"cells"` expects the default
-    * [[kmeansCtes]] instance (kprobes/kcells) in scope. */
-  private def bitextScoreCtesMode(px: String, mode: String): String = {
+    * [[VectorOps.bitextCandidates]]; `"cells"` expects a [[kmeansCtes]]
+    * instance (`<kpx>kprobes`/`<kpx>kcells`) in scope; `bpx` selects the
+    * [[bitextBaseCtesP]] instance the chain reads. */
+  private def bitextScoreCtesMode(px: String, mode: String,
+                                  bpx: String = "", kpx: String = ""): String = {
     val k = VectorOps.BitextNnK
     val cand = mode match {
       case "banded" =>
         s"""${px}cand AS (SELECT DISTINCT ba.vec_id AS doc_a, bb2.vec_id AS doc_b
-           |  FROM bands ba JOIN bands bb2 ON ba.bkey = bb2.bkey
-           |  WHERE ba.vec_id IN (SELECT doc_a FROM aa)
-           |    AND bb2.vec_id IN (SELECT doc_b FROM bb))""".stripMargin
+           |  FROM ${bpx}bands ba JOIN ${bpx}bands bb2 ON ba.bkey = bb2.bkey
+           |  WHERE ba.vec_id IN (SELECT doc_a FROM ${bpx}aa)
+           |    AND bb2.vec_id IN (SELECT doc_b FROM ${bpx}bb))""".stripMargin
       case "cells" =>
         s"""${px}cand AS (SELECT DISTINCT p.q_id AS doc_a, c.vec_id AS doc_b
-           |  FROM kprobes p JOIN kcells c ON p.cid = c.cid
-           |  WHERE p.q_id IN (SELECT doc_a FROM aa)
-           |    AND c.vec_id IN (SELECT doc_b FROM bb))""".stripMargin
+           |  FROM ${kpx}kprobes p JOIN ${kpx}kcells c ON p.cid = c.cid
+           |  WHERE p.q_id IN (SELECT doc_a FROM ${bpx}aa)
+           |    AND c.vec_id IN (SELECT doc_b FROM ${bpx}bb))""".stripMargin
       case _ =>
-        s"""${px}cand AS (SELECT aa.doc_a, bb.doc_b FROM aa CROSS JOIN bb)""".stripMargin
+        s"""${px}cand AS (SELECT aa.doc_a, bb.doc_b
+           |  FROM ${bpx}aa aa CROSS JOIN ${bpx}bb bb)""".stripMargin
     }
     s"""$cand,
        |${px}p AS (SELECT ${px}cand.doc_a, ${px}cand.doc_b,
        |    ROUND(${cosSql("qa", "qb")} + 1e-9, 6) AS cr
-       |  FROM ${px}cand JOIN aa ON ${px}cand.doc_a = aa.doc_a
-       |  JOIN bb ON ${px}cand.doc_b = bb.doc_b),
+       |  FROM ${px}cand JOIN ${bpx}aa aa ON ${px}cand.doc_a = aa.doc_a
+       |  JOIN ${bpx}bb bb ON ${px}cand.doc_b = bb.doc_b),
        |${px}ra AS (SELECT doc_a, CAST(SUM(CAST(cr AS DECIMAL(20,6))) AS DOUBLE) AS sa
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
        |          ORDER BY cr DESC, doc_b) AS rk FROM ${px}p)
@@ -1004,6 +1022,54 @@ object VectorQueries extends QueryModule {
          |pick AS (SELECT mode FROM stats
          |  WHERE recall >= (SELECT MAX(recall) FROM stats) - $slack
          |  ORDER BY cand_pairs, mode LIMIT 1)
+         |SELECT doc_a, doc_b, cr AS cosine, margin, 'banded' AS mode
+         |FROM bdmined WHERE (SELECT mode FROM pick) = 'banded'
+         |UNION ALL
+         |SELECT doc_a, doc_b, cr AS cosine, margin, 'cells' AS mode
+         |FROM clmined WHERE (SELECT mode FROM pick) = 'cells'""".stripMargin
+    },
+
+    // the sampled router replayed whole: the half-corpus base + its
+    // three candidate chains and recall stats drive the pick; the FULL
+    // base + the picked mode's full chain mine the output — two base
+    // instances, two kmeans instances, one statement
+    "bitext_auto_sampled" -> {
+      val t = VectorOps.BitextMarginThreshold
+      val slack = VectorOps.AnnServeRecallSlack
+      val samplePred =
+        s"${TextQueries.hex60Sql(s"md5('${VectorOps.BitextSampleSalt}:' || CAST(vec_id AS VARCHAR))")} % 1000000 < 500000"
+      def mined(px: String) =
+        s"""${px}mined AS (SELECT doc_a, doc_b, cr, margin
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+           |          ORDER BY margin DESC, doc_b) AS rk FROM ${px}m)
+           |  WHERE rk = 1 AND margin >= $t)""".stripMargin
+      def statRow(mode: String, px: String) =
+        s"""SELECT '$mode' AS mode,
+           |  (SELECT COUNT(*) FROM ${px}cand) AS cand_pairs,
+           |  CASE WHEN (SELECT COUNT(*) FROM sbrmined) = 0 THEN 1.0
+           |    ELSE ROUND(CAST((SELECT COUNT(*) FROM sbrmined JOIN ${px}mined
+           |        USING (doc_a, doc_b)) AS DOUBLE)
+           |      / (SELECT COUNT(*) FROM sbrmined) + 1e-9, 4) END AS recall""".stripMargin
+      s"""WITH ${bitextBaseCtesP("s", samplePred)},
+         |${bitextBaseCtesP("")},
+         |${kmeansCtes(4, samplePred, px = "sk")},
+         |${kmeansCtes(4)},
+         |${bitextScoreCtesMode("sbd", "banded", bpx = "s")},
+         |${bitextScoreCtesMode("scl", "cells", bpx = "s", kpx = "sk")},
+         |${bitextScoreCtesMode("sbr", "brute", bpx = "s")},
+         |${mined("sbd")},
+         |${mined("scl")},
+         |${mined("sbr")},
+         |stats AS (${statRow("banded", "sbd")}
+         |  UNION ALL
+         |  ${statRow("cells", "scl")}),
+         |pick AS (SELECT mode FROM stats
+         |  WHERE recall >= (SELECT MAX(recall) FROM stats) - $slack
+         |  ORDER BY cand_pairs, mode LIMIT 1),
+         |${bitextScoreCtesMode("bd", "banded")},
+         |${bitextScoreCtesMode("cl", "cells")},
+         |${mined("bd")},
+         |${mined("cl")}
          |SELECT doc_a, doc_b, cr AS cosine, margin, 'banded' AS mode
          |FROM bdmined WHERE (SELECT mode FROM pick) = 'banded'
          |UNION ALL
