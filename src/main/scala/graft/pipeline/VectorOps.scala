@@ -1416,6 +1416,12 @@ object VectorOps {
     * best measured recall is eligible, and the cheapest eligible mode
     * wins (shared with the oracle). */
   val AnnServeRecallSlack = 0.05
+  /** Matryoshka prefix the serve router measures (clamped to the corpus
+    * dim on narrower fixtures) — shared with the oracle, which clamps
+    * with the SAME LEAST(...) over its SQL-computed dim so the mode
+    * name, prefix slice, and bytes bound can never desync from the
+    * Spark side's `min(AnnServeMatPrefixDim, dim)`. */
+  val AnnServeMatPrefixDim = 16
 
   /** ANN SERVE-MODE ROUTER — the decision the r15 recall table left
     * implicit: per corpus, measure recall@k of the IVF cell scan and
@@ -1517,7 +1523,7 @@ object VectorOps {
     val sq8Row = modeRow("sq8_scan", 0, 0,
       sq8TopK(emb, queryMaxId, k),
       col("n_vecs"), dim.toLong)
-    val matDim = math.min(16, dim)
+    val matDim = math.min(AnnServeMatPrefixDim, dim)
     val matRow = modeRow(s"mat${matDim}_scan", 0, 0,
       matryoshkaTopK(emb, queryMaxId, k, matDim),
       col("n_vecs"), matDim.toLong * 8)

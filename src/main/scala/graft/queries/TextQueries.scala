@@ -1190,7 +1190,10 @@ object TextQueries extends QueryModule {
     },
 
     // ExactSubstr replayed occurrence-for-occurrence: the same in-row
-    // k-gram derivation, counts + the encoded-BIGINT canonical min, the
+    // k-gram derivation, counts + the TWO-plain-MIN canonical selection
+    // (min doc over the gram's occurrences, then min pos within that
+    // doc — NOT an encoded doc·2³⁰+pos BIGINT, which overflowed on
+    // production-shaped ids in the 10× sweep, commit d820a56), the
     // non-canonical positional coverage, and the ordered uncovered-token
     // reconstruction
     "dedup_exact_substring" -> {

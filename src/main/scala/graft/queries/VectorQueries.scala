@@ -859,7 +859,9 @@ object VectorQueries extends QueryModule {
          |sqa AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sqsc)
          |  WHERE rk <= 3),
-         |mtq AS (SELECT vec_id, qv[1:16] AS tv FROM q),
+         |mdim AS (SELECT CAST(LEAST(${VectorOps.AnnServeMatPrefixDim}, dim)
+         |    AS BIGINT) AS md FROM dm),
+         |mtq AS (SELECT vec_id, qv[1:(SELECT md FROM mdim)] AS tv FROM q),
          |mtqs AS (SELECT vec_id AS q_id, tv AS tt FROM mtq WHERE vec_id < 10),
          |mtsc AS (SELECT q_id, vec_id, ${cosSql("tt", "tv")} AS c
          |  FROM mtqs CROSS JOIN mtq WHERE vec_id <> q_id),
@@ -895,11 +897,13 @@ object VectorQueries extends QueryModule {
          |    AS bytes_bound,
          |$evidence
          |UNION ALL
-         |SELECT 'mat16_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |SELECT 'mat' || CAST((SELECT md FROM mdim) AS VARCHAR) || '_scan'
+         |    AS mode, CAST(0 AS BIGINT) AS beam,
          |  CAST(0 AS BIGINT) AS rounds,
          |  ${recallOf("mta")},
          |  (SELECT n_vecs FROM cst) AS visit_bound,
-         |  CAST((SELECT n_vecs FROM cst) * 128 AS BIGINT) AS bytes_bound,
+         |  CAST((SELECT n_vecs FROM cst) * (SELECT md FROM mdim) * 8
+         |    AS BIGINT) AS bytes_bound,
          |$evidence),
          |best AS (SELECT MAX(mean_recall) AS br FROM modes),
          |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible

@@ -404,10 +404,12 @@ object StreamingJobs {
     *    fold every foldEvery batches to keep every trigger's input
     *    bounded). A replayed fold overwrites its own `fold_$id`
     *    (exactly-once); a crash between the fold write and the source
-    *    deletes leaves duplicate rows that the NEXT fold's distinct
-    *    absorbs — and the beam serve is duplication-tolerant meanwhile
-    *    (neighbor expansion is a distinct-set union). GraphAnnSpec pins
-    *    serve-before-fold == serve-after-fold. */
+    *    deletes is repaired by the replay folding the SURVIVING sources
+    *    ∪ the crashed `fold_$id` itself (which holds the already-deleted
+    *    batches' rows — excluding it would lose them), with distinct
+    *    absorbing the overlap and the beam serve duplication-tolerant
+    *    meanwhile (neighbor expansion is a distinct-set union).
+    *    GraphAnnSpec pins serve-before-fold == serve-after-fold. */
   def graphIngestStream(vecs: DataFrame, corpus: DataFrame, indexDir: String,
                         graphK: Int = 3, foldEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -437,13 +439,18 @@ object StreamingJobs {
         Seq("cells_stream", "edges_stream").foreach { d =>
           val root = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
           val f = fs(root)
-          val subs = f.listStatus(root).filter(_.isDirectory)
-            .map(_.getPath).filter(_.getName != s"fold_$id")
+          val all = f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          val subs = all.filter(_.getName != s"fold_$id")
           if (subs.length >= foldEvery) {
-            // materialize BEFORE the write: a crash-replay can leave a
-            // completed fold_$id among the sources, and the refold must
-            // not lazily read the path it is overwriting
-            spark.read.parquet(subs.map(_.toString): _*).distinct()
+            // a crash between the fold write and the source deletes
+            // leaves a completed fold_$id next to the SURVIVING sources;
+            // the replayed trigger must fold over sources ∪ that
+            // fold_$id (which holds the already-deleted batches' rows)
+            // or the deleted batches are lost from the served index.
+            // localCheckpoint materializes BEFORE the overwrite, so the
+            // refold never lazily reads the path it is writing; distinct
+            // absorbs the duplication between fold_$id and survivors.
+            spark.read.parquet(all.map(_.toString): _*).distinct()
               .localCheckpoint()
               .write.mode("overwrite").parquet(s"$indexDir/$d/fold_$id")
             subs.foreach(p => f.delete(p, true))
@@ -994,7 +1001,12 @@ object StreamingJobs {
     * ever read (`initial` seeds batch 0 — the caller-written artifacts
     * of the base snapshot), the fold writes its own `batch_$id`
     * (idempotent overwrite ⇒ exactly-once under replay, including
-    * across a restart), and `batch_{id-2}` is GC'd.
+    * across a restart), and `batch_{id-2}` is GC'd. Batch 0 CLEARS any
+    * pre-existing `batch_*` dirs first (the [[graphIngestStream]]
+    * batch-0 reset — a fresh checkpoint over a dead run's store must
+    * not leave its orphans lingering forever), and a missing
+    * `batch_{id-1}` at id > 0 fails loudly instead of silently rebasing
+    * the fold onto `initial` and losing every folded fate so far.
     *
     * The fold itself IS the batch fold — [[graft.pipeline.RefreshOps
     * .compactBandIndex]]/[[graft.pipeline.RefreshOps
@@ -1027,12 +1039,33 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val f = batch.toDF().select(col("doc_id"), col("action"), col("cid"))
         val hconf = spark.sparkContext.hadoopConfiguration
+        // BATCH-0 RESET (the graphIngestStream rule): a fresh checkpoint
+        // over an existing artifact dir must not leave a dead run's
+        // batch_N dirs lingering (GC only ever reaches batch_{id-2}) —
+        // batch 0 reads `initial`, so everything else is stale by
+        // definition and is cleared before the first fold lands.
+        if (id == 0L) Seq("bands", "cells").foreach { art =>
+          val root = new org.apache.hadoop.fs.Path(s"$artifactDir/$art")
+          val fsys = root.getFileSystem(hconf)
+          if (fsys.exists(root))
+            fsys.listStatus(root).map(_.getPath)
+              .filter(_.getName.startsWith("batch_"))
+              .foreach(p => fsys.delete(p, true))
+        }
         def prevOr(art: String): DataFrame = {
+          if (id == 0L) return spark.read.parquet(s"$artifactDir/$art/initial")
           val prev = new org.apache.hadoop.fs.Path(
             s"$artifactDir/$art/batch_${id - 1}")
-          if (id > 0 && prev.getFileSystem(hconf).exists(prev))
-            spark.read.parquet(prev.toString)
-          else spark.read.parquet(s"$artifactDir/$art/initial")
+          // id > 0 with batch_{id-1} absent means the store was damaged
+          // outside the protocol (GC never deletes the predecessor of a
+          // replayable trigger): failing loudly beats silently rebasing
+          // the fold onto `initial` and losing every folded fate so far.
+          require(prev.getFileSystem(hconf).exists(prev),
+            s"refreshCompactionStream: $artifactDir/$art/batch_${id - 1} " +
+              s"missing at trigger $id — compacted store damaged; " +
+              "rebuild `initial` from the live corpus and restart with a " +
+              "fresh checkpoint")
+          spark.read.parquet(prev.toString)
         }
         RefreshOps.compactBandIndex(prevOr("bands"), f, newDocs)
           .write.mode("overwrite").parquet(s"$artifactDir/bands/batch_$id")

@@ -30,9 +30,11 @@ out = {
     "protocol": old["protocol"],
     "round": 17,
     "floors_sec": dict(sorted((k, round(v, 3)) for k, v in floors.items())),
-    "note": old["note"] + " r17 floors were measured while the build's "
+    # append-once: rerunning the merge must not grow the committed note
+    "note": old["note"] + ("" if "r17 floors were measured" in old["note"]
+            else " r17 floors were measured while the build's "
             "test suite shared the box (min-of-6/12 absorbs transient "
-            "contention; treat them as upper bounds like the rest).",
+            "contention; treat them as upper bounds like the rest)."),
     "mover_adjudication_r16": old.get("mover_adjudication_r16", {}),
     "mover_adjudication_r17": {
         "wild_movers_no_floor_row": {
