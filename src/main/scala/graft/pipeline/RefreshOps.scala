@@ -45,6 +45,30 @@ object RefreshOps {
           .join(indexed, Seq("doc_id"))))
   }
 
+  /** Fold a refresh run's fates into the persisted ExactSubstr gram
+    * index ([[TextOps.substrGramIndex]] rows — (doc_id, gk), each live
+    * document's distinct 60-bit gram keys): drop every fated doc's
+    * rows, insert the `indexed` docs' gram keys derived from `newDocs`
+    * (the NEW snapshot's text) — the exact [[compactBandIndex]] shape,
+    * because both artifacts are per-document pure functions of text.
+    * Carrying doc_id in the artifact is what makes eviction one
+    * anti-join instead of per-gram refcount arithmetic: a gram shared
+    * with a surviving document keeps that document's row and stays
+    * probed; a gram whose LAST holder leaves has no rows left and
+    * stops covering arriving text. Equals a fresh [[TextOps
+    * .substrGramIndex]] over the live corpus (RefreshCompactionSpec
+    * pins it); O(artifact + changed) like the band fold. */
+  def compactGramIndex(gramIndex: DataFrame, fates: DataFrame,
+                       newDocs: DataFrame, k: Int = 8): DataFrame = {
+    val touched = fates.select(col("doc_id")).distinct()
+    val indexed = fates.filter(col("action") === "indexed")
+      .select(col("doc_id"))
+    gramIndex.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(TextOps.substrGramIndex(
+        newDocs.select(col("doc_id"), col("text"))
+          .join(indexed, Seq("doc_id")), k))
+  }
+
   /** Fold the fates into the persisted cell assignment: drop every
     * fated doc's row, insert the `indexed` docs at the cell id the
     * refresh assigned against the FROZEN centroids (the

@@ -597,11 +597,15 @@ object CurationQueries extends QueryModule {
          |SELECT * FROM fates""".stripMargin,
 
     // the incremental ExactSubstr probe replayed: old-corpus distinct
-    // gram index, delta-doc occurrences, positional coverage (no
-    // canonical exception — the corpus holds the canonical copy),
-    // ordered uncovered-token reconstruction
+    // gram index keyed on the 60-bit md5 of the gram (the SAME hex60
+    // recipe the Spark shuffle keys and persisted artifact use),
+    // delta-doc occurrences, positional coverage (no canonical
+    // exception — the corpus holds the canonical copy), ordered
+    // uncovered-token reconstruction
     "dedup_exact_substring_incr" -> {
       val k = 8
+      val gh = hex60Sql(
+        s"md5(array_to_string(list_slice(ts, i + 1, i + $k), ' '))")
       val snapOld =
         s"${hex60Sql("md5('snapold:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 900000"
       val snapNew =
@@ -616,20 +620,19 @@ object CurationQueries extends QueryModule {
          |  LEFT JOIN oldd o ON n.doc_id = o.doc_id
          |  WHERE o.doc_id IS NULL OR o.text <> n.text),
          |oto AS (SELECT doc_id, string_split(text, ' ') AS ts FROM oldd),
-         |gi AS (SELECT DISTINCT u AS gram FROM (SELECT
+         |gi AS (SELECT DISTINCT u AS gk FROM (SELECT
          |    unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
-         |      i -> array_to_string(list_slice(ts, i + 1, i + $k), ' '))) AS u
+         |      i -> $gh)) AS u
          |  FROM oto)),
          |btk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM batch),
-         |gb AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |gb AS (SELECT doc_id, u.pos AS pos, u.gk AS gk
          |  FROM (SELECT doc_id,
          |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
-         |        i -> {'pos': i,
-         |              'gram': array_to_string(list_slice(ts, i + 1, i + $k), ' ')}))
+         |        i -> {'pos': i, 'gk': $gh}))
          |        AS u
          |    FROM btk)),
          |cov AS (SELECT DISTINCT gb.doc_id, UNNEST(range(gb.pos, gb.pos + $k)) AS p
-         |  FROM gb JOIN gi ON gb.gram = gi.gram),
+         |  FROM gb JOIN gi ON gb.gk = gi.gk),
          |tl AS (SELECT doc_id, u.p AS p, u.tok AS tok
          |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
          |    i -> {'p': i, 'tok': ts[i + 1]})) AS u FROM btk))

@@ -1190,29 +1190,32 @@ object TextQueries extends QueryModule {
     },
 
     // ExactSubstr replayed occurrence-for-occurrence: the same in-row
-    // k-gram derivation, counts + the TWO-plain-MIN canonical selection
-    // (min doc over the gram's occurrences, then min pos within that
-    // doc — NOT an encoded doc·2³⁰+pos BIGINT, which overflowed on
-    // production-shaped ids in the 10× sweep, commit d820a56), the
-    // non-canonical positional coverage, and the ordered uncovered-token
-    // reconstruction
+    // k-gram derivation keyed on the 60-bit md5 of the gram (the SAME
+    // hex60 recipe the Spark shuffle keys use — ~k× fewer shuffle bytes
+    // than the k-token string at equal semantics up to md5 collisions),
+    // counts + the TWO-plain-MIN canonical selection (min doc over the
+    // gram's occurrences, then min pos within that doc — NOT an encoded
+    // doc·2³⁰+pos BIGINT, which overflowed on production-shaped ids in
+    // the 10× sweep, commit d820a56), the non-canonical positional
+    // coverage, and the ordered uncovered-token reconstruction
     "dedup_exact_substring" -> {
       val k = 8
+      val gh = hex60Sql(
+        s"md5(array_to_string(list_slice(ts, i + 1, i + $k), ' '))")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |g AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gk AS gk
          |  FROM (SELECT doc_id,
          |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
-         |        i -> {'pos': i,
-         |              'gram': array_to_string(list_slice(ts, i + 1, i + $k), ' ')}))
+         |        i -> {'pos': i, 'gk': $gh}))
          |        AS u
          |    FROM t)),
-         |gs AS (SELECT gram, MIN(doc_id) AS c_doc
-         |  FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-         |dup AS (SELECT g.gram, gs.c_doc, MIN(g.pos) AS c_pos
-         |  FROM g JOIN gs ON g.gram = gs.gram AND g.doc_id = gs.c_doc
-         |  GROUP BY g.gram, gs.c_doc),
+         |gs AS (SELECT gk, MIN(doc_id) AS c_doc
+         |  FROM g GROUP BY gk HAVING COUNT(*) >= 2),
+         |dup AS (SELECT g.gk, gs.c_doc, MIN(g.pos) AS c_pos
+         |  FROM g JOIN gs ON g.gk = gs.gk AND g.doc_id = gs.c_doc
+         |  GROUP BY g.gk, gs.c_doc),
          |cov AS (SELECT DISTINCT g.doc_id, UNNEST(range(g.pos, g.pos + $k)) AS p
-         |  FROM g JOIN dup ON g.gram = dup.gram
+         |  FROM g JOIN dup ON g.gk = dup.gk
          |  WHERE NOT (g.doc_id = dup.c_doc AND g.pos = dup.c_pos)),
          |tl AS (SELECT doc_id, u.p AS p, u.tok AS tok
          |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
@@ -1230,9 +1233,12 @@ object TextQueries extends QueryModule {
     },
 
     // the repetition signals replayed gram-for-gram: in-row gram lists
-    // per n, per-(doc, n, gram) counts, the rank-1 top gram (count desc,
-    // gram asc — the shared tie-break), positional coverage of cnt>1
-    // grams via DISTINCT covered positions, and the same integer
+    // per n keyed on the 60-bit md5 of the gram (the SAME hex60 recipe
+    // the Spark shuffle keys use; the winner's character mass rides
+    // along in-row as glen), per-(doc, n, gk) counts, the rank-1 top
+    // gram (count desc, gk asc — the shared tie-break, replayed on the
+    // same hash by both engines), positional coverage of cnt>1 grams
+    // via DISTINCT covered positions, and the same integer
     // cross-multiplied keep; thresholds interpolate the VectorOps-style
     // shared constants
     "quality_gopher_repetition" -> {
@@ -1255,24 +1261,29 @@ object TextQueries extends QueryModule {
          |tc AS (SELECT doc_id,
          |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
          |      AS BIGINT) AS tot FROM t),
-         |g AS MATERIALIZED (SELECT doc_id, n, u.pos AS pos, u.gram AS gram
+         |g AS MATERIALIZED (SELECT doc_id, n, u.pos AS pos, u.gk AS gk,
+         |    u.glen AS glen
          |  FROM (SELECT doc_id, n,
          |      unnest(list_transform(range(0, GREATEST(len(ts) - n + 1, 0)),
          |        i -> {'pos': i,
-         |              'gram': array_to_string(list_slice(ts, i + 1, i + n), ' ')}))
+         |              'gk': ${hex60Sql(
+                         "md5(array_to_string(list_slice(ts, i + 1, i + n), ' '))")},
+         |              'glen': CAST(length(replace(
+         |                array_to_string(list_slice(ts, i + 1, i + n), ' '),
+         |                ' ', '')) AS BIGINT)}))
          |        AS u
          |    FROM t CROSS JOIN (SELECT UNNEST(${ns.mkString("[", ", ", "]")}) AS n) nn)),
-         |c AS MATERIALIZED (SELECT doc_id, n, gram, COUNT(*) AS cnt
-         |  FROM g GROUP BY doc_id, n, gram),
+         |c AS MATERIALIZED (SELECT doc_id, n, gk, COUNT(*) AS cnt,
+         |    MAX(glen) AS glen
+         |  FROM g GROUP BY doc_id, n, gk),
          |topn AS (SELECT doc_id, n,
-         |    CASE WHEN cnt >= 2 THEN cnt * length(replace(gram, ' ', ''))
-         |         ELSE 0 END AS num
+         |    CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END AS num
          |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-         |      ORDER BY cnt DESC, gram) AS rk FROM c WHERE n <= 4)
+         |      ORDER BY cnt DESC, gk) AS rk FROM c WHERE n <= 4)
          |  WHERE rk = 1),
          |dpos AS (SELECT DISTINCT doc_id, n, p FROM (
          |  SELECT g.doc_id, g.n, UNNEST(range(g.pos, g.pos + g.n)) AS p
-         |  FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+         |  FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gk = c.gk
          |  WHERE g.n >= 5 AND c.cnt > 1)),
          |tl AS (SELECT doc_id, u.p AS p, length(u.tok) AS len
          |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),

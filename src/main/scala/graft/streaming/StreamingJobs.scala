@@ -864,16 +864,42 @@ object StreamingJobs {
     * documents is trimmed against the STATIC corpus's k-gram index —
     * every batch occurrence of a gram the corpus already holds leaves
     * the arriving text before it reaches the store. Stateless (the
-    * index is the static join side — in production the persisted
-    * distinct-gram parquet); per-batch work is O(batch tokens);
-    * idempotent batch dirs give exactly-once output.
-    * CorpusDiagnosticsSpec pins the one-trigger stream equal to the
-    * batch probe. */
+    * index is the static join side); per-batch PROBE work is O(batch
+    * tokens), but this spelling re-derives the corpus-sized gram index
+    * every trigger — a diagnostic/test shape; production runs
+    * [[exactSubstrIndexedStream]] against the persisted
+    * [[graft.pipeline.TextOps.substrGramIndex]] artifact so the
+    * corpus-sized term is paid once per index lifetime. Idempotent
+    * batch dirs give exactly-once output. CorpusDiagnosticsSpec pins
+    * the one-trigger stream equal to the batch probe. */
   def exactSubstrStream(docs: DataFrame, corpus: DataFrame, outDir: String,
                         k: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
         graft.pipeline.TextOps.exactSubstrProbe(corpus, batch, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+    }
+
+  /** [[exactSubstrStream]] against the PERSISTED gram-index artifact —
+    * the steady-state production twin: each trigger re-reads
+    * `indexDir/grams` (so a [[graft.pipeline.RefreshOps
+    * .compactGramIndex]] fold landing between triggers is picked up —
+    * the artifact on disk, not a plan-frozen snapshot, is the
+    * contract) and probes the arriving batch against it. Per-trigger
+    * work is O(batch tokens) joined against the index — independent
+    * of corpus size, the bound the per-trigger claim actually needs.
+    * Stateless; idempotent batch dirs give exactly-once output.
+    * RefreshCompactionSpec pins the streamed trim equal to the batch
+    * probe and that a compaction landing between triggers changes what
+    * the next trigger sees. */
+  def exactSubstrIndexedStream(docs: DataFrame, indexDir: String,
+                               outDir: String, k: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val index = batch.sparkSession.read.parquet(s"$indexDir/grams")
+        graft.pipeline.TextOps.exactSubstrProbeWith(index, batch, k)
           .write.mode("overwrite").parquet(s"$outDir/batch_$id")
         ()
     }

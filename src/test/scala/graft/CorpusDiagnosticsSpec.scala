@@ -266,6 +266,23 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     assert(got(4L) === ((6L, 0L, "u0 u1 u2 u3 u4 u5")))
   }
 
+  test("hashed gram keys equal the string-spelling semantics reference (ExactSubstr + Gopher repetition)") {
+    // the 60-bit md5 shuffle keys (the band-store precedent) must not
+    // change any verdict vs the full k-token string keys — equal up to
+    // md5 collisions, which the fixture corpus has none of
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextOps.exactSubstringDedup(docs, hashed = true))
+      === rows(TextOps.exactSubstringDedup(docs, hashed = false)))
+    assert(rows(TextOps.gopherRepetition(docs, hashed = true))
+      === rows(TextOps.gopherRepetition(docs, hashed = false)))
+    val split = 400L
+    val corpus = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+    assert(rows(TextOps.exactSubstrProbe(corpus, batch, hashed = true))
+      === rows(TextOps.exactSubstrProbe(corpus, batch, hashed = false)))
+  }
+
   test("exactSubstrProbe: arrivals trim against the corpus index; one-trigger stream equals the batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
