@@ -83,9 +83,13 @@ object Bench {
       "bitext_banded_recall", "bitext_cell_recall", "bitext_auto",
       "dedup_lsh_recall", "dedup_lsh_recall_sampled", "dedup_lsh_precision",
       "dedup_threshold_sweep", "decontam_semantic_recall", "lsh_planner",
-      // per-refresh-cycle maintenance fold (the graph compaction), not a
-      // hot-path query — the ann_index_staleness cadence
-      "refresh_compact_graph")
+      // per-refresh-cycle maintenance folds (graph + gram-index
+      // compaction), not hot-path queries — the ann_index_staleness
+      // cadence
+      "refresh_compact_graph", "refresh_compact_grams",
+      // bitext router honesty legs (the sampled variant gates the brute
+      // leg but still measures both chains)
+      "bitext_auto_sampled")
     def repsOf(name: String): Int =
       repsEnv.map(_.max(1))
         .getOrElse(if (diagQueries(name)) 1 else reps)

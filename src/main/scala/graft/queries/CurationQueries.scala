@@ -229,10 +229,32 @@ object CurationQueries extends QueryModule {
       RefreshOps.compactGraphIndex(embLive, edges0, cells0, fates)._2
     }),
 
+    // GRAM-INDEX COMPACTION, oracle-checked end-to-end (the
+    // refresh_compact_graph convention): the refresh run's fates folded
+    // into the persisted ExactSubstr gram index
+    // (RefreshOps.compactGramIndex — fated docs' rows leave via one
+    // anti-join, indexed docs' grams re-derive from the NEW text) must
+    // equal a FRESH substrGramIndex over the live corpus — that
+    // contract IS the oracle: DuckDB replays the fates chain, derives
+    // the live corpus, and builds the gram set fresh, while the Spark
+    // side exercises the incremental fold. Billed in the bench's
+    // diagnostic tier: a per-refresh-cycle maintenance fold.
+    "refresh_compact_grams" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.RefreshOps
+      val (oldSnap, newSnap) = refreshSnapshots(s, d)
+      val fates = refreshFates(s, d).localCheckpoint()
+      val index0 = TextOps.substrGramIndex(
+        oldSnap.select(col("doc_id"), col("text")))
+      RefreshOps.compactGramIndex(index0, fates,
+        newSnap.select(col("doc_id"), col("text")))
+    }),
+
     // incremental ExactSubstr: the refresh delta trimmed against the
     // UNCHANGED corpus's k-gram index — O(batch tokens) probe work, the
-    // corpus-sized index is the persisted artifact (re-derived here,
-    // the incremental_refresh convention)
+    // corpus-sized index is the persisted artifact (the
+    // incremental_refresh convention re-derives it here;
+    // exactSubstrServe / compactGramIndex are the production pair)
     "dedup_exact_substring_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val (oldSnap, newSnap) = refreshSnapshots(s, d)
@@ -663,7 +685,33 @@ object CurationQueries extends QueryModule {
          |lcell AS (SELECT k.vec_id, k.qv, k.cid
          |  FROM kcells k JOIN live ON k.vec_id = live.doc_id),
          |${VectorQueries.knnCtesAs("cg", cells = "lcell")}
-         |SELECT src, dst FROM cg""".stripMargin) ++ oraclesTail
+         |SELECT src, dst FROM cg""".stripMargin,
+
+    // the gram-index compaction contract AS the oracle (the
+    // refresh_compact_graph convention): while the Spark side folds the
+    // fates into the OLD snapshot's persisted gram index
+    // (compactGramIndex — anti-join eviction + indexed-doc re-derive),
+    // the replay derives the live corpus (unchanged docs at their old
+    // text ∪ indexed fates at their NEW text) and builds the
+    // distinct-(doc, gk) index FRESH with the same hex60 gram keys —
+    // hash equality IS the compact == fresh pin, engine-independently
+    "refresh_compact_grams" -> {
+      val k = 8
+      val gh = hex60Sql(
+        s"md5(array_to_string(list_slice(ts, i + 1, i + $k), ' '))")
+      s"""WITH $refreshFatesCtes,
+         |livedocs AS (SELECT o.doc_id, o.text FROM oldd o
+         |    WHERE o.doc_id NOT IN (SELECT doc_id FROM fates)
+         |  UNION ALL
+         |  SELECT n.doc_id, n.text FROM newd n
+         |    JOIN fates f ON n.doc_id = f.doc_id AND f.action = 'indexed'),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM livedocs)
+         |SELECT DISTINCT doc_id, u AS gk
+         |FROM (SELECT doc_id,
+         |    unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+         |      i -> $gh)) AS u
+         |  FROM t)""".stripMargin
+    }) ++ oraclesTail
 
   /** The full incremental-refresh replay chain, ending in
     * `fates(doc_id, source, status, p_keep, g_keep, n_dup_hits, dup_of,

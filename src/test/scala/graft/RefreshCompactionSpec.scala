@@ -155,4 +155,78 @@ class RefreshCompactionSpec extends SparkSpec {
     assert(!hitOld.exists(removedIds),
       "no probe may be answered by an evicted doc's stale membership")
   }
+
+  test("compacted gram index equals a fresh build over the live corpus") {
+    import graft.pipeline.TextOps
+    val initial = TextOps.substrGramIndex(oldSnap)
+    val compacted = RefreshOps.compactGramIndex(initial, fates, newSnap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = TextOps.substrGramIndex(live)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted.nonEmpty)
+    assert(compacted === fresh,
+      "compaction must leave exactly the live corpus's gram index")
+  }
+
+  test("gram-index artifact lifecycle: probe sees indexed grams after the fold, evicted ghosts stop covering; serve + stream read the artifact") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    // micro-fixture: doc 2 will be evicted, doc 5 arrives indexed
+    val run = (i: String) => s"${i}0 ${i}1 ${i}2 ${i}3"
+    val old = Seq((1L, s"${run("c")} x0 x1 x2 x3"),
+                  (2L, s"${run("e")} x4 x5 x6 x7")).toDF("doc_id", "text")
+    val newDocs = Seq((5L, s"${run("n")} x8 x9 xa xb")).toDF("doc_id", "text")
+    val microFates = Seq((2L, "evicted"), (5L, "indexed"))
+      .toDF("doc_id", "action")
+    val index0 = TextOps.substrGramIndex(old, k = 4).localCheckpoint()
+    val folded = RefreshOps.compactGramIndex(index0, microFates, newDocs,
+      k = 4).localCheckpoint()
+    // probes: the evicted doc's run (a ghost after the fold) and the
+    // indexed doc's run (covered only after the fold)
+    val probes = Seq((10L, run("e")), (11L, run("n"))).toDF("doc_id", "text")
+    def dupToks(index: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextOps.exactSubstrProbeWith(index, probes, k = 4)
+        .select(col("doc_id"), col("dup_tokens")).as[(Long, Long)]
+        .collect().toMap
+    val before = dupToks(index0)
+    assert(before === Map(10L -> 4L, 11L -> 0L),
+      "stale artifact: ghost still covers, indexed doc's grams unknown")
+    val after = dupToks(folded)
+    assert(after === Map(10L -> 0L, 11L -> 4L),
+      "folded artifact: ghost gone, indexed doc's grams cover")
+    // serve path: build-if-absent writes the artifact, the fold lands as
+    // an overwrite, and the indexed stream picks it up between triggers
+    val dir = "target/graft-tmp/gram_index_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val served = TextOps.exactSubstrServe(old, probes, s"$dir/index", k = 4)
+      .select(col("doc_id"), col("dup_tokens")).as[(Long, Long)]
+      .collect().toMap
+    assert(served === before, "first serve builds and probes the artifact")
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.exactSubstrIndexedStream(
+        in.toDS().toDF("doc_id", "text"), s"$dir/index", s"$dir/out", k = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(Seq((10L, run("e")), (11L, run("n"))))
+      q.processAllAvailable()
+      // the compaction fold lands between triggers — same artifact path
+      folded.write.mode("overwrite").parquet(s"$dir/index/grams")
+      in.addData(Seq((20L, run("e")), (21L, run("n"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def streamed(batch: Int): Map[Long, Long] =
+      spark.read.parquet(s"$dir/out/batch_$batch")
+        .select(col("doc_id"), col("dup_tokens")).as[(Long, Long)]
+        .collect().toMap
+    assert(streamed(0) === Map(10L -> 4L, 11L -> 0L),
+      "trigger 0 probes the pre-fold artifact")
+    assert(streamed(1) === Map(20L -> 0L, 21L -> 4L),
+      "trigger 1 must see the compaction that landed between triggers")
+  }
 }
