@@ -1580,7 +1580,17 @@ object VectorOps {
         targetCellSize, budgets)
       .filter(col("picked"))
       .select(col("mode"), col("beam"), col("rounds")).head()
-    pick.getString(0) match {
+    serveByPick(emb, art, queryMaxId, k,
+      pick.getString(0), pick.getLong(1).toInt, pick.getLong(2).toInt)
+  }
+
+  /** Serve with an already-decided mode over already-built artifacts —
+    * the dispatch [[annServeAuto]] and the cached-pick path share, so
+    * the consumed pick and the steady-state serve can never drift. */
+  private def serveByPick(emb: DataFrame, art: ServeArtifacts,
+                          queryMaxId: Long, k: Int,
+                          mode: String, beam: Int, rounds: Int): DataFrame =
+    mode match {
       case "ivf_scan" => ivfScanWith(emb, art, queryMaxId, k)
       case "ivf_pq"   => ivfPqTopK(emb, queryMaxId, k)
       case "sq8_scan" => sq8TopK(emb, queryMaxId, k)
@@ -1588,8 +1598,115 @@ object VectorOps {
         matryoshkaTopK(emb, queryMaxId, k,
           m.stripPrefix("mat").stripSuffix("_scan").toInt)
       case _ => graphBeamSearch(emb, art.edges, art.entries, queryMaxId, k,
-        beam = pick.getLong(1).toInt, rounds = pick.getLong(2).toInt)
+        beam, rounds)
     }
+
+  private def writeServeArtifacts(art: ServeArtifacts,
+                                  indexDir: String): Unit = {
+    val spark = art.cells.sparkSession
+    import spark.implicits._
+    art.cents.zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }.toSeq
+      .toDF("cid", "cent").write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    art.cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    art.edges.write.mode("overwrite").parquet(s"$indexDir/edges")
+    art.entries.write.mode("overwrite").parquet(s"$indexDir/entries")
+  }
+
+  private def readServeArtifacts(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String): ServeArtifacts = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cid").select(col("cent"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    ServeArtifacts(cents,
+      spark.read.parquet(s"$indexDir/cells"),
+      spark.read.parquet(s"$indexDir/edges"),
+      spark.read.parquet(s"$indexDir/entries"))
+  }
+
+  /** [[annServeAuto]] that PERSISTS its decision — the router run a
+    * deploy schedules per index build: build the serve artifacts once,
+    * run the diagnostic (including the brute exact baseline), write
+    * artifacts + the full diagnostic evidence frame to
+    * `indexDir/pick` (pick LAST — the [[graphBeamServe]] probe-the-
+    * last-written rule, so a crash mid-write leaves no pick and the
+    * next cached call rebuilds), and serve with the picked mode over
+    * the same artifacts. */
+  def annServePersist(emb: DataFrame, queryMaxId: Long, k: Int,
+                      indexDir: String, graphK: Int = 3,
+                      targetCellSize: Int = 50,
+                      budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
+    val art = serveArtifacts(emb, graphK, targetCellSize)
+    val diag = serveModeDiagnosticWith(emb, art, queryMaxId, k, graphK,
+      targetCellSize, budgets)
+    writeServeArtifacts(art, indexDir)
+    diag.write.mode("overwrite").parquet(s"$indexDir/pick")
+    val pick = emb.sparkSession.read.parquet(s"$indexDir/pick")
+      .filter(col("picked"))
+      .select(col("mode"), col("beam"), col("rounds")).head()
+    serveByPick(emb, art, queryMaxId, k,
+      pick.getString(0), pick.getLong(1).toInt, pick.getLong(2).toInt)
+  }
+
+  /** The STEADY-STATE serve entry point a deploy calls per query batch:
+    * read the persisted pick (a ≤ (2+|budgets|)-row artifact — the
+    * diagnostic's evidence rows with the picked flag) and serve the
+    * picked mode over the persisted artifacts WITHOUT re-running the
+    * diagnostic or its brute-force exact baseline — per-call cost is
+    * the picked search alone. When the pick artifact is absent (never
+    * persisted, crashed mid-persist, or invalidated by
+    * [[annServeInvalidateIfStale]] after a staleness fire), falls back
+    * to [[annServePersist]] — the same decide-then-cache policy that
+    * schedules graph rebuild and compaction. GraphAnnSpec pins
+    * cached-pick serve == fresh-diagnostic serve. */
+  def annServeCached(emb: DataFrame, queryMaxId: Long, k: Int,
+                     indexDir: String, graphK: Int = 3,
+                     targetCellSize: Int = 50,
+                     budgets: Seq[(Int, Int)] = AnnServeBudgets): DataFrame = {
+    val spark = emb.sparkSession
+    val pickPath = new org.apache.hadoop.fs.Path(s"$indexDir/pick")
+    val fs = pickPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pickPath))
+      return annServePersist(emb, queryMaxId, k, indexDir, graphK,
+        targetCellSize, budgets)
+    val pick = spark.read.parquet(s"$indexDir/pick")
+      .filter(col("picked"))
+      .select(col("mode"), col("beam"), col("rounds")).head()
+    val mode = pick.getString(0)
+    // full-scan / code-based modes never touch the cell/graph artifacts
+    // — skip the artifact read (and its centroid collect) entirely
+    val art =
+      if (mode == "ivf_scan" || mode.startsWith("beam_"))
+        readServeArtifacts(spark, indexDir)
+      else ServeArtifacts(Array.empty, emb, emb, emb)
+    serveByPick(emb, art, queryMaxId, k,
+      mode, pick.getLong(1).toInt, pick.getLong(2).toInt)
+  }
+
+  /** The pick's INVALIDATION trigger — run on the
+    * [[graphIndexStaleness]] cadence (the policy that already schedules
+    * rebuild and graph compaction): when the staleness diagnostic says
+    * REBUILD, the persisted pick is evidence about an index that no
+    * longer exists, so it is deleted and the next [[annServeCached]]
+    * re-runs the full diagnostic over fresh artifacts. Returns the
+    * rebuild verdict. `stalenessDir` holds the staleness probe's own
+    * appended-index artifacts (separate from the serve artifacts —
+    * the probe must not overwrite them). */
+  def annServeInvalidateIfStale(emb: DataFrame, splitId: Long,
+                                queryMaxId: Long, k: Int, indexDir: String,
+                                stalenessDir: String, graphK: Int = 3,
+                                targetCellSize: Int = 50): Boolean = {
+    val rebuild = graphIndexStaleness(emb, splitId, queryMaxId, k,
+        stalenessDir, graphK, targetCellSize)
+      .select(col("rebuild")).head().getBoolean(0)
+    if (rebuild) {
+      val pickPath = new org.apache.hadoop.fs.Path(s"$indexDir/pick")
+      val fs = pickPath.getFileSystem(
+        emb.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(pickPath)) { fs.delete(pickPath, true); () }
+    }
+    rebuild
   }
 
   /** Graph-index PERSISTENCE round-trip — build the kNN edge list and

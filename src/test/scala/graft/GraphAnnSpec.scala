@@ -317,6 +317,40 @@ class GraphAnnSpec extends SparkSpec {
     assert(autoN === directOf(noise))
   }
 
+  test("persisted pick: cached serve == fresh diagnostic serve, no pick artifact → rebuild, staleness fire invalidates") {
+    val dir = "target/graft-tmp/serve_pick_spec"
+    cleanDir(dir)
+    val noise = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // persist writes artifacts + pick and serves the picked mode
+    val persisted = VectorOps.annServePersist(noise, queryMaxId = 5, k = 3,
+      indexDir = dir).collect().map(_.toSeq).toSet
+    val fresh = VectorOps.annServeAuto(noise, queryMaxId = 5, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(persisted === fresh, "persist path serves what the router picks")
+    assert(new java.io.File(s"$dir/pick").exists, "pick artifact written")
+    // steady state: cached serve reads the pick, never re-runs the
+    // diagnostic, and equals the fresh-diagnostic serve
+    val cached = VectorOps.annServeCached(noise, queryMaxId = 5, k = 3,
+      indexDir = dir).collect().map(_.toSeq).toSet
+    assert(cached === fresh, "cached-pick serve == fresh-diagnostic serve")
+    // the pick evidence frame carries every measured mode + one winner
+    val evidence = spark.read.parquet(s"$dir/pick")
+    assert(evidence.count() >= 5)
+    assert(evidence.filter(col("picked")).count() === 1)
+    // staleness fire: a tiny base split makes appended_frac cross the
+    // rebuild trigger, which must delete the pick; the next cached call
+    // falls back to a full re-persist (pick reappears, serve unchanged
+    // because the corpus itself didn't change)
+    val fired = VectorOps.annServeInvalidateIfStale(noise, splitId = 5,
+      queryMaxId = 5, k = 3, indexDir = dir, stalenessDir = s"$dir/stale")
+    assert(fired, "appended_frac far over the trigger must fire")
+    assert(!new java.io.File(s"$dir/pick").exists, "fired staleness deletes the pick")
+    val rebuilt = VectorOps.annServeCached(noise, queryMaxId = 5, k = 3,
+      indexDir = dir).collect().map(_.toSeq).toSet
+    assert(rebuilt === fresh)
+    assert(new java.io.File(s"$dir/pick").exists, "fallback re-persists the pick")
+  }
+
   test("the beam never fabricates candidates: results ⊆ entries ∪ graph targets") {
     import org.apache.spark.sql.expressions.Window
     val cents = VectorOps.kmeansCentroids(clustered)
