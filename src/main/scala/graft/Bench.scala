@@ -82,7 +82,8 @@ object Bench {
       "ann_serve_mode", "ann_index_staleness",
       "bitext_banded_recall", "bitext_cell_recall", "bitext_auto",
       "dedup_lsh_recall", "dedup_lsh_recall_sampled", "dedup_lsh_precision",
-      "dedup_threshold_sweep", "decontam_semantic_recall", "lsh_planner",
+      "dedup_threshold_sweep", "dedup_substr_k_sweep",
+      "decontam_semantic_recall", "lsh_planner",
       // per-refresh-cycle maintenance folds (graph + gram-index
       // compaction), not hot-path queries — the ann_index_staleness
       // cadence

@@ -625,6 +625,52 @@ object TextOps {
         col("clean_text"))
   }
 
+  /** The k grid [[exactSubstrKSweep]] measures — the paper's k = 50
+    * web-token setting at the top, the fixture-scale default at the
+    * bottom (shared with the oracle so a regrid can't desync). */
+  val SubstrSweepKs: Seq[Int] = Seq(8, 16, 32, 50)
+
+  /** ExactSubstr K-SENSITIVITY SWEEP — the evidence a deploy picks k
+    * from (the `dedup_threshold_sweep` convention): Lee et al. 2021
+    * dedup at k = 50 web-scale tokens; a smaller corpus (or a
+    * boilerplate-heavy one) trims meaningful mass at much smaller k.
+    * One [[substrGrams]] pass per grid point — counts, the canonical
+    * exception, and the positional-union coverage exactly as
+    * [[exactSubstringDedup]] computes them, WITHOUT the per-doc text
+    * reconstruction (the sweep reads mass, not output text). Output:
+    * one row per k — (k, n_docs, tot_tokens, docs_trimmed, dup_tokens,
+    * trim_frac). */
+  def exactSubstrKSweep(docs: DataFrame,
+                        ks: Seq[Int] = SubstrSweepKs): DataFrame = {
+    val tot = docs.select(tokens.as("ts"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ts"))).cast("long").as("tot_tokens"))
+    val rows = ks.map { k =>
+      val grams = graft.CacheScope.persist(substrGrams(docs, k, hashed = true))
+      val gstats = grams.groupBy(col("gk"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("c_doc"))
+        .filter(col("cnt") >= 2)
+        .select(col("gk"), col("c_doc"))
+      val dup = grams
+        .join(gstats.withColumnRenamed("c_doc", "doc_id"), Seq("gk", "doc_id"))
+        .groupBy(col("gk"))
+        .agg(min(col("doc_id")).as("c_doc"), min(col("pos")).as("c_pos"))
+      grams.join(dup, Seq("gk"))
+        .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+        .distinct()
+        .agg(countDistinct(col("doc_id")).as("docs_trimmed"),
+          count(lit(1)).as("dup_tokens"))
+        .select(lit(k.toLong).as("k"), col("docs_trimmed"), col("dup_tokens"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_docs"), col("tot_tokens"),
+        col("docs_trimmed"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("tot_tokens")
+          + lit(1e-9), 4).as("trim_frac"))
+  }
+
   /** The probe against the PERSISTED gram-index artifact — the
     * steady-state entry point a deploy calls per batch (the
     * [[VectorOps.graphBeamServe]] `rebuildBase = false` pattern): build

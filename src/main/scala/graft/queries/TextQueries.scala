@@ -364,6 +364,11 @@ object TextQueries extends QueryModule {
     // positional coverage, O(corpus tokens)
     "dedup_exact_substring" -> ((s, d) =>
       TextOps.exactSubstringDedup(docs(s, d))),
+    // k-sensitivity evidence for the ExactSubstr deploy (the paper runs
+    // k = 50 web tokens; the right k for a given corpus is measured,
+    // not assumed): trim mass at k = 8/16/32/50, one gram pass each
+    "dedup_substr_k_sweep" -> ((s, d) =>
+      TextOps.exactSubstrKSweep(docs(s, d))),
     // content-policy wordlist gate: whole-word banned-term counts +
     // integer-exact hit-budget/density verdicts with first-failure
     // reason (the gopherRules recipe; C4/RefinedWeb-lineage filter)
@@ -924,6 +929,37 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("source"), col("lang"),
           col("clean_text").as("text"))
       curationGates(cleaned)
+    }),
+
+    // THE SUBSTRING-TRIM CURATION STAGE, composed (Lee et al. 2021's
+    // headline result is that ExactSubstr dedup matters MOST for
+    // memorization — here it finally sits in a flagship chain instead
+    // of standing alone): line-scrub (CCNet line dedup, removal form)
+    // → ExactSubstr trim of the scrubbed text (corpus-repeated ≥
+    // 8-token runs leave, canonical copies stay) → the BPE token bill
+    // computed over the TRIMMED text with the frozen 20-merge state —
+    // so every trimmed token is a token the loader never pays for —
+    // → budget-exact packing of that bill (pack_bpe_sequences' shape).
+    // Fully-trimmed/fully-scrubbed docs fall to the empty-text length
+    // gate before billing. CurationSpec pins that the trim stage
+    // CHANGES the downstream bill (stage order matters).
+    "curation_pipeline_substr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scrubbed = TextOps.lineScrub(docs(s, d), window = 10)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val trimmed = graft.CacheScope.persist(
+        TextOps.exactSubstringDedup(scrubbed)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("dup_tokens"), col("dedup_frac"),
+            col("clean_text").as("text")))
+      val bill = TextOps.bpeEncodeWith(trimmed, bpeState(s, d)._2)
+        .select(col("doc_id"), col("bpe_tokens").as("n_tokens"))
+      TextOps.packByCounts(bill, budget = 512, groups = 8)
+        .join(trimmed.select(col("doc_id"), col("dup_tokens"),
+          col("dedup_frac")), Seq("doc_id"))
+        .select(col("grp"), col("doc_id"), col("dup_tokens"),
+          col("dedup_frac"), col("n_tokens").as("bpe_tokens"),
+          col("pack_id"), col("straddles"))
     }))
 
   /** The round-6 curation flagship body, parameterized on the corpus
@@ -1230,6 +1266,43 @@ object TextQueries extends QueryModule {
          |    ORDER BY tl.p) FILTER (WHERE cov.p IS NULL), ' '), '') AS clean_text
          |FROM tl LEFT JOIN cov ON tl.doc_id = cov.doc_id AND tl.p = cov.p
          |GROUP BY tl.doc_id""".stripMargin
+    },
+
+    // the k-sweep replayed grid-point-for-grid-point: one gram chain
+    // per k (same hex60 keys, canonical exception, positional-union
+    // coverage as the dedup oracle), mass totals cross-joined once
+    "dedup_substr_k_sweep" -> {
+      def chain(k: Int) = {
+        val gh = hex60Sql(
+          s"md5(array_to_string(list_slice(ts, i + 1, i + $k), ' '))")
+        s"""g$k AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gk AS gk
+           |  FROM (SELECT doc_id,
+           |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+           |        i -> {'pos': i, 'gk': $gh})) AS u
+           |    FROM t)),
+           |gs$k AS (SELECT gk, MIN(doc_id) AS c_doc
+           |  FROM g$k GROUP BY gk HAVING COUNT(*) >= 2),
+           |dup$k AS (SELECT g.gk, gs$k.c_doc, MIN(g.pos) AS c_pos
+           |  FROM g$k g JOIN gs$k ON g.gk = gs$k.gk AND g.doc_id = gs$k.c_doc
+           |  GROUP BY g.gk, gs$k.c_doc),
+           |cov$k AS (SELECT DISTINCT g.doc_id,
+           |    UNNEST(range(g.pos, g.pos + $k)) AS p
+           |  FROM g$k g JOIN dup$k d ON g.gk = d.gk
+           |  WHERE NOT (g.doc_id = d.c_doc AND g.pos = d.c_pos)),
+           |r$k AS (SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_trimmed,
+           |    CAST(COUNT(*) AS BIGINT) AS dup_tokens FROM cov$k)""".stripMargin
+      }
+      val ks = TextOps.SubstrSweepKs
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(ts)) AS BIGINT) AS tot_tokens FROM t),
+         |${ks.map(chain).mkString(",\n")}
+         |SELECT k, n_docs, tot_tokens, docs_trimmed, dup_tokens,
+         |  ROUND(CAST(dup_tokens AS DOUBLE) / tot_tokens + 1e-9, 4)
+         |    AS trim_frac
+         |FROM (${ks.map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")})
+         |CROSS JOIN tot""".stripMargin
     },
 
     // the repetition signals replayed gram-for-gram: in-row gram lists
@@ -2872,6 +2945,79 @@ object TextQueries extends QueryModule {
          |  COALESCE(array_to_string(list_transform($blocksKeptSql, s -> s.t), ' '), '') AS text
          |  FROM bsrc),
          |""".stripMargin),
+
+    // the composed substring-trim stage replayed end-to-end in ONE
+    // statement: the line-scrub chain (text_line_scrub's spelling) →
+    // the ExactSubstr chain over the SCRUBBED text (hex60 gram keys,
+    // two-plain-MIN canonical, positional coverage, ordered
+    // reconstruction) → the empty-text length gate → the BPE bill of
+    // the TRIMMED words against the w20 learn chain over the original
+    // corpus (pack_bpe_sequences' join) → the same cumulative-budget
+    // packing arithmetic
+    "curation_pipeline_substr" -> {
+      val k = 8
+      val gh = hex60Sql(
+        s"md5(array_to_string(list_slice(ts, i + 1, i + $k), ' '))")
+      s"""${bpeCtes(20)},
+         |ls0 AS (SELECT doc_id, string_split(text, ' ') AS ts,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |ls1 AS (SELECT doc_id, CAST(unnest(range(0,
+         |    greatest((n + 9) // 10, 1))) AS BIGINT) AS pos, ts FROM ls0),
+         |ls2 AS (SELECT doc_id, pos,
+         |    array_to_string(list_slice(ts, pos * 10 + 1, pos * 10 + 10), ' ') AS lt
+         |  FROM ls1),
+         |ls3 AS (SELECT doc_id, pos, lt,
+         |    row_number() OVER (PARTITION BY md5(lt) ORDER BY doc_id, pos) AS rn
+         |  FROM ls2),
+         |scr AS (SELECT doc_id, COALESCE(array_to_string(
+         |    list(lt ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS text
+         |  FROM ls3 GROUP BY doc_id),
+         |st AS (SELECT doc_id, string_split(text, ' ') AS ts FROM scr),
+         |sg AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gk AS gk
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(0, GREATEST(len(ts) - $k + 1, 0)),
+         |        i -> {'pos': i, 'gk': $gh})) AS u
+         |    FROM st)),
+         |sgs AS (SELECT gk, MIN(doc_id) AS c_doc
+         |  FROM sg GROUP BY gk HAVING COUNT(*) >= 2),
+         |sdup AS (SELECT sg.gk, sgs.c_doc, MIN(sg.pos) AS c_pos
+         |  FROM sg JOIN sgs ON sg.gk = sgs.gk AND sg.doc_id = sgs.c_doc
+         |  GROUP BY sg.gk, sgs.c_doc),
+         |scov AS (SELECT DISTINCT sg.doc_id,
+         |    UNNEST(range(sg.pos, sg.pos + $k)) AS p
+         |  FROM sg JOIN sdup ON sg.gk = sdup.gk
+         |  WHERE NOT (sg.doc_id = sdup.c_doc AND sg.pos = sdup.c_pos)),
+         |stl AS (SELECT doc_id, u.p AS p, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+         |    i -> {'p': i, 'tok': ts[i + 1]})) AS u FROM st)),
+         |trm AS (SELECT stl.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN scov.p IS NOT NULL THEN 1 END), 0)
+         |      AS BIGINT) AS dup_tokens,
+         |    ROUND(CAST(COALESCE(SUM(CASE WHEN scov.p IS NOT NULL THEN 1 END), 0)
+         |        AS DOUBLE) / COUNT(*) + 1e-9, 4) AS dedup_frac,
+         |    COALESCE(array_to_string(list(CASE WHEN scov.p IS NULL
+         |        THEN stl.tok END ORDER BY stl.p)
+         |      FILTER (WHERE scov.p IS NULL), ' '), '') AS text
+         |  FROM stl LEFT JOIN scov
+         |    ON stl.doc_id = scov.doc_id AND stl.p = scov.p
+         |  GROUP BY stl.doc_id),
+         |trmne AS (SELECT * FROM trm WHERE text <> ''),
+         |btk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM trmne),
+         |bwx AS (SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM btk),
+         |bwxx AS (SELECT doc_id, pos, ts[pos] AS w FROM bwx),
+         |bt AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+         |       FROM bwxx JOIN w20 USING (w) GROUP BY doc_id),
+         |pt AS (SELECT doc_id, n_tokens, doc_id % 8 AS grp FROM bt),
+         |pc AS (SELECT grp, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum0
+         |  FROM pt)
+         |SELECT pc.grp, pc.doc_id, t2.dup_tokens, t2.dedup_frac,
+         |  pc.n_tokens AS bpe_tokens, cum0 // 512 AS pack_id,
+         |  ((cum0 + n_tokens - 1) // 512) > (cum0 // 512) AS straddles
+         |FROM pc JOIN trmne t2 ON pc.doc_id = t2.doc_id""".stripMargin
+    },
 
     // the block extractor replayed stage-for-stage: same injected
     // fixture, same split/score/keep chain, exact clean text

@@ -42,6 +42,42 @@ class CurationSpec extends SparkSpec {
     assert(leaked.count() > 0L)
   }
 
+  test("substring-trim stage changes the downstream token bill: trimmed docs pack fewer BPE tokens") {
+    import spark.implicits._
+    // a corpus where one 8-token run repeats across docs: the flagship's
+    // stage order (scrub → ExactSubstr trim → BPE bill → pack) must bill
+    // the TRIMMED text, so the repeat's tokens vanish from the bill
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val fx = Seq(
+      (1L, s"$run a0 a1 a2 a3"),
+      (2L, s"b0 b1 $run b2 b3"),  // the non-canonical copy: trimmed
+      (3L, "c0 c1 c2 c3 c4 c5")
+    ).toDF("doc_id", "text")
+    val state = graft.pipeline.BpeFixture
+      .learnedState(fx, "curation-substr-spec", nMerges = 20)._2
+    def bill(frame: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextOps.bpeEncodeWith(frame, state)
+        .select(col("doc_id"), col("bpe_tokens")).as[(Long, Long)]
+        .collect().toMap
+    val untrimmed = bill(fx)
+    val trimmed = bill(TextOps.exactSubstringDedup(fx)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("text")))
+    // stage order matters: doc 2's run leaves BEFORE billing
+    assert(trimmed(2L) < untrimmed(2L),
+      "the trimmed doc must pack fewer BPE tokens than its raw form")
+    assert(trimmed(1L) === untrimmed(1L), "the canonical copy bills unchanged")
+    assert(trimmed(3L) === untrimmed(3L), "untouched docs bill unchanged")
+    // and the pack assignment sees the smaller bill: doc 2's trimmed
+    // cumulative start shifts vs the untrimmed chain in its group
+    def packs(bills: Map[Long, Long]) = TextOps.packByCounts(
+        bills.toSeq.toDF("doc_id", "n_tokens"), budget = 8, groups = 1)
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(packs(trimmed)(3L) < packs(untrimmed)(3L),
+      "a later doc lands in an earlier pack once the repeat is trimmed")
+  }
+
   test("canonicalDocs: exactly one canonical per cluster, and it is the arg-max-quality member") {
     val can = DedupOps.canonicalDocs(docs).persist()
     val perComp = can.groupBy("comp_id").agg(
