@@ -362,25 +362,29 @@ object TextOps {
     * bit-for-bit; the reported fractions are single divisions of those
     * integers rounded at 4 dp.
     *
-    * Scale shape: grams derive IN-ROW in ONE pass (the n-list explodes
-    * per document — 9 rows per doc — and each row's transform derives
-    * that n's grams from the token array: the DuckDB oracle's own CROSS
-    * JOIN shape, one map pass over the cached frame instead of nine),
-    * the per-(doc, n, gram) count is a partial-aggregated shuffle keyed
-    * inside the document, the top-gram rank window partitions by
-    * (doc, n) — never a global window — and the coverage distinct/sum
-    * stays (doc, n)-local, so every term is embarrassingly parallel
-    * across documents at any corpus size. With `hashed` (the default)
-    * the shuffle key is the gram's 60-bit md5 (the band-store
-    * precedent, [[DedupOps.hex60]]): counts, ranks, and coverage keyed
-    * on the hash equal the string spelling up to md5 collisions
-    * (~2⁻⁶⁰ per colliding pair) at 8 bytes per key instead of up to
-    * n tokens of text — a real shuffle-byte factor at 100 TB; the
-    * winner's character mass rides along in-row (`glen`), so the
-    * top-gram bill never needs the string back. `hashed = false` keeps
-    * the string spelling as the semantics reference (the bitext
-    * `banded = false` pattern); GopherRepetitionSpec pins the two
-    * equal on the fixture corpus.
+    * Scale shape: grams derive IN-ROW with one transform per n over the
+    * CACHED token frame — nine passes with LITERAL n, deliberately NOT
+    * one dynamic-n pass: the r18 decomposition probe measured the
+    * exploded n-list + column-length `slice` at 13.6 s vs 4.3 s for
+    * the literal-n passes on identical downstream (constant slice
+    * lengths stay inside whole-stage codegen; the DuckDB oracle keeps
+    * its CROSS JOIN spelling because a vectorized engine has the
+    * opposite trade — SCALE.md r18). The per-(doc, n, gram) count is a
+    * partial-aggregated shuffle keyed inside the document, the
+    * top-gram rank window partitions by (doc, n) — never a global
+    * window — and the coverage distinct/sum stays (doc, n)-local, so
+    * every term is embarrassingly parallel across documents at any
+    * corpus size. With `hashed` (the default) the shuffle key is the
+    * gram's 60-bit md5 (the band-store precedent, [[DedupOps.hex60]]):
+    * counts, ranks, and coverage keyed on the hash equal the string
+    * spelling up to md5 collisions (~2⁻⁶⁰ per colliding pair) at 8
+    * bytes per key instead of up to n tokens of text — measured 69 →
+    * 42 MB shuffled at sf0.1; the winner's character mass rides along
+    * in-row as `glen` = length(gram) − (n − 1) — one O(1) length, no
+    * per-gram string rewrite — so the top-gram bill never needs the
+    * string back. `hashed = false` keeps the string spelling as the
+    * semantics reference (the bitext `banded = false` pattern),
+    * pinned equal by spec on the fixture corpus.
     * Output: (doc_id, top2_cf, top3_cf, top4_cf, dup5_cf…dup10_cf,
     * keep). */
   def gopherRepetition(docs: DataFrame, hashed: Boolean = true): DataFrame = {
@@ -395,22 +399,21 @@ object TextOps {
       if (hashed) DedupOps.hex60(md5(g)) else g
     val gkType = if (hashed) "bigint" else "string"
     val grams = graft.CacheScope.persist(
-      toks.select(col("doc_id"),
-          explode(array(ns.map(lit(_)): _*)).as("n"), col("ts"))
-        .select(col("doc_id"), col("n"),
+      ns.map { n =>
+        toks.select(col("doc_id"), lit(n).as("n"),
           posexplode(
-            when(size(col("ts")) >= col("n"),
-              transform(sequence(lit(0), size(col("ts")) - col("n")), i => {
-                val g = concat_ws(" ", slice(col("ts"), i + 1, col("n")))
+            when(size(col("ts")) >= n,
+              transform(sequence(lit(0), size(col("ts")) - n), i => {
+                val g = concat_ws(" ", slice(col("ts"), i + 1, lit(n)))
                 struct(gramKey(g).as("gk"),
-                  length(replace(g, lit(" "), lit("")))
-                    .cast("long").as("glen"))
+                  (length(g) - (n - 1)).cast("long").as("glen"))
               }))
               .otherwise(
                 array().cast(s"array<struct<gk:$gkType,glen:bigint>>")))
             .as(Seq("pos", "g")))
-        .select(col("doc_id"), col("n"), col("pos"),
-          col("g.gk").as("gk"), col("g.glen").as("glen")))
+          .select(col("doc_id"), col("n"), col("pos"),
+            col("g.gk").as("gk"), col("g.glen").as("glen"))
+      }.reduce(_ unionByName _))
     val cnts = graft.CacheScope.persist(
       grams.groupBy(col("doc_id"), col("n"), col("gk"))
         .agg(count(lit(1)).as("cnt"), max(col("glen")).as("glen")))

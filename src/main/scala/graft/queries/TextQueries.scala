@@ -1341,9 +1341,9 @@ object TextQueries extends QueryModule {
          |        i -> {'pos': i,
          |              'gk': ${hex60Sql(
                          "md5(array_to_string(list_slice(ts, i + 1, i + n), ' '))")},
-         |              'glen': CAST(length(replace(
-         |                array_to_string(list_slice(ts, i + 1, i + n), ' '),
-         |                ' ', '')) AS BIGINT)}))
+         |              'glen': CAST(length(
+         |                  array_to_string(list_slice(ts, i + 1, i + n), ' '))
+         |                - (n - 1) AS BIGINT)}))
          |        AS u
          |    FROM t CROSS JOIN (SELECT UNNEST(${ns.mkString("[", ", ", "]")}) AS n) nn)),
          |c AS MATERIALIZED (SELECT doc_id, n, gk, COUNT(*) AS cnt,
