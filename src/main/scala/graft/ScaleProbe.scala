@@ -88,6 +88,21 @@ object ScaleProbe {
     measure("probe_artifact") {
       TextOps.exactSubstrProbeWith(spark.read.parquet(s"$idxDir/grams"), batch)
     }
+    // 3. the serve-router pick, persisted vs cached: the persist path
+    //    pays the full diagnostic (7 measured serves incl. the brute
+    //    exact baseline); the cached path reads the pick and pays the
+    //    picked search alone — the steady-state serve cost a deploy
+    //    actually sees per query batch
+    val emb = Tables.embeddings(spark, sfDir)
+    val pickDir = s"$idxDir/servepick"
+    measure("ann_serve_persist") {
+      graft.pipeline.VectorOps.annServePersist(emb, queryMaxId = 10, k = 3,
+        indexDir = pickDir)
+    }
+    measure("ann_serve_cached") {
+      graft.pipeline.VectorOps.annServeCached(emb, queryMaxId = 10, k = 3,
+        indexDir = pickDir)
+    }
     spark.stop()
   }
 }
