@@ -70,7 +70,8 @@ class PlanSpec extends SparkSpec {
     // bitext_banded_recall's whitelisted brute reference) executes during
     // the driver-side pick, and the RETURNED plan is only the picked
     // mode's bounded banded/cells equi-join mining
-    "ann_index_staleness" -> "two beam serves plus the same brute baseline and 1-row aggregate crossJoins (counts x two recall legs) — a periodic diagnostic, every non-equi side query-sample- or single-row-bounded")
+    "ann_index_staleness" -> "two beam serves plus the same brute baseline and 1-row aggregate crossJoins (counts x two recall legs) — a periodic diagnostic, every non-equi side query-sample- or single-row-bounded",
+    "dedup_substr_k_sweep" -> "crossJoin of the 4-row per-k trim-mass frame with the 1-row corpus-totals aggregate (n_docs, tot_tokens) — both sides grid/single-row bounded")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
