@@ -79,7 +79,7 @@ object Bench {
       "ann_recall", "ann_kmeans_recall", "ann_multiprobe_recall",
       "ann_multiprobe_mrr", "ann_pq_recall", "ann_rp_recall",
       "ann_sq8_recall", "ann_matryoshka_recall", "ann_graph_recall",
-      "ann_serve_mode", "ann_index_staleness",
+      "ann_serve_mode", "ann_serve_pick_roundtrip", "ann_index_staleness",
       "bitext_banded_recall", "bitext_cell_recall", "bitext_auto",
       "dedup_lsh_recall", "dedup_lsh_recall_sampled", "dedup_lsh_precision",
       "dedup_threshold_sweep", "dedup_substr_k_sweep",

@@ -452,6 +452,21 @@ object VectorQueries extends QueryModule {
       VectorOps.graphBeamServe(Tables.embeddings(s, d), queryMaxId = 10, k = 3,
         indexDir = s"target/graft-tmp/graph_index_${new java.io.File(d).getName}")),
 
+    // the persisted serve-router pick, oracle-checked end-to-end: the
+    // persist call runs the full diagnostic over fresh artifacts and
+    // writes artifacts + pick; the RETURNED frame is the steady-state
+    // annServeCached serve — reading the pick from disk and paying the
+    // picked search alone — projected to the (q_id, vec_id, rk) schema
+    // every mode shares (score columns differ per mode by design)
+    "ann_serve_pick_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = s"target/graft-tmp/serve_pick_${new java.io.File(d).getName}"
+      VectorOps.annServePersist(emb, queryMaxId = 10, k = 3, indexDir = dir)
+      VectorOps.annServeCached(emb, queryMaxId = 10, k = 3, indexDir = dir)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+    }),
+
     // incremental graph maintenance: base graph over the oldest 4/5,
     // the newest fifth assigned to the FROZEN centroids with edges
     // against the extended cell membership (base adjacency stays as
@@ -786,135 +801,13 @@ object VectorQueries extends QueryModule {
     // and the pick logic (cheapest BYTES bound among recall-eligible
     // modes — the memory-bound currency) — every constant interpolates
     // from the VectorOps vals the Spark side reads
-    "ann_serve_mode" -> {
-      val slack = VectorOps.AnnServeRecallSlack
-      val budgetCtes = VectorOps.AnnServeBudgets.zipWithIndex.map {
-        case ((b, r), i) => graphBeamRoundCtes(s"g$i", b, r)
-      }.mkString(",\n")
-      val evidence =
-        """  (SELECT ncells FROM cst) AS ncells,
-          |  (SELECT max_cell FROM cst) AS max_cell,
-          |  (SELECT n_vecs FROM cst) AS n_vecs""".stripMargin
-      def recallOf(approx: String) =
-        s"""ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN $approx a
-           |      USING (q_id, vec_id)) AS DOUBLE)
-           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
-           |    AS mean_recall""".stripMargin
-      def beamMode(i: Int, b: Int, r: Int) = {
-        val sFinal = s"g${i}s$r"
-        s"""SELECT 'beam_${b}x$r' AS mode, CAST($b AS BIGINT) AS beam,
-           |  CAST($r AS BIGINT) AS rounds,
-           |  ${recallOf(s"""(
-           |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-           |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
-           |      FROM $sFinal WHERE vec_id <> q_id) WHERE rk <= 3)""")},
-           |  CAST((SELECT ncells FROM cst) + ${r * b * 3} AS BIGINT) AS visit_bound,
-           |  CAST(((SELECT ncells FROM cst) + ${r * b * 3})
-           |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
-           |$evidence""".stripMargin
-      }
-      val beamModes = VectorOps.AnnServeBudgets.zipWithIndex.map {
-        case ((b, r), i) => beamMode(i, b, r) }.mkString("\nUNION ALL\n")
-      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-         |${kmeansCtes(4)},
-         |$knnCtes,
-         |ed AS (SELECT src, dst FROM knn),
-         |$graphBeamHeadCtes,
-         |$budgetCtes,
-         |${pqCtes()},
-         |esc AS (SELECT q_id, q.vec_id AS vec_id, ${cosSql("qqv", "qv")} AS c
-         |        FROM qry CROSS JOIN q WHERE q.vec_id <> q_id),
-         |er AS (SELECT *, row_number() OVER (
-         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
-         |exact AS MATERIALIZED (SELECT q_id, vec_id FROM er WHERE rk <= 3),
-         |cst AS MATERIALIZED (SELECT COUNT(*) AS ncells, MAX(cn) AS max_cell,
-         |    CAST(SUM(cn) AS BIGINT) AS n_vecs
-         |  FROM (SELECT cid, COUNT(*) AS cn FROM kcells GROUP BY cid)),
-         |dm AS (SELECT CAST(MAX(len(qv)) AS BIGINT) AS dim FROM q),
-         |ivfa AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
-         |  FROM (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c
-         |        FROM kcand WHERE q_id < 10)) WHERE rk <= 3),
-         |pqad AS (SELECT k.q_id, k.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
-         |  FROM (SELECT q_id, vec_id FROM kcand WHERE q_id < 10) k
-         |  JOIN codes ON codes.vec_id = k.vec_id
-         |  JOIN dt ON dt.q_id = k.q_id AND dt.m = codes.m AND dt.code = codes.code
-         |  GROUP BY k.q_id, k.vec_id),
-         |pqa AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
-         |  FROM pqad) WHERE rk <= 3),
-         |sqexd AS (SELECT vec_id, UNNEST(qv) AS x,
-         |  UNNEST(range(1, len(qv) + 1)) AS i FROM q),
-         |sqst AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM sqexd GROUP BY i),
-         |sqcd AS (SELECT vec_id, i, CASE WHEN mx > mn
-         |    THEN LEAST(
-         |      510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn),
-         |      510 * mx)
-         |    ELSE 510 * mn END AS xd
-         |  FROM sqexd JOIN sqst USING (i)),
-         |sqdv AS (SELECT vec_id, list(xd ORDER BY i) AS dq FROM sqcd GROUP BY vec_id),
-         |sqqs AS (SELECT vec_id AS q_id, dq AS qq FROM sqdv WHERE vec_id < 10),
-         |sqsc AS (SELECT q_id, vec_id, ${cosSql("qq", "dq")} AS c
-         |  FROM sqqs CROSS JOIN sqdv WHERE vec_id <> q_id),
-         |sqa AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sqsc)
-         |  WHERE rk <= 3),
-         |mdim AS (SELECT CAST(LEAST(${VectorOps.AnnServeMatPrefixDim}, dim)
-         |    AS BIGINT) AS md FROM dm),
-         |mtq AS (SELECT vec_id, qv[1:(SELECT md FROM mdim)] AS tv FROM q),
-         |mtqs AS (SELECT vec_id AS q_id, tv AS tt FROM mtq WHERE vec_id < 10),
-         |mtsc AS (SELECT q_id, vec_id, ${cosSql("tt", "tv")} AS c
-         |  FROM mtqs CROSS JOIN mtq WHERE vec_id <> q_id),
-         |mta AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM mtsc)
-         |  WHERE rk <= 3),
-         |modes AS MATERIALIZED (
-         |SELECT 'ivf_scan' AS mode, CAST(0 AS BIGINT) AS beam,
-         |  CAST(0 AS BIGINT) AS rounds,
-         |  ${recallOf("ivfa")},
-         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
-         |    AS visit_bound,
-         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst)
-         |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
-         |$evidence
-         |UNION ALL
-         |$beamModes
-         |UNION ALL
-         |SELECT 'ivf_pq' AS mode, CAST(0 AS BIGINT) AS beam,
-         |  CAST(0 AS BIGINT) AS rounds,
-         |  ${recallOf("pqa")},
-         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
-         |    AS visit_bound,
-         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) * 4
-         |    AS BIGINT) AS bytes_bound,
-         |$evidence
-         |UNION ALL
-         |SELECT 'sq8_scan' AS mode, CAST(0 AS BIGINT) AS beam,
-         |  CAST(0 AS BIGINT) AS rounds,
-         |  ${recallOf("sqa")},
-         |  (SELECT n_vecs FROM cst) AS visit_bound,
-         |  CAST((SELECT n_vecs FROM cst) * (SELECT dim FROM dm) AS BIGINT)
-         |    AS bytes_bound,
-         |$evidence
-         |UNION ALL
-         |SELECT 'mat' || CAST((SELECT md FROM mdim) AS VARCHAR) || '_scan'
-         |    AS mode, CAST(0 AS BIGINT) AS beam,
-         |  CAST(0 AS BIGINT) AS rounds,
-         |  ${recallOf("mta")},
-         |  (SELECT n_vecs FROM cst) AS visit_bound,
-         |  CAST((SELECT n_vecs FROM cst) * (SELECT md FROM mdim) * 8
-         |    AS BIGINT) AS bytes_bound,
-         |$evidence),
-         |best AS (SELECT MAX(mean_recall) AS br FROM modes),
-         |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible
-         |         FROM modes m CROSS JOIN best),
-         |pick AS (SELECT mode AS pick_mode FROM elig WHERE eligible
-         |         ORDER BY bytes_bound, mode LIMIT 1)
-         |SELECT mode, beam, rounds, mean_recall, visit_bound, bytes_bound,
-         |  ncells, max_cell, n_vecs,
-         |  mode = (SELECT pick_mode FROM pick) AS picked
-         |FROM elig""".stripMargin
-    },
+    "ann_serve_mode" -> serveModeOracle._1,
+
+    // the persisted-pick roundtrip replayed: the SAME chain decides the
+    // pick, and the output is the PICKED mode's serve rows
+    // (q_id, vec_id, rk) — what the Spark side returns from
+    // annServeCached after annServePersist wrote artifacts + pick
+    "ann_serve_pick_roundtrip" -> serveModeOracle._2,
 
     // pairs scored once, both direction's 4-NN sums as exact
     // DECIMAL(20,6) aggregations of the 6-dp-rounded cosines, one
@@ -1868,4 +1761,164 @@ object VectorQueries extends QueryModule {
        |  ROUND(CAST(path_sum AS DOUBLE) / $Trees + 1e-9, 4) AS mean_path
        |FROM paths ORDER BY path_sum, vec_id LIMIT 20""".stripMargin
   }
+
+  /** Shared serve-router oracle chain — every mode leg (with rk), the
+    * cell/dim evidence, the eligibility/pick logic — instantiated once
+    * and consumed by TWO oracles: the ann_serve_mode diagnostic frame
+    * and the ann_serve_pick_roundtrip picked-mode serve rows. One
+    * spelling, so the router diagnostic and the persisted-pick serve
+    * can never desync in the replay. */
+  private lazy val serveModeOracle: (String, String) = {
+      val slack = VectorOps.AnnServeRecallSlack
+      val budgetCtes = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) => graphBeamRoundCtes(s"g$i", b, r)
+      }.mkString(",\n")
+      val evidence =
+        """  (SELECT ncells FROM cst) AS ncells,
+          |  (SELECT max_cell FROM cst) AS max_cell,
+          |  (SELECT n_vecs FROM cst) AS n_vecs""".stripMargin
+      def recallOf(approx: String) =
+        s"""ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN $approx a
+           |      USING (q_id, vec_id)) AS DOUBLE)
+           |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3) + 1e-9, 4)
+           |    AS mean_recall""".stripMargin
+      def beamMode(i: Int, b: Int, r: Int) = {
+        s"""SELECT 'beam_${b}x$r' AS mode, CAST($b AS BIGINT) AS beam,
+           |  CAST($r AS BIGINT) AS rounds,
+           |  ${recallOf(s"ba$i")},
+           |  CAST((SELECT ncells FROM cst) + ${r * b * 3} AS BIGINT) AS visit_bound,
+           |  CAST(((SELECT ncells FROM cst) + ${r * b * 3})
+           |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
+           |$evidence""".stripMargin
+      }
+      // each budget's top-3 beam frame as a NAMED cte (q_id, vec_id, rk)
+      // so the picked-serve oracle can read the winner's rows directly
+      val beamTops = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) =>
+          s"""ba$i AS (SELECT q_id, vec_id, rk FROM (SELECT q_id, vec_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+             |  FROM g${i}s$r WHERE vec_id <> q_id) WHERE rk <= 3)""".stripMargin
+      }.mkString(",\n")
+      val beamModes = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) => beamMode(i, b, r) }.mkString("\nUNION ALL\n")
+      val ctes = s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |${kmeansCtes(4)},
+         |$knnCtes,
+         |ed AS (SELECT src, dst FROM knn),
+         |$graphBeamHeadCtes,
+         |$budgetCtes,
+         |$beamTops,
+         |${pqCtes()},
+         |esc AS (SELECT q_id, q.vec_id AS vec_id, ${cosSql("qqv", "qv")} AS c
+         |        FROM qry CROSS JOIN q WHERE q.vec_id <> q_id),
+         |er AS (SELECT *, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM esc),
+         |exact AS MATERIALIZED (SELECT q_id, vec_id FROM er WHERE rk <= 3),
+         |cst AS MATERIALIZED (SELECT COUNT(*) AS ncells, MAX(cn) AS max_cell,
+         |    CAST(SUM(cn) AS BIGINT) AS n_vecs
+         |  FROM (SELECT cid, COUNT(*) AS cn FROM kcells GROUP BY cid)),
+         |dm AS (SELECT CAST(MAX(len(qv)) AS BIGINT) AS dim FROM q),
+         |ivfa AS (SELECT q_id, vec_id, rk FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM (SELECT q_id, vec_id, ${cosSql("qqv", "qv")} AS c
+         |        FROM kcand WHERE q_id < 10)) WHERE rk <= 3),
+         |pqad AS (SELECT k.q_id, k.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+         |  FROM (SELECT q_id, vec_id FROM kcand WHERE q_id < 10) k
+         |  JOIN codes ON codes.vec_id = k.vec_id
+         |  JOIN dt ON dt.q_id = k.q_id AND dt.m = codes.m AND dt.code = codes.code
+         |  GROUP BY k.q_id, k.vec_id),
+         |pqa AS (SELECT q_id, vec_id, rk FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM pqad) WHERE rk <= 3),
+         |sqexd AS (SELECT vec_id, UNNEST(qv) AS x,
+         |  UNNEST(range(1, len(qv) + 1)) AS i FROM q),
+         |sqst AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM sqexd GROUP BY i),
+         |sqcd AS (SELECT vec_id, i, CASE WHEN mx > mn
+         |    THEN LEAST(
+         |      510 * mn + (((x - mn) * 255) // (mx - mn) * 2 + 1) * (mx - mn),
+         |      510 * mx)
+         |    ELSE 510 * mn END AS xd
+         |  FROM sqexd JOIN sqst USING (i)),
+         |sqdv AS (SELECT vec_id, list(xd ORDER BY i) AS dq FROM sqcd GROUP BY vec_id),
+         |sqqs AS (SELECT vec_id AS q_id, dq AS qq FROM sqdv WHERE vec_id < 10),
+         |sqsc AS (SELECT q_id, vec_id, ${cosSql("qq", "dq")} AS c
+         |  FROM sqqs CROSS JOIN sqdv WHERE vec_id <> q_id),
+         |sqa AS (SELECT q_id, vec_id, rk FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM sqsc)
+         |  WHERE rk <= 3),
+         |mdim AS (SELECT CAST(LEAST(${VectorOps.AnnServeMatPrefixDim}, dim)
+         |    AS BIGINT) AS md FROM dm),
+         |mtq AS (SELECT vec_id, qv[1:(SELECT md FROM mdim)] AS tv FROM q),
+         |mtqs AS (SELECT vec_id AS q_id, tv AS tt FROM mtq WHERE vec_id < 10),
+         |mtsc AS (SELECT q_id, vec_id, ${cosSql("tt", "tv")} AS c
+         |  FROM mtqs CROSS JOIN mtq WHERE vec_id <> q_id),
+         |mta AS (SELECT q_id, vec_id, rk FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM mtsc)
+         |  WHERE rk <= 3),
+         |modes AS MATERIALIZED (
+         |SELECT 'ivf_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("ivfa")},
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
+         |    AS visit_bound,
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst)
+         |    * (SELECT dim FROM dm) * 8 AS BIGINT) AS bytes_bound,
+         |$evidence
+         |UNION ALL
+         |$beamModes
+         |UNION ALL
+         |SELECT 'ivf_pq' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("pqa")},
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) AS BIGINT)
+         |    AS visit_bound,
+         |  CAST((SELECT nprobe FROM np) * (SELECT max_cell FROM cst) * 4
+         |    AS BIGINT) AS bytes_bound,
+         |$evidence
+         |UNION ALL
+         |SELECT 'sq8_scan' AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("sqa")},
+         |  (SELECT n_vecs FROM cst) AS visit_bound,
+         |  CAST((SELECT n_vecs FROM cst) * (SELECT dim FROM dm) AS BIGINT)
+         |    AS bytes_bound,
+         |$evidence
+         |UNION ALL
+         |SELECT 'mat' || CAST((SELECT md FROM mdim) AS VARCHAR) || '_scan'
+         |    AS mode, CAST(0 AS BIGINT) AS beam,
+         |  CAST(0 AS BIGINT) AS rounds,
+         |  ${recallOf("mta")},
+         |  (SELECT n_vecs FROM cst) AS visit_bound,
+         |  CAST((SELECT n_vecs FROM cst) * (SELECT md FROM mdim) * 8
+         |    AS BIGINT) AS bytes_bound,
+         |$evidence),
+         |best AS (SELECT MAX(mean_recall) AS br FROM modes),
+         |elig AS (SELECT m.*, mean_recall >= br - $slack AS eligible
+         |         FROM modes m CROSS JOIN best),
+         |pick AS (SELECT mode AS pick_mode FROM elig WHERE eligible
+         |         ORDER BY bytes_bound, mode LIMIT 1)""".stripMargin
+      val diag = s"""$ctes
+         |SELECT mode, beam, rounds, mean_recall, visit_bound, bytes_bound,
+         |  ncells, max_cell, n_vecs,
+         |  mode = (SELECT pick_mode FROM pick) AS picked
+         |FROM elig""".stripMargin
+      // the picked mode's serve rows: every leg gated on the pick, so
+      // exactly ONE leg is non-empty — the schema stays fixed while the
+      // winning mode stays corpus-dependent
+      val beamLegs = VectorOps.AnnServeBudgets.zipWithIndex.map {
+        case ((b, r), i) =>
+          s"SELECT q_id, vec_id, rk FROM ba$i WHERE (SELECT pick_mode FROM pick) = 'beam_${b}x$r'"
+      }
+      val scanLegs = Seq(
+        "SELECT q_id, vec_id, rk FROM ivfa WHERE (SELECT pick_mode FROM pick) = 'ivf_scan'",
+        "SELECT q_id, vec_id, rk FROM pqa WHERE (SELECT pick_mode FROM pick) = 'ivf_pq'",
+        "SELECT q_id, vec_id, rk FROM sqa WHERE (SELECT pick_mode FROM pick) = 'sq8_scan'",
+        "SELECT q_id, vec_id, rk FROM mta WHERE (SELECT pick_mode FROM pick) = " +
+          "'mat' || CAST((SELECT md FROM mdim) AS VARCHAR) || '_scan'")
+      val served = s"""$ctes
+         |${(scanLegs ++ beamLegs).mkString("\nUNION ALL\n")}""".stripMargin
+      (diag, served)
+    
+  }
+
 }

@@ -71,7 +71,8 @@ class PlanSpec extends SparkSpec {
     // the driver-side pick, and the RETURNED plan is only the picked
     // mode's bounded banded/cells equi-join mining
     "ann_index_staleness" -> "two beam serves plus the same brute baseline and 1-row aggregate crossJoins (counts x two recall legs) — a periodic diagnostic, every non-equi side query-sample- or single-row-bounded",
-    "dedup_substr_k_sweep" -> "crossJoin of the 4-row per-k trim-mass frame with the 1-row corpus-totals aggregate (n_docs, tot_tokens) — both sides grid/single-row bounded")
+    "dedup_substr_k_sweep" -> "crossJoin of the 4-row per-k trim-mass frame with the 1-row corpus-totals aggregate (n_docs, tot_tokens) — both sides grid/single-row bounded",
+    "ann_serve_pick_roundtrip" -> "the RETURNED plan is the cached picked-mode serve; when the pick is a full-scan compressed mode (sq8/matryoshka — the bytes-cheapest eligible on this fixture) it crossJoins the <= 10-row broadcast query set, the ann_sq8_recall shape; the diagnostic with its whitelisted brute leg runs during the driver-side persist, not in the returned plan")
 
   test("no query plan contains an unbounded cartesian or accidental nested-loop join") {
     // events.parquet carries TIMESTAMP(NANOS); same conf graft.Verify sets
