@@ -1020,9 +1020,10 @@ object StreamingJobs {
   /** STREAMING FATE COMPACTION — the live twin of the batch
     * [[graft.pipeline.RefreshOps]] folds: every [[refreshStream]]
     * trigger's fates fold into the persisted probe artifacts (MinHash
-    * band index + frozen-centroid cell assignment) as they are emitted,
-    * so the artifacts track the live corpus continuously instead of
-    * waiting for a nightly batch compaction. The store rides the
+    * band index + frozen-centroid cell assignment + — when the deploy
+    * seeded `grams/initial` — the ExactSubstr gram index) as they are
+    * emitted, so the artifacts track the live corpus continuously
+    * instead of waiting for a nightly batch compaction. The store rides the
     * [[manifestStream]] compacted-store pattern: only `batch_{id-1}` is
     * ever read (`initial` seeds batch 0 — the caller-written artifacts
     * of the base snapshot), the fold writes its own `batch_$id`
@@ -1070,7 +1071,7 @@ object StreamingJobs {
         // batch_N dirs lingering (GC only ever reaches batch_{id-2}) —
         // batch 0 reads `initial`, so everything else is stale by
         // definition and is cleared before the first fold lands.
-        if (id == 0L) Seq("bands", "cells").foreach { art =>
+        if (id == 0L) Seq("bands", "cells", "grams").foreach { art =>
           val root = new org.apache.hadoop.fs.Path(s"$artifactDir/$art")
           val fsys = root.getFileSystem(hconf)
           if (fsys.exists(root))
@@ -1097,12 +1098,23 @@ object StreamingJobs {
           .write.mode("overwrite").parquet(s"$artifactDir/bands/batch_$id")
         RefreshOps.compactCellAssignment(prevOr("cells"), f)
           .write.mode("overwrite").parquet(s"$artifactDir/cells/batch_$id")
-        if (id >= 2) Seq("bands", "cells").foreach { art =>
-          val old = new org.apache.hadoop.fs.Path(
-            s"$artifactDir/$art/batch_${id - 2}")
-          val fs = old.getFileSystem(hconf)
-          if (fs.exists(old)) { fs.delete(old, true); () }
-        }
+        // the ExactSubstr gram index folds through the same store when
+        // the deploy seeded it (grams/initial present) — optional so a
+        // pipeline without the substring stage pays nothing for it
+        val gramsInit = new org.apache.hadoop.fs.Path(
+          s"$artifactDir/grams/initial")
+        val foldGrams = gramsInit.getFileSystem(hconf).exists(gramsInit)
+        if (foldGrams)
+          RefreshOps.compactGramIndex(prevOr("grams"), f, newDocs)
+            .write.mode("overwrite").parquet(s"$artifactDir/grams/batch_$id")
+        if (id >= 2)
+          (Seq("bands", "cells") ++ (if (foldGrams) Seq("grams") else Nil))
+            .foreach { art =>
+              val old = new org.apache.hadoop.fs.Path(
+                s"$artifactDir/$art/batch_${id - 2}")
+              val fs = old.getFileSystem(hconf)
+              if (fs.exists(old)) { fs.delete(old, true); () }
+            }
         ()
     }
 

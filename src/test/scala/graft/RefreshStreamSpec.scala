@@ -225,12 +225,15 @@ class RefreshStreamSpec extends SparkSpec {
     def cidOf(e: Seq[Float]): Long = VectorOps.kmeansRanked(
         Seq((0L, e)).toDF("vec_id", "embedding"), cents, maxRank = 1)
       .select(col("cid").cast("long")).head.getLong(0)
-    // initial artifacts: base doc 100 (textC) indexed
+    // initial artifacts: base doc 100 (textC) indexed — all THREE probe
+    // artifacts seeded, so the stream folds the gram index too
     val baseDocs = Seq((100L, textC)).toDF("doc_id", "text")
     DedupOps.minhashBandsRelational(baseDocs)
       .write.parquet(s"$dir/artifacts/bands/initial")
     Seq((100L, cidOf(e2))).toDF("vec_id", "cid")
       .write.parquet(s"$dir/artifacts/cells/initial")
+    graft.pipeline.TextOps.substrGramIndex(baseDocs)
+      .write.parquet(s"$dir/artifacts/grams/initial")
     // the NEW snapshot lookup both engines read band keys from
     val newDocs = Seq((1L, textA), (3L, textC)).toDF("doc_id", "text")
     val in = MemoryStream[(Long, Long, String, String, Seq[Float])]
@@ -275,6 +278,18 @@ class RefreshStreamSpec extends SparkSpec {
       "streamed cell fold must equal the chained batch folds")
     assert(gotCells === Set((1L, cidOf(e1)), (3L, cidOf(e2))),
       "base doc 100 evicted, docs 1 and 3 indexed at their frozen cells")
+    val expGrams = RefreshOps.compactGramIndex(
+        RefreshOps.compactGramIndex(
+          spark.read.parquet(s"$dir/artifacts/grams/initial"), f1, newDocs),
+        f2, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGrams = spark.read.parquet(s"$dir/artifacts/grams/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGrams.nonEmpty, "24-token fixture docs must hold 8-grams")
+    assert(gotGrams === expGrams,
+      "streamed gram fold must equal the chained batch folds")
+    assert(!gotGrams.exists(_._1 == 100L),
+      "the evicted base doc's grams left the live index")
     // GC: only the last two store generations survive
     assert(!new java.io.File(s"$dir/artifacts/bands/batch_-1").exists())
   }
