@@ -28,6 +28,9 @@ floors.update(r18)
 # r18) — the committed operator reverted to per-n passes (hashed keys,
 # arithmetic glen) and re-floored below the r17 floor
 floors.update(parse('/root/repo/tools/floor/floor_raw_r18b.txt'))
+# the late-round pick-roundtrip query (lands in the slowest map: the
+# persist leg runs the full diagnostic once per bench run)
+floors.update(parse('/root/repo/tools/floor/floor_raw_r18c.txt'))
 
 sent = (" r18 floors (and the r18 A/B) were measured on a quiet box"
         " between build phases; min-of-6/12 absorbs transient"
