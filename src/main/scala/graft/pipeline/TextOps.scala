@@ -498,7 +498,7 @@ object TextOps {
     * string, with semantics preserved up to md5 collisions (~2⁻⁶⁰ per
     * colliding pair); `hashed = false` keeps the string spelling as
     * the semantics reference (the bitext `banded = false` pattern) and
-    * ExactSubstrSpec pins the two equal on the fixture corpus.
+    * CorpusDiagnosticsSpec pins the two equal on the fixture corpus.
     * Exactness: counts, canonical mins, and coverage are integer/string
     * operations any ANSI engine replays bit-for-bit; `dedup_frac` is
     * one division rounded at 4 dp. Output: (doc_id, n_tokens,
