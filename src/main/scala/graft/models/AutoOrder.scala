@@ -169,7 +169,18 @@ object AutoOrder {
 
   /** The full select-and-forecast plan over a single (ts, value) series.
     * Output per member with ≥ 1 fittable config: (model_id, p, d, q,
-    * n_fit, mae, f1..f`horizon`). */
+    * n_fit, mae, f1..f`horizon`).
+    *
+    * Optimization note (r18, guide §3.3/§7.3): the generated Cramer
+    * dispatch expressions are ~10³-node trees and the fit frames are
+    * reused by several consumers, so a lazily-cached spelling makes the
+    * terminal action optimize ONE plan with 335 Exchange nodes — the
+    * query was driver-bound (profiled 11.9 s wall / 8.0 s of driver gaps
+    * / 4.1 s of task time at sf0.1). The bounded frames (≤ models·d·
+    * configs rows) are now eagerly localCheckpointed, truncating lineage
+    * so Catalyst plans each bounded stage once — identical rows, same
+    * IEEE op sequence (checkpointing materializes the same computed
+    * values; nothing is re-derived differently). */
   def selectAndForecast(series: DataFrame, models: Int = 20,
                         horizon: Int = 6): DataFrame = {
     val wM = Window.partitionBy("model_id")
@@ -177,9 +188,10 @@ object AutoOrder {
       .select(col("pos"), col("n"), col("value"),
         explode(sequence(lit(1), lit(models))).as("model_id"))
       .filter((col("n") - 1 - col("pos")) % col("model_id") === 0)
-    val yf = graft.CacheScope.persist(strided
+    val yf = strided
       .withColumn("t", row_number().over(wM.orderBy("pos")) - 1)
-      .withColumn("ny", count(lit(1)).over(wM)))
+      .withColumn("ny", count(lit(1)).over(wM))
+      .localCheckpoint()
     // z-series per d branch: d=0 is the member itself, d=1 its first
     // difference (re-indexed 0..m-1)
     val z0 = yf.select(col("model_id"), lit(0).as("d"), col("t").as("u"),
@@ -190,12 +202,14 @@ object AutoOrder {
       .select(col("model_id"), lit(1).as("d"), (col("t") - 1).as("u"),
         (col("value") - col("zprev")).as("z"), (col("ny") - 1).as("m"))
     val wD = Window.partitionBy("model_id", "d").orderBy("u")
-    val zl = graft.CacheScope.persist(z0.unionByName(z1)
-      .withColumn("z1", lag(col("z"), 1).over(wD))
-      .withColumn("z2", lag(col("z"), 2).over(wD))
-      .withColumn("z3", lag(col("z"), 3).over(wD))
-      .withColumn("z4", lag(col("z"), 4).over(wD))
-      .withColumn("cut", expr("m - (m + 4) div 5")))
+    val zl = z0.unionByName(z1)
+      .select(col("*"),
+        lag(col("z"), 1).over(wD).as("z1"),
+        lag(col("z"), 2).over(wD).as("z2"),
+        lag(col("z"), 3).over(wD).as("z3"),
+        lag(col("z"), 4).over(wD).as("z4"))
+      .withColumn("cut", expr("m - (m + 4) div 5"))
+      .localCheckpoint()
     // Hannan–Rissanen stage 1: AR(4)+intercept residuals, fitted on the
     // train window (selection) and the full window (final refit)
     def withResiduals(trainOnly: Boolean): DataFrame = {
@@ -205,14 +219,18 @@ object AutoOrder {
       val lac = rows.groupBy(col("model_id"), col("d"))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("gden", expr(gdenSql))
-      val coefd = (0 to 4).foldLeft(lac)((df, i) =>
-        df.withColumn(s"gc$i", expr(gcSql(i))))
-      graft.CacheScope.persist(zl
-        .join(coefd.select(col("model_id"), col("d"),
+      // one select for all five coefficients (a withColumn fold re-analyzes
+      // the growing plan per column), then checkpoint: the Cramer trees
+      // stay in ONE bounded 40-row stage instead of re-planning under
+      // every downstream consumer
+      val coefd = lac.select(col("*") +:
+        (0 to 4).map(i => expr(gcSql(i)).as(s"gc$i")): _*)
+      zl.join(coefd.select(col("model_id"), col("d"),
           col("gc0"), col("gc1"), col("gc2"), col("gc3"), col("gc4")),
           Seq("model_id", "d"))
         .withColumn("et", expr(residSql))
-        .withColumn("e1", lag(col("et"), 1).over(wD)))
+        .withColumn("e1", lag(col("et"), 1).over(wD))
+        .localCheckpoint()
     }
     val zlT = withResiduals(trainOnly = true)
     val zlF = withResiduals(trainOnly = false)
@@ -227,10 +245,14 @@ object AutoOrder {
     def usable(dfc: DataFrame): DataFrame =
       dfc.filter(col("u") >= col("strt") &&
         (col("q") === 0 || col("e1").isNotNull))
+    // single select per solve step (not a withColumn fold) and an eager
+    // checkpoint: the ≤ 240-row solution frame carries the full CASE-
+    // dispatched Cramer trees — bounding them to one planned stage
     def solve(mom: DataFrame): DataFrame = {
       val d1 = mom.withColumn("den", expr(denDispatchSql))
-      (0 to 4).foldLeft(d1)((df, i) =>
-        df.withColumn(s"b$i", expr(coefDispatchSql(i))))
+      d1.select(col("*") +:
+          (0 to 4).map(i => expr(coefDispatchSql(i)).as(s"b$i")): _*)
+        .localCheckpoint()
     }
     val cfgAggs = cfgMomentSqls.map(expr) :+ expr("COUNT(*) AS nf")
     val fitT = withCfg(zlT)
@@ -238,7 +260,7 @@ object AutoOrder {
       .groupBy(col("model_id"), col("p"), col("d"), col("q"))
       .agg(cfgAggs.head, cfgAggs.tail: _*))
     // one-step-ahead holdout deviations → per-config MAE
-    val maes = graft.CacheScope.persist(usable(fitT)
+    val maes = usable(fitT)
       .filter(col("u") >= col("cut"))
       .join(sol.select(col("model_id"), col("p"), col("d"), col("q"),
         col("b0"), col("b1"), col("b2"), col("b3"), col("b4")),
@@ -247,7 +269,8 @@ object AutoOrder {
       .groupBy(col("model_id"), col("p"), col("d"), col("q"))
       .agg(expr("SUM(CAST(ad AS DECIMAL(25,6))) AS sad"),
         expr("COUNT(ad) AS nad"))
-      .withColumn("mae", expr(maeSql)))
+      .withColumn("mae", expr(maeSql))
+      .localCheckpoint()
     val sel = maes.filter(col("mae").isNotNull)
       .withColumn("rk", row_number().over(
         wM.orderBy(col("mae"), col("d"), col("p"), col("q"))))
@@ -273,6 +296,7 @@ object AutoOrder {
       .join(endsY, Seq("model_id"))
       .join(maes.select(col("model_id"), col("p"), col("d"), col("q"), col("mae")),
         Seq("model_id", "p", "d", "q"))
+      .localCheckpoint()
     val fc = (1 to horizon).foldLeft(fc0)((df, k) =>
       df.withColumn(s"zf$k", expr(zfStepSql(k))))
     fc.select(Seq(col("model_id"),
