@@ -2002,20 +2002,41 @@ object VectorOps {
     val (a, b) = bitextSides(emb, docLangs, langA, langB)
     val cand = bitextCandidates(emb, a, b,
       candMode.getOrElse(if (banded) "banded" else "brute"))
-    // scored pairs feed three consumers (both k-NN sums + the margin)
-    val p = graft.CacheScope.persist(cand
+    val p = cand
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("cr",
         round(cosinePre(col("qa"), col("qb"), col("na"), col("nb")) + lit(1e-9), 6))
-      .select(col("doc_a"), col("doc_b"), col("cr")))
-    def nnSum(part: String, other: String, out: String) =
-      p.withColumn("rk", row_number().over(
-          Window.partitionBy(col(part)).orderBy(col("cr").desc, col(other))))
-        .filter(col("rk") <= k)
-        .groupBy(col(part))
-        .agg(sum(col("cr").cast(DecimalType(20, 6))).cast("double").as(out))
-    p.join(nnSum("doc_a", "doc_b", "sa"), Seq("doc_a"))
-      .join(nnSum("doc_b", "doc_a", "sb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("cr"))
+    // each side's k-NN sum rides the SAME window partitioning as its
+    // rank (running decimal sum cut at rank k, broadcast to the whole
+    // partition by an unordered window agg) — the old groupBy + join-
+    // back spelling exchanged the scored frame six times (2 rank
+    // windows, 2 aggs, 2 join re-partitions) for the same bits this
+    // spelling derives in ONE exchange per side (guide §2.4: window
+    // keyed like the preceding shuffle reuses it). Decimal running
+    // sums are exact and order-free, so the cut at rank k equals the
+    // old top-k groupBy sum bit-for-bit.
+    def nnSumCol(part: String, other: String, out: String)(df: DataFrame) = {
+      val wOrd = Window.partitionBy(col(part))
+        .orderBy(col("cr").desc, col(other))
+      val wAll = Window.partitionBy(col(part))
+      // the boundary row is the LARGEST rank <= k (rank is unique within
+      // the partition, so the struct max is rank-ordered); its running
+      // sum is the exact top-k decimal sum — negative cosines make the
+      // running sum non-monotone, so a plain max over the cumsums would
+      // pick the wrong row
+      df.withColumn("__rk", row_number().over(wOrd))
+        .withColumn("__cs", sum(col("cr").cast(DecimalType(20, 6))).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn(out,
+          max(when(col("__rk") <= k, struct(col("__rk"), col("__cs"))))
+            .over(wAll).getField("__cs").cast("double"))
+        .drop("__rk", "__cs")
+    }
+    // sb pass first, sa pass second: the frame leaves partitioned by
+    // doc_a, which the consumers' margin-rank windows (also doc_a-keyed)
+    // reuse without another exchange
+    nnSumCol("doc_a", "doc_b", "sa")(nnSumCol("doc_b", "doc_a", "sb")(p))
       .withColumn("margin",
         round(col("cr") * lit(2 * k) / (col("sa") + col("sb")) + lit(1e-9), 6))
   }
