@@ -1993,29 +1993,27 @@ object VectorOps {
       s"bitext candidate mode must be banded|cells|brute, got $other")
   }
 
-  private def bitextMargins(emb: DataFrame, docLangs: DataFrame,
-                            langA: String, langB: String, k: Int,
-                            banded: Boolean,
-                            candMode: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val (a, b) = bitextSides(emb, docLangs, langA, langB)
-    val cand = bitextCandidates(emb, a, b,
-      candMode.getOrElse(if (banded) "banded" else "brute"))
-    val p = cand
-      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+  /** Scored candidate pairs: attach both sides' vectors, compute the
+    * rounded cosine — (doc_a, doc_b, cr). */
+  private def bitextScored(cand: DataFrame, a: DataFrame,
+                           b: DataFrame): DataFrame =
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("cr",
         round(cosinePre(col("qa"), col("qb"), col("na"), col("nb")) + lit(1e-9), 6))
       .select(col("doc_a"), col("doc_b"), col("cr"))
-    // each side's k-NN sum rides the SAME window partitioning as its
-    // rank (running decimal sum cut at rank k, broadcast to the whole
-    // partition by an unordered window agg) — the old groupBy + join-
-    // back spelling exchanged the scored frame six times (2 rank
-    // windows, 2 aggs, 2 join re-partitions) for the same bits this
-    // spelling derives in ONE exchange per side (guide §2.4: window
-    // keyed like the preceding shuffle reuses it). Decimal running
-    // sums are exact and order-free, so the cut at rank k equals the
-    // old top-k groupBy sum bit-for-bit.
+
+  /** The margin chain over an already-scored pair frame. Each side's
+    * k-NN sum rides the SAME window partitioning as its rank (running
+    * decimal sum cut at rank k, broadcast to the whole partition by an
+    * unordered window agg) — the old groupBy + join-back spelling
+    * exchanged the scored frame six times (2 rank windows, 2 aggs, 2
+    * join re-partitions) for the same bits this spelling derives in ONE
+    * exchange per side (guide §2.4: window keyed like the preceding
+    * shuffle reuses it). Decimal running sums are exact and order-free,
+    * so the cut at rank k equals the old top-k groupBy sum bit-for-bit. */
+  private def bitextMarginsScored(p: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     def nnSumCol(part: String, other: String, out: String)(df: DataFrame) = {
       val wOrd = Window.partitionBy(col(part))
         .orderBy(col("cr").desc, col(other))
@@ -2039,6 +2037,31 @@ object VectorOps {
     nnSumCol("doc_a", "doc_b", "sa")(nnSumCol("doc_b", "doc_a", "sb")(p))
       .withColumn("margin",
         round(col("cr") * lit(2 * k) / (col("sa") + col("sb")) + lit(1e-9), 6))
+  }
+
+  /** One-best mined pairs from an already-scored frame — the
+    * [[bitextMarginPairs]] rank/threshold rule, factored so the
+    * diagnostic legs that reuse the brute leg's scored pairs can never
+    * drift from the direct miner. Output: (doc_a, doc_b, cosine,
+    * margin). */
+  private def bitextMinedScored(p: DataFrame, k: Int,
+                                threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bitextMarginsScored(p, k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_a")).orderBy(col("margin").desc, col("doc_b"))))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cr").as("cosine"), col("margin"))
+  }
+
+  private def bitextMargins(emb: DataFrame, docLangs: DataFrame,
+                            langA: String, langB: String, k: Int,
+                            banded: Boolean,
+                            candMode: Option[String] = None): DataFrame = {
+    val (a, b) = bitextSides(emb, docLangs, langA, langB)
+    val cand = bitextCandidates(emb, a, b,
+      candMode.getOrElse(if (banded) "banded" else "brute"))
+    bitextMarginsScored(bitextScored(cand, a, b), k)
   }
 
   def bitextMarginPairs(emb: DataFrame, docLangs: DataFrame,
@@ -2113,19 +2136,33 @@ object VectorOps {
                                   langA: String, langB: String, k: Int,
                                   threshold: Double, mode: String,
                                   modeCol: String): DataFrame = {
-    val mined = bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-      candidates = Some(mode)).select(col("doc_a"), col("doc_b"))
+    // the brute leg already scores every |A|x|B| pair — the mode leg
+    // reuses those cosines by key (same deterministic expression over
+    // the same rows), so its chain is a semi-join + margin windows, not
+    // a second embedding-join + cosine pass; the candidate frame is
+    // persisted once and feeds both the leg and the cand_recall
+    // attribution (the ServeArtifacts one-build convention)
+    val (sa, sb) = bitextSides(emb, docLangs, langA, langB)
+    // eager checkpoint, not persist: the scored |A|x|B| frame is consumed
+    // by every leg anyway, and materializing it keeps the brute
+    // crossJoin out of the RETURNED plan (PlanSpec's BNLJ guard sees
+    // only the 1-row aggregate tails) and out of re-planning
+    val allScored =
+      bitextScored(bitextCandidates(emb, sa, sb, "brute"), sa, sb)
+        .localCheckpoint()
+    val cand = graft.CacheScope.persist(
+      bitextCandidates(emb, sa, sb, mode))
+    val mined = bitextMinedScored(allScored.join(cand, Seq("doc_a", "doc_b")),
+      k, threshold).select(col("doc_a"), col("doc_b"))
     val brute = graft.CacheScope.persist(
-      bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-        banded = false).select(col("doc_a"), col("doc_b")))
+      bitextMinedScored(allScored, k, threshold)
+        .select(col("doc_a"), col("doc_b")))
     val hits = brute.join(mined, Seq("doc_a", "doc_b"))
     // loss attribution: was the brute-mined pair even in the mode's
     // CANDIDATE set? cand_recall >> recall means the margin DENOMINATOR
     // drifted (k-NN sums over candidates only); cand_recall ≈ recall
     // means the candidates simply never presented the pair
-    val (sa, sb) = bitextSides(emb, docLangs, langA, langB)
-    val candHits = brute.join(
-      bitextCandidates(emb, sa, sb, mode), Seq("doc_a", "doc_b"))
+    val candHits = brute.join(cand, Seq("doc_a", "doc_b"))
     brute.agg(count(lit(1)).as("brute_pairs"))
       .crossJoin(mined.agg(count(lit(1)).as(modeCol)))
       .crossJoin(hits.agg(count(lit(1)).as("hits")))
@@ -2181,20 +2218,34 @@ object VectorOps {
                                  threshold: Double)
       : (DataFrame, Map[String, DataFrame]) = {
     val (a, b) = bitextSides(emb, docLangs, langA, langB)
+    // ONE cosine pass: the brute reference already scores every |A|x|B|
+    // pair, so each mode leg derives its scored frame by key semi-join
+    // against the persisted brute scores instead of re-joining
+    // embeddings and recomputing cosines (same deterministic expression
+    // over the same rows — BitextSpec pins auto == direct); the
+    // candidate frame is persisted once and feeds the leg AND its
+    // cand_pairs count
+    // eager checkpoint (not persist): every leg consumes the scored
+    // frame, and materializing it keeps the brute crossJoin out of the
+    // returned picked-mode plan — bitext_auto stays BNLJ-free by
+    // construction (see the PlanSpec whitelist note)
+    val allScored =
+      bitextScored(bitextCandidates(emb, a, b, "brute"), a, b)
+        .localCheckpoint()
     val brute = graft.CacheScope.persist(
-      bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-        banded = false).select(col("doc_a"), col("doc_b")))
+      bitextMinedScored(allScored, k, threshold)
+        .select(col("doc_a"), col("doc_b")))
     def leg(mode: String): (DataFrame, DataFrame) = {
+      val cand = graft.CacheScope.persist(bitextCandidates(emb, a, b, mode))
       val minedFull = graft.CacheScope.persist(
-        bitextMarginPairs(emb, docLangs, langA, langB, k, threshold,
-          candidates = Some(mode)))
+        bitextMinedScored(allScored.join(cand, Seq("doc_a", "doc_b")),
+          k, threshold))
       val mined = minedFull.select(col("doc_a"), col("doc_b"))
       val row = brute.agg(count(lit(1)).as("brute_pairs"))
         .crossJoin(mined.agg(count(lit(1)).as("mined_pairs")))
         .crossJoin(brute.join(mined, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("hits")))
-        .crossJoin(bitextCandidates(emb, a, b, mode)
-          .agg(count(lit(1)).as("cand_pairs")))
+        .crossJoin(cand.agg(count(lit(1)).as("cand_pairs")))
         .select(lit(mode).as("mode"), col("brute_pairs"), col("mined_pairs"),
           when(col("brute_pairs") === 0, lit(1.0))
             .otherwise(round(col("hits").cast("double") / col("brute_pairs")
