@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver greps our stdout for one machine-readable JSON
+// line. Under sbt's default LoggedOutput strategy the forked JVM's stdout
+// is re-logged as "[info] {...}", which broke the driver's parser two
+// rounds running (BENCH_r17/r18 "parsed": null). StdoutOutput passes the
+// child's stdout/stderr through verbatim, and showSuccess drops the
+// trailing "[success] Total time ..." line so the JSON can be the last
+// stdout line of the whole sbt invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

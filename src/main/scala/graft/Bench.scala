@@ -138,7 +138,17 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // The compact line also lands verbatim in a fixed side-file so the
+      // driver can read it even if log interleaving mangles stdout.
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_line.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()
+    // Repeat the compact line AFTER spark.stop(): Spark's shutdown logging
+    // goes to stderr, so this print is the final stdout line of the run
+    // (build.sbt's StdoutOutput + showSuccess=false keep sbt from
+    // prefixing it or appending a "[success]" line after it).
+    println(line)
+    System.out.flush()
   }
 }
