@@ -26,6 +26,10 @@ object CacheScope {
     override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
   }
 
+  private val cpStack = new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+  }
+
   /** Persist `df` and register it with the innermost active scope (if
     * any) for release when that scope ends. */
   def persist(df: DataFrame): DataFrame = {
@@ -37,15 +41,44 @@ object CacheScope {
     df
   }
 
+  /** Eagerly `localCheckpoint` `df` and register the checkpointed frame
+    * so the enclosing scope frees its blocks at scope end. Checkpoint
+    * blocks have NO lineage — unlike [[persist]]'s caches they are
+    * never recomputable and are otherwise freed only on driver GC
+    * (ContextCleaner), so a long multi-query session accumulates them
+    * in block-manager storage. CALLER CONTRACT: the checkpointed frame
+    * (and anything derived from it) must not be read after the
+    * enclosing scope ends — scope end drops the only copy of the rows.
+    * With no enclosing scope the behavior is plain `localCheckpoint`
+    * (blocks live until RDD GC). */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cpStack.get() match {
+      case head :: _ => head += cp
+      case Nil => ()
+    }
+    cp
+  }
+
   /** Run `body` in a fresh scope: every frame persisted through
-    * [[persist]] inside it is unpersisted (non-blocking) afterwards. */
+    * [[persist]] inside it is unpersisted (non-blocking) afterwards,
+    * and every frame checkpointed through [[checkpoint]] has its
+    * backing RDD blocks dropped. */
   def scoped[T](body: => T): T = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cpBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     stack.set(buf :: stack.get())
+    cpStack.set(cpBuf :: cpStack.get())
     try body
     finally {
       stack.set(stack.get().tail)
+      cpStack.set(cpStack.get().tail)
       buf.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+      cpBuf.foreach { df =>
+        try org.apache.spark.sql.GraftCheckpointBridge.backingRdd(df)
+          .foreach(_.unpersist(false))
+        catch { case _: Throwable => () }
+      }
     }
   }
 }

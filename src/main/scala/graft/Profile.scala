@@ -55,7 +55,9 @@ object Profile {
     var siteAgg = Map.empty[String, (Int, Double)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = lock.synchronized {
-        val now = System.nanoTime()
+        // event-carried timestamp, not processing time: the bus is async
+        // and processing-time stamps inflate under bus lag
+        val now = e.time * 1000000L
         jobs += 1
         if (firstSubmitNs == 0L) firstSubmitNs = now
         jobStartNs += e.jobId -> now
@@ -65,7 +67,7 @@ object Profile {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = lock.synchronized {
         jobStartNs.get(e.jobId).foreach { s =>
-          val now = System.nanoTime()
+          val now = e.time * 1000000L
           spans ::= (s, now)
           val site = siteOf.getOrElse(e.jobId, "?")
           val (c, t) = siteAgg.getOrElse(site, (0, 0.0))
@@ -81,6 +83,7 @@ object Profile {
       }
     })
     def reset(): Unit = lock.synchronized {
+      // (caller drains the bus first — see drain())
       jobs = 0; taskNs = 0L; shufBytes = 0L; firstSubmitNs = 0L
       spans = Nil; jobStartNs = Map.empty; siteOf = Map.empty; siteAgg = Map.empty
     }
@@ -115,11 +118,19 @@ object Profile {
               txt.getBytes("UTF-8"))
             spark.catalog.clearCache()
           }
+          // drain the async listener bus so late WARMUP events can't
+          // contaminate the measured run's counters, then again after
+          // the run so every measured event has been delivered
+          org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
           reset()
-          val t0 = System.nanoTime()
+          // epoch-based clock: listener events carry epoch-ms stamps,
+          // so the run window must share their base (1 ms granularity
+          // is plenty for multi-second walls)
+          val t0 = System.currentTimeMillis() * 1000000L
           CacheScope.scoped {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          val t1 = System.nanoTime()
+          org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
+          val t1 = System.currentTimeMillis() * 1000000L
           spark.catalog.clearCache()
           val wall = (t1 - t0) / 1e9
           val plan = lock.synchronized {

@@ -552,17 +552,22 @@ object TextOps {
     * precedent) or the k-token string itself as the semantics
     * reference. One transform per document, no shuffle. */
   private def substrGrams(docs: DataFrame, k: Int,
-                          hashed: Boolean): DataFrame = {
-    val gkType = if (hashed) "bigint" else "string"
+                          hashed: Boolean): DataFrame =
     docs.select(col("doc_id"), tokens.as("ts"))
       .select(col("doc_id"),
-        posexplode(
-          when(size(col("ts")) >= k,
-            transform(sequence(lit(0), size(col("ts")) - k), i => {
-              val g = concat_ws(" ", slice(col("ts"), i + 1, lit(k)))
-              if (hashed) DedupOps.hex60(md5(g)) else g
-            }))
-            .otherwise(array().cast(s"array<$gkType>"))).as(Seq("pos", "gk")))
+        posexplode(substrGramArray(k, hashed)).as(Seq("pos", "gk")))
+
+  /** The in-row k-gram key array over a token column `ts` — shared by
+    * [[substrGrams]] (positional occurrences) and [[substrGramIndex]]
+    * (per-document distinct set). */
+  private def substrGramArray(k: Int, hashed: Boolean): Column = {
+    val gkType = if (hashed) "bigint" else "string"
+    when(size(col("ts")) >= k,
+      transform(sequence(lit(0), size(col("ts")) - k), i => {
+        val g = concat_ws(" ", slice(col("ts"), i + 1, lit(k)))
+        if (hashed) DedupOps.hex60(md5(g)) else g
+      }))
+      .otherwise(array().cast(s"array<$gkType>"))
   }
 
   /** The corpus k-gram index of the ExactSubstr family — the PERSISTED
@@ -577,7 +582,13 @@ object TextOps {
     * semantics reference). */
   def substrGramIndex(docs: DataFrame, k: Int = 8,
                       hashed: Boolean = true): DataFrame =
-    substrGrams(docs, k, hashed).select(col("doc_id"), col("gk")).distinct()
+    // a document's DISTINCT gram set is doc-local, so derive it in-row
+    // (array_distinct before the explode) instead of exploding every
+    // occurrence and paying a corpus-wide distinct shuffle — the index
+    // build is now exchange-free (§2.4); same (doc_id, gk) row set
+    docs.select(col("doc_id"), tokens.as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(substrGramArray(k, hashed))).as("gk"))
 
   /** INCREMENTAL ExactSubstr — the probe side of
     * [[exactSubstringDedup]], the `dedup_incremental` pattern applied to

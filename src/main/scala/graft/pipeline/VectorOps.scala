@@ -1330,13 +1330,22 @@ object VectorOps {
   def graphBeamTopK(emb: DataFrame, queryMaxId: Long, k: Int,
                     beam: Int = GraphBeamWidth, rounds: Int = GraphBeamRounds,
                     graphK: Int = 3, targetCellSize: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (edges, entries) = graphTopKArtifacts(emb, graphK, targetCellSize)
+    graphBeamSearch(emb, edges, entries, queryMaxId, k, beam, rounds)
+  }
+
+  /** The fresh-build (edges, entries) pair of [[graphBeamTopK]] —
+    * exposed so [[graphIndexStaleness]] can run the fresh serve as one
+    * leg of a fused search instead of a second sequential chain. */
+  private def graphTopKArtifacts(emb: DataFrame, graphK: Int,
+                                 targetCellSize: Int)
+      : (DataFrame, DataFrame) = {
     val cents = kmeansCentroids(emb, targetCellSize)
     val cells = graft.CacheScope.persist(
       kmeansRanked(emb, cents, maxRank = 1).select(col("vec_id"), col("cid")))
     val edges = graft.CacheScope.persist(
       knnGraphFromCells(emb, cells, graphK).select(col("src"), col("dst")))
-    graphBeamSearch(emb, edges, entryLayer(cells), queryMaxId, k, beam, rounds)
+    (edges, entryLayer(cells))
   }
 
   /** The per-cell entry layer of the graph serve — ONE spelling shared
@@ -1352,9 +1361,20 @@ object VectorOps {
       .filter(col("re") === 1).select(col("vec_id"))
   }
 
-  /** The beam search itself over caller-supplied graph artifacts —
-    * shared by the build-and-serve path ([[graphBeamTopK]]) and the
-    * persisted-index round-trip ([[graphBeamServe]]). */
+  /** One leg of a FUSED beam search ([[graphBeamSearchLegs]]): a named
+    * (edges, entries, beam, rounds) budget over the shared corpus. */
+  private[graft] case class BeamLeg(name: String, edges: DataFrame,
+                                    entries: DataFrame, beam: Int, rounds: Int)
+
+  /** The beam search over caller-supplied graph artifacts — shared by
+    * the build-and-serve path ([[graphBeamTopK]]) and the
+    * persisted-index round-trip ([[graphBeamServe]]). Semantically one
+    * leg of [[graphBeamSearchLegs]], kept as its own lean spelling:
+    * delegating the single-leg case through the legs machinery measured
+    * +0.3–0.6 s per query (leg column in every exchange, CASE beam
+    * width, per-round isin filter — pure overhead when there is one
+    * leg); GraphAnnSpec's fused-vs-solo pin keeps the two spellings
+    * from drifting. */
   private def graphBeamSearch(emb: DataFrame, edges: DataFrame,
                               entries: DataFrame, queryMaxId: Long, k: Int,
                               beam: Int, rounds: Int): DataFrame = {
@@ -1396,6 +1416,80 @@ object VectorOps {
         Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"),
+        round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
+  }
+
+  /** SEVERAL beam searches in ONE doubling loop — the serve-mode
+    * router's three (beam, rounds) budgets and the staleness
+    * diagnostic's appended-vs-fresh serves are independent searches
+    * whose rounds used to run as sequential checkpoint chains (13
+    * eager checkpoints for the router's 3+4+6 rounds); tagging every
+    * frame with a `leg` column runs them in max(rounds) shared rounds
+    * (6 checkpoints) — §2.4's fewer-passes rule applied to the AQE
+    * micro-stage tier. Every window partitions by (leg, q_id), every
+    * join keys on leg, and a leg past its own `rounds` stops expanding
+    * (its rows ride the remaining checkpoints unchanged), so per-leg
+    * rows are IDENTICAL to a solo [[graphBeamSearch]] run — GraphAnnSpec
+    * pins the router legs against the solo spelling. Output:
+    * (leg, q_id, vec_id, cosine, rk). */
+  private def graphBeamSearchLegs(emb: DataFrame, legs: Seq[BeamLeg],
+                                  queryMaxId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.CacheScope.persist(
+      emb.select(col("vec_id"), quant.as("q"))
+        .withColumn("n2", dot(col("q"), col("q"))))
+    val qs = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    // score once per (leg, q_id, candidate): exact integer dots,
+    // broadcast query side — the only corpus-touching join each round
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, Seq("vec_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("c", cosinePre(col("qq"), col("q"), col("qn2"), col("n2")))
+        .select(col("leg"), col("q_id"), col("vec_id"), col("c"))
+    val edgesAll = graft.CacheScope.persist(legs.map(l =>
+        l.edges.select(lit(l.name).as("leg"), col("src"), col("dst")))
+      .reduce(_ unionByName _))
+    val entriesAll = legs.map(l =>
+        l.entries.select(lit(l.name).as("leg"), col("vec_id")))
+      .reduce(_ unionByName _)
+    // per-leg beam width as one CASE chain (bounded: |legs| arms)
+    val beamW = legs.tail.foldLeft(
+      when(col("leg") === legs.head.name, lit(legs.head.beam))) {
+      (acc, l) => acc.when(col("leg") === l.name, lit(l.beam))
+    }
+    // each round reads `visited` twice (beam + union), so the lazy plan
+    // would double per round — checkpoint the KB-scale frame instead
+    // (|Q|·Σleg(ncells + rounds·beam·graphK) rows at ANY corpus size;
+    // the task-binary growth was measurable at 16 MB by round 3
+    // unchecked)
+    var visited = score(qs.select(col("q_id")).crossJoin(broadcast(entriesAll)))
+      .localCheckpoint()
+    val maxRounds = legs.map(_.rounds).max
+    for (r <- 1 to maxRounds) {
+      val active = legs.filter(_.rounds >= r).map(_.name)
+      val beamDf = visited.filter(col("leg").isin(active: _*))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("leg"), col("q_id"))
+            .orderBy(col("c").desc, col("vec_id"))))
+        .filter(col("rk") <= beamW)
+        .select(col("leg"), col("q_id"), col("vec_id").as("src"))
+      val nbrs = beamDf.join(edgesAll, Seq("leg", "src"))
+        .select(col("leg"), col("q_id"), col("dst").as("vec_id"))
+      // score ONLY the unvisited frontier expansion — already-scored
+      // pairs keep their rows (one corpus join per round over the
+      // frontier, never a re-score of the whole visited set)
+      val fresh = nbrs.distinct()
+        .join(visited.select(col("leg"), col("q_id"), col("vec_id")),
+          Seq("leg", "q_id", "vec_id"), "left_anti")
+      visited = visited.union(score(fresh)).localCheckpoint()
+    }
+    visited.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("leg"), col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("leg"), col("q_id"), col("vec_id"),
         round(col("c") + lit(1e-9), 6).as("cosine"), col("rk"))
   }
 
@@ -1505,11 +1599,37 @@ object VectorOps {
     val ivfRow = modeRow("ivf_scan", 0, 0,
       ivfScanWith(emb, art, queryMaxId, k),
       lit(nprobe) * col("max_cell"), dim.toLong * 8)
-    val beamRows = budgets.map { case (b, r) =>
-      modeRow(s"beam_${b}x$r", b, r,
-        graphBeamSearch(emb, edges, entries, queryMaxId, k, b, r),
-        col("ncells") + lit(r.toLong * b * graphK), dim.toLong * 8)
-    }
+    // the three beam budgets ride ONE fused search (shared rounds /
+    // checkpoints — [[graphBeamSearchLegs]]) and ONE per-leg recall
+    // aggregate instead of three sequential search chains + three
+    // 1-row aggregates; per-leg rows are pinned identical to the solo
+    // search by GraphAnnSpec, so the mode rows are value-identical to
+    // the unfused spelling
+    val beamAll = graft.CacheScope.persist(graphBeamSearchLegs(emb,
+      budgets.map { case (b, r) =>
+        BeamLeg(s"beam_${b}x$r", edges, entries, b, r) },
+      queryMaxId, k))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val legsDf = budgets.map { case (b, r) =>
+      (s"beam_${b}x$r", b.toLong, r.toLong) }.toDF("mode", "beam", "rounds")
+    val nqDf = exact.select(col("q_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val hitsByLeg = beamAll
+      .select(col("leg").as("mode"), col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("mode")).agg(count(lit(1)).as("sum_hits"))
+    val beamRows = legsDf
+      .join(hitsByLeg, Seq("mode"), "left")
+      .crossJoin(nqDf).crossJoin(cellStats)
+      .select(col("mode"), col("beam"), col("rounds"),
+        round(coalesce(col("sum_hits"), lit(0L)).cast("double")
+          / (col("nq") * k) + lit(1e-9), 4).as("mean_recall"),
+        (col("ncells") + col("rounds") * col("beam") * graphK)
+          .cast("long").as("visit_bound"),
+        ((col("ncells") + col("rounds") * col("beam") * graphK).cast("long")
+          * (dim.toLong * 8)).as("bytes_bound"),
+        col("ncells"), col("max_cell"), col("n_vecs"))
     // the compressed serves: same IVF candidate bound at m bytes per
     // candidate (PQ ADC), and the full SQ8 scan at dim bytes — their
     // recall is measured against the SAME exact-cosine baseline, so a
@@ -1528,7 +1648,7 @@ object VectorOps {
       matryoshkaTopK(emb, queryMaxId, k, matDim),
       col("n_vecs"), matDim.toLong * 8)
     val modes = graft.CacheScope.persist(
-      (ivfRow +: beamRows :+ pqRow :+ sq8Row :+ matRow).reduce(_ unionByName _))
+      Seq(ivfRow, beamRows, pqRow, sq8Row, matRow).reduce(_ unionByName _))
     // pick = cheapest bytes_bound among modes within slack of the best
     // recall (1-row aggregates crossJoined back — no global window)
     val best = modes.agg(max(col("mean_recall")).as("best_recall"))
@@ -1759,6 +1879,21 @@ object VectorOps {
                       beam: Int = GraphBeamWidth, rounds: Int = GraphBeamRounds,
                       graphK: Int = 3, targetCellSize: Int = 50,
                       rebuildBase: Boolean = true): DataFrame = {
+    val (edges, entries) = graphBeamAppendArtifacts(emb, splitId, indexDir,
+      graphK, targetCellSize, rebuildBase)
+    graphBeamSearch(emb, edges, entries, queryMaxId, k, beam, rounds)
+  }
+
+  /** The appended-index (edges, entries) pair of [[graphBeamAppend]] —
+    * exposed so [[graphIndexStaleness]] can fuse the appended serve
+    * with the fresh-rebuild serve into one [[graphBeamSearchLegs]]
+    * loop. Builds/writes the base artifacts exactly like the serve
+    * path (same side effects, same frames). */
+  private def graphBeamAppendArtifacts(emb: DataFrame, splitId: Long,
+                                       indexDir: String, graphK: Int,
+                                       targetCellSize: Int,
+                                       rebuildBase: Boolean)
+      : (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
@@ -1797,7 +1932,7 @@ object VectorOps {
       spark.read.parquet(s"$indexDir/edges")
         .unionByName(newEdges)
         .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"))))
-    graphBeamSearch(emb, edges, entryLayer(allCells), queryMaxId, k, beam, rounds)
+    (edges, entryLayer(allCells))
   }
 
   /** Serve over the STREAMED-append graph artifacts — the read side of
@@ -1876,6 +2011,11 @@ object VectorOps {
         .agg(sum(col("hits")).as("sh"), count(lit(1)).as("nq"))
         .select(round(col("sh").cast("double") / (col("nq") * k) + lit(1e-9), 4)
           .as(out))
+    // measured counter-finding (r19): fusing the appended and fresh
+    // serves into one 2-leg graphBeamSearchLegs loop ran CONSISTENTLY
+    // ~0.5 s slower here (the legs share no artifacts, so the union only
+    // added leg-tag overhead to every round — unlike the router's three
+    // budgets over ONE graph); the two solo searches stand
     val appended = meanRecall(
       graphBeamAppend(emb, splitId, queryMaxId, k, indexDir,
         graphK = graphK, targetCellSize = targetCellSize), "recall_appended")
@@ -2070,12 +2210,13 @@ object VectorOps {
                         threshold: Double = BitextMarginThreshold,
                         banded: Boolean = true,
                         candidates: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    bitextMargins(emb, docLangs, langA, langB, k, banded, candidates)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_a")).orderBy(col("margin").desc, col("doc_b"))))
-      .filter(col("rk") === 1 && col("margin") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("cr").as("cosine"), col("margin"))
+    // delegate the rank-1/threshold mining rule to bitextMinedScored so
+    // the rule exists in exactly one spelling (the diagnostic legs
+    // reuse it over the brute leg's scored pairs)
+    val (a, b) = bitextSides(emb, docLangs, langA, langB)
+    val cand = bitextCandidates(emb, a, b,
+      candidates.getOrElse(if (banded) "banded" else "brute"))
+    bitextMinedScored(bitextScored(cand, a, b), k, threshold)
   }
 
   /** FORWARD-BACKWARD INTERSECTION mining (the stricter published
@@ -2147,9 +2288,8 @@ object VectorOps {
     // by every leg anyway, and materializing it keeps the brute
     // crossJoin out of the RETURNED plan (PlanSpec's BNLJ guard sees
     // only the 1-row aggregate tails) and out of re-planning
-    val allScored =
-      bitextScored(bitextCandidates(emb, sa, sb, "brute"), sa, sb)
-        .localCheckpoint()
+    val allScored = graft.CacheScope.checkpoint(
+      bitextScored(bitextCandidates(emb, sa, sb, "brute"), sa, sb))
     val cand = graft.CacheScope.persist(
       bitextCandidates(emb, sa, sb, mode))
     val mined = bitextMinedScored(allScored.join(cand, Seq("doc_a", "doc_b")),
@@ -2229,9 +2369,8 @@ object VectorOps {
     // frame, and materializing it keeps the brute crossJoin out of the
     // returned picked-mode plan — bitext_auto stays BNLJ-free by
     // construction (see the PlanSpec whitelist note)
-    val allScored =
-      bitextScored(bitextCandidates(emb, a, b, "brute"), a, b)
-        .localCheckpoint()
+    val allScored = graft.CacheScope.checkpoint(
+      bitextScored(bitextCandidates(emb, a, b, "brute"), a, b))
     val brute = graft.CacheScope.persist(
       bitextMinedScored(allScored, k, threshold)
         .select(col("doc_a"), col("doc_b")))

@@ -42,20 +42,28 @@ object CurationQueries extends QueryModule {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.pipeline.VectorOps
-    val (oldSnap, newSnap) = refreshSnapshots(s, d)
-    val a = oldSnap.select(col("doc_id"), col("source").as("src_a"),
-      col("text").as("text_a"))
-    val b = newSnap.select(col("doc_id"), col("source").as("src_b"),
-      col("text").as("text_b"))
-    // diff feeds three consumers (delta, unchanged index, final frame)
-    val diff = graft.CacheScope.persist(a.join(b, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("src_b"), col("src_a")).as("source"),
-        when(col("text_a").isNull, "added")
-          .when(col("text_b").isNull, "removed")
-          .when(col("text_a") === col("text_b"), "unchanged")
-          .otherwise("changed").as("status"),
-        col("text_b").as("text")))
+    // Single-scan snapshot diff: both snapshots are md5-draw filters of
+    // the SAME documents table, so each row's membership in old/new (and
+    // the new side's edit) is a per-row function of doc_id — one parquet
+    // scan computes the full diff with no full-outer self-join (the join
+    // spelling scanned documents twice and exchanged both sides; row-
+    // identical by construction: same-source rows make coalesce(src_b,
+    // src_a) = source, and text_a === text_b iff the edit draw missed).
+    // refreshSnapshots stays the shared old/new spelling for consumers
+    // that need the snapshot frames themselves.
+    val diff = graft.CacheScope.persist(docs(s, d)
+      .withColumn("in_old", TextOps.mdDraw6("snapold") < 900000L)
+      .withColumn("in_new", TextOps.mdDraw6("snapnew") < 950000L)
+      .filter(col("in_old") || col("in_new"))
+      .select(col("doc_id"), col("source"),
+        when(!col("in_old"), "added")
+          .when(!col("in_new"), "removed")
+          .when(TextOps.mdDraw6("snapedit") < 100000L, "changed")
+          .otherwise("unchanged").as("status"),
+        when(col("in_new"),
+          when(TextOps.mdDraw6("snapedit") < 100000L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .as("text")))
     val delta = diff.filter(col("status").isin("added", "changed"))
       .select(col("doc_id"), col("text"))
     val pol = TextOps.policyGate(delta)
@@ -257,12 +265,18 @@ object CurationQueries extends QueryModule {
     // exactSubstrServe / compactGramIndex are the production pair)
     "dedup_exact_substring_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val (oldSnap, newSnap) = refreshSnapshots(s, d)
-      val batch = newSnap.join(
-          oldSnap.select(col("doc_id"), col("text").as("text_a")),
-          Seq("doc_id"), "left")
-        .filter(col("text_a").isNull || col("text_a") =!= col("text"))
-        .select(col("doc_id"), col("text"))
+      val (oldSnap, _) = refreshSnapshots(s, d)
+      // the added+changed delta is a per-row function of doc_id (both
+      // snapshots draw from the same table), so derive it in ONE scan
+      // instead of new-join-old: in_new && (not in_old || edited), with
+      // the edit applied — row-identical to the join spelling
+      val edited = TextOps.mdDraw6("snapedit") < 100000L
+      val batch = docs(s, d)
+        .filter(TextOps.mdDraw6("snapnew") < 950000L &&
+          (TextOps.mdDraw6("snapold") >= 900000L || edited))
+        .select(col("doc_id"),
+          when(edited, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
       TextOps.exactSubstrProbe(
         oldSnap.select(col("doc_id"), col("text")), batch)
     }),

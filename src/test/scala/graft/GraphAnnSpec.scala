@@ -286,6 +286,29 @@ class GraphAnnSpec extends SparkSpec {
       "an evicted doc must stop answering after the graph compaction")
   }
 
+  test("fused router beam legs equal solo beam searches at every budget") {
+    // the router runs its three (beam, rounds) budgets as legs of ONE
+    // fused search (graphBeamSearchLegs); this pins each leg's measured
+    // recall to a from-scratch solo graphBeamTopK at the same budget —
+    // the fusion must be invisible in the evidence rows
+    val diag = VectorOps.serveModeDiagnostic(clustered, queryMaxId = 5, k = 3)
+      .filter(col("mode").startsWith("beam_"))
+      .select(col("mode"), col("mean_recall")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = VectorOps.bruteForceTopK(clustered, queryMaxId = 5, k = 3)
+      .select(col("q_id"), col("vec_id"))
+    VectorOps.AnnServeBudgets.foreach { case (b, r) =>
+      val solo = VectorOps.graphBeamTopK(clustered, queryMaxId = 5, k = 3,
+        beam = b, rounds = r).select(col("q_id"), col("vec_id"))
+      val hits = solo.join(exact, Seq("q_id", "vec_id")).count()
+      val nq = exact.select(col("q_id")).distinct().count()
+      val rec = BigDecimal(hits.toDouble / (nq * 3) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(diag(s"beam_${b}x$r") == rec,
+        s"budget ($b,$r): fused leg ${diag(s"beam_${b}x$r")} != solo $rec")
+    }
+  }
+
   test("annServeAuto serves exactly what the router picked, on both corpus shapes") {
     def directOf(emb: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
       val pick = VectorOps.serveModeDiagnostic(emb, queryMaxId = 5, k = 3)
